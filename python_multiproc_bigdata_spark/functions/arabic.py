@@ -1,0 +1,58 @@
+"""Arabic text functions (SURVEY §2.3 F5/F6, §2.6 X4).
+
+The reference tokenizes Arabic with ``re.findall`` over a positive
+character class of Arabic letters + 8 diacritics + tatweel
+(reference v2/arabic_transformers.py:20, v1/utils.py:204), then strips
+``×`` and splits on whitespace (both no-ops for the positive class — the
+class can match neither), keeping non-blank tokens. ``remove_diac`` strips
+the 8 diacritic codepoints via chained ``str.replace``
+(v2/arabic_transformers.py:27-30).
+
+Here: one ``regexp_extract_all`` (JVM regex, codegen) for tokenization and
+one ``translate`` for diacritic removal — not 8 regex passes, and no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The 8 diacritics the reference strips: fathatan, dammatan, kasratan,
+# fatha, damma, kasra, shadda, sukun (U+064B..U+0652).
+ARABIC_DIACRITICS = "ًٌٍَُِّْ"
+
+# Positive token class = the reference's literal class, expressed as
+# codepoint ranges: the 8 diacritics, tatweel (U+0640), hamza forms and
+# letters. The reference class enumerates: diacritics + tatweel +
+# ؤ ا ئ ء آ ى إ أ (U+0621-0627 + U+0649) + ب..ي letters (U+0628-064A).
+# U+0621..U+064A covers all enumerated letters/hamza forms contiguously.
+_TOKEN_CLASS = "[ً-ْـء-ي]"
+ARABIC_TOKEN_RE_JAVA = f"{_TOKEN_CLASS}+"  # java.util.regex (Spark side)
+ARABIC_TOKEN_RE_DUCKDB = "[\\x{064b}-\\x{0652}\\x{0640}\\x{0621}-\\x{064a}]+"  # RE2
+
+
+def remove_diacritics(col: Column | str) -> Column:
+    """X4: strip the 8 Arabic diacritic marks in a single ``translate``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ARABIC_DIACRITICS, "")
+
+
+def arabic_tokenize(col: Column | str) -> Column:
+    """F5: array of Arabic tokens (runs of the reference's char class).
+
+    Returns an ``array<string>``; explode + blank-filter downstream. The
+    reference's post-split on whitespace and ``×`` strip are provably
+    no-ops (neither char is in the positive class), so a single
+    ``regexp_extract_all`` is semantically exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(ARABIC_TOKEN_RE_JAVA), F.lit(0))
+
+
+def explode_arabic_tokens(
+    df: DataFrame, text_col: str, out_col: str = "word"
+) -> DataFrame:
+    """F5 as a table transform: one row per Arabic token of ``text_col``."""
+    return df.withColumn(out_col, F.explode(arabic_tokenize(text_col))).filter(
+        F.length(F.trim(out_col)) > 0
+    )

@@ -1,0 +1,128 @@
+"""Generic text analysis functions — tokenization (SURVEY §2.3 F3/F4) plus
+the beyond-reference text-pipeline ops (language-ID, quality scoring, token
+counting, fingerprinting) a training-data pipeline needs at scale.
+
+Everything is built-in column expressions (JVM, whole-stage codegen); at
+100 TB these run inside the scan stage with zero Python involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+# BPE-ish pretokenizer: word runs OR single non-word-non-space chars —
+# the standard GPT-2-style pretokenization shape, ASCII-class for
+# engine-portable semantics.
+BPEISH_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny fixed stopword lists per language for the n-gram/stopword
+# language-ID heuristic and stopword-ratio quality signal.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "es": ["el", "la", "de", "y", "los"],
+    "de": ["der", "die", "das", "und", "zu"],
+}
+
+
+def tokenize(col: Column | str, pattern: str = WHITESPACE_RE) -> Column:
+    """F4: regex-split tokenization (reference v2/core/transformers/text.py:43-71
+    uses ``re.split``). Returns array<string>; blanks NOT yet filtered —
+    compose with ``F.filter`` or explode+filter, mirroring the reference's
+    ``ignore_word_fn`` stage (text.py:36)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, pattern)
+
+
+def explode_tokens(
+    df: DataFrame, text_col: str, out_col: str = "word", pattern: str = WHITESPACE_RE
+) -> DataFrame:
+    """F3/F4 as a table transform: one row per non-blank token."""
+    return df.withColumn(out_col, F.explode(tokenize(text_col, pattern))).filter(
+        F.length(F.trim(out_col)) > 0
+    )
+
+
+def token_count_bpeish(col: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenizer (beyond-reference)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_TOKEN_RE), F.lit(0)))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Portable across engines
+    (DuckDB md5 produces the identical hex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), WHITESPACE_RE, " "))
+
+
+def _ratio(n: Column, d: Column) -> Column:
+    return F.when(d > 0, n.cast("double") / d.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals per document (beyond-reference): token count, mean
+    token length, alpha ratio, stopword ratio, plus a blended 0-1 score.
+
+    All pure column math — survives any scale as a map-only stage.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, WHITESPACE_RE), lambda w: F.length(w) > 0)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS["en"]))
+    )
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.round(_ratio(F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double"), n_tokens), 4),
+        )
+        .withColumn("alpha_ratio", F.round(_ratio(alpha_chars, n_chars), 4))
+        .withColumn("stopword_ratio", F.round(_ratio(stop_hits, n_tokens), 4))
+    )
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * F.lit(0.5)
+            + F.col("alpha_ratio") * F.lit(0.3)
+            + F.least(F.lit(1.0), F.col("stopword_ratio") * F.lit(5.0)) * F.lit(0.2),
+            4,
+        ),
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language-ID (beyond-reference): scores each candidate
+    language by stopword hits over the token array and returns the argmax
+    (ties → lexicographically first language; 'und' when no hits).
+
+    Pure column expressions — at scale this is a map-only stage; a real
+    model would slot in as a Pandas UDF with the same signature.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), WHITESPACE_RE), lambda w: F.length(w) > 0)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda w, sw=sw: w.isin(*sw))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(
+        F.filter(scored, lambda s: s["hits"] > 0)
+    )  # max on struct = (hits, then lang) lexicographic; null if empty
+    # On hits ties array_max prefers the lexicographically LAST lang, so
+    # invert: keep max hits, then min lang among those with max hits.
+    max_hits = best["hits"]
+    winners = F.filter(scored, lambda s: s["hits"] == max_hits)
+    return F.when(best.isNull(), F.lit("und")).otherwise(
+        F.array_min(winners)["lang"]
+    )

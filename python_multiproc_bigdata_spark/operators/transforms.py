@@ -1,0 +1,113 @@
+"""Per-row transforms (SURVEY §2.2 T1–T10).
+
+The reference's transformer contract — extract a key path, map it, carry
+selected values through, drop keys, skip ignored results
+(v2/core/transformers/commons.py:10-61) — is exactly the
+select/withColumn/filter spine of a DataFrame plan. Each helper below is a
+documented `DataFrame -> DataFrame` so user pipelines compose the same way
+the reference's operator trees did, while Catalyst still sees one flat
+declarative plan (function composition ≡ flatMapApply, T7,
+v2/core/commons.py:46-56).
+
+Key paths: the reference addresses nested dicts by key-path lists
+(dict_deep_get, v2/core/commons.py:29-44). Spark nested structs use the
+same dotted reference (`F.col("a.b.c")`), so a key path ['a','b','c'] is
+just "a.b.c" here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def keypath(path: Sequence[str] | str) -> str:
+    """Reference key-path list → Spark nested-field reference."""
+    return path if isinstance(path, str) else ".".join(path)
+
+
+def static_values(df: DataFrame, assignments: dict[str, object]) -> DataFrame:
+    """T3 (`static_values_1`): set constant columns
+    (one_to_one.py:34-36) ≡ `withColumn(c, lit(v))`."""
+    out = df
+    for col, val in assignments.items():
+        out = out.withColumn(col, F.lit(val))
+    return out
+
+
+def _compose(col: Column, fns: Sequence[Callable[[Column], Column]]) -> Column:
+    """Function-composition chain over a column, null-safe: the reference
+    skips the mapper chain entirely when the value is null
+    (one_to_one.py:41-44 guards, mapper never sees null)."""
+    expr = col
+    for fn in fns:
+        expr = fn(expr)
+    return F.when(col.isNull(), col).otherwise(expr)
+
+
+def trans_values(
+    df: DataFrame, rules: Sequence[tuple[str, Sequence[Callable[[Column], Column]]]]
+) -> DataFrame:
+    """T4 (`trans_values_3`): in-place rewrite of columns through composed
+    column functions, null-preserving (one_to_one.py:38-46)."""
+    out = df
+    for col, fns in rules:
+        out = out.withColumn(col, _compose(F.col(col), fns))
+    return out
+
+
+def derive_values(
+    df: DataFrame,
+    rules: Sequence[tuple[str, str, Sequence[Callable[[Column], Column]]]],
+) -> DataFrame:
+    """T5 (`derived_values_2`): new column = composed functions of another
+    column (one_to_one.py:48-56). Rules are (in_col, out_col, [fn...])."""
+    out = df
+    for in_col, out_col, fns in rules:
+        out = out.withColumn(out_col, _compose(F.col(in_col), fns))
+    return out
+
+
+def drop_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """T6: `remove_key_paths` ≡ df.drop (one_to_one.py:59-61)."""
+    return df.drop(*cols)
+
+
+def filter_tokens(
+    df: DataFrame,
+    col: str = "word",
+    min_len: int | None = None,
+    max_len: int | None = None,
+    drop_blank: bool = True,
+) -> DataFrame:
+    """T10: the reference's word filters — `ignore_word_fn=str.isspace`
+    drops whitespace tokens (v2/main.py:103,132) and v1 keeps
+    `1 < len(word) < 16` (v1/utils.py:266-269). Bounds are exclusive to
+    match v1."""
+    out = df
+    if drop_blank:
+        out = out.filter(~F.col(col).rlike(r"^\s*$"))
+    if min_len is not None:
+        out = out.filter(F.length(col) > min_len)
+    if max_len is not None:
+        out = out.filter(F.length(col) < max_len)
+    return out
+
+
+def project_values_path(
+    df: DataFrame, values_path: Sequence[tuple[str, str, bool]]
+) -> DataFrame:
+    """T8 + schema materialization: the loader-side `values_path` contract
+    — ordered (column_name, key_path, required) triples; the whole row is
+    dropped when a required value is null (v2/core/loaders/commons.py:55-62).
+
+    ≡ na.drop(subset=required) + select with aliases. This is where the
+    reference's schemaless stream becomes a schema'd relation (§1.3).
+    """
+    selected = df.select(
+        *[F.col(keypath(path)).alias(name) for name, path, _req in values_path]
+    )
+    required = [name for name, _path, req in values_path if req]
+    return selected.na.drop(subset=required) if required else selected

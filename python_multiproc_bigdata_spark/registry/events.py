@@ -1,0 +1,137 @@
+"""Event-stream queries (batch forms) over the `events` table: JSON scalar
+extraction, time-bucketed windows, sessionization — SURVEY §7 M4/M5.
+Streaming twins live in streaming/ (registry/streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar ops on `props` (SURVEY §7 M4): average of $.k per
+    event_type. get_json_object stays JVM-side."""
+    e = table(prep(spark), sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_JSON = """
+SELECT event_type,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (epoch-aligned, same as
+    DuckDB time_bucket): count + value sum per (window, event_type)."""
+    e = table(prep(spark), sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+SQL_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    buckets. F.window emits one row per covering window."""
+    e = table(prep(spark), sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+# DuckDB twin: generate both covering window starts per event explicitly.
+SQL_SLIDING = """
+SELECT window_start, count(*) AS n FROM (
+  SELECT unnest([
+    time_bucket(INTERVAL '30 minutes', ts),
+    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+  ]) AS window_start
+  FROM events
+) GROUP BY 1
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag + cumulative-sum of gap>30min flags per
+    user (the guide's standard pattern). Emits per-user session count and
+    total events. Window partitions are per-user — bounded, scales."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation funnel: users reaching each stage."""
+    e = table(prep(spark), sf_dir, "events")
+    return e.agg(
+        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias("viewed"),
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("clicked"),
+        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias("purchased"),
+    )
+
+
+SQL_FUNNEL = """
+SELECT count(DISTINCT user_id) FILTER (WHERE event_type = 'view') AS viewed,
+       count(DISTINCT user_id) FILTER (WHERE event_type = 'click') AS clicked,
+       count(DISTINCT user_id) FILTER (WHERE event_type = 'purchase') AS purchased
+FROM events
+"""
+
+
+REGISTRY = {
+    "events_json_extract": QuerySpec(events_json_extract, SQL_JSON),
+    "events_tumbling_window": QuerySpec(events_tumbling_window, SQL_TUMBLING),
+    "events_sliding_window": QuerySpec(events_sliding_window, SQL_SLIDING),
+    "events_sessionize": QuerySpec(events_sessionize, SQL_SESSIONIZE),
+    "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
+}

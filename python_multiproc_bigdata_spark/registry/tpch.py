@@ -1,0 +1,359 @@
+"""Relational query surface over the TPC-H-ish harness tables (SURVEY §7
+M3). The reference has no joins/windows/sorts (§2.7 declares them absent);
+this family exercises the full relational surface the new engine gets from
+Spark — joins (broadcast + shuffle), windows, set ops, rollup, pivot,
+scalar subqueries — with a DuckDB oracle for each.
+
+Double aggregates are rounded (2 for money sums, 4 for ratios) on BOTH
+sides: FP summation order differs across engines at ulp scale; rounding
+makes the hash comparison stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter (pushed to parquet) + 8 aggregates
+    over 2 group keys. Catalyst plans partial→final HashAggregate; at
+    100 TB this is one scan + one narrow shuffle of ~6 groups."""
+    l = table(prep(spark), sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (dim filter first), grouped revenue,
+    top-10. customer is small → AQE broadcasts it; lineitem↔orders is the
+    one real shuffle, on the join key. Revenue rounded before the
+    order/limit so the cut is engine-stable (tie-break o_orderkey)."""
+    spark = prep(spark)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through region→nation→customer→orders→
+    lineitem. The three dims are broadcast; only fact↔orders shuffles."""
+    spark = prep(spark)
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim chain (SURVEY §2.7: joins are new
+    surface): customers per region."""
+    spark = prep(spark)
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_BROADCAST = """
+SELECT r_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def window_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number (the primitive that implements the
+    reference's A3 inverse mode, SURVEY §2.7). Deterministic ordering:
+    totalprice desc then orderkey."""
+    o = table(prep(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+SQL_WINDOW_TOP3 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders)
+WHERE rk <= 3
+"""
+
+
+def count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 COUNT(DISTINCT …) — exact; at 100 TB swap in
+    approx_count_distinct, kept exact here for the oracle."""
+    c = table(prep(spark), sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("nations"),
+        F.count(F.lit(1)).alias("customers"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nations, count(*) AS customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference, §2.7)."""
+    o = table(prep(spark), sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, statuses as columns. Explicit value list keeps
+    the plan single-pass (no distinct-values pre-scan) — at scale always
+    pin pivot values."""
+    o = table(prep(spark), sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def setop_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set ops absent in reference, §2.7): customers who ordered,
+    minus customers with any finished ('F') order."""
+    spark = prep(spark)
+    o = table(spark, sf_dir, "orders")
+    ordered = o.select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract = EXCEPT DISTINCT, matching the SQL EXCEPT semantics.
+    return ordered.subtract(finished).withColumnRenamed("o_custkey", "custkey")
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    spark = prep(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open ('O') order."""
+    spark = prep(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above 1.5× the global average.
+    The 1-row aggregate side is crossJoin-broadcast — no shuffle of orders."""
+    spark = prep(spark)
+    o = table(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_SCALAR_SUBQ = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def part_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact↔fact equi-join on two keys (lineitem↔part, lineitem↔supplier):
+    revenue by part brand and supplier nation."""
+    spark = prep(spark)
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+    )
+
+
+SQL_PART_SUPP = """
+SELECT p_brand, n_name, count(*) AS line_count,
+       round(sum(l_extendedprice), 2) AS gross
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+"""
+
+
+REGISTRY = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, SQL_Q3),
+    "q5_region_revenue": QuerySpec(q5_region_revenue, SQL_Q5),
+    "broadcast_dim_join": QuerySpec(broadcast_dim_join, SQL_BROADCAST),
+    "window_top3_orders": QuerySpec(window_top3_orders, SQL_WINDOW_TOP3),
+    "count_distinct_segments": QuerySpec(count_distinct_segments, SQL_COUNT_DISTINCT),
+    "rollup_order_priority": QuerySpec(rollup_order_priority, SQL_ROLLUP),
+    "pivot_status_by_priority": QuerySpec(pivot_status_by_priority, SQL_PIVOT),
+    "setop_except_customers": QuerySpec(setop_except_customers, SQL_EXCEPT),
+    "anti_join_customers": QuerySpec(anti_join_customers, SQL_ANTI),
+    "semi_join_customers": QuerySpec(semi_join_customers, SQL_SEMI),
+    "scalar_subquery_above_avg": QuerySpec(scalar_subquery_above_avg, SQL_SCALAR_SUBQ),
+    "part_supplier_join": QuerySpec(part_supplier_join, SQL_PART_SUPP),
+}

@@ -1,0 +1,97 @@
+"""File-corpus sources (SURVEY §2.1 S1/S2/S4/S6, §2.3 F1/F2).
+
+The reference walks directory trees in the driver and fans file paths out
+to worker processes (FilesListExtractor, v2/core/extractors/files.py:7-49;
+v1 corpus walker, v1/corpus_main_script.py:15-146). Spark's file sources
+replace all of it: split planning distributes files across executors, and
+`maxPartitionBytes` handles the chunking the reference did with
+`split_list` (v1/utils.py:51-53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def list_files(
+    spark: SparkSession,
+    *dirs: str,
+    pattern: str = "*.txt",
+    recursive: bool = True,
+) -> DataFrame:
+    """S1/S2: one row per matching file — `(file_path, length,
+    modification_time)` — without reading contents.
+
+    `binaryFile` with a path-glob gives the listing distributed; passing
+    several dirs is the reference's FoldersFilesListExtractor (S2).
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    df = reader.load(list(dirs))
+    return df.select(
+        F.col("path").alias("file_path"),
+        F.col("length").alias("file_size"),
+        F.col("modificationTime").alias("modification_time"),
+    )
+
+
+def read_text_lines(spark: SparkSession, *dirs: str, pattern: str = "*.txt") -> DataFrame:
+    """F1: one row per line with its source file —
+    `(file_path, line)`, blanks filtered (reference
+    FileToTextLinesTransformer skips blank lines, files.py:50-52)."""
+    df = (
+        spark.read.option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .text(list(dirs))
+    )
+    return df.select(
+        F.input_file_name().alias("file_path"), F.col("value").alias("line")
+    ).filter(F.length(F.trim("line")) > 0)
+
+
+def read_whole_files(spark: SparkSession, *dirs: str, pattern: str = "*.txt") -> DataFrame:
+    """F2: one row per file with full content — `(file_path, content)`
+    (reference FileTextReaderTransformer, files.py:56-88). The reference
+    documents a RAM-vs-time tradeoff between F1/F2 (v2/main.py:89); in
+    Spark the per-line variant is almost always right at scale since
+    splits stream — this exists for semantic parity."""
+    df = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(list(dirs))
+    )
+    return df.select(
+        F.input_file_name().alias("file_path"), F.col("value").alias("content")
+    )
+
+
+def read_text_files(
+    spark: SparkSession,
+    *dirs: str,
+    pattern: str = "*.txt",
+    whole: bool = False,
+) -> DataFrame:
+    """Convenience switch between F1 (per line) and F2 (whole file)."""
+    if whole:
+        return read_whole_files(spark, *dirs, pattern=pattern)
+    return read_text_lines(spark, *dirs, pattern=pattern)
+
+
+def with_path_taxonomy(df: DataFrame, levels: list[str], path_col: str = "file_path") -> DataFrame:
+    """S4: the v1 corpus walker's 4-level dir taxonomy
+    (corpus/base/domain/period, v1/corpus_main_script.py:15-146) as derived
+    columns: `levels[i]` = i-th path segment from the end, skipping the
+    filename itself."""
+    parts = F.split(F.col(path_col), "/")
+    n = F.size(parts)
+    out = df
+    for i, name in enumerate(levels):
+        # element_at is 1-based; -2 is the file's parent dir.
+        out = out.withColumn(name, F.element_at(parts, n - (len(levels) - i)))
+    return out

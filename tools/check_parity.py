@@ -1,0 +1,87 @@
+"""Local mirror of the driver's correctness gate: run each registry query
+on Spark and its oracle on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/check_parity.py [query ...]   (default: all with oracles)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+from python_multiproc_bigdata_spark.registry import REGISTRY
+from python_multiproc_bigdata_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0 / 0.0 and format compactly
+        if v == 0:
+            return "0"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    names = sys.argv[1:] or [n for n, s in REGISTRY.items() if s.oracle]
+    spark = get_spark(app_name="parity-check", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if spec.oracle is None:
+                print(f"  {name}: rows-only ({len(srows)} rows) OK")
+                continue
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"✗ {name}: ERROR {type(e).__name__}: {e}")
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
+        ok_vals = ns == nd
+        if ok_cols and ok_vals:
+            print(f"✓ {name}: {len(srows)} rows match")
+        else:
+            failures.append(name)
+            print(f"✗ {name}: cols spark={sorted(scols)} duck={sorted(dcols)} "
+                  f"rows spark={len(srows)} duck={len(drows)}")
+            if ok_cols:
+                diff_s = [r for r in ns if r not in set(map(tuple, nd))][:3]
+                diff_d = [r for r in nd if r not in set(map(tuple, ns))][:3]
+                print(f"   spark-only: {diff_s}\n   duck-only:  {diff_d}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
