@@ -86,11 +86,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("alpha_ratio", F.round(_ratio(alpha_chars, n_chars), 4))
         .withColumn("stopword_ratio", F.round(_ratio(stop_hits, n_tokens), 4))
     )
+    # Weights 0.4/0.4/0.2 over 4-decimal inputs keep the blend's 5th
+    # decimal even, so round(…, 4) never sits on a half-boundary (where
+    # engines' rounding of the nearest-double representation can differ).
     return out.withColumn(
         "quality_score",
         F.round(
-            F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * F.lit(0.5)
-            + F.col("alpha_ratio") * F.lit(0.3)
+            F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * F.lit(0.4)
+            + F.col("alpha_ratio") * F.lit(0.4)
             + F.least(F.lit(1.0), F.col("stopword_ratio") * F.lit(5.0)) * F.lit(0.2),
             4,
         ),
@@ -107,12 +110,15 @@ def language_id(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(F.split(F.lower(c), WHITESPACE_RE), lambda w: F.length(w) > 0)
+
+    def hits(stopwords: list[str]) -> Column:
+        # NB: capture via factory, not a default arg — a two-parameter
+        # lambda makes F.filter pass the element index as the 2nd arg.
+        return F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+
     scored = F.array(
         *[
-            F.struct(
-                F.size(F.filter(toks, lambda w, sw=sw: w.isin(*sw))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
+            F.struct(hits(sw).alias("hits"), F.lit(lang).alias("lang"))
             for lang, sw in sorted(STOPWORDS.items())
         ]
     )

@@ -1,0 +1,193 @@
+"""Deduplication operators (beyond-reference, north-star M4): exact,
+n-gram Jaccard, MinHash+LSH, SimHash — the scoped-distinct generalization
+of the reference's UniqueFilterTransformer (SURVEY §2.4 A3) to corpus-level
+near-duplicate detection.
+
+Engine-portability note: every hash here is md5-based (not Spark's
+xxhash/murmur) so the DuckDB oracle can reproduce values bit-for-bit.
+MinHash uses the *lexicographic min of seeded md5 hex digests* — a valid
+minwise scheme (P[min equal] = Jaccard) that needs no integer conversion.
+
+Scale notes (100 TB):
+- shingling/minhash/simhash are map-side only (per-doc expressions or a
+  single groupBy doc_id with algebraic aggregates).
+- candidate generation joins on (band, key) — selectivity = Jaccard^rows
+  per band, so buckets stay tiny when the corpus isn't mostly dupes;
+  verification touches candidates only, never the full pair space.
+- exact jaccard-all-pairs (ngram_jaccard_pairs) shuffles on shingle —
+  use only when shingle frequencies are bounded (salt hot shingles or cap
+  with a frequency filter at larger scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE, doc_fingerprint
+
+MINHASH_SEEDS = [f"s{i}" for i in range(8)]  # k=8 hashes → 4 bands of 2
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # high bit of a nibble
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via fingerprint groupBy: one row per duplicate group
+    (fingerprint, keeper = min id, n_copies)."""
+    return (
+        df.groupBy(doc_fingerprint(text_col).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh). Map-side only."""
+    toks = F.filter(F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh")
+    )
+
+
+def _jaccard_from_shingles(shingles: DataFrame) -> DataFrame:
+    """All-pairs Jaccard from a (id, sh) relation: self-join on shingle →
+    intersection counts → |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (the brute-force oracle path)."""
+    pairs = _jaccard_from_shingles(word_shingles(df, id_col, text_col, n))
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min(md5(seed_i ‖ shingle)).
+    One groupBy with k algebraic min aggregates — partial-aggregated
+    map-side, scales like a word count."""
+    sh = word_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("sh")))).alias(f"h{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the k=8 signature into 4 bands of
+    2, bucket-join per band for candidates, then verify candidates with
+    exact Jaccard (intersection via double shingle join on candidates
+    only). P[banded together] = 1−(1−j²)⁴ ≈ 1 for j ≥ 0.8."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = None
+    for b in range(len(MINHASH_SEEDS) // 2):
+        band = sig.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}").alias("key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    # Verify: exact jaccard on candidate pairs only.
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sha, "id_a")
+        .join(shb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document as a bitstring column `simhash`.
+
+    Bit j comes from the sign of Σ_tokens (±1), where the token votes +1
+    iff hex digit j of md5(token) has its high nibble-bit set. Tokens are
+    counted with multiplicity (weight = term frequency). Pure
+    explode+groupBy — algebraic, partial-aggregated."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0)
+        ).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    )
+    return agg.select("id", bits.alias("simhash"))

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (beyond-reference M4).
+
+Two paths:
+- brute-force cosine top-k — the exactness baseline; crossJoin of a
+  bounded query set against the corpus, all JVM-side higher-order-function
+  math (functions/vectors.py), no UDF.
+- sign-LSH bucketed top-k — the scale path: quantize the leading dims'
+  signs into a bucket key (random-hyperplane LSH with axis-aligned
+  hyperplanes — deterministic and engine-portable), then search within
+  the bucket only. At 100 TB the bucket key becomes the shuffle/partition
+  key and each query touches 1/2^bits of the corpus.
+
+Scores are rounded to 4 decimals BEFORE ranking so top-k cuts are stable
+across engines; ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.vectors import cosine_similarity
+
+
+def _scored_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_similarity("q_emb", "c_emb"), 4))
+    )
+
+
+def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, score, rk)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        _scored_pairs(queries, corpus)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+def sign_bucket(col: F.Column | str, bits: int = 8) -> F.Column:
+    """LSH bucket key: concatenated signs of the first `bits` dims."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        *[
+            F.when(F.element_at(c, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def topk_lsh(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, bits: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+    Equi-join on the bucket key replaces the crossJoin — this is the part
+    that survives scale."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        sign_bucket("embedding", bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        sign_bucket("embedding", bits).alias("bucket"),
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_similarity("q_emb", "c_emb"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+def neardup_pairs_cosine(corpus: DataFrame, threshold: float) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, score ≥ threshold)."""
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine_similarity("e_a", "e_b"), 4))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,3 +1,151 @@
-"""Placeholder — populated in this round."""
+"""Dedup query family (beyond-reference M4) over `documents`, each with a
+DuckDB oracle that reproduces the same md5-based hashing bit-for-bit."""
 
-REGISTRY: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.text import doc_fingerprint
+from python_multiproc_bigdata_spark.operators.dedup import (
+    MINHASH_SEEDS,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+# DuckDB twin of operators/dedup.py:word_shingles (3-gram, distinct per doc).
+SQL_SHINGLES_CTE = r"""
+WITH sh AS (
+  SELECT DISTINCT id, sh FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+          FROM documents))
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: corpus size, distinct fingerprints, dup groups.
+    (One row — the harness corpus has no exact dupes; the counts prove it.)"""
+    d = table(prep(spark), sf_dir, "documents")
+    fp = d.select(doc_fingerprint("text").alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_redundant"),
+    )
+
+
+SQL_EXACT = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT fp) AS n_distinct,
+       count(*) - count(DISTINCT fp) AS n_redundant
+FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(prep(spark), sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = SQL_SHINGLES_CTE + r"""
+, inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(prep(spark), sf_dir, "documents")
+    return minhash_signatures(d).withColumnRenamed("id", "doc_id")
+
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{seed}' || sh)) AS h{i}" for i, seed in enumerate(MINHASH_SEEDS)
+)
+SQL_MINHASH_SIG = SQL_SHINGLES_CTE + f"""
+SELECT id AS doc_id, {_SIG_COLS} FROM sh GROUP BY id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(prep(spark), sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.8)
+
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sig"
+    for b in range(len(MINHASH_SEEDS) // 2)
+)
+SQL_MINHASH_LSH = SQL_SHINGLES_CTE + f"""
+, sig AS (SELECT id, {_SIG_COLS} FROM sh GROUP BY id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(prep(spark), sf_dir, "documents")
+    return simhash16(d).withColumnRenamed("id", "doc_id")
+
+
+_VOTES = ", ".join(
+    "sum(CASE WHEN substr(h, {j1}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS v{j}".format(j1=j + 1, j=j)
+    for j in range(16)
+)
+_BITS = " || ".join(f"(CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16))
+SQL_SIMHASH = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, md5(w) AS h FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS w
+    FROM documents)
+), votes AS (
+  SELECT id, {_VOTES} FROM toks GROUP BY id
+)
+SELECT id AS doc_id, {_BITS} AS simhash FROM votes
+"""
+
+
+REGISTRY = {
+    "dedup_exact": QuerySpec(dedup_exact, SQL_EXACT),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_signatures": QuerySpec(dedup_minhash_signatures, SQL_MINHASH_SIG),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_simhash": QuerySpec(dedup_simhash, SQL_SIMHASH),
+}

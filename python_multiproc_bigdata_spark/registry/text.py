@@ -1,3 +1,129 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis query family (beyond-reference, north-star M4): quality
+scoring, language-ID, BPE-ish token counting, fingerprinting — each a pure
+column-expression plan over `documents` (map-only at any scale)."""
 
-REGISTRY: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpeish,
+)
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(prep(spark), sf_dir, "documents")
+    return quality_score(d, "text").select(
+        "doc_id", "n_tokens", "mean_token_len", "alpha_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+SQL_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+           ELSE 0 END, 4) AS mean_token_len,
+         round(CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars ELSE 0 END, 4) AS alpha_ratio,
+         round(CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) * 1.0 / len(toks)
+           ELSE 0 END, 4) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, stopword_ratio,
+       round(least(1.0, n_tokens / 100.0) * 0.4
+             + alpha_ratio * 0.4
+             + least(1.0, stopword_ratio * 5.0) * 0.2, 4) AS quality_score
+FROM m
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix style rollup: labeled lang × predicted lang."""
+    d = table(prep(spark), sf_dir, "documents")
+    return (
+        d.withColumn("predicted", language_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_LANG_ID = r"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(toks, x -> x IN ('der','die','das','und','zu'))) AS de_hits,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to')))   AS en_hits,
+         len(list_filter(toks, x -> x IN ('el','la','de','y','los')))    AS es_hits,
+         len(list_filter(toks, x -> x IN ('le','la','de','et','les')))   AS fr_hits
+  FROM (SELECT lang,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        FROM documents)
+), pred AS (
+  SELECT lang,
+         CASE WHEN de_hits = 0 AND en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+              WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+              WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN es_hits >= fr_hits THEN 'es'
+              ELSE 'fr' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc, validated against the
+    table's own n_chars column."""
+    d = table(prep(spark), sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 0)
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        token_count_bpeish("text").alias("bpeish_tokens"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpeish_tokens,
+       length(text) = n_chars AS n_chars_ok
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint over normalized text (the primitive
+    behind exact dedup)."""
+    d = table(prep(spark), sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+REGISTRY = {
+    "text_quality": QuerySpec(text_quality, SQL_QUALITY),
+    "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),
+    "text_token_count": QuerySpec(text_token_count, SQL_TOKEN_COUNT),
+    "text_fingerprint": QuerySpec(text_fingerprint, SQL_FINGERPRINT),
+}
