@@ -33,11 +33,15 @@ HEADLINE = [
     "window_top3_orders",
     "events_sessionize",
     "events_tumbling_window",
-    # appended as they land:
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_topk_lsh",
     "text_quality",
+    "text_lang_id",
+    "multimodal_features",
 ]
 
 

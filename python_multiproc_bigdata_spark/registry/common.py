@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -14,10 +17,41 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → rows-only correctness check
 
 
+_PKG_ZIP: str | None = None
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    The driver imports us from an arbitrary cwd via __spark_entry__'s
+    sys.path patch — but executor Python workers have their own sys.path,
+    so any cloudpickled closure referencing module-level functions (e.g.
+    mapInPandas feature extraction) would die with ModuleNotFoundError.
+    A zip of the package on every worker's sys.path fixes the whole class.
+    """
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    if getattr(sc, "_pmb_pyfiles_added", False):
+        return
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tmp = tempfile.mkdtemp(prefix="pmb_pyfiles_")
+        _PKG_ZIP = shutil.make_archive(
+            os.path.join(tmp, "python_multiproc_bigdata_spark"),
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir="python_multiproc_bigdata_spark",
+        )
+    sc.addPyFile(_PKG_ZIP)
+    sc._pmb_pyfiles_added = True
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Pin runtime confs the oracle comparison depends on, regardless of
-    how the caller built the session (the driver uses its own)."""
+    how the caller built the session (the driver uses its own), and make
+    the package importable on executor Python workers."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_pyfiles(spark)
     return spark
 
 

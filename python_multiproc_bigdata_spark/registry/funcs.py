@@ -1,3 +1,148 @@
-"""Placeholder — populated in this round."""
+"""Scalar-function parity queries (SURVEY §2.6 X1–X7, §2.3 F5) on literal
+VALUES fixtures — character-exact checks of the function library against
+DuckDB, covering the FIXTURES.md §3 edge cases (short paths, >255-char
+words, Arabic diacritics, × chars, whitespace runs).
 
-REGISTRY: dict = {}
+The Spark side builds the same literals with createDataFrame; the oracle
+uses a VALUES table. Regex syntax differs (java.util.regex \\u vs RE2
+\\x{…}) — both sides express the reference's Arabic class in their own
+dialect and must produce identical tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.arabic import (
+    ARABIC_TOKEN_RE_DUCKDB,
+    arabic_tokenize,
+    remove_diacritics,
+)
+from python_multiproc_bigdata_spark.functions.strings import (
+    basename_backwards,
+    format_result,
+    len_gt,
+    truncate_str,
+)
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep
+
+# ---- fixtures ------------------------------------------------------------
+
+PATHS = [
+    (1, "/a/b/c/d/e/f/file.txt"),
+    (2, "/a/b/file.txt"),
+    (3, "file.txt"),
+    (4, "/x/file.txt"),
+    (5, "/1/2/3/4/5/6/7/8/9/file.txt"),
+]
+
+LONG_WORD = "w" * 300
+EXACT_255 = "y" * 255
+EXACT_256 = "z" * 256
+WORDS = [(1, "short"), (2, LONG_WORD), (3, EXACT_255), (4, EXACT_256), (5, "")]
+
+ARABIC_TEXTS = [
+    (1, "قَرَأَ الطالِبُ الكِتابَ في المَكتَبة"),  # diacritized sentence
+    (2, "hello كتاب world قلم 123"),               # mixed script
+    (3, "ـتطويلـ and ءامن"),                        # tatweel + hamza forms
+    (4, "no arabic here at all"),
+    (5, "كِتَاب×قلم كتاب"),                          # × splits the char class run
+]
+
+
+def _values_sql(rows: list[tuple], cols: str) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(
+            str(v) if isinstance(v, int) else "'" + str(v).replace("'", "''") + "'"
+            for v in row
+        ) + ")"
+        for row in rows
+    )
+    return f"(VALUES {vals}) AS t({cols})"
+
+
+# ---- queries -------------------------------------------------------------
+
+def func_basename_backwards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: last-5-segments path normalization incl. the short-path
+    early-break (reference v2/core/commons.py:138-161)."""
+    df = prep(spark).createDataFrame(PATHS, ["id", "path"])
+    return df.select("id", basename_backwards("path", 5).alias("norm_path"))
+
+
+SQL_BASENAME = f"""
+SELECT id,
+       CASE WHEN len(string_split(path, '/')) <= 5 THEN path
+            ELSE array_to_string(string_split(path, '/')[-5:], '/') END AS norm_path
+FROM {_values_sql(PATHS, "id, path")}
+"""
+
+
+def func_truncate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: truncate-to-254 with its deliberate off-by-one, plus the
+    len>255 flag (reference v2/core/commons.py:163-173)."""
+    df = prep(spark).createDataFrame(WORDS, ["id", "w"])
+    return df.select(
+        "id",
+        truncate_str("w", 255).alias("w_trunc"),
+        F.length(truncate_str("w", 255)).alias("trunc_len"),
+        len_gt("w", 255).alias("truncated"),
+    )
+
+
+SQL_TRUNCATE = f"""
+SELECT id, substr(w, 1, 254) AS w_trunc, length(substr(w, 1, 254)) AS trunc_len,
+       length(w) > 255 AS truncated
+FROM {_values_sql(WORDS, "id, w")}
+"""
+
+
+def func_arabic_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+X4: the reference Arabic tokenizer char class and diacritic
+    strip (v2/arabic_transformers.py:20,27-30), exploded to one row per
+    token with its diacritic-free form and length."""
+    df = prep(spark).createDataFrame(ARABIC_TEXTS, ["id", "txt"])
+    return (
+        df.select("id", F.explode(arabic_tokenize("txt")).alias("word"))
+        .filter(F.length(F.trim("word")) > 0)
+        .select(
+            "id",
+            "word",
+            remove_diacritics("word").alias("word_clean"),
+            F.length(remove_diacritics("word")).alias("word_len"),
+        )
+    )
+
+
+SQL_ARABIC = f"""
+WITH tok AS (
+  SELECT id, unnest(regexp_extract_all(txt, '{ARABIC_TOKEN_RE_DUCKDB}')) AS word
+  FROM {_values_sql(ARABIC_TEXTS, "id, txt")}
+)
+SELECT id, word,
+       translate(word, 'ًٌٍَُِّْ', '') AS word_clean,
+       length(translate(word, 'ًٌٍَُِّْ', '')) AS word_len
+FROM tok WHERE length(trim(word)) > 0
+"""
+
+
+def func_format_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: the beam variant's '%s; %s; %s' formatting (py-beam/main.py:99-102)."""
+    rows = [(1, "word", 42, "file.txt"), (2, "كتاب", 7, "a/b.txt")]
+    df = prep(spark).createDataFrame(rows, ["id", "w", "n", "f"])
+    return df.select("id", format_result("w", "n", "f").alias("line"))
+
+
+SQL_FORMAT = f"""
+SELECT id, printf('%s; %s; %s', w, n::VARCHAR, f) AS line
+FROM {_values_sql([(1, "word", 42, "file.txt"), (2, "كتاب", 7, "a/b.txt")], "id, w, n, f")}
+"""
+
+
+REGISTRY = {
+    "func_basename_backwards": QuerySpec(func_basename_backwards, SQL_BASENAME),
+    "func_truncate_flags": QuerySpec(func_truncate_flags, SQL_TRUNCATE),
+    "func_arabic_tokenize": QuerySpec(func_arabic_tokenize, SQL_ARABIC),
+    "func_format_result": QuerySpec(func_format_result, SQL_FORMAT),
+}

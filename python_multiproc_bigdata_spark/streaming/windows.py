@@ -1,0 +1,114 @@
+"""Structured Streaming variants (SURVEY §7 M5) of the engine's
+aggregations over the `events` stream table.
+
+The reference's pipeline is a bounded stream with an end-of-data flag
+protocol (v2/core/pipline.py:66-70,95-104) — Structured Streaming is the
+unbounded generalization: watermarks replace the completion flags,
+windows replace whole-input aggregation, and
+`dropDuplicatesWithinWatermark` is the streaming form of the
+ConcurrentKeyBagSet dedup state store (SURVEY §2.4 A3/A4).
+
+For tests/driver runs the parquet file drives the stream to completion
+synchronously (memory sink + processAllAvailable) — the guide's pattern.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_sink_ids = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table: readStream over the parquet
+    file, nanos → microsecond timestamps (same truncation as the batch
+    loader, registry/common.py:load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds") -> DataFrame:
+    """Event-time session windows with a watermark (append-mode capable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def first_event_per_key(events: DataFrame) -> DataFrame:
+    """Streaming scoped-distinct (A3's streaming form, deterministic):
+    min event per (user, type) — complete-mode aggregation rather than
+    dropDuplicates so the 'first' doesn't depend on partition order."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """dropDuplicatesWithinWatermark — bounded-state streaming dedup
+    (the A4 bag-set replacement)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion through a
+    memory sink; returns the materialized result as a batch DataFrame."""
+    name = f"stream_out_{os.getpid()}_{next(_sink_ids)}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return df.sparkSession.table(name)

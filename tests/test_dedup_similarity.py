@@ -1,0 +1,181 @@
+"""Unit tests: dedup operators (exact/jaccard/minhash/simhash), similarity
+search, multimodal plumbing, streaming windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    word_shingles,
+)
+from python_multiproc_bigdata_spark.operators.multimodal import (
+    attach_binary,
+    decode_media,
+    extract_features,
+    fake_decode,
+)
+from python_multiproc_bigdata_spark.operators.similarity import (
+    neardup_pairs_cosine,
+    topk_bruteforce,
+    topk_lsh,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text about spark engines here"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "tiny"),  # < 3 tokens → no shingles
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper == 1 and groups[0].n_copies == 2
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = word_shingles(docs).collect()
+    assert not any(r.id == 5 for r in sh)  # too short → none
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_neardups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r.id: r.simhash for r in simhash16(docs).collect()}
+    assert sh[1] == sh[4]  # identical text → identical simhash
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in sh.values())
+    ham_12 = sum(a != b for a, b in zip(sh[1], sh[2]))
+    ham_13 = sum(a != b for a, b in zip(sh[1], sh[3]))
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 1),
+    (3, [-1.0, 0.0, 0.0, 0.0], 1),
+    (4, [0.0, 0.0, 0.0, 0.0], 2),  # zero vector
+]
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_topk_bruteforce(spark, vecs):
+    out = topk_bruteforce(vecs.filter("vec_id = 0"), vecs, k=2).collect()
+    assert [(r.neighbor_id, r.rk) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].score > 0.99
+
+
+def test_zero_vector_cosine_is_zero(spark, vecs):
+    out = topk_bruteforce(vecs.filter("vec_id = 4"), vecs, k=4).collect()
+    assert all(r.score == 0.0 for r in out)
+
+
+def test_topk_lsh_bucket_restricts(spark, vecs):
+    # bits=1: bucket on sign of dim 0 → vec 0's bucket {0,1,2,4} (>=0)
+    out = topk_lsh(vecs.filter("vec_id = 0"), vecs, k=4, bits=1).collect()
+    assert {r.neighbor_id for r in out} == {1, 2, 4}  # 3 is in the '0' bucket
+
+
+def test_neardup_cosine(spark, vecs):
+    pairs = {(r.id_a, r.id_b) for r in neardup_pairs_cosine(vecs, 0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    feats = extract_features(attach_binary(docs, "text")).collect()
+    assert len(feats) == len(DOCS)
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].digest == by_id[4].digest  # same bytes → same digest
+    assert by_id[1].n_bytes == len(DOCS[0][1].encode())
+    assert 0 <= by_id[1].width < 1024 and 0 <= by_id[1].height < 1024
+    w, h = fake_decode(DOCS[0][1].encode())
+    assert (by_id[1].width, by_id[1].height) == (w, h)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes")
+
+
+def test_streaming_session_and_dedup(spark, tmp_path):
+    """Session windows + watermark dedup on a small parquet stream."""
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        dedup_within_watermark,
+        run_to_memory,
+        session_counts,
+        stream_events,
+    )
+
+    # two users; user 1 has two sessions (gap > 30 min); one dup event_id
+    rows = [
+        (1, 1_000_000_000_000_000_000, 1, "view", 1.0, "{}"),
+        (2, 1_000_000_060_000_000_000, 1, "view", 1.0, "{}"),
+        (3, 1_000_010_000_000_000_000, 1, "click", 1.0, "{}"),
+        (4, 1_000_000_000_000_000_000, 2, "view", 1.0, "{}"),
+        (4, 1_000_000_000_000_000_000, 2, "view", 1.0, "{}"),
+    ]
+    # single parquet FILE named events.parquet (matching the harness layout
+    # stream_events globs for), not a Spark-written directory
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.int64()),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    ev = stream_events(spark, str(tmp_path))
+
+    dedup = run_to_memory(
+        dedup_within_watermark(ev, ["event_id"]), mode="append"
+    )
+    assert dedup.count() == 4  # the duplicate event_id collapsed
+
+    # append mode would withhold the final sessions until the watermark
+    # passes them (needs future data); complete mode emits every session.
+    sess = session_counts(ev, gap="30 minutes", watermark="0 seconds")
+    got = run_to_memory(sess, mode="complete").collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r.user_id, 0)
+        per_user[r.user_id] += 1
+    assert per_user[1] == 2  # two sessions for user 1
+    assert per_user[2] == 1

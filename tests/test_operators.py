@@ -1,0 +1,159 @@
+"""Unit tests: transforms (T-family), aggregates (A-family), sources,
+sinks, pipeline runner."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.aggregates import (
+    count_per_key,
+    distinct_per_key,
+    group_having,
+    reduce_per_key,
+    sum_over_distinct,
+    with_count_per_key,
+)
+from python_multiproc_bigdata_spark.operators.transforms import (
+    derive_values,
+    drop_columns,
+    filter_tokens,
+    project_values_path,
+    static_values,
+    trans_values,
+)
+from python_multiproc_bigdata_spark.plans.pipeline import Pipeline
+from python_multiproc_bigdata_spark.sinks import (
+    conditional_sink,
+    csv_sink,
+    multi_sink,
+    noop_sink,
+)
+
+
+def test_transforms_t_family(spark):
+    df = spark.createDataFrame([("a", 1), (None, 2)], ["s", "i"])
+    out = static_values(df, {"k": "const"})
+    assert out.select("k").distinct().collect()[0].k == "const"
+
+    # T4 null-safe composition: null stays null, mapper never applied
+    out = trans_values(df, [("s", [F.upper, lambda c: F.concat(c, F.lit("!"))])])
+    vals = {r.i: r.s for r in out.collect()}
+    assert vals[1] == "A!" and vals[2] is None
+
+    out = derive_values(df, [("i", "i2", [lambda c: c * 2])])
+    assert {r.i2 for r in out.collect()} == {2, 4}
+
+    assert drop_columns(df, "s").columns == ["i"]
+
+    toks = spark.createDataFrame(
+        [("ok",), ("  ",), ("x",), ("waytoolongtoken12345",)], ["word"]
+    )
+    kept = filter_tokens(toks, "word", min_len=1, max_len=16).collect()
+    assert [r.word for r in kept] == ["ok"]
+
+
+def test_values_path_projection(spark):
+    # T8: required-null drops the whole row; nested key paths flatten
+    df = spark.createDataFrame(
+        [(("w1", 2), "f1"), ((None, 3), "f2")],
+        "t struct<word:string,n:int>, fp string",
+    )
+    out = project_values_path(
+        df, [("word", "t.word", True), ("file_path", "fp", False)]
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].word == "w1" and out.columns == ["word", "file_path"]
+
+
+def test_aggregates_a_family(spark):
+    df = spark.createDataFrame(
+        [("f", "a"), ("f", "b"), ("f", "a"), ("g", "c")], ["fp", "w"]
+    )
+    assert {(r.fp, r["count"]) for r in count_per_key(df, ["fp"]).collect()} == {
+        ("f", 3),
+        ("g", 1),
+    }
+    carried = with_count_per_key(df, ["fp"], "n")
+    assert carried.filter("fp='f'").select("n").distinct().collect()[0].n == 3
+
+    # general fold: string-concat reducer (non-algebraic path)
+    red = reduce_per_key(
+        df.orderBy("w"), ["fp"], "w", lambda acc, x: F.concat(acc, x), initial=""
+    )
+    vals = {r.fp: sorted(r.reduced) for r in red.collect()}
+    assert vals["f"] == ["a", "a", "b"]
+
+    ded = distinct_per_key(df, ["fp"], "w", normalizers=[F.lower])
+    assert ded.count() == 3
+
+    sod = sum_over_distinct(
+        spark.createDataFrame([("f", 5), ("f", 5), ("g", 7)], ["fp", "n"]),
+        ["fp", "n"],
+        "n",
+    )
+    assert sod.collect()[0].total == 12
+
+    gh = group_having(df, F.col("w"), "w_grp", min_count=2)
+    assert [(r.w_grp, r.cnt) for r in gh.collect()] == [("a", 2)]
+
+
+def test_pipeline_and_sinks(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], ["s", "i"])
+    csv_dir = str(tmp_path / "csv_out")
+    flag = {"ran": False}
+
+    def probe_sink(d):
+        flag["ran"] = True
+
+    p = Pipeline(
+        source=df,
+        transforms=[lambda d: d.filter(F.col("i") > 1)],
+        sinks=[noop_sink(), csv_sink(csv_dir, n_files=1), probe_sink,
+               conditional_sink(False, lambda d: (_ for _ in ()).throw(AssertionError))],
+    )
+    out = p.run()
+    assert out.count() == 1 and flag["ran"]
+    files = [f for f in os.listdir(csv_dir) if f.endswith(".csv")]
+    assert len(files) == 1
+    with open(os.path.join(csv_dir, files[0])) as fh:
+        assert fh.read().strip().splitlines() == ["s;i", "y;2"]
+
+    ms = multi_sink(probe_sink, probe_sink)
+    ms(df)  # no error == pass
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Pipeline(source=df, sinks=[])
+
+
+def test_sources_text_corpus(spark, tmp_path):
+    d = tmp_path / "corpus" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.txt").write_text("hello world\n\n  \nsecond line\n")
+    (d / "skip.dat").write_text("nope")
+    from python_multiproc_bigdata_spark.sources.files import (
+        list_files,
+        read_text_lines,
+        read_whole_files,
+        with_path_taxonomy,
+    )
+
+    listed = list_files(spark, str(tmp_path / "corpus"), pattern="*.txt").collect()
+    assert len(listed) == 1 and listed[0].file_path.endswith("a.txt")
+
+    lines = read_text_lines(spark, str(tmp_path / "corpus")).collect()
+    assert sorted(r.line for r in lines) == ["hello world", "second line"]
+
+    whole = read_whole_files(spark, str(tmp_path / "corpus")).collect()
+    assert len(whole) == 1 and "second line" in whole[0].content
+
+    tax = with_path_taxonomy(
+        spark.createDataFrame([("/bdall/corpus1/base/domainA/p1/f.txt",)], ["file_path"]),
+        ["corpus", "base", "domaine", "periode"],
+    ).collect()[0]
+    assert (tax.corpus, tax.base, tax.domaine, tax.periode) == (
+        "corpus1", "base", "domainA", "p1",
+    )
