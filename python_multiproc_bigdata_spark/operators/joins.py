@@ -1,0 +1,98 @@
+"""Join operators Spark lacks natively (SURVEY §2.7 lists joins as new
+surface; the guide's OLAP patterns name as-of and range joins as the two
+worth hand-building).
+
+Both are built from shuffle-friendly primitives — union+window for as-of,
+bucket-equi-join for range — so they scale like any groupBy: no crossJoin,
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the payload of the right
+    row with the greatest ``on`` ≤ left.``on`` within the same ``by`` key
+    (pd.merge_asof semantics, direction='backward', allow_exact_matches).
+
+    Implementation: tag and union both sides, then one window per ``by``
+    key ordered by (on, side) carries the last non-null right payload
+    forward; left rows read it. ONE shuffle on ``by`` — at 100 TB this
+    beats the per-group ``applyInPandas``+``merge_asof`` alternative
+    because no Python worker ever sees the data.
+
+    Right side must be unique per (by, on) — pre-aggregate if not, or
+    the carried payload at a tied timestamp is undefined.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("_payload")
+    r = right.select(
+        F.col(by).alias("_by"), F.col(on).alias("_on"), F.lit(0).alias("_side"), payload
+    )
+    l = left.withColumn("_by", F.col(by)).withColumn("_on", F.col(on)).withColumn(
+        "_side", F.lit(1)
+    ).withColumn("_payload", F.lit(None).cast(r.schema["_payload"].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps → exact matches
+    # are visible to the left row.
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_on").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "_matched", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out_cols = [c for c in left.columns] + [F.col("_matched").alias("asof")]
+    return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    max_gap: float,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Range join: pairs (l, r) with the same ``by`` key and
+    0 < r.on − l.on ≤ max_gap.
+
+    Implementation: bucketize the range key to ``bucket_width`` (default
+    max_gap) and equi-join on (by, bucket) with the left side exploded to
+    {bucket, bucket+1} — every qualifying pair shares one of those two
+    buckets; a final filter applies the exact predicate. Turns an
+    inequality join (O(n²) nested loop) into a hash join.
+
+    Both sides must carry columns named ``on`` and ``by``; all other
+    column names must be disjoint (alias beforehand). Output keeps
+    left's columns, right's extra columns, and `_lon`/`_ron` (the two
+    range keys as doubles).
+    """
+    width = bucket_width or max_gap
+    lon = F.col(on).cast("double")
+    lb = left.withColumn("_lon", lon).withColumn(
+        "_bucket",
+        F.explode(F.array(F.floor(lon / width), F.floor(lon / width) + 1)),
+    ).drop(on)
+    rb = (
+        right.withColumn("_ron", F.col(on).cast("double"))
+        .withColumn("_bucket", F.floor(F.col(on).cast("double") / width))
+        .drop(on)
+    )
+    return (
+        lb.join(rb, [by, "_bucket"])
+        .filter(
+            (F.col("_ron") - F.col("_lon") > 0)
+            & (F.col("_ron") - F.col("_lon") <= max_gap)
+        )
+        .drop("_bucket")
+    )

@@ -1,0 +1,53 @@
+"""General user-defined aggregation surface (SURVEY §2.7: the reference's
+"UDFs" are arbitrary Python callables plugged into transformer/reducer
+slots — aggregators.py:19, text.py:12-14). Spark-first policy: built-ins
+whenever one exists (every callable the reference actually uses has one,
+SURVEY §2.6); this module is the escape hatch for genuinely custom logic.
+
+`grouped_apply` is the A1 general-reducer contract: an arbitrary
+pandas-level fold per key, Arrow-batched (never row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """applyInPandas wrapper: `fn` receives each key group as a pandas
+    DataFrame and returns its reduced frame. The reference's
+    ReduceItemTransformer groups are per-file (bounded), which is exactly
+    the regime where per-group pandas is safe; for unbounded groups use an
+    algebraic built-in instead."""
+    return df.groupBy(*list(keys)).applyInPandas(fn, schema=schema)
+
+
+def median_by_group(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str = "median"
+) -> DataFrame:
+    """Exact per-group median via the pandas path — an aggregation with no
+    single-pass algebraic form, i.e. the case the general-reducer surface
+    exists for. (Interpolating median: mean of the two middle order
+    statistics for even counts — matches DuckDB/NumPy.)"""
+    key_list = list(keys)
+
+    def reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [pdf[k].iloc[0]] for k in key_list}
+        out[out_col] = [round(float(pdf[value_col].median()), 4)]
+        out["n"] = [len(pdf)]
+        return pd.DataFrame(out)
+
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in key_list
+    )
+    return grouped_apply(
+        df, key_list, reduce, schema=f"{key_schema}, {out_col} double, n long"
+    )

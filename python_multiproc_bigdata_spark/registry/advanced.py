@@ -1,0 +1,116 @@
+"""Advanced relational surface: as-of join, bucketized range join, the
+Pandas-UDAF general reducer, CUBE grouping sets, and approximate
+aggregates (rows-only — approx algorithms differ per engine by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
+from python_multiproc_bigdata_spark.operators.udfs import median_by_group
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click event, the most recent prior-or-same view by the
+    same user (classic attribution as-of join). Right side pre-aggregated
+    to unique (user, ts) so tied timestamps are deterministic."""
+    e = table(prep(spark), sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id", right_payload=["view_event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof.view_event_id").alias("view_event_id"),  # null if no prior view
+    )
+
+
+SQL_ASOF = """
+SELECT c.event_id, c.user_id, v.view_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+    SELECT user_id, ts, max(event_id) AS view_event_id
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of events by the same user within 120 s of each other
+    (0 < later − earlier ≤ 120). Bucketized equi-join, exact filter."""
+    e = table(prep(spark), sf_dir, "events")
+    base = e.select("event_id", "user_id", F.col("ts").cast("double").alias("tsec"))
+    l = base.select(F.col("event_id").alias("id_a"), "user_id", "tsec")
+    r = base.select(F.col("event_id").alias("id_b"), "user_id", "tsec")
+    out = range_join_bucketed(l, r, on="tsec", by="user_id", max_gap=120.0)
+    return out.filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", F.round(F.col("_ron") - F.col("_lon"), 6).alias("gap_sec")
+    )
+
+
+SQL_RANGE = """
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       round(epoch(b.ts) - epoch(a.ts), 6) AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch(b.ts) - epoch(a.ts) > 0
+ AND epoch(b.ts) - epoch(a.ts) <= 120
+ AND a.event_id != b.event_id
+"""
+
+
+def udaf_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general-reducer (A1) surface as a Pandas UDAF: exact per-segment
+    median of customer balances."""
+    c = table(prep(spark), sf_dir, "customer")
+    return median_by_group(
+        c.select("c_mktsegment", "c_acctbal"), ["c_mktsegment"], "c_acctbal"
+    )
+
+
+SQL_UDAF_MEDIAN = """
+SELECT c_mktsegment, round(median(c_acctbal), 4) AS median, count(*) AS n
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — all 4 grouping sets."""
+    o = table(prep(spark), sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB path: HyperLogLog distinct
+    users and t-digest value quantiles per event type. rows-only check —
+    sketch implementations legitimately differ across engines, so there
+    is no exact oracle; the exact twins are count_distinct_segments /
+    udaf_median_acctbal."""
+    e = table(prep(spark), sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
+REGISTRY = {
+    "asof_click_to_view": QuerySpec(asof_click_to_view, SQL_ASOF),
+    "range_join_close_events": QuerySpec(range_join_close_events, SQL_RANGE),
+    "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),
+    "cube_orders": QuerySpec(cube_orders, SQL_CUBE),
+    "approx_distinct_stats": QuerySpec(approx_distinct_stats, None),
+}

@@ -1,0 +1,48 @@
+"""Unit tests: as-of join, bucketized range join, Pandas-UDAF reducer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
+from python_multiproc_bigdata_spark.operators.udfs import median_by_group
+
+
+def test_asof_join_backward_with_exact_match(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 20.0), (3, "u", 5.0), (4, "v", 10.0)],
+        ["id", "user", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u", 10.0, "a"), ("u", 15.0, "b"), ("w", 1.0, "z")],
+        ["user", "t", "tag"],
+    )
+    out = asof_join(left, right, on="t", by="user", right_payload=["tag"])
+    got = {r.id: (r.asof.tag if r.asof else None) for r in out.collect()}
+    # id1 t=10: exact match 'a'; id2 t=20: latest ≤ 20 is 'b';
+    # id3 t=5: nothing before → null; id4 user v: no rights → null
+    assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+
+def test_range_join_bucketed_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 0.0), (2, "u", 100.0)], ["id_a", "user", "t"]
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 0.0), (11, "u", 120.0), (12, "u", 121.0), (13, "v", 50.0)],
+        ["id_b", "user", "t"],
+    )
+    out = range_join_bucketed(left, right, on="t", by="user", max_gap=120.0)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # gap must be in (0, 120]: (1,11) gap=120 in; (1,10) gap=0 out;
+    # (1,12) gap=121 out; (2,11) gap=20 in; (2,12) gap=21 in; v key isolated
+    assert pairs == {(1, 11), (2, 11), (2, 12)}
+
+
+def test_median_by_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 4.0), ("b", 6.0)],
+        ["k", "v"],
+    )
+    out = {r.k: (r.median, r.n) for r in median_by_group(df, ["k"], "v").collect()}
+    assert out == {"a": (2.0, 3), "b": (5.0, 2)}  # even count → interpolated
