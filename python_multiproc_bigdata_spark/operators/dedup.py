@@ -26,8 +26,24 @@ from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE, doc_fingerprint
 
-MINHASH_SEEDS = [f"s{i}" for i in range(8)]  # k=8 hashes → 4 bands of 2
+MINHASH_K = 8  # k hashes → 4 bands of 2
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # high bit of a nibble
+
+
+def minhash_exprs(sh_col: str = "sh") -> list:
+    """The k=8 minwise hash functions: 8-hex-char (32-bit) substrings of
+    two md5 digests (md5(sh), md5('x'‖sh)) — 2 md5 evaluations per shingle
+    instead of 8 seeded ones (hashing dominated the signature scan at
+    sf0.1). Lexicographic min of fixed-width hex = numeric min; each
+    disjoint substring is an independent uniform hash, which is all
+    minwise hashing needs."""
+    from pyspark.sql import functions as F
+
+    h1, h2 = F.md5(F.col(sh_col)), F.md5(F.concat(F.lit("x"), F.col(sh_col)))
+    return [
+        F.min(F.substring(h1 if i < 4 else h2, (i % 4) * 8 + 1, 8)).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
 
 
 def exact_duplicate_groups(
@@ -70,13 +86,31 @@ def word_shingles(
 
 
 def _jaccard_from_shingles(shingles: DataFrame) -> DataFrame:
-    """All-pairs Jaccard from a (id, sh) relation: self-join on shingle →
-    intersection counts → |A∪B| = |A|+|B|−|A∩B|."""
+    """All-pairs Jaccard from a (id, sh) relation.
+
+    Pair generation groups by shingle and emits the id-combinations of
+    each posting list JVM-side (sorted, so id_a < id_b by construction) —
+    one aggregation instead of a self-join, halving evaluations of the
+    upstream shingle subtree. Posting lists are bounded by shingle
+    frequency (hot shingles should be frequency-capped upstream at larger
+    scales; see module docstring)."""
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        shingles.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")
@@ -110,15 +144,11 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min(md5(seed_i ‖ shingle)).
+    """Per-doc MinHash signature (see minhash_exprs for the hash scheme).
     One groupBy with k algebraic min aggregates — partial-aggregated
     map-side, scales like a word count."""
     sh = word_shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(seed), F.col("sh")))).alias(f"h{i}")
-        for i, seed in enumerate(MINHASH_SEEDS)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    return sh.groupBy("id").agg(*minhash_exprs())
 
 
 def minhash_lsh_pairs(
@@ -132,15 +162,26 @@ def minhash_lsh_pairs(
     2, bucket-join per band for candidates, then verify candidates with
     exact Jaccard (intersection via double shingle join on candidates
     only). P[banded together] = 1−(1−j²)⁴ ≈ 1 for j ≥ 0.8."""
-    sig = minhash_signatures(df, id_col, text_col, n)
-    bands = None
-    for b in range(len(MINHASH_SEEDS) // 2):
-        band = sig.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}").alias("key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # The signature aggregation also collects the doc's shingle set, and
+    # verification joins the (tiny) candidate list back to it — a per-pair
+    # array_intersect instead of a second shuffle over all shingles.
+    # Candidates are generated from bands WITHOUT the arrays: exploding
+    # bands with the shingle set attached would push ~2x the whole corpus
+    # through the band shuffle per side (measured 2.5x slower at sf0.1).
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"), *minhash_exprs())
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}").alias("key"),
+            )
+            for b in range(MINHASH_K // 2)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_arr).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -152,26 +193,14 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates()
     )
-    # Verify: exact jaccard on candidate pairs only.
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sha, "id_a")
-        .join(shb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")
-    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b")
+    siga = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sigb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
-        )
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import doc_fingerprint
 from python_multiproc_bigdata_spark.operators.dedup import (
-    MINHASH_SEEDS,
+    MINHASH_K,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -77,8 +77,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d).withColumnRenamed("id", "doc_id")
 
 
+# DuckDB twin of operators/dedup.py:minhash_exprs — 8-hex-char substrings
+# of md5(sh) and md5('x'||sh).
 _SIG_COLS = ", ".join(
-    f"min(md5('{seed}' || sh)) AS h{i}" for i, seed in enumerate(MINHASH_SEEDS)
+    "min(substr(md5({src}), {start}, 8)) AS h{i}".format(
+        src="sh" if i < 4 else "'x' || sh", start=(i % 4) * 8 + 1, i=i
+    )
+    for i in range(MINHASH_K)
 )
 SQL_MINHASH_SIG = SQL_SHINGLES_CTE + f"""
 SELECT id AS doc_id, {_SIG_COLS} FROM sh GROUP BY id
@@ -92,7 +97,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sig"
-    for b in range(len(MINHASH_SEEDS) // 2)
+    for b in range(MINHASH_K // 2)
 )
 SQL_MINHASH_LSH = SQL_SHINGLES_CTE + f"""
 , sig AS (SELECT id, {_SIG_COLS} FROM sh GROUP BY id),

@@ -173,6 +173,11 @@ def test_streaming_session_and_dedup(spark, tmp_path):
     # passes them (needs future data); complete mode emits every session.
     sess = session_counts(ev, gap="30 minutes", watermark="0 seconds")
     got = run_to_memory(sess, mode="complete").collect()
+    from python_multiproc_bigdata_spark.streaming.windows import running_user_totals
+
+    totals = run_to_memory(running_user_totals(ev), mode="update").collect()
+    by_user = {r.user_id: (r.n_events, r.total_value) for r in totals}
+    assert by_user == {1: (3, 3.0), 2: (2, 2.0)}
     per_user = {}
     for r in got:
         per_user.setdefault(r.user_id, 0)

@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: the physical plans the 100 TB story
+depends on (pushdown, pruning, broadcasts, partial aggregation) — so a
+refactor that silently degrades a plan fails loudly here. Plus skew
+helpers' result-equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.skew import (
+    salted_broadcast_left_join,
+    salted_count_per_key,
+)
+from python_multiproc_bigdata_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q3_pushdown_and_broadcast(spark):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # dim filters reach the parquet scan, small sides broadcast
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_words_pipeline_column_pruning_and_broadcast_carry(spark):
+    df = REGISTRY["words_pipeline"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # scan reads only the two needed columns of documents
+    assert "struct<doc_id:bigint,text:string>" in plan
+    # the per-file-count carry-through join is a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # partial (map-side) + final HashAggregate around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_scalar_subquery_no_fact_shuffle(spark):
+    df = REGISTRY["scalar_subquery_above_avg"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k")  # key 0/1/2, deliberately few keys
+    )
+    plain = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {(r.k, r["count"]) for r in salted_count_per_key(df, ["k"]).collect()}
+    assert salted == plain
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    fact = spark.range(0, 5_000).select((F.col("id") % 10).alias("k"), "id")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], ["k", "name"])
+    plain = fact.join(dim, "k").groupBy("name").count()
+    salted = salted_broadcast_left_join(fact, dim, "k").groupBy("name").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+    assert "BroadcastHashJoin" in plan_of(salted_broadcast_left_join(fact, dim, "k"))
