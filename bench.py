@@ -42,6 +42,9 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "multimodal_features",
+    "asof_click_to_view",
+    "range_join_close_events",
+    "udaf_median_acctbal",
 ]
 
 

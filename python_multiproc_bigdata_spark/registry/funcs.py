@@ -140,7 +140,29 @@ FROM {_values_sql([(1, "word", 42, "file.txt"), (2, "كتاب", 7, "a/b.txt")], 
 """
 
 
+def func_null_safe_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 null semantics (reference one_to_one.py:41-44): the mapper chain
+    is skipped entirely for null inputs — null in, null out, composed
+    functions never see the null."""
+    from python_multiproc_bigdata_spark.operators.transforms import trans_values
+
+    df = prep(spark).createDataFrame(
+        [(1, "ok"), (2, None), (3, " pad ")], ["id", "s"]
+    )
+    out = trans_values(
+        df, [("s", [F.trim, F.upper, lambda c: F.concat(c, F.lit("!"))])]
+    )
+    return out.select("id", "s")
+
+
+SQL_NULL_CHAIN = """
+SELECT id, CASE WHEN s IS NULL THEN NULL ELSE upper(trim(s)) || '!' END AS s
+FROM (VALUES (1, 'ok'), (2, NULL), (3, ' pad ')) AS t(id, s)
+"""
+
+
 REGISTRY = {
+    "func_null_safe_chain": QuerySpec(func_null_safe_chain, SQL_NULL_CHAIN),
     "func_basename_backwards": QuerySpec(func_basename_backwards, SQL_BASENAME),
     "func_truncate_flags": QuerySpec(func_truncate_flags, SQL_TRUNCATE),
     "func_arabic_tokenize": QuerySpec(func_arabic_tokenize, SQL_ARABIC),

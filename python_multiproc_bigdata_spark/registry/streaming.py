@@ -12,6 +12,7 @@ from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
     run_to_memory,
+    sliding_counts,
     stream_events,
     tumbling_counts,
 )
@@ -40,7 +41,24 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(prep(spark), sf_dir)
+    return run_to_memory(sliding_counts(ev), mode="complete")
+
+
+SQL_STREAM_SLIDING = """
+SELECT window_start, count(*) AS n FROM (
+  SELECT unnest([
+    time_bucket(INTERVAL '30 minutes', ts),
+    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+  ]) AS window_start
+  FROM events
+) GROUP BY 1
+"""
+
+
 REGISTRY = {
     "streaming_tumbling_counts": QuerySpec(streaming_tumbling_counts, SQL_STREAM_TUMBLING),
     "streaming_first_event": QuerySpec(streaming_first_event, SQL_STREAM_FIRST),
+    "streaming_sliding_counts": QuerySpec(streaming_sliding_counts, SQL_STREAM_SLIDING),
 }

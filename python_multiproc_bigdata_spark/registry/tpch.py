@@ -342,7 +342,50 @@ GROUP BY p_brand, n_name
 """
 
 
+def in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery via spark.sql (Catalyst rewrites to a left-semi join):
+    customers in ASIA nations."""
+    spark = prep(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_c")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_n")
+    table(spark, sf_dir, "region").createOrReplaceTempView("_r")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _c
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM _n
+            WHERE n_regionkey IN (SELECT r_regionkey FROM _r WHERE r_name = 'ASIA'))
+        """
+    )
+
+
+SQL_IN_SUBQ = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+"""
+
+
+def setop_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who placed both an 'O' and an 'F' order."""
+    spark = prep(spark)
+    o = table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(fin).withColumnRenamed("o_custkey", "custkey")
+
+
+SQL_INTERSECT = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 REGISTRY = {
+    "in_subquery_customers": QuerySpec(in_subquery_customers, SQL_IN_SUBQ),
+    "setop_intersect_customers": QuerySpec(setop_intersect_customers, SQL_INTERSECT),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, SQL_Q3),
     "q5_region_revenue": QuerySpec(q5_region_revenue, SQL_Q5),

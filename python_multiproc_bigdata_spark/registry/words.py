@@ -98,7 +98,64 @@ def q_words_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_words_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 inverse mode (`yield_unique_values=False`, reference
+    aggregators.py:127): emit every occurrence AFTER the first of each
+    normalized word within its doc — the duplicates the dedup would drop."""
+    from python_multiproc_bigdata_spark.operators.aggregates import duplicates_per_key
+    from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
+
+    d = table(prep(spark), sf_dir, "documents")
+    tokens = (
+        d.select(
+            F.col("doc_id").cast("string").alias("file_path"),
+            F.explode(F.split("text", WHITESPACE_RE)).alias("word"),
+        )
+        .filter(F.length(F.trim("word")) > 0)
+    )
+    dups = duplicates_per_key(
+        tokens, ["file_path"], "word", normalizers=[lambda c: F.lower(F.trim(c))]
+    )
+    return dups.groupBy("file_path", "word").agg(F.count(F.lit(1)).alias("n_extra"))
+
+
+SQL_WORDS_DUPLICATES = r"""
+WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS file_path,
+           unnest(string_split_regex(text, '\s+')) AS word
+    FROM documents
+), tok_nb AS (
+    SELECT file_path, word FROM tok WHERE length(trim(word)) > 0
+), numbered AS (
+    SELECT file_path, word,
+           row_number() OVER (PARTITION BY file_path, lower(trim(word))
+                              ORDER BY word) AS rn
+    FROM tok_nb
+)
+SELECT file_path, word, count(*) AS n_extra
+FROM numbered WHERE rn > 1 GROUP BY 1, 2
+"""
+
+
+def q_words_v1_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 pipeline's token length gate 1 < len < 16 (reference
+    v1/utils.py:266-269) applied to the words output."""
+    w = _words(spark, sf_dir)
+    return w.filter((F.length("word") > 1) & (F.length("word") < 16)).groupBy(
+        "file_path"
+    ).agg(F.count(F.lit(1)).alias("kept_words"))
+
+
+SQL_WORDS_V1_FILTER = (
+    WORDS_CTE
+    + """SELECT file_path, count(*) AS kept_words FROM words
+         WHERE length(word) > 1 AND length(word) < 16 GROUP BY file_path"""
+)
+
+
 REGISTRY = {
+    "words_duplicate_occurrences": QuerySpec(q_words_duplicates, SQL_WORDS_DUPLICATES),
+    "words_v1_length_filter": QuerySpec(q_words_v1_length_filter, SQL_WORDS_V1_FILTER),
     "words_pipeline": QuerySpec(
         q_words_pipeline,
         WORDS_CTE + "SELECT word, word_len, word_truncated, file_path, file_words_count FROM words",
