@@ -133,9 +133,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs (the brute-force oracle path)."""
-    pairs = _jaccard_from_shingles(word_shingles(df, id_col, text_col, n))
+    """Exact n-gram-Jaccard near-dup pairs (the brute-force oracle path).
+
+    `max_shingle_freq` is the 100 TB guardrail: a shingle shared by f docs
+    contributes f·(f−1)/2 candidate pairs, so one boilerplate shingle
+    (license header, template text) can blow the pair space quadratically.
+    Capping drops posting lists longer than the cap BEFORE pair
+    generation — standard practice (such shingles carry ~no Jaccard
+    signal); leave None for exact semantics (the oracle-checked default).
+    """
+    shingles = word_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("_f"))
+        shingles = (
+            shingles.join(freq.filter(F.col("_f") <= max_shingle_freq), "sh")
+            .drop("_f")
+        )
+    pairs = _jaccard_from_shingles(shingles)
     return pairs.filter(F.col("jaccard") >= threshold).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )

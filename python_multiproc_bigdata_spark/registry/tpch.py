@@ -383,7 +383,57 @@ SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def q2_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min subquery): parts priced at their
+    brand's minimum. Window-min beats a correlated re-scan: one shuffle."""
+    p = table(prep(spark), sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("_minp", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("_minp"))
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+SQL_Q2 = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             min(p_retailprice) OVER (PARTITION BY p_brand) AS minp
+      FROM part)
+WHERE p_retailprice = minp
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose order-value total clears a
+    threshold (grouped HAVING), joined back for names. The HAVING side is
+    one row per big customer → broadcast."""
+    spark = prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .filter(F.col("total_spend") > 1_500_000)
+    )
+    return (
+        c.join(F.broadcast(big), c.c_custkey == big.o_custkey)
+        .select("c_custkey", "c_name", "total_spend")
+    )
+
+
+SQL_Q18 = """
+SELECT c_custkey, c_name, total_spend
+FROM customer
+JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+      HAVING round(sum(o_totalprice), 2) > 1500000) ON c_custkey = o_custkey
+"""
+
+
 REGISTRY = {
+    "q2_cheapest_part_per_brand": QuerySpec(q2_cheapest_part_per_brand, SQL_Q2),
+    "q18_large_volume_customers": QuerySpec(q18_large_volume_customers, SQL_Q18),
     "in_subquery_customers": QuerySpec(in_subquery_customers, SQL_IN_SUBQ),
     "setop_intersect_customers": QuerySpec(setop_intersect_customers, SQL_INTERSECT),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, SQL_Q1),

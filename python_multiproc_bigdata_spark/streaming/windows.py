@@ -131,6 +131,32 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def foreach_batch_multi_sink(
+    stream: DataFrame, sinks: list, checkpoint_dir: str | None = None
+):
+    """L8's streaming form: exactly-once multi-sink fan-out via
+    foreachBatch — each micro-batch is persisted once and written to every
+    sink (the streaming equivalent of Pipeline.run's persist+writes;
+    reference replicated items to all loader queues, pipline.py:127-135).
+
+    Returns the started StreamingQuery; caller stops it.
+    """
+    from pyspark import StorageLevel
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for sink in sinks:
+                sink(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through a
     memory sink; returns the materialized result as a batch DataFrame."""

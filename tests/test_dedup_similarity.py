@@ -178,6 +178,24 @@ def test_streaming_session_and_dedup(spark, tmp_path):
     totals = run_to_memory(running_user_totals(ev), mode="update").collect()
     by_user = {r.user_id: (r.n_events, r.total_value) for r in totals}
     assert by_user == {1: (3, 3.0), 2: (2, 2.0)}
+
+    # foreachBatch multi-sink: one micro-batch fanned out to two sinks
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        foreach_batch_multi_sink,
+    )
+
+    seen = {"a": 0, "b": 0}
+
+    def sink_a(df):
+        seen["a"] += df.count()
+
+    def sink_b(df):
+        seen["b"] += df.count()
+
+    q = foreach_batch_multi_sink(ev, [sink_a, sink_b])
+    q.processAllAvailable()
+    q.stop()
+    assert seen == {"a": 5, "b": 5}
     per_user = {}
     for r in got:
         per_user.setdefault(r.user_id, 0)
