@@ -128,7 +128,85 @@ FROM events
 """
 
 
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (vs get_json_object string
+    extraction): parse props into a struct, aggregate the typed field."""
+    e = table(prep(spark), sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.count(F.when(F.col("p.k").isNull(), 1)).alias("null_k"),
+    )
+
+
+SQL_FROM_JSON = """
+SELECT event_type,
+       sum(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+       count(CASE WHEN props->>'$.k' IS NULL THEN 1 END) AS null_k
+FROM events GROUP BY event_type
+"""
+
+
+def events_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running value sum per user over event time
+    (ROWS UNBOUNDED PRECEDING), reporting each user's final cumulative
+    total and peak single-event share."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = e.withColumn("running", F.round(F.sum("value").over(w), 4))
+    return cum.groupBy("user_id").agg(
+        F.max("running").alias("final_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_CUMULATIVE = """
+WITH cum AS (
+  SELECT user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING), 4) AS running
+  FROM events
+)
+SELECT user_id, max(running) AS final_total, count(*) AS n
+FROM cum GROUP BY user_id
+"""
+
+
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per-user inter-event gap stats (mean seconds, max gap)."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        e.withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("gap"), 4).alias("mean_gap_sec"),
+            F.round(F.max("gap"), 4).alias("max_gap_sec"),
+        )
+    )
+
+
+SQL_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, round(avg(gap), 4) AS mean_gap_sec, round(max(gap), 4) AS max_gap_sec
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
 REGISTRY = {
+    "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
+    "events_cumulative_value": QuerySpec(events_cumulative_value, SQL_CUMULATIVE),
+    "events_interarrival": QuerySpec(events_interarrival, SQL_INTERARRIVAL),
     "events_json_extract": QuerySpec(events_json_extract, SQL_JSON),
     "events_tumbling_window": QuerySpec(events_tumbling_window, SQL_TUMBLING),
     "events_sliding_window": QuerySpec(events_sliding_window, SQL_SLIDING),

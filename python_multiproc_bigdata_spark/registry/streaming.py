@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
     run_to_memory,
@@ -57,8 +57,84 @@ SELECT window_start, count(*) AS n FROM (
 """
 
 
+def streaming_words_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship words pipeline as an incremental corpus stream:
+    readStream over documents → tokenize → per-word doc frequency
+    (complete mode). Same engine semantics as the batch
+    words_doc_frequency — which is the whole M5 point."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = prep(spark)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tokens = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("file_path"),
+            F.explode(F.split("text", r"\s+")).alias("word"),
+        )
+        .filter(F.length(F.trim("word")) > 0)
+        .dropDuplicates(["file_path", "word"])
+    )
+    freq = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq")).filter(
+        F.col("doc_freq") > 100
+    )
+    return run_to_memory(freq, mode="complete")
+
+
+SQL_STREAM_WORDS = r"""
+WITH tok AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS file_path,
+         unnest(string_split_regex(text, '\s+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS doc_freq FROM tok
+WHERE length(trim(word)) > 0
+GROUP BY word HAVING count(*) > 100
+"""
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched with the static
+    customer dim (broadcast per micro-batch), counts per market segment."""
+    from pyspark.sql import functions as F
+
+    spark = prep(spark)
+    ev = stream_events(spark, sf_dir)
+    customers = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(customers), "user_id")
+    counts = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_to_memory(counts, mode="complete")
+
+
+SQL_STREAM_ENRICHED = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 REGISTRY = {
     "streaming_tumbling_counts": QuerySpec(streaming_tumbling_counts, SQL_STREAM_TUMBLING),
     "streaming_first_event": QuerySpec(streaming_first_event, SQL_STREAM_FIRST),
     "streaming_sliding_counts": QuerySpec(streaming_sliding_counts, SQL_STREAM_SLIDING),
+    "streaming_words_doc_frequency": QuerySpec(streaming_words_doc_frequency, SQL_STREAM_WORDS),
+    "streaming_enriched_counts": QuerySpec(streaming_enriched_counts, SQL_STREAM_ENRICHED),
 }

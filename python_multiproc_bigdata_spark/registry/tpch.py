@@ -431,7 +431,29 @@ JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
 """
 
 
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): melt the lineitem money measures into
+    (measure, total) long form."""
+    l = table(prep(spark), sf_dir, "lineitem")
+    melted = l.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount) AS (measure, v)"
+    )
+    return melted.groupBy("measure").agg(F.round(F.sum("v"), 2).alias("total"))
+
+
+SQL_UNPIVOT = """
+SELECT measure, round(sum(v), 2) AS total
+FROM (SELECT l_quantity AS quantity, l_extendedprice AS extendedprice,
+             l_discount AS discount
+      FROM lineitem)
+UNPIVOT (v FOR measure IN (quantity, extendedprice, discount))
+GROUP BY measure
+"""
+
+
 REGISTRY = {
+    "unpivot_lineitem_measures": QuerySpec(unpivot_lineitem_measures, SQL_UNPIVOT),
     "q2_cheapest_part_per_brand": QuerySpec(q2_cheapest_part_per_brand, SQL_Q2),
     "q18_large_volume_customers": QuerySpec(q18_large_volume_customers, SQL_Q18),
     "in_subquery_customers": QuerySpec(in_subquery_customers, SQL_IN_SUBQ),

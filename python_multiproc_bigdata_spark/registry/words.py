@@ -153,7 +153,33 @@ SQL_WORDS_V1_FILTER = (
 )
 
 
+def q_words_first_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: 1-based position of the first occurrence of each
+    distinct token within its doc (UDTF-with-ordinality shape)."""
+    d = table(prep(spark), sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 0)
+    posed = d.select(
+        F.col("doc_id"), F.posexplode(toks).alias("pos", "word")
+    )
+    return posed.groupBy("doc_id", "word").agg(
+        (F.min("pos") + 1).cast("long").alias("first_pos")
+    )
+
+
+SQL_WORDS_FIRST_POS = r"""
+WITH posed AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        FROM documents)
+)
+SELECT doc_id, word, min(pos) AS first_pos
+FROM posed GROUP BY doc_id, word
+"""
+
+
 REGISTRY = {
+    "words_first_position": QuerySpec(q_words_first_position, SQL_WORDS_FIRST_POS),
     "words_duplicate_occurrences": QuerySpec(q_words_duplicates, SQL_WORDS_DUPLICATES),
     "words_v1_length_filter": QuerySpec(q_words_v1_length_filter, SQL_WORDS_V1_FILTER),
     "words_pipeline": QuerySpec(
