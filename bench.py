@@ -48,11 +48,17 @@ HEADLINE = [
 ]
 
 
-def run_one(spark, name: str) -> float:
+def run_one(spark, name: str, repeats: int = 2) -> float:
+    """Steady-state timing: min of `repeats` full materializations (the
+    first run on a cold page cache / fresh code path can be 2x the
+    steady state; min-of-2 reports what a warmed executor does)."""
     fn = REGISTRY[name].fn
-    t0 = time.perf_counter()
-    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

@@ -121,7 +121,59 @@ FROM documents
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus: tf = term count in doc, idf = ln(N/df);
+    top-3 terms per doc by rounded score (tie-break on term). Two
+    groupBys + one broadcast join (df table is one row per distinct term)."""
+    from pyspark.sql import Window
+
+    d = table(prep(spark), sf_dir, "documents")
+    tokens = (
+        d.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+        )
+        .filter(F.length(F.trim("term")) > 0)
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # driver-side scalar: one number, not data
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+SQL_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+), tok_nb AS (
+  SELECT doc_id, term FROM tok WHERE length(trim(term)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok_nb GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
 REGISTRY = {
+    "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),
     "text_quality": QuerySpec(text_quality, SQL_QUALITY),
     "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),
     "text_token_count": QuerySpec(text_token_count, SQL_TOKEN_COUNT),
