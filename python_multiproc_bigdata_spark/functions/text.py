@@ -70,7 +70,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     All pure column math — survives any scale as a map-only stage.
     """
     c = F.col(text_col)
-    toks = F.filter(F.split(c, WHITESPACE_RE), lambda w: F.length(w) > 0)
+    # project the token array once — the four token-derived measures would
+    # otherwise each re-run the tokenization (inline-HOF recompute trap)
+    df = df.withColumn(
+        "_q_toks", F.filter(F.split(c, WHITESPACE_RE), lambda w: F.length(w) > 0)
+    )
+    toks = F.col("_q_toks")
     n_tokens = F.size(toks)
     n_chars = F.length(c)
     alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
@@ -97,7 +102,21 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             + F.least(F.lit(1.0), F.col("stopword_ratio") * F.lit(5.0)) * F.lit(0.2),
             4,
         ),
+    ).drop("_q_toks")
+
+
+def with_language_id(df: DataFrame, text_col: str, out_col: str = "predicted") -> DataFrame:
+    """DataFrame-level language-ID: projects the token array to a named
+    column first so the per-language scoring references it instead of
+    re-tokenizing 4x (the inline-HOF recompute trap; see
+    operators/dedup.py:word_shingles for the same fix, measured there)."""
+    toks_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), WHITESPACE_RE), lambda w: F.length(w) > 0
     )
+    out = df.withColumn("_lang_toks", toks_expr).withColumn(
+        out_col, language_id_from_tokens(F.col("_lang_toks"))
+    )
+    return out.drop("_lang_toks")
 
 
 def language_id(col: Column | str) -> Column:
@@ -107,9 +126,16 @@ def language_id(col: Column | str) -> Column:
 
     Pure column expressions — at scale this is a map-only stage; a real
     model would slot in as a Pandas UDF with the same signature.
+    Prefer `with_language_id` on a DataFrame: it tokenizes once instead
+    of once per candidate language.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(F.split(F.lower(c), WHITESPACE_RE), lambda w: F.length(w) > 0)
+    return language_id_from_tokens(toks)
+
+
+def language_id_from_tokens(toks: Column) -> Column:
+    """language_id over an already-materialized token array column."""
 
     def hits(stopwords: list[str]) -> Column:
         # NB: capture via factory, not a default arg — a two-parameter

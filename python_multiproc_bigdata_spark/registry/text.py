@@ -53,9 +53,11 @@ FROM m
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion-matrix style rollup: labeled lang × predicted lang."""
+    from python_multiproc_bigdata_spark.functions.text import with_language_id
+
     d = table(prep(spark), sf_dir, "documents")
     return (
-        d.withColumn("predicted", language_id("text"))
+        with_language_id(d, "text")
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
