@@ -102,6 +102,70 @@ def topk_lsh(
     )
 
 
+def topk_lsh_multiprobe(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, bits: int = 8
+) -> DataFrame:
+    """Multi-probe variant of topk_lsh: each query also searches the
+    `bits` neighboring buckets that differ in exactly one sign bit —
+    recovering neighbors that fall just across a hyperplane. Cost grows
+    (bits+1)x on the query side only; the corpus is still hashed once.
+    This is the recall knob for the LSH scale path."""
+    c = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm").withColumn(
+        "bucket", sign_bucket("c_emb", bits)
+    )
+    base = _with_norm(queries, "query_id", "q_emb", "q_norm").withColumn(
+        "bucket", sign_bucket("q_emb", bits)
+    )
+    # probe buckets: the exact bucket + each one-bit flip
+    def flip(bucket: Column, i: int) -> Column:
+        flipped = F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1")
+        return F.concat(
+            F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, bits - i - 1)
+        )
+
+    probes = F.array(F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(bits)])
+    q = base.withColumn("bucket", F.explode(probes))
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+def topk_by_group_agg(
+    scored: DataFrame, group_col: str, score_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Top-k per group WITHOUT a window sort: collect (score, id) structs
+    per group, sort the small per-group array, slice k. One partial-
+    aggregated groupBy instead of a full partition sort — preferable when
+    groups are numerous and k is small (the ANN case). Emits
+    (group, id, score, rk) like the window form."""
+    pair = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+    )
+    agg = scored.groupBy(group_col).agg(
+        F.slice(F.reverse(F.array_sort(F.collect_list(pair))), 1, k).alias("top")
+    )
+    exploded = agg.select(
+        group_col, F.posexplode("top").alias("rk0", "p")
+    )
+    return exploded.select(
+        group_col,
+        (-F.col("p.negid")).cast("long").alias(id_col),
+        F.col("p.s").alias(score_col),
+        (F.col("rk0") + 1).alias("rk"),
+    )
+
+
 def neardup_pairs_cosine(corpus: DataFrame, threshold: float) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, score ≥ threshold)."""
     a = _with_norm(corpus, "id_a", "e_a", "n_a")

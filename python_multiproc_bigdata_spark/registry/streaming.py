@@ -131,7 +131,28 @@ GROUP BY c_mktsegment
 """
 
 
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (A4's bounded-state streaming dedup)
+    over event_id; the harness events are already unique so the output is
+    the full projection — which the oracle verifies exactly."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.streaming.windows import dedup_within_watermark
+
+    ev = stream_events(prep(spark), sf_dir)
+    deduped = dedup_within_watermark(ev, ["event_id"], watermark="1 hour")
+    return run_to_memory(
+        deduped.select("event_id", "user_id", "event_type"), mode="append"
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 REGISTRY = {
+    "streaming_dedup_watermark": QuerySpec(streaming_dedup_watermark, SQL_STREAM_DEDUP),
     "streaming_tumbling_counts": QuerySpec(streaming_tumbling_counts, SQL_STREAM_TUMBLING),
     "streaming_first_event": QuerySpec(streaming_first_event, SQL_STREAM_FIRST),
     "streaming_sliding_counts": QuerySpec(streaming_sliding_counts, SQL_STREAM_SLIDING),

@@ -174,7 +174,37 @@ WHERE rk <= 3
 """
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the documents table."""
+    from python_multiproc_bigdata_spark.operators.profile import profile
+
+    d = table(prep(spark), sf_dir, "documents")
+    return profile(d)
+
+
+SQL_PROFILE = """
+SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+         count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+         count(DISTINCT doc_id) AS n_distinct FROM documents
+  UNION ALL
+  SELECT 'text', count(*), count(CASE WHEN text IS NULL THEN 1 END),
+         count(DISTINCT text) FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(CASE WHEN lang IS NULL THEN 1 END),
+         count(DISTINCT lang) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(CASE WHEN source IS NULL THEN 1 END),
+         count(DISTINCT source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(CASE WHEN n_chars IS NULL THEN 1 END),
+         count(DISTINCT n_chars) FROM documents
+)
+"""
+
+
 REGISTRY = {
+    "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),
     "text_quality": QuerySpec(text_quality, SQL_QUALITY),
     "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),

@@ -113,6 +113,44 @@ def test_neardup_cosine(spark, vecs):
     assert pairs == {(0, 1)}
 
 
+def test_multiprobe_recovers_cross_hyperplane_neighbor(spark):
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_lsh,
+        topk_lsh_multiprobe,
+    )
+
+    # q and n are near-identical but dim0's sign differs → different bucket
+    rows = [
+        (0, [0.01, 1.0, 1.0, 1.0], 0),
+        (1, [-0.01, 1.0, 1.0, 1.0], 0),
+        (2, [1.0, -1.0, -1.0, -1.0], 1),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = vecs.filter("vec_id = 0")
+    plain = {r.neighbor_id for r in topk_lsh(q, vecs, k=3, bits=2).collect()}
+    probed = {r.neighbor_id for r in topk_lsh_multiprobe(q, vecs, k=3, bits=2).collect()}
+    assert 1 not in plain  # lost across the hyperplane
+    assert 1 in probed     # recovered by the one-bit probe
+
+
+def test_topk_agg_matches_window(spark, vecs):
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        _scored_pairs,
+        topk_by_group_agg,
+    )
+
+    scored = _scored_pairs(vecs, vecs)
+    via_agg = {
+        (r.query_id, r.neighbor_id, r.score, r.rk)
+        for r in topk_by_group_agg(scored, "query_id", "score", "neighbor_id", 2).collect()
+    }
+    via_window = {
+        (r.query_id, r.neighbor_id, r.score, r.rk)
+        for r in topk_bruteforce(vecs, vecs, k=2).collect()
+    }
+    assert via_agg == via_window
+
+
 def test_multimodal_plumbing(spark, docs):
     feats = extract_features(attach_binary(docs, "text")).collect()
     assert len(feats) == len(DOCS)
