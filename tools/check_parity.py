@@ -28,10 +28,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # collapse -0.0 / 0.0 and format compactly
+        # collapse -0.0 / 0.0; otherwise EXACT repr — the driver's value
+        # hash may be bit-strict, so the local gate must be too
         if v == 0:
             return "0"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, bool):
         return str(v)
     return str(v)
