@@ -161,7 +161,80 @@ FROM (VALUES (1, 'ok'), (2, NULL), (3, ' pad ')) AS t(id, s)
 """
 
 
+STRINGS = [(1, "Hello World"), (2, "  padded  "), (3, "a;b;c;d"), (4, ""), (5, "κλμ")]
+
+
+def func_string_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitchen-sink string-function parity: pad/trim/replace/position/
+    reverse/repeat/case over edge inputs (empty, multibyte, delimiters)."""
+    df = prep(spark).createDataFrame(STRINGS, ["id", "s"])
+    return df.select(
+        "id",
+        F.lpad("s", 15, "*").alias("lpadded"),
+        F.rpad("s", 15, "*").alias("rpadded"),
+        F.ltrim("s").alias("ltrimmed"),
+        F.rtrim("s").alias("rtrimmed"),
+        F.instr("s", "l").cast("long").alias("pos_l"),
+        F.regexp_replace("s", "[aeiou]", "_").alias("devoweled"),
+        F.reverse("s").alias("reversed"),
+        F.repeat("s", 2).alias("doubled"),
+        F.upper("s").alias("uppered"),
+        F.substring("s", 2, 3).alias("sub23"),
+        F.length("s").cast("long").alias("len"),
+    )
+
+
+SQL_STRING_LIB = f"""
+SELECT id,
+       lpad(s, 15, '*') AS lpadded,
+       rpad(s, 15, '*') AS rpadded,
+       ltrim(s) AS ltrimmed,
+       rtrim(s) AS rtrimmed,
+       strpos(s, 'l') AS pos_l,
+       regexp_replace(s, '[aeiou]', '_', 'g') AS devoweled,
+       reverse(s) AS reversed,
+       repeat(s, 2) AS doubled,
+       upper(s) AS uppered,
+       substr(s, 2, 3) AS sub23,
+       length(s) AS len
+FROM {_values_sql(STRINGS, "id, s")}
+"""
+
+
+def func_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function parity over orders: year/month/day/quarter
+    extraction and month truncation. (Day-of-week deliberately mapped:
+    Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday.)"""
+    from python_multiproc_bigdata_spark.registry.common import table as _t
+
+    o = _t(prep(spark), sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+        )
+        .groupBy("y", "q", "m", "dow_sun0", "month_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_DATETIME = """
+SELECT year(o_orderdate) AS y,
+       quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m,
+       dayofweek(o_orderdate) % 7 AS dow_sun0,
+       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+       count(*) AS n
+FROM orders GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 REGISTRY = {
+    "func_string_library": QuerySpec(func_string_library, SQL_STRING_LIB),
+    "func_datetime_parts": QuerySpec(func_datetime_parts, SQL_DATETIME),
     "func_null_safe_chain": QuerySpec(func_null_safe_chain, SQL_NULL_CHAIN),
     "func_basename_backwards": QuerySpec(func_basename_backwards, SQL_BASENAME),
     "func_truncate_flags": QuerySpec(func_truncate_flags, SQL_TRUNCATE),
