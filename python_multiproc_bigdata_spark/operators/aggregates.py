@@ -85,9 +85,11 @@ def distinct_per_key(
     other_cols = [
         c for c in df.columns if c != unique_col and c not in bag_keys
     ]
-    # Carry the other columns of the kept representative via min_by on the
-    # original value — deterministic, single shuffle.
-    carries = [F.min_by(F.struct(*other_cols), F.col(unique_col)).alias("_carry")] if other_cols else []
+    # Carry the other columns of the SAME row as the kept representative
+    # (min_by/max_by must follow `keep`, or the output would mix columns
+    # from two different source rows).
+    carry_by = F.min_by if keep == "min" else F.max_by
+    carries = [carry_by(F.struct(*other_cols), F.col(unique_col)).alias("_carry")] if other_cols else []
     out = df.groupBy(*bag_keys, norm.alias("_norm")).agg(
         agg.alias(unique_col), *carries
     )

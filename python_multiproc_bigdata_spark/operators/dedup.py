@@ -117,11 +117,14 @@ def _jaccard_from_shingles(shingles: DataFrame) -> DataFrame:
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is one row per DOCUMENT — let AQE pick the join strategy (a
+    # forced broadcast would OOM at corpus scale, contradicting the
+    # module's own 100 TB posture; AQE still broadcasts it at small SFs).
     sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")
     sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -78,6 +78,12 @@ def range_join_bucketed(
     range keys as doubles).
     """
     width = bucket_width or max_gap
+    if width < max_gap:
+        raise ValueError(
+            f"bucket_width ({width}) must be >= max_gap ({max_gap}): the left "
+            "side only probes {bucket, bucket+1}, so a narrower bucket would "
+            "silently drop qualifying pairs more than one bucket apart"
+        )
     lon = F.col(on).cast("double")
     lb = left.withColumn("_lon", lon).withColumn(
         "_bucket",

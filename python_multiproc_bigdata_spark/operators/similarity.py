@@ -65,7 +65,12 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFr
 
 
 def sign_bucket(col: F.Column | str, bits: int = 8) -> F.Column:
-    """LSH bucket key: concatenated signs of the first `bits` dims."""
+    """LSH bucket key: concatenated signs of the first `bits` dims.
+
+    Precondition: vectors must have >= `bits` dimensions (the harness
+    embeddings are fixed 64-dim). A shorter vector's missing dims read as
+    null → '0', conflating absent with negative — validate upstream if
+    variable-length vectors are possible."""
     c = F.col(col) if isinstance(col, str) else col
     return F.concat(
         *[
@@ -148,20 +153,22 @@ def topk_by_group_agg(
     per group, sort the small per-group array, slice k. One partial-
     aggregated groupBy instead of a full partition sort — preferable when
     groups are numerous and k is small (the ANN case). Emits
-    (group, id, score, rk) like the window form."""
+    (group, id, score, rk) like the window form, preserving the id
+    column's type (the SCORE is negated for the ascending struct sort,
+    never the id, so string/any ids work)."""
     pair = F.struct(
-        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+        (-F.col(score_col)).alias("negs"), F.col(id_col).alias("i")
     )
     agg = scored.groupBy(group_col).agg(
-        F.slice(F.reverse(F.array_sort(F.collect_list(pair))), 1, k).alias("top")
+        F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top")
     )
     exploded = agg.select(
         group_col, F.posexplode("top").alias("rk0", "p")
     )
     return exploded.select(
         group_col,
-        (-F.col("p.negid")).cast("long").alias(id_col),
-        F.col("p.s").alias(score_col),
+        F.col("p.i").alias(id_col),
+        (-F.col("p.negs")).alias(score_col),
         (F.col("rk0") + 1).alias("rk"),
     )
 

@@ -44,12 +44,14 @@ def salted_broadcast_left_join(
     on: str,
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """Equi-join fact↔dim on `on` with the dim exploded across salts and
-    broadcast. Row-identical to fact.join(broadcast(dim), on)."""
+    """LEFT join fact↔dim on `on` with the dim exploded across salts and
+    broadcast. Row-identical to fact.join(broadcast(dim), on, "left"):
+    each fact row carries exactly one salt, so unmatched rows survive
+    once with null dim columns."""
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     salted_fact = fact.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
-    return salted_fact.join(F.broadcast(salted_dim), [on, "_salt"]).drop("_salt")
+    return salted_fact.join(F.broadcast(salted_dim), [on, "_salt"], "left").drop("_salt")

@@ -52,7 +52,8 @@ class Pipeline:
     def run(self) -> DataFrame:
         """Execute: multi-sink fan-out (L8) = persist once, write N times —
         the scalable form of replicate-to-every-loader-queue
-        (pipline.py:127-135). Returns the (still persisted) DataFrame."""
+        (pipline.py:127-135). Returns the composed DataFrame (unpersisted
+        after the writes complete — re-using it recomputes the chain)."""
         df = self.dataframe()
         if len(self.sinks) > 1:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -30,17 +30,13 @@ FROM events GROUP BY event_type
 
 
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows via F.window (epoch-aligned, same as
-    DuckDB time_bucket): count + value sum per (window, event_type)."""
-    e = table(prep(spark), sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
-    )
+    """Tumbling 1-hour windows — the SAME plan builder the streaming
+    variant uses (streaming/windows.py:tumbling_counts), applied to the
+    batch DataFrame, so batch/streaming equivalence holds by
+    construction rather than by parallel maintenance."""
+    from python_multiproc_bigdata_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(table(prep(spark), sf_dir, "events"))
 
 
 SQL_TUMBLING = """
@@ -51,14 +47,11 @@ FROM events GROUP BY 1, 2
 
 
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 h length, 30 min slide): each event lands in 2
-    buckets. F.window emits one row per covering window."""
-    e = table(prep(spark), sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
-    )
+    """Sliding windows (1 h length, 30 min slide) — shared plan builder
+    with the streaming variant (see events_tumbling_window note)."""
+    from python_multiproc_bigdata_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(table(prep(spark), sf_dir, "events"))
 
 
 # DuckDB twin: generate both covering window starts per event explicitly.
@@ -79,7 +72,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     total events. Window partitions are per-user — bounded, scales."""
     e = table(prep(spark), sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # fractional seconds, matching the oracle's epoch() — a long cast
+    # would floor-truncate and could flip the gap>1800 session cut
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     sess = F.sum(
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))

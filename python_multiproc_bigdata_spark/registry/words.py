@@ -28,13 +28,16 @@ WITH tok AS (
     FROM tok_nb GROUP BY file_path, lower(trim(word))
 ), words AS (
     SELECT substr(d.word, 1, 254) AS word,
-           length(d.word) AS word_len,
+           length(translate(d.word, 'ًٌٍَُِّْ', '')) AS word_len,
            length(d.word) > 255 AS word_truncated,
            d.file_path,
            c.file_words_count
     FROM dedup d JOIN counts c USING (file_path)
 )
 """
+# word_len strips the 8 Arabic diacritics exactly as the engine does
+# (plans/words.py: length(remove_diacritics(word))) — the fixture has no
+# diacritics today, but the oracle must mirror the pipeline, not the data.
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:

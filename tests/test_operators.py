@@ -88,6 +88,15 @@ def test_aggregates_a_family(spark):
     ded = distinct_per_key(df, ["fp"], "w", normalizers=[F.lower])
     assert ded.count() == 3
 
+    # keep="max" must carry the other columns of the SAME (max) row
+    dfm = spark.createDataFrame(
+        [("f", "APPLE", "metaA"), ("f", "apple", "metaB")], ["fp", "w", "meta"]
+    )
+    kept = distinct_per_key(dfm, ["fp"], "w", normalizers=[F.lower], keep="max").collect()
+    assert [(r.w, r.meta) for r in kept] == [("apple", "metaB")]
+    kept_min = distinct_per_key(dfm, ["fp"], "w", normalizers=[F.lower], keep="min").collect()
+    assert [(r.w, r.meta) for r in kept_min] == [("APPLE", "metaA")]
+
     sod = sum_over_distinct(
         spark.createDataFrame([("f", 5), ("f", 5), ("g", 7)], ["fp", "n"]),
         ["fp", "n"],

@@ -65,9 +65,12 @@ def test_salted_count_matches_plain(spark):
 
 
 def test_salted_broadcast_join_matches_plain(spark):
-    fact = spark.range(0, 5_000).select((F.col("id") % 10).alias("k"), "id")
+    # fact keys 0..10; dim covers only 0..9 → key 10 must SURVIVE with
+    # null dim columns (left-join semantics, as the name promises)
+    fact = spark.range(0, 5_500).select((F.col("id") % 11).alias("k"), "id")
     dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], ["k", "name"])
-    plain = fact.join(dim, "k").groupBy("name").count()
+    plain = fact.join(dim, "k", "left").groupBy("name").count()
     salted = salted_broadcast_left_join(fact, dim, "k").groupBy("name").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+    assert salted.filter("name IS NULL").collect()[0]["count"] == 500
     assert "BroadcastHashJoin" in plan_of(salted_broadcast_left_join(fact, dim, "k"))
