@@ -107,7 +107,69 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: apply a derived change set (every customer
+    with acctbal < 0 moves to segment 'COLLECTIONS') onto the customer
+    table; count the result by segment to keep the output compact."""
+    from python_multiproc_bigdata_spark.operators.cdc import upsert
+
+    c = table(prep(spark), sf_dir, "customer")
+    updates = c.filter(F.col("c_acctbal") < 0).withColumn(
+        "c_mktsegment", F.lit("COLLECTIONS")
+    )
+    merged = upsert(c, updates, ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+SQL_CDC_UPSERT = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         'COLLECTIONS' AS c_mktsegment
+  FROM customer WHERE c_acctbal < 0
+), merged AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM updates
+)
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: treating events as a change feed keyed by
+    (user_id, event_type) with event_id as the version, keep each key's
+    latest row."""
+    from python_multiproc_bigdata_spark.operators.cdc import latest_per_key
+
+    e = table(prep(spark), sf_dir, "events")
+    latest = latest_per_key(
+        e.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+    return latest.select(
+        "user_id", "event_type", "event_id", F.round("value", 4).alias("value")
+    )
+
+
+SQL_CDC_LATEST = """
+SELECT user_id, event_type, event_id, round(value, 4) AS value
+FROM (SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 REGISTRY = {
+    "cdc_upsert_customers": QuerySpec(cdc_upsert_customers, SQL_CDC_UPSERT),
+    "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
     "asof_click_to_view": QuerySpec(asof_click_to_view, SQL_ASOF),
     "range_join_close_events": QuerySpec(range_join_close_events, SQL_RANGE),
     "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),
