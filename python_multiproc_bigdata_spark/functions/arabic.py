@@ -22,13 +22,20 @@ from pyspark.sql import functions as F
 ARABIC_DIACRITICS = "ًٌٍَُِّْ"
 
 # Positive token class = the reference's literal class, expressed as
-# codepoint ranges: the 8 diacritics, tatweel (U+0640), hamza forms and
-# letters. The reference class enumerates: diacritics + tatweel +
-# ؤ ا ئ ء آ ى إ أ (U+0621-0627 + U+0649) + ب..ي letters (U+0628-064A).
-# U+0621..U+064A covers all enumerated letters/hamza forms contiguously.
-_TOKEN_CLASS = "[ً-ْـء-ي]"
+# codepoint ranges: the 8 diacritics (U+064B-0652), tatweel (U+0640),
+# hamza forms ء آ أ ؤ إ ئ ا (U+0621-0627), and the enumerated letters
+# ب (U+0628), ت..غ (U+062A-063A), ف..ي (U+0641-064A).
+# NOT a contiguous U+0621-064A run: the reference's class omits
+# ة teh marbuta (U+0629) and the rare U+063B-063F letters — a contiguous
+# range would tokenize 'مكتبة' as one token where the reference splits
+# it at the ة (property-tested against Python re in
+# tests/test_tokenizer_property.py with ة in the generator alphabet).
+_TOKEN_CLASS = "[ً-ْـء-ابت-غف-ي]"
 ARABIC_TOKEN_RE_JAVA = f"{_TOKEN_CLASS}+"  # java.util.regex (Spark side)
-ARABIC_TOKEN_RE_DUCKDB = "[\\x{064b}-\\x{0652}\\x{0640}\\x{0621}-\\x{064a}]+"  # RE2
+ARABIC_TOKEN_RE_DUCKDB = (
+    "[\\x{064b}-\\x{0652}\\x{0640}\\x{0621}-\\x{0628}"
+    "\\x{062a}-\\x{063a}\\x{0641}-\\x{064a}]+"
+)  # RE2
 
 
 def remove_diacritics(col: Column | str) -> Column:

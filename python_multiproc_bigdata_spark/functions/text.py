@@ -11,11 +11,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WHITESPACE_RE = r"\s+"
+# Explicit class, NOT \s: java.util.regex counts U+000B vertical tab as
+# whitespace while the oracles' RE2 does not — an explicit class keeps the
+# two engines tokenizing identically on any input.
+WHITESPACE_RE = r"[ \t\n\r\f\x0B]+"
 # BPE-ish pretokenizer: word runs OR single non-word-non-space chars —
 # the standard GPT-2-style pretokenization shape, ASCII-class for
 # engine-portable semantics.
-BPEISH_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+BPEISH_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]"
 
 # Tiny fixed stopword lists per language for the n-gram/stopword
 # language-ID heuristic and stopword-ratio quality signal.

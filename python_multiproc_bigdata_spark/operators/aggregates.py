@@ -35,7 +35,17 @@ def with_count_per_key(
     AQE broadcast-joins it, and no single partition ever has to hold a
     whole key group the way Window.partitionBy would at 100 TB."""
     counts = count_per_key(df, keys, out_col)
-    return df.join(counts, on=list(keys), how="inner")
+    # Null-safe join keys: groupBy counts the null group, and a plain
+    # equi-join (null != null) would silently drop those rows instead of
+    # carrying their count through.
+    renamed = counts
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_ck_{k}")
+    cond = None
+    for k in keys:
+        clause = df[k].eqNullSafe(renamed[f"_ck_{k}"])
+        cond = clause if cond is None else (cond & clause)
+    return df.join(renamed, cond, "inner").drop(*[f"_ck_{k}" for k in keys])
 
 
 def reduce_per_key(
@@ -78,6 +88,8 @@ def distinct_per_key(
     the reference under order-insensitive comparison (SURVEY §7 notes the
     oracle must compare normalized sets).
     """
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     norm = F.col(unique_col)
     for fn in normalizers:
         norm = fn(norm)

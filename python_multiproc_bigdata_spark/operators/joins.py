@@ -77,7 +77,7 @@ def range_join_bucketed(
     left's columns, right's extra columns, and `_lon`/`_ron` (the two
     range keys as doubles).
     """
-    width = bucket_width or max_gap
+    width = max_gap if bucket_width is None else bucket_width
     if width < max_gap:
         raise ValueError(
             f"bucket_width ({width}) must be >= max_gap ({max_gap}): the left "

@@ -44,7 +44,10 @@ def _compose(col: Column, fns: Sequence[Callable[[Column], Column]]) -> Column:
     expr = col
     for fn in fns:
         expr = fn(expr)
-    return F.when(col.isNull(), col).otherwise(expr)
+    # Typed-null branch: putting `col` itself in the null arm would force
+    # CASE branch-type unification with the mapper output (string vs
+    # array<string> fails analysis); a bare null coerces to the output type.
+    return F.when(col.isNull(), F.lit(None)).otherwise(expr)
 
 
 def trans_values(

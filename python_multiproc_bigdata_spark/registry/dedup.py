@@ -24,7 +24,7 @@ WITH sh AS (
            unnest(list_transform(range(greatest(len(toks) - 2, 0)),
                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
     FROM (SELECT doc_id,
-                 list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+                 list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks
           FROM documents))
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
@@ -48,7 +48,7 @@ SQL_EXACT = r"""
 SELECT count(*) AS n_docs,
        count(DISTINCT fp) AS n_distinct,
        count(*) - count(DISTINCT fp) AS n_redundant
-FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+FROM (SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp FROM documents)
 """
 
 
@@ -138,7 +138,7 @@ SQL_SIMHASH = rf"""
 WITH toks AS (
   SELECT doc_id AS id, md5(w) AS h FROM (
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS w
+           unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0)) AS w
     FROM documents)
 ), votes AS (
   SELECT id, {_VOTES} FROM toks GROUP BY id

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
@@ -83,7 +84,7 @@ def streaming_words_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame
     tokens = (
         docs.select(
             F.col("doc_id").cast("string").alias("file_path"),
-            F.explode(F.split("text", r"\s+")).alias("word"),
+            F.explode(F.split("text", WHITESPACE_RE)).alias("word"),
         )
         .filter(F.length(F.trim("word")) > 0)
         .dropDuplicates(["file_path", "word"])
@@ -97,7 +98,7 @@ def streaming_words_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame
 SQL_STREAM_WORDS = r"""
 WITH tok AS (
   SELECT DISTINCT CAST(doc_id AS VARCHAR) AS file_path,
-         unnest(string_split_regex(text, '\s+')) AS word
+         unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS word
   FROM documents
 )
 SELECT word, count(*) AS doc_freq FROM tok

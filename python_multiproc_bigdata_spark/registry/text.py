@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import (
+    WHITESPACE_RE,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -27,7 +28,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY = r"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
   FROM documents
@@ -71,7 +72,7 @@ WITH scored AS (
          len(list_filter(toks, x -> x IN ('el','la','de','y','los')))    AS es_hits,
          len(list_filter(toks, x -> x IN ('le','la','de','et','les')))   AS fr_hits
   FROM (SELECT lang,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks
         FROM documents)
 ), pred AS (
   SELECT lang,
@@ -91,7 +92,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     table's own n_chars column."""
     d = table(prep(spark), sf_dir, "documents")
     ws = F.size(
-        F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 0)
+        F.filter(F.split("text", WHITESPACE_RE), lambda w: F.length(w) > 0)
     )
     return d.select(
         "doc_id",
@@ -103,7 +104,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS ws_tokens,
+       len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0)) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpeish_tokens,
        length(text) = n_chars AS n_chars_ok
 FROM documents
@@ -118,7 +119,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FINGERPRINT = r"""
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -132,7 +133,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(prep(spark), sf_dir, "documents")
     tokens = (
         d.select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+            "doc_id", F.explode(F.split("text", WHITESPACE_RE)).alias("term")
         )
         .filter(F.length(F.trim("term")) > 0)
     )
@@ -154,7 +155,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TFIDF = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS term FROM documents
 ), tok_nb AS (
   SELECT doc_id, term FROM tok WHERE length(trim(term)) > 0
 ), tf AS (

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 from python_multiproc_bigdata_spark.plans.words import words_from_documents
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
@@ -17,7 +18,7 @@ from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, tabl
 WORDS_CTE = r"""
 WITH tok AS (
     SELECT CAST(doc_id AS VARCHAR) AS file_path,
-           unnest(string_split_regex(text, '\s+')) AS word
+           unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS word
     FROM documents
 ), tok_nb AS (
     SELECT file_path, word FROM tok WHERE length(trim(word)) > 0
@@ -106,7 +107,6 @@ def q_words_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregators.py:127): emit every occurrence AFTER the first of each
     normalized word within its doc — the duplicates the dedup would drop."""
     from python_multiproc_bigdata_spark.operators.aggregates import duplicates_per_key
-    from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 
     d = table(prep(spark), sf_dir, "documents")
     tokens = (
@@ -125,7 +125,7 @@ def q_words_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WORDS_DUPLICATES = r"""
 WITH tok AS (
     SELECT CAST(doc_id AS VARCHAR) AS file_path,
-           unnest(string_split_regex(text, '\s+')) AS word
+           unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS word
     FROM documents
 ), tok_nb AS (
     SELECT file_path, word FROM tok WHERE length(trim(word)) > 0
@@ -160,7 +160,7 @@ def q_words_first_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: 1-based position of the first occurrence of each
     distinct token within its doc (UDTF-with-ordinality shape)."""
     d = table(prep(spark), sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 0)
+    toks = F.filter(F.split("text", WHITESPACE_RE), lambda w: F.length(w) > 0)
     posed = d.select(
         F.col("doc_id"), F.posexplode(toks).alias("pos", "word")
     )
@@ -173,7 +173,7 @@ SQL_WORDS_FIRST_POS = r"""
 WITH posed AS (
   SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+               list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks
         FROM documents)
 )
 SELECT doc_id, word, min(pos) AS first_pos

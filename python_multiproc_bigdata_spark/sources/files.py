@@ -88,10 +88,15 @@ def with_path_taxonomy(df: DataFrame, levels: list[str], path_col: str = "file_p
     (corpus/base/domain/period, v1/corpus_main_script.py:15-146) as derived
     columns: `levels[i]` = i-th path segment from the end, skipping the
     filename itself."""
-    parts = F.split(F.col(path_col), "/")
+    # drop empty segments (an absolute path's leading '/' splits to '')
+    parts = F.filter(F.split(F.col(path_col), "/"), lambda p: F.length(p) > 0)
     n = F.size(parts)
     out = df
     for i, name in enumerate(levels):
-        # element_at is 1-based; -2 is the file's parent dir.
-        out = out.withColumn(name, F.element_at(parts, n - (len(levels) - i)))
+        idx = n - (len(levels) - i)  # 1-based; the filename is parts[n]
+        # Shallow paths: a missing taxonomy level is null — element_at
+        # would throw on index 0 and silently wrap on negatives.
+        out = out.withColumn(
+            name, F.when(idx >= 1, F.element_at(parts, idx)).otherwise(F.lit(None))
+        )
     return out

@@ -24,7 +24,11 @@ from python_multiproc_bigdata_spark.functions.arabic import (
 REF_CLASS = r"[َُِْـًٌٍّؤائءآىإأبتثجحخدذرزسشصضطظعغفقكلمنهـوي]+"
 
 ARABIC_LETTERS = "ءآأؤإئابتثجحخدذرزسشصضطظعغفقكلمنهوي"
-FILLERS = " \t\r\n×xX1!،؟.é-"
+# Chars NEAR the class ranges but OUTSIDE the reference's enumerated set:
+# ة teh marbuta (U+0629, splits words like مكتبة), the rare U+063B-063F
+# letters, and alef wasla U+0671 — these catch over-broad range encodings.
+NEAR_MISSES = "ة" + "".join(chr(c) for c in range(0x063B, 0x0640)) + "ٱ"
+FILLERS = " \t\r\n×xX1!،؟.é-" + NEAR_MISSES
 
 
 def reference_tokenize(text: str) -> list[str]:
