@@ -232,7 +232,44 @@ FROM orders GROUP BY 1, 2, 3, 4, 5
 """
 
 
+ARR_ROWS = [(1, [3, 1, 2], [2, 4]), (2, [], [1]), (3, [5, 5], [5])]
+
+
+def func_array_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function parity: sort/distinct/union/intersect/except/
+    contains/size over edge inputs (empty arrays, duplicates)."""
+    df = prep(spark).createDataFrame(ARR_ROWS, "id int, a array<int>, b array<int>")
+    return df.select(
+        "id",
+        F.sort_array("a").alias("sorted_a"),
+        # sorted: Spark's array_distinct keeps first-occurrence order while
+        # DuckDB's list_distinct does not guarantee any order
+        F.array_sort(F.array_distinct("a")).alias("distinct_a"),
+        F.array_sort(F.array_union("a", "b")).alias("union_ab"),
+        F.array_sort(F.array_intersect("a", "b")).alias("inter_ab"),
+        F.array_sort(F.array_except("a", "b")).alias("except_ab"),
+        F.array_contains("a", 2).alias("has_2"),
+        F.size("a").cast("long").alias("n_a"),
+    )
+
+
+# DuckDB list_sort etc.; set semantics of Spark's union/intersect/except
+# (distinct results) are reproduced with list_distinct.
+SQL_ARRAY_LIB = """
+SELECT id,
+       list_sort(a) AS sorted_a,
+       list_sort(list_distinct(a)) AS distinct_a,
+       list_sort(list_distinct(list_concat(a, b))) AS union_ab,
+       list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS inter_ab,
+       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
+       list_contains(a, 2) AS has_2,
+       len(a) AS n_a
+FROM (VALUES (1, [3,1,2], [2,4]), (2, [], [1]), (3, [5,5], [5])) AS t(id, a, b)
+"""
+
+
 REGISTRY = {
+    "func_array_library": QuerySpec(func_array_library, SQL_ARRAY_LIB),
     "func_string_library": QuerySpec(func_string_library, SQL_STRING_LIB),
     "func_datetime_parts": QuerySpec(func_datetime_parts, SQL_DATETIME),
     "func_null_safe_chain": QuerySpec(func_null_safe_chain, SQL_NULL_CHAIN),

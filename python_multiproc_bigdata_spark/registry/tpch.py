@@ -431,6 +431,64 @@ JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
 """
 
 
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/ntile over customer balances per
+    segment — the ranking-window family in one query. Deterministic
+    ordering: acctbal desc then custkey."""
+    c = table(prep(spark), sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 25)
+    )
+
+
+SQL_WINDOW_RANKS = """
+SELECT c_mktsegment, c_custkey, rnk, drnk, prnk, quartile FROM (
+  SELECT c_mktsegment, c_custkey,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         ntile(4) OVER w AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC))
+WHERE rnk <= 25
+"""
+
+
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nations per region as a sorted
+    comma-joined list (collect_list → sort_array → array_join)."""
+    spark = prep(spark)
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+SQL_STRING_AGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot via stack(): melt the lineitem money measures into
     (measure, total) long form."""
@@ -453,6 +511,8 @@ GROUP BY measure
 
 
 REGISTRY = {
+    "window_rank_functions": QuerySpec(window_rank_functions, SQL_WINDOW_RANKS),
+    "string_agg_nations": QuerySpec(string_agg_nations, SQL_STRING_AGG),
     "unpivot_lineitem_measures": QuerySpec(unpivot_lineitem_measures, SQL_UNPIVOT),
     "q2_cheapest_part_per_brand": QuerySpec(q2_cheapest_part_per_brand, SQL_Q2),
     "q18_large_volume_customers": QuerySpec(q18_large_volume_customers, SQL_Q18),
