@@ -173,6 +173,57 @@ def topk_by_group_agg(
     )
 
 
+def topk_bruteforce_np(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """NumPy-vectorized exact top-k: the corpus is broadcast as a dense
+    matrix and each Arrow batch of queries does one BLAS matmul against
+    it (mapInPandas). This is the 'Python, but vectorized' scale path —
+    preferable to the HOF fold when per-pair arithmetic dominates; keep
+    the JVM form (topk_bruteforce) for oracle checks since BLAS blocked
+    summation differs from a sequential fold at ulp scale.
+
+    Corpus must fit in executor memory as float64 (rows x dims x 8B) —
+    shard the corpus and merge per-shard top-k above that."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf  # zero vectors score 0 everywhere
+    b = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def batches(it):
+        c_ids, c_mat, c_norms = b.value
+        for pdf in it:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q_norms = np.linalg.norm(q_mat, axis=1)
+            q_norms[q_norms == 0] = np.inf
+            scores = (q_mat @ c_mat.T) / q_norms[:, None] / c_norms[None, :]
+            out = {"query_id": [], "neighbor_id": [], "score": [], "rk": []}
+            for qi, qid in enumerate(q_ids):
+                s = scores[qi].copy()
+                s[c_ids == qid] = -np.inf  # exclude self
+                # rank on the ROUNDED score (ties → id asc) to mirror
+                # topk_bruteforce's ordering policy exactly
+                s_r = np.round(s, 4)
+                order = np.lexsort((c_ids, -s_r))[:k]
+                for rk, j in enumerate(order, 1):
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(c_ids[j])
+                    out["score"].append(float(s_r[j]))
+                    out["rk"].append(rk)
+            yield pd.DataFrame(out)
+
+    return queries.select("vec_id", "embedding").mapInPandas(
+        batches, "query_id long, neighbor_id long, score double, rk int"
+    )
+
+
 def neardup_pairs_cosine(corpus: DataFrame, threshold: float) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, score ≥ threshold)."""
     a = _with_norm(corpus, "id_a", "e_a", "n_a")

@@ -133,6 +133,25 @@ def test_multiprobe_recovers_cross_hyperplane_neighbor(spark):
     assert 1 in probed     # recovered by the one-bit probe
 
 
+def test_topk_numpy_matches_jvm(spark):
+    """The BLAS-vectorized path must agree with the exact JVM fold on
+    neighbor sets and rank order (scores may differ at ulp scale)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_bruteforce_np,
+    )
+    from python_multiproc_bigdata_spark.registry.common import prep, table
+
+    emb = table(prep(spark), "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 20")
+    jvm = {(r.query_id, r.rk): (r.neighbor_id, r.score) for r in topk_bruteforce(q, emb, k=3).collect()}
+    np_ = {(r.query_id, r.rk): (r.neighbor_id, r.score) for r in topk_bruteforce_np(q, emb, k=3).collect()}
+    assert jvm.keys() == np_.keys()
+    for key in jvm:
+        assert jvm[key][0] == np_[key][0], key  # same neighbor
+        assert abs(jvm[key][1] - np_[key][1]) < 1e-3, key  # score within tol
+
+
 def test_topk_agg_matches_window(spark, vecs):
     from python_multiproc_bigdata_spark.operators.similarity import (
         _scored_pairs,
