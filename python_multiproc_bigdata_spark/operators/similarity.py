@@ -188,13 +188,22 @@ def topk_bruteforce_np(
     import numpy as np
     import pandas as pd
 
+    out_schema = "query_id long, neighbor_id long, score double, rk int"
     spark = corpus.sparkSession
     rows = corpus.select("vec_id", "embedding").collect()
+    if not rows:  # 1-D np.array([]) would break axis=1 norms
+        return spark.createDataFrame([], out_schema)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = np.inf  # zero vectors score 0 everywhere
     b = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def round_half_up(a, decimals):
+        # mirror Spark's F.round (HALF_UP, away from zero) — np.round is
+        # half-to-even and would diverge on exactly-representable halves
+        f = 10.0**decimals
+        return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
 
     def batches(it):
         c_ids, c_mat, c_norms = b.value
@@ -206,22 +215,22 @@ def topk_bruteforce_np(
             scores = (q_mat @ c_mat.T) / q_norms[:, None] / c_norms[None, :]
             out = {"query_id": [], "neighbor_id": [], "score": [], "rk": []}
             for qi, qid in enumerate(q_ids):
-                s = scores[qi].copy()
-                s[c_ids == qid] = -np.inf  # exclude self
-                # rank on the ROUNDED score (ties → id asc) to mirror
-                # topk_bruteforce's ordering policy exactly
-                s_r = np.round(s, 4)
-                order = np.lexsort((c_ids, -s_r))[:k]
+                # drop self BEFORE ranking (masking with -inf would leak a
+                # bogus self-row whenever corpus size <= k)
+                keep = c_ids != qid
+                n_ids = c_ids[keep]
+                # rank on the ROUNDED score (ties → id asc), matching
+                # topk_bruteforce's ordering policy
+                s_r = round_half_up(scores[qi][keep], 4)
+                order = np.lexsort((n_ids, -s_r))[:k]
                 for rk, j in enumerate(order, 1):
                     out["query_id"].append(qid)
-                    out["neighbor_id"].append(c_ids[j])
+                    out["neighbor_id"].append(n_ids[j])
                     out["score"].append(float(s_r[j]))
                     out["rk"].append(rk)
             yield pd.DataFrame(out)
 
-    return queries.select("vec_id", "embedding").mapInPandas(
-        batches, "query_id long, neighbor_id long, score double, rk int"
-    )
+    return queries.select("vec_id", "embedding").mapInPandas(batches, out_schema)
 
 
 def neardup_pairs_cosine(corpus: DataFrame, threshold: float) -> DataFrame:

@@ -254,8 +254,10 @@ def func_array_library(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB list_sort etc.; set semantics of Spark's union/intersect/except
-# (distinct results) are reproduced with list_distinct.
-SQL_ARRAY_LIB = """
+# (distinct results) are reproduced with list_distinct. The VALUES clause
+# is derived from ARR_ROWS so fixture and oracle cannot drift.
+_ARR_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in ARR_ROWS)
+SQL_ARRAY_LIB = f"""
 SELECT id,
        list_sort(a) AS sorted_a,
        list_sort(list_distinct(a)) AS distinct_a,
@@ -264,7 +266,7 @@ SELECT id,
        list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
        list_contains(a, 2) AS has_2,
        len(a) AS n_a
-FROM (VALUES (1, [3,1,2], [2,4]), (2, [], [1]), (3, [5,5], [5])) AS t(id, a, b)
+FROM (VALUES {_ARR_VALUES}) AS t(id, a, b)
 """
 
 

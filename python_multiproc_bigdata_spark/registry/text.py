@@ -105,7 +105,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0)) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpeish_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]')) AS bpeish_tokens,
        length(text) = n_chars AS n_chars_ok
 FROM documents
 """
