@@ -146,6 +146,64 @@ def topk_lsh_multiprobe(
     )
 
 
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the corpus
+    into inverted lists; each query ranks the list representatives by cosine
+    and searches only the top-`nprobe` lists.
+
+    The inverted-list assignment is the `label_col` column (at 100 TB this is
+    the table's partition key, so probing becomes partition pruning — each
+    query scans nprobe/n_lists of the corpus instead of all of it). The
+    representative per list is the embedding of the MINIMUM vec_id — a
+    deterministic medoid proxy chosen so the oracle reproduces it exactly; a
+    production deployment would precompute k-means centroids offline and
+    broadcast them the same way. Probe ranking rounds to 4 decimals before
+    row_number (ties -> label asc) so the probed set is engine-stable."""
+    reps = F.broadcast(
+        corpus.groupBy(F.col(label_col).alias("probe_label"))
+        .agg(F.min_by("embedding", "vec_id").alias("rep"))
+        .withColumn("rep_norm", l2_norm("rep"))
+    )
+    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_score"), F.asc("probe_label")
+    )
+    probed = (
+        q.crossJoin(reps)
+        .withColumn(
+            "probe_score", _score(dot("q_emb", "rep"), F.col("q_norm"), F.col("rep_norm"))
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "probe_label")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(label_col).alias("probe_label"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    pairs = (
+        probed.join(c, "probe_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
 def topk_by_group_agg(
     scored: DataFrame, group_col: str, score_col: str, id_col: str, k: int
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     neardup_pairs_cosine,
     sign_bucket,
     topk_bruteforce,
+    topk_ivf,
     topk_lsh,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -85,6 +86,48 @@ WHERE rk <= 3
 """.format(n_queries=N_QUERIES)
 
 
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_ivf(queries, emb, k=3, nprobe=2)
+
+
+SQL_TOPK_IVF = """
+WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), reps AS (
+  SELECT label AS probe_label, arg_min(e, vec_id) AS rep,
+         sqrt(list_dot_product(arg_min(e, vec_id), arg_min(e, vec_id))) AS rep_norm
+  FROM emb GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, q_e, q_norm, probe_label FROM (
+    SELECT q.query_id, q.q_e, q.q_norm, r.probe_label,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0 AND r.rep_norm > 0
+                   THEN list_dot_product(q.q_e, r.rep) / (q.q_norm * r.rep_norm)
+                   ELSE 0.0 END, 4) DESC, r.probe_label ASC) AS pr
+    FROM q CROSS JOIN reps r)
+  WHERE pr <= 2
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN p.q_norm > 0 AND sqrt(list_dot_product(c.e, c.e)) > 0
+               THEN list_dot_product(p.q_e, c.e)
+                    / (p.q_norm * sqrt(list_dot_product(c.e, c.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM probes p JOIN emb c ON c.label = p.probe_label AND c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= 3
+""".format(n_queries=N_QUERIES)
+
+
 def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(prep(spark), sf_dir, "embeddings")
     return neardup_pairs_cosine(emb, threshold=0.4)
@@ -112,5 +155,6 @@ WHERE round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) > 0
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
+    "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),
     "sim_neardup_cosine": QuerySpec(sim_neardup_cosine, SQL_NEARDUP),
 }

@@ -108,6 +108,19 @@ def test_topk_lsh_bucket_restricts(spark, vecs):
     assert {r.neighbor_id for r in out} == {1, 2, 4}  # 3 is in the '0' bucket
 
 
+def test_topk_ivf_probes_top_lists(spark, vecs):
+    from python_multiproc_bigdata_spark.operators.similarity import topk_ivf
+
+    # reps (min vec_id per label): label0→vec0, label1→vec2, label2→vec4.
+    # query 0 scores reps: label0=1.0, label1=0.0, label2=0.0 (zero norm).
+    q = vecs.filter("vec_id = 0")
+    one = {r.neighbor_id for r in topk_ivf(q, vecs, k=4, nprobe=1).collect()}
+    assert one == {1}  # only label 0's list searched (self excluded)
+    # nprobe=2: 0.0-tie between labels 1 and 2 breaks to the lower label
+    two = {r.neighbor_id for r in topk_ivf(q, vecs, k=4, nprobe=2).collect()}
+    assert two == {1, 2, 3}
+
+
 def test_neardup_cosine(spark, vecs):
     pairs = {(r.id_a, r.id_b) for r in neardup_pairs_cosine(vecs, 0.9).collect()}
     assert pairs == {(0, 1)}
