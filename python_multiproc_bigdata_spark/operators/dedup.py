@@ -85,16 +85,14 @@ def word_shingles(
     return t.select("id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
-def _jaccard_from_shingles(shingles: DataFrame) -> DataFrame:
-    """All-pairs Jaccard from a (id, sh) relation.
-
-    Pair generation groups by shingle and emits the id-combinations of
-    each posting list JVM-side (sorted, so id_a < id_b by construction) —
-    one aggregation instead of a self-join, halving evaluations of the
-    upstream shingle subtree. Posting lists are bounded by shingle
-    frequency (hot shingles should be frequency-capped upstream at larger
-    scales; see module docstring)."""
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+def _posting_pairs(df: DataFrame, key: F.Column) -> DataFrame:
+    """Candidate pairs from a posting-list relation: group rows by `key`,
+    sort each bucket's id list, and emit the id-combinations JVM-side
+    (sorted, so id_a < id_b by construction) — ONE aggregation shuffle
+    instead of a bucket self-join (which shuffles the relation twice and
+    re-evaluates its subtree per side). Emits one row per (bucket, pair);
+    callers dedupe or count as needed. Posting lists must be bounded
+    (frequency-cap hot buckets upstream at larger scales)."""
     ids = F.col("ids")
     pair_arr = F.flatten(
         F.transform(
@@ -105,16 +103,26 @@ def _jaccard_from_shingles(shingles: DataFrame) -> DataFrame:
             ),
         )
     )
-    # Group on xxhash64(sh), not the shingle string: the 8-byte key
-    # shuffles ~3x fewer bytes (measured 2.8s → 2.0s at sf0.1). A hash
-    # collision would merge two posting lists — P ≈ n²/2⁶⁴, irrelevant —
-    # and this key never reaches the output, so the oracle is unaffected.
-    inter = (
-        shingles.groupBy(F.xxhash64("sh").alias("_shk"))
+    return (
+        df.groupBy(key.alias("_bk"))
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+
+
+def _jaccard_from_shingles(shingles: DataFrame) -> DataFrame:
+    """All-pairs Jaccard from a (id, sh) relation via _posting_pairs.
+
+    Groups on xxhash64(sh), not the shingle string: the 8-byte key
+    shuffles ~3x fewer bytes (measured 2.8s → 2.0s at sf0.1). A hash
+    collision would merge two posting lists — P ≈ n²/2⁶⁴, irrelevant —
+    and this key never reaches the output, so the oracle is unaffected."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        _posting_pairs(shingles, F.xxhash64("sh"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     # sizes is one row per DOCUMENT — let AQE pick the join strategy (a
@@ -191,31 +199,19 @@ def minhash_lsh_pairs(
     # Candidates are generated from bands WITHOUT the arrays: exploding
     # bands with the shingle set attached would push ~2x the whole corpus
     # through the band shuffle per side (measured 2.5x slower at sf0.1).
+    # Per-band buckets go through _posting_pairs (one shuffle of the slim
+    # (id, band-key) relation) rather than a band self-join, which would
+    # shuffle it twice and evaluate the signature subtree per side.
     sh = word_shingles(df, id_col, text_col, n)
     sig = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"), *minhash_exprs())
     band_arr = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}").alias("key"),
-            )
+            F.concat_ws("|", F.lit(str(b)), f"h{2 * b}", f"h{2 * b + 1}")
             for b in range(MINHASH_K // 2)
         ]
     )
-    bands = sig.select("id", F.explode(band_arr).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates()
-    )
+    bands = sig.select("id", F.explode(band_arr).alias("key"))
+    cand = _posting_pairs(bands, F.col("key")).dropDuplicates()
     siga = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     sigb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
