@@ -1,0 +1,169 @@
+"""Statistical / grouping-surface parity queries (beyond-reference):
+moments (stddev/var/covar/corr), exact interpolated percentiles,
+GROUPING SETS, map-function parity, and a deterministic hash-based
+train/test split (the held-out-split primitive of a training-data
+pipeline — engine-portable because the bucket comes from md5, not a
+seeded RNG).
+
+All double aggregates are rounded per the repo parity rule (2 money,
+4 ratios/moments). Moments/percentiles are algebraic or sort-based
+aggregates — partial-aggregated map-side, no extra shuffles beyond the
+groupBy itself, so they scale like a word count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def stats_lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag second-moment panel over lineitem: sample stddev /
+    variance of quantity, sample covariance and correlation of
+    (quantity, extendedprice). One algebraic groupBy."""
+    li = table(prep(spark), sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+SQL_MOMENTS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS qty_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def stats_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (ANSI percentile_cont
+    semantics) of extendedprice per returnflag, plus the median. Exact
+    percentiles sort within the group; at 100 TB swap in
+    percentile_approx (see approx_distinct_stats) — kept exact here
+    because it is the oracle-checkable form."""
+    li = table(prep(spark), sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("price_p25"),
+        F.round(F.median("l_extendedprice"), 2).alias("price_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("price_p75"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS price_p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS price_p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) over orders with
+    grouping() flags disambiguating the null superaggregate rows —
+    the general form of the cube/rollup queries (SURVEY §2.4 A7
+    generalization)."""
+    o = table(prep(spark), sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function parity: per priority, build a status→count map
+    (map_from_entries over collected structs), then read it back with
+    element_at / map_keys / size. The ORACLE computes the same scalars
+    with conditional aggregates — the gate checks values, proving the
+    map round-trip is lossless."""
+    o = table(prep(spark), sf_dir, "orders")
+    counted = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counted.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_map")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size("status_map").alias("n_statuses"),
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.element_at("status_map", "P"), F.lit(0)).alias("n_p"),
+        F.array_join(F.map_keys("status_map"), ",").alias("statuses"),
+    )
+
+
+SQL_MAP_COUNTS = """
+SELECT o_orderpriority,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+       coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+       coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def split_train_test_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split of documents by md5 of the
+    doc id (no RNG — re-runs and engines agree; the standard way to hold
+    out an eval set in a 100 TB corpus is exactly this hash-mod). Split
+    membership = first two hex chars of md5(doc_id) < 'cd' (205/256 ≈
+    80.1% expected). Emits per-split counts and length stats."""
+    d = table(prep(spark), sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("test")
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+SQL_SPLIT = """
+SELECT CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+            THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+REGISTRY = {
+    "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
+    "stats_price_percentiles": QuerySpec(stats_price_percentiles, SQL_PERCENTILES),
+    "grouping_sets_orders": QuerySpec(grouping_sets_orders, SQL_GROUPING_SETS),
+    "map_status_counts": QuerySpec(map_status_counts, SQL_MAP_COUNTS),
+    "split_train_test_documents": QuerySpec(split_train_test_documents, SQL_SPLIT),
+}
