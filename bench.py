@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf",
+    "training_mix_by_lang",
     "text_quality",
     "text_lang_id",
     "multimodal_features",

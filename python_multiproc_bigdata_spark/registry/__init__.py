@@ -25,9 +25,10 @@ from python_multiproc_bigdata_spark.registry import advanced as _advanced
 from python_multiproc_bigdata_spark.registry import streaming as _streaming
 from python_multiproc_bigdata_spark.registry import multimodal as _multimodal
 from python_multiproc_bigdata_spark.registry import stats as _stats
+from python_multiproc_bigdata_spark.registry import training as _training
 
 REGISTRY: dict[str, QuerySpec] = {}
-for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advanced, _streaming, _multimodal, _stats):
+for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advanced, _streaming, _multimodal, _stats, _training):
     overlap = REGISTRY.keys() & mod.REGISTRY.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,120 @@
+r"""Training-data pipeline composition queries (beyond-reference): the
+end-to-end "training mix" — quality filter → exact dedup → token count →
+per-language stats — and deterministic per-language quota sampling.
+
+These compose the individually-tested primitives (functions/text.py,
+operators/dedup.py) into the shapes a 100 TB corpus pipeline actually
+runs. Everything is map-side column math plus one groupBy per stage;
+the dedup keep-set join is an equi-join on (fingerprint, doc_id) that
+AQE broadcasts when the duplicate groups are few.
+
+Parity note: per-language aggregates are integer sums and min/max only —
+both are order-independent, so Spark and DuckDB produce the identical
+double/long before rounding. Avoid avg() over float columns here:
+summation order differs per engine and a 4-decimal round can land on a
+half-boundary (see memory of q-score weight choice in quality_score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.text import (
+    WHITESPACE_RE,
+    doc_fingerprint,
+    quality_score,
+    token_count_bpeish,
+)
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+QUALITY_MIN = 0.5
+QUOTA_PER_LANG = 40
+
+
+def training_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus-curation pipeline as one logical plan:
+    score quality → drop low-quality docs → exact-dedup (keep the min
+    doc_id per fingerprint) → count tokens → per-language mix report."""
+    d = table(prep(spark), sf_dir, "documents")
+    scored = quality_score(d, "text").filter(F.col("quality_score") >= QUALITY_MIN)
+    fp = scored.withColumn("fp", doc_fingerprint("text"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(keep, ["fp", "doc_id"])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.sum(token_count_bpeish("text")).alias("total_bpeish_tokens"),
+        F.round(F.min("quality_score"), 4).alias("min_quality"),
+        F.round(F.max("quality_score"), 4).alias("max_quality"),
+    )
+
+
+SQL_TRAINING_MIX = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         round(CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars ELSE 0 END, 4) AS alpha_ratio,
+         round(CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) * 1.0 / len(toks)
+           ELSE 0 END, 4) AS stopword_ratio
+  FROM base
+), s AS (
+  SELECT doc_id, lang, text, n_tokens,
+         round(least(1.0, n_tokens / 100.0) * 0.4
+               + alpha_ratio * 0.4
+               + least(1.0, stopword_ratio * 5.0) * 0.2, 4) AS quality_score
+  FROM m
+), filt AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp
+  FROM s WHERE quality_score >= 0.5
+), keep AS (
+  SELECT fp, min(doc_id) AS doc_id FROM filt GROUP BY fp
+), kept AS (
+  SELECT f.* FROM filt f JOIN keep k USING (fp, doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]'))) AS total_bpeish_tokens,
+       round(min(quality_score), 4) AS min_quality,
+       round(max(quality_score), 4) AS max_quality
+FROM kept GROUP BY lang
+"""
+
+
+def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: at most QUOTA_PER_LANG docs
+    per language, chosen by md5(doc_id) order (a seedless shuffle both
+    engines reproduce; doc_id tie-break for identical hashes). This is
+    the quota/rebalancing primitive of a training-mix builder — at
+    100 TB the window sort runs per language partition, and a hot
+    language can be pre-filtered by the same hash before the sort."""
+    d = table(prep(spark), sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+    )
+
+
+SQL_QUOTA_SAMPLE = """
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 40
+"""
+
+
+REGISTRY = {
+    "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
+    "quota_sample_per_lang": QuerySpec(quota_sample_per_lang, SQL_QUOTA_SAMPLE),
+}
