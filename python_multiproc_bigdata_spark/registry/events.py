@@ -100,7 +100,7 @@ WITH gaps AS (
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id
 """
 
@@ -138,7 +138,7 @@ def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FROM_JSON = """
 SELECT event_type,
-       sum(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
        count(CASE WHEN props->>'$.k' IS NULL THEN 1 END) AS null_k
 FROM events GROUP BY event_type
 """

@@ -123,9 +123,9 @@ def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MAP_COUNTS = """
 SELECT o_orderpriority,
        count(DISTINCT o_orderstatus) AS n_statuses,
-       coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-       coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-       coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p,
        string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
 FROM orders GROUP BY o_orderpriority
 """

@@ -79,8 +79,8 @@ WITH base AS (
   SELECT f.* FROM filt f JOIN keep k USING (fp, doc_id)
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]'))) AS total_bpeish_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]'))) AS BIGINT) AS total_bpeish_tokens,
        round(min(quality_score), 4) AS min_quality,
        round(max(quality_score), 4) AS max_quality
 FROM kept GROUP BY lang

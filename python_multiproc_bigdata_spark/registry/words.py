@@ -192,7 +192,7 @@ REGISTRY = {
     "words_total_tokens": QuerySpec(
         q_words_total_tokens,
         WORDS_CTE
-        + """SELECT sum(file_words_count) AS total_tokens
+        + """SELECT CAST(sum(file_words_count) AS BIGINT) AS total_tokens
              FROM (SELECT DISTINCT file_path, file_words_count FROM words)""",
     ),
     "words_distinct_files": QuerySpec(
