@@ -72,6 +72,39 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
 """
 
 
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB guardrail path of ngram_jaccard_pairs: posting lists for
+    shingles shared by more than `max_shingle_freq` docs are dropped BEFORE
+    pair generation (a boilerplate shingle shared by f docs contributes
+    f·(f−1)/2 pairs — quadratic blowup with ~no Jaccard signal). cap=4
+    actually bites on this corpus (151 shingles with f in 5..7 at sf0.01
+    are excluded), so this exercises the frequency filter, not a no-op."""
+    d = table(prep(spark), sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8, max_shingle_freq=4)
+
+
+# Same cap applied oracle-side: shingle corpus frequency ≤ 4 before pairing.
+SQL_NGRAM_JACCARD_CAPPED = SQL_SHINGLES_CTE + r"""
+, freq AS (
+  SELECT sh, count(*) AS f FROM sh GROUP BY sh
+), shc AS (
+  SELECT s.id, s.sh FROM sh s JOIN freq USING (sh) WHERE f <= 4
+), csizes AS (
+  SELECT id, count(*) AS n FROM shc GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN csizes sa ON sa.id = id_a
+JOIN csizes sb ON sb.id = id_b
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+"""
+
+
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(prep(spark), sf_dir, "documents")
     return minhash_signatures(d).withColumnRenamed("id", "doc_id")
@@ -150,6 +183,9 @@ SELECT id AS doc_id, {_BITS} AS simhash FROM votes
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, SQL_EXACT),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_ngram_jaccard_capped": QuerySpec(
+        dedup_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED
+    ),
     "dedup_minhash_signatures": QuerySpec(dedup_minhash_signatures, SQL_MINHASH_SIG),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": QuerySpec(dedup_simhash, SQL_SIMHASH),

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.similarity import (
-    neardup_pairs_cosine,
+    neardup_pairs_banded,
     sign_bucket,
     topk_bruteforce,
     topk_ivf,
@@ -129,26 +129,46 @@ WHERE rk <= 3
 
 
 def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-dup (sign-LSH candidates + exact verify) — the scale
+    path. The oracle reproduces the SAME banding in SQL, so the gate
+    checks the banded semantics end-to-end; recall vs the exact crossJoin
+    form is measured separately by tools/recall_report.py (the exact form
+    is deliberately unregistered — a crossJoin is not a 100 TB plan)."""
     emb = table(prep(spark), sf_dir, "embeddings")
-    return neardup_pairs_cosine(emb, threshold=0.4)
+    return neardup_pairs_banded(emb, threshold=0.4, bits_per_band=4, n_bands=16)
 
 
-SQL_NEARDUP = """
+# DuckDB twin of operators/similarity.py:neardup_pairs_banded (b=4, L=16):
+# identical sign-band candidate generation, identical exact verification.
+SQL_NEARDUP_BANDED_CTE = """
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sig AS (
+  SELECT vec_id AS id,
+         list_aggregate(list_transform(embedding[1:64],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+  FROM embeddings
+), bands AS (
+  SELECT id, l, substr(bits, CAST(l * 4 + 1 AS INTEGER), 4) AS key
+  FROM sig, range(16) t(l)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.l = b.l AND a.key = b.key AND a.id < b.id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) > 0
+                     AND sqrt(list_dot_product(b.e, b.e)) > 0
+               THEN list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.id_a
+  JOIN emb b ON b.vec_id = c.id_b
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) > 0
-                   AND sqrt(list_dot_product(b.e, b.e)) > 0
-             THEN list_dot_product(a.e, b.e)
-                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-             ELSE 0.0 END, 4) AS score
-FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-WHERE round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) > 0
-                  AND sqrt(list_dot_product(b.e, b.e)) > 0
-            THEN list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-            ELSE 0.0 END, 4) >= 0.4
+"""
+
+SQL_NEARDUP = SQL_NEARDUP_BANDED_CTE + """
+SELECT id_a, id_b, score FROM verified WHERE score >= 0.4
 """
 
 

@@ -27,6 +27,9 @@ from python_multiproc_bigdata_spark.functions.text import (
     token_count_bpeish,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+from python_multiproc_bigdata_spark.registry.similarity import (
+    SQL_NEARDUP_BANDED_CTE as _SQL_NEARDUP_BANDED_CTE,
+)
 
 QUALITY_MIN = 0.5
 QUOTA_PER_LANG = 40
@@ -120,17 +123,17 @@ def semantic_only_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dups exact dedup cannot catch. Joins the embeddings table
     to documents on vec_id = doc_id (the harness tables are 1:1). The
     fingerprint relation is slim (id, 32-char fp, lang) so both
-    enrichment joins broadcast; the pair generation itself is
-    neardup_pairs_cosine's crossJoin — at 100 TB swap that stage for the
-    LSH/IVF candidate path, keeping this verification join unchanged."""
-    from python_multiproc_bigdata_spark.operators.similarity import neardup_pairs_cosine
+    enrichment joins broadcast; pair generation is the BANDED sign-LSH
+    candidate path (neardup_pairs_banded — equi-joins only, no
+    crossJoin), and the oracle reproduces the same bands."""
+    from python_multiproc_bigdata_spark.operators.similarity import neardup_pairs_banded
 
     spark = prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", doc_fingerprint("text").alias("fp"), "lang"
     )
-    pairs = neardup_pairs_cosine(emb, threshold=0.4)
+    pairs = neardup_pairs_banded(emb, threshold=0.4, bits_per_band=4, n_bands=16)
     fa = docs.select(
         F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), F.col("lang").alias("lang_a")
     )
@@ -148,25 +151,15 @@ def semantic_only_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SEMANTIC_ONLY = r"""
-WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) > 0
-                     AND sqrt(list_dot_product(b.e, b.e)) > 0
-               THEN list_dot_product(a.e, b.e)
-                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-               ELSE 0.0 END, 4) AS score
-  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-), fps AS (
+SQL_SEMANTIC_ONLY = _SQL_NEARDUP_BANDED_CTE + r"""
+, fps AS (
   SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp,
          lang
   FROM documents
 )
 SELECT s.id_a, s.id_b, s.score, fa.lang = fb.lang AS same_lang
-FROM scored s
+FROM verified s
 JOIN fps fa ON fa.doc_id = s.id_a
 JOIN fps fb ON fb.doc_id = s.id_b
 WHERE s.score >= 0.4 AND fa.fp != fb.fp
