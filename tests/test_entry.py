@@ -31,6 +31,25 @@ def test_oracle_keys_subset():
     assert len(q) >= 24
 
 
+def test_checked_window_is_curated():
+    # the driver's correctness gate checks the FIRST 50 registry entries;
+    # this pins the curated window (every family driver-verified) so a
+    # refactor can't silently push the LLM-pipeline surface past the cap
+    from python_multiproc_bigdata_spark.registry import CHECKED_FIRST
+
+    q = list(e.queries())
+    assert len(CHECKED_FIRST) == 50
+    assert q[:50] == list(CHECKED_FIRST)
+    must_be_checked = {
+        "sim_topk_ivf", "sim_neardup_cosine", "training_mix_by_lang",
+        "quota_sample_per_lang", "semantic_only_neardups",
+        "asof_click_to_view", "range_join_close_events",
+        "udaf_median_acctbal", "multimodal_features",
+        "func_arabic_tokenize", "dedup_ngram_jaccard_capped",
+    }
+    assert must_be_checked <= set(CHECKED_FIRST)
+
+
 def test_all_queries_run_sf0001(spark):
     for name, fn in e.queries().items():
         df = fn(spark, SF_DIR)
