@@ -204,6 +204,171 @@ def topk_ivf(
     )
 
 
+def train_spherical_kmeans(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    max_iter: int = 5,
+    dims: int = 64,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's on the unit sphere) for IVF coarse
+    quantization. Returns n_lists unit centroids as plain Python lists.
+
+    Each iteration is one corpus pass: broadcast the current centroids as
+    literal arrays, assign every vector to its max-cosine centroid
+    (JVM-side HOF math), then groupBy cluster and element-wise-average
+    via posexplode — and collect ONLY the n_lists×dims centroid matrix to
+    the driver (O(n_lists·d) per iteration, never O(data); this is the
+    same driver/executor split MLlib's KMeans uses). Init is the
+    n_lists lowest-vec_id vectors — deterministic, so re-runs agree up
+    to float-sum ordering inside the mean (ulp-level; assignments only
+    flip on exact ties).
+
+    At 100 TB: train on a hash-sample (WHERE xxhash64(id) % m = 0) — the
+    quantizer needs thousands of points per centroid, not the corpus —
+    then assign the full corpus once and WRITE the assignment as the
+    table's partition key, making nprobe search partition pruning."""
+    # project the norm to a named column BEFORE dividing inside the
+    # transform lambda — an inline fold there re-evaluates per element
+    norm = (
+        corpus.select("vec_id", "embedding", l2_norm("embedding").alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x / F.col("_n")).alias("e"),
+        )
+    )
+    cents = [
+        list(r.e)
+        for r in norm.orderBy("vec_id").limit(n_lists).collect()
+    ]
+    for _ in range(max_iter):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+        )
+        # argmax-cosine assignment: aggregate over the centroid array with
+        # a (best_score, best_idx) struct accumulator — one pass, no explode
+        assigned = norm.select(
+            "e",
+            F.aggregate(
+                F.zip_with(
+                    cent_lit,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda c, i: F.struct(
+                        dot_arrays(F.col("e"), c).alias("s"), i.alias("i")
+                    ),
+                ),
+                F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("i")),
+                lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+            )["i"].alias("cluster"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        new = {r.cluster: list(r.c) for r in means}
+        # renormalize to the sphere; empty clusters keep their centroid
+        import math
+
+        for ci in range(len(cents)):
+            if ci in new:
+                n2 = math.sqrt(sum(v * v for v in new[ci]))
+                if n2 > 0:
+                    cents[ci] = [v / n2 for v in new[ci]]
+    return cents
+
+
+def dot_arrays(a: Column, b: Column) -> Column:
+    """Elementwise dot of two array columns (JVM HOF, codegen-adjacent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def topk_ivf_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_lists: int = 8,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF top-k with spherical-k-means centroids (the recall fix for
+    topk_ivf's label lists: the harness `label` column does not follow
+    cosine geometry, so probing label lists ≈ random sampling — measured
+    0.17 recall@3 at nprobe=2/8 lists in RECALL.json; k-means lists
+    follow the geometry by construction).
+
+    Search is identical in shape to topk_ivf: broadcast the (tiny)
+    centroid table, rank lists per query by rounded cosine, equi-join the
+    top-nprobe lists against the centroid-assigned corpus, verify with
+    exact cosine. Training is train_spherical_kmeans (see its 100 TB
+    note: sample-train, assign once, partition by list id)."""
+    cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "probe_label int, rep array<double>"
+        ).withColumn("rep_norm", l2_norm("rep"))
+    )
+    assign = F.aggregate(
+        F.zip_with(
+            F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda c, i: F.struct(dot_arrays(F.col("_en"), c).alias("s"), i.alias("i")),
+        ),
+        F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )["i"]
+    c = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+        )
+        .withColumn(
+            "_en",
+            F.when(
+                F.col("c_norm") > 0,
+                F.transform("c_emb", lambda x: x / F.col("c_norm")),
+            ).otherwise(F.col("c_emb")),
+        )
+        .withColumn("probe_label", assign)
+        .drop("_en")
+    )
+    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_score"), F.asc("probe_label")
+    )
+    probed = (
+        q.crossJoin(cent_df)
+        .withColumn(
+            "probe_score",
+            _score(dot("q_emb", "rep"), F.col("q_norm"), F.col("rep_norm")),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "probe_label")
+    )
+    pairs = (
+        probed.join(c, "probe_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
 def topk_by_group_agg(
     scored: DataFrame, group_col: str, score_col: str, id_col: str, k: int
 ) -> DataFrame:

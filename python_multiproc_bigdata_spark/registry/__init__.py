@@ -82,10 +82,13 @@ CHECKED_FIRST: tuple[str, ...] = (
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # similarity search (bruteforce baseline, LSH, IVF, banded near-dup)
+    # similarity search (bruteforce baseline, LSH, IVF, banded near-dup;
+    # the k-means IVF is rows-only — iterative training isn't
+    # SQL-expressible — with recall pinned in tests/test_recall_floors.py)
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",
     # Arabic tokenizer parity (SURVEY §6 risk #1)
     "func_arabic_tokenize",
@@ -95,7 +98,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "asof_click_to_view",
     "range_join_close_events",
     "udaf_median_acctbal",
-    "cube_orders",
     "approx_distinct_stats",
     # multimodal plumbing
     "multimodal_features",

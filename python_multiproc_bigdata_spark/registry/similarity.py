@@ -12,6 +12,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     sign_bucket,
     topk_bruteforce,
     topk_ivf,
+    topk_ivf_kmeans,
     topk_lsh,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -172,9 +173,22 @@ SELECT id_a, id_b, score FROM verified WHERE score >= 0.4
 """
 
 
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with spherical-k-means centroids — rows-only check
+    (iterative training is not SQL-expressible); recall vs the exact
+    baseline is measured by tools/recall_report.py and pinned in
+    tests/test_recall_floors.py (0.50 @ nprobe=2/8 lists at sf0.1 vs
+    0.17 for the label-list quantizer at the same scan fraction;
+    0.78 @ nprobe=4)."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_ivf_kmeans(queries, emb, k=3, nprobe=2, n_lists=8)
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),
+    "sim_topk_ivf_kmeans": QuerySpec(sim_topk_ivf_kmeans, None),
     "sim_neardup_cosine": QuerySpec(sim_neardup_cosine, SQL_NEARDUP),
 }

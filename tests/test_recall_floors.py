@@ -1,0 +1,55 @@
+"""Recall floors for the approximate similarity paths, pinned from
+measurement (tools/recall_report.py) — a quantizer or banding regression
+fails here loudly instead of silently shipping worse recall.
+
+Measured at build time (sf0.001 / sf0.1):
+  ivf_kmeans nprobe=2/8 lists : 0.61 / 0.50   (floor 0.45)
+  ivf_minid  nprobe=2         : 0.21 / 0.17   (kmeans must beat it)
+  banded near-dup pair recall : 62/66 / 878/920  (floor 0.90)
+
+Floors sit below the measured values because k-means assignment can flip
+on float-sum near-ties across partitionings; the MARGIN is the
+non-determinism budget, the FLOOR is the regression alarm."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from recall_report import _topk_sets, recall_at_k  # noqa: E402
+
+from python_multiproc_bigdata_spark.operators.similarity import (  # noqa: E402
+    neardup_pairs_banded,
+    neardup_pairs_cosine,
+    topk_bruteforce,
+    topk_ivf,
+    topk_ivf_kmeans,
+)
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_ivf_kmeans_recall_floor_and_beats_label_lists(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)
+    exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    r_kmeans = recall_at_k(topk_ivf_kmeans(q, emb, k=3, nprobe=2, n_lists=8), exact)
+    r_minid = recall_at_k(topk_ivf(q, emb, k=3, nprobe=2), exact)
+    assert r_kmeans >= 0.45, r_kmeans
+    assert r_kmeans > r_minid, (r_kmeans, r_minid)
+
+
+def test_neardup_banded_pair_recall_floor(spark):
+    # banded verification is exact, so banded pairs must be a strict
+    # subset of the exact crossJoin pairs; the floor pins the measured
+    # recall (62/66 at sf0.001 — cosine 0.4 is the weakest regime for
+    # sign-LSH, so this is data-pinned regression, not theory)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {tuple(r) for r in neardup_pairs_cosine(emb, 0.4).collect()}
+    banded = {tuple(r) for r in neardup_pairs_banded(emb, 0.4).collect()}
+    assert banded <= exact
+    assert len(exact) > 0
+    assert len(banded) / len(exact) >= 0.90, (len(banded), len(exact))

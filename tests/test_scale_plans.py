@@ -65,24 +65,6 @@ def test_neardup_banded_equijoin_only(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_neardup_banded_recall_vs_exact(spark):
-    # banded candidates + exact verify must return a SUBSET of the exact
-    # crossJoin pairs, with the measured-at-build recall floor (57/59 at
-    # sf0.01; recall is data-dependent — cosine 0.4 is the weakest regime
-    # for sign-LSH — so the floor pins regression, not theory)
-    from python_multiproc_bigdata_spark.operators.similarity import (
-        neardup_pairs_banded,
-        neardup_pairs_cosine,
-    )
-    from python_multiproc_bigdata_spark.registry.common import table
-
-    emb = table(spark, SF_DIR, "embeddings")
-    exact = {tuple(r) for r in neardup_pairs_cosine(emb, 0.4).collect()}
-    banded = {tuple(r) for r in neardup_pairs_banded(emb, 0.4).collect()}
-    assert banded <= exact
-    assert len(banded) >= 0.9 * len(exact)
-
-
 def test_salted_count_matches_plain(spark):
     df = spark.range(0, 10_000).select(
         (F.col("id") % 3).alias("k")  # key 0/1/2, deliberately few keys

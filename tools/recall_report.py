@@ -1,0 +1,103 @@
+"""ANN recall report: measures every approximate similarity path against
+the exact baseline at a given SF and writes RECALL.json at the repo root.
+
+  recall@k  (lsh / multiprobe / ivf)  = |approx top-k ∩ exact top-k| / k,
+            averaged over the query set (ties broken identically on both
+            sides: round(score,4) desc, neighbor_id asc — so the exact
+            top-k is unique and the metric is deterministic).
+  pair recall (banded near-dup)       = |banded pairs| / |exact pairs|
+            (banded verification is exact, so banded ⊆ exact always).
+
+Run:  python tools/recall_report.py [sf_dir]     (default sf0.1)
+
+The IVF quantizer choice (min-vec_id medoid vs k-means centroids) is what
+this report arbitrates — tests/test_recall_floors.py pins the measured
+floors so a quantizer or banding regression fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.similarity import (
+    neardup_pairs_banded,
+    neardup_pairs_cosine,
+    topk_bruteforce,
+    topk_ivf,
+    topk_ivf_kmeans,
+    topk_lsh,
+    topk_lsh_multiprobe,
+)
+from python_multiproc_bigdata_spark.session import get_spark
+
+N_QUERIES = 100
+K = 3
+
+
+def _topk_sets(df) -> dict[int, frozenset[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return {q: frozenset(s) for q, s in out.items()}
+
+
+def recall_at_k(approx, exact: dict[int, frozenset[int]]) -> float:
+    """Mean over queries of |approx∩exact|/k. Queries the approx path
+    returns NOTHING for (empty bucket) still count — as zeros."""
+    a = _topk_sets(approx)
+    total = sum(len(a.get(q, frozenset()) & e) for q, e in exact.items())
+    return total / (len(exact) * K)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    t0 = time.time()
+    exact = _topk_sets(topk_bruteforce(queries, emb, k=K))
+    report: dict = {"sf_dir": sf_dir, "n_queries": len(exact), "k": K}
+
+    report["recall_at_k"] = {
+        "lsh": round(recall_at_k(topk_lsh(queries, emb, k=K, bits=8), exact), 4),
+        "lsh_multiprobe": round(
+            recall_at_k(topk_lsh_multiprobe(queries, emb, k=K, bits=8), exact), 4
+        ),
+        "ivf_minid_nprobe2": round(
+            recall_at_k(topk_ivf(queries, emb, k=K, nprobe=2), exact), 4
+        ),
+        "ivf_minid_nprobe4": round(
+            recall_at_k(topk_ivf(queries, emb, k=K, nprobe=4), exact), 4
+        ),
+        "ivf_kmeans_nprobe2": round(
+            recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=2, n_lists=8), exact), 4
+        ),
+        "ivf_kmeans_nprobe4": round(
+            recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=4, n_lists=8), exact), 4
+        ),
+    }
+
+    n_exact = neardup_pairs_cosine(emb, 0.4).count()
+    n_banded = neardup_pairs_banded(emb, 0.4).count()
+    report["neardup_pair_recall"] = {
+        "exact_pairs": n_exact,
+        "banded_pairs": n_banded,
+        "recall": round(n_banded / n_exact, 4) if n_exact else 1.0,
+    }
+    report["elapsed_sec"] = round(time.time() - t0, 1)
+
+    out = Path(__file__).resolve().parent.parent / "RECALL.json"
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
