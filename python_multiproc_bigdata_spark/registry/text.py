@@ -176,11 +176,14 @@ WHERE rk <= 3
 
 
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass per-column profile of the documents table."""
+    """Single-pass per-column profile of the documents table. exact=True
+    because the oracle needs bit-equal distinct counts at small SF; the
+    operator's DEFAULT is approx (HLL++) — see operators/profile.py and
+    test_operators.py::test_profile_approx_default for that path."""
     from python_multiproc_bigdata_spark.operators.profile import profile
 
     d = table(prep(spark), sf_dir, "documents")
-    return profile(d)
+    return profile(d, exact=True)
 
 
 SQL_PROFILE = """

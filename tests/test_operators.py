@@ -166,3 +166,29 @@ def test_sources_text_corpus(spark, tmp_path):
     assert (tax.corpus, tax.base, tax.domaine, tax.periode) == (
         "corpus1", "base", "domainA", "p1",
     )
+
+
+def test_profile_approx_default_no_expand(spark):
+    # approx (HLL++) is the default: N exact countDistincts in one agg
+    # plan an Expand that multiplies the scan by N — wrong for a 100 TB
+    # pre-flight. Exact is opt-in and must agree with approx within the
+    # 1% rsd on this corpus (and exactly on n_rows / n_nulls).
+    from python_multiproc_bigdata_spark.operators.profile import profile
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    approx_df = profile(d)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        profile(d, exact=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the cost the default avoids
+    approx = {r.col_name: r for r in approx_df.collect()}
+    exact = {r.col_name: r for r in profile(d, exact=True).collect()}
+    assert approx.keys() == exact.keys()
+    for c in exact:
+        assert approx[c].n_rows == exact[c].n_rows
+        assert approx[c].n_nulls == exact[c].n_nulls
+        assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
+            3, 0.03 * exact[c].n_distinct
+        ), c
