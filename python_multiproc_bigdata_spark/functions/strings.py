@@ -29,19 +29,28 @@ def len_gt(col: Column | str, limit: int = 255) -> Column:
 
 
 def basename_backwards(col: Column | str, k: int = 5) -> Column:
-    """X3: keep the last ``k`` path segments of a ``/``-separated path,
-    rejoined (reference v2/core/commons.py:138-161; ``_x4`` keeps 5).
+    """X3: keep the last ``max(2, k)`` non-empty path segments of a
+    ``/``-separated path, rejoined (reference v2/core/commons.py:138-161;
+    ``_x4`` keeps 5).
 
-    ``F.slice`` with a negative start takes the trailing run, and when the
-    path has fewer than ``k`` segments it degrades to the whole path —
-    matching the reference's early-break (commons.py:141-146).
+    The reference walks basename/dirname: on an absolute path the walk
+    reaches ``/`` and appends EMPTY basenames, which then vanish in
+    ``os.path.join`` — so ``/a/b/file.txt`` with k=5 yields
+    ``a/b/file.txt`` (leading slash consumed), and in general the result
+    is the trailing ``min(max(2,k), n)`` non-empty segments with no
+    leading slash. Filtering empty segments reproduces that, including
+    the duplicate-``//`` case (dirname normalizes them away). Known
+    divergences, accepted for path data from a corpus walker: trailing
+    ``/`` (reference keeps a trailing slash) and ``.``/``..`` prefixes
+    (reference breaks the walk early) — neither occurs in walker output.
     """
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, "/")
+    kk = max(2, k)  # reference clamps backwards_level to >= 2
+    parts = F.filter(F.split(c, "/"), lambda p: p != "")
     n = F.size(parts)
-    # slice(start=-k) errors when |start| > size, so clamp to the full array.
-    return F.when(n <= k, c).otherwise(
-        F.concat_ws("/", F.slice(parts, -k, k))
+    # slice(start=-kk) errors when |start| > size, so clamp to the full array.
+    return F.when(n <= kk, F.concat_ws("/", parts)).otherwise(
+        F.concat_ws("/", F.slice(parts, -kk, kk))
     )
 
 

@@ -71,11 +71,15 @@ def func_basename_backwards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id", basename_backwards("path", 5).alias("norm_path"))
 
 
+# Reference-exact: trailing min(5, n) NON-EMPTY segments, no leading '/'
+# (the reference's basename/dirname walk consumes '/' into empty
+# basenames that os.path.join drops — functions/strings.py docstring).
 SQL_BASENAME = f"""
 SELECT id,
-       CASE WHEN len(string_split(path, '/')) <= 5 THEN path
-            ELSE array_to_string(string_split(path, '/')[-5:], '/') END AS norm_path
-FROM {_values_sql(PATHS, "id, path")}
+       array_to_string(
+         CASE WHEN len(ne) <= 5 THEN ne ELSE ne[-5:] END, '/') AS norm_path
+FROM (SELECT id, list_filter(string_split(path, '/'), p -> p != '') AS ne
+      FROM {_values_sql(PATHS, "id, path")})
 """
 
 

