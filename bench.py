@@ -40,6 +40,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "sim_neardup_cosine",
     "training_mix_by_lang",
     "text_quality",
     "text_lang_id",

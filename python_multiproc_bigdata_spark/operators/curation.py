@@ -1,0 +1,192 @@
+"""Corpus-curation operators (beyond-reference, training-data pipeline):
+repetition signals, eval-set decontamination, and duplicate-cluster
+canonicalization — the steps between "near-dup pairs exist" and "here is
+the cleaned training corpus".
+
+All hashing/sampling is deterministic (md5 / id arithmetic) so the DuckDB
+oracles reproduce results bit-for-bit, per the repo-wide rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition counters per document, as INTEGERS
+    (ratios are left to the caller: integer outputs keep the oracle
+    hash-exact — a ratio like 1/32 lands on a 4-decimal half-boundary
+    where engine rounding modes diverge).
+
+      n_lines           non-empty lines
+      n_dup_lines       lines minus distinct lines (duplicate-line count)
+      max_line_repeats  occurrences of the most-repeated line
+      n_tokens          whitespace tokens
+      top_bigram_count  occurrences of the most frequent token 2-gram
+                        (0 for docs with < 2 tokens)
+
+    Line metrics are pure array math (map-only). The bigram mode needs a
+    per-(doc, gram) count: explode + two partial-aggregated groupBys —
+    word-count shaped, scales like the tokenizer."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    toks_expr = F.filter(
+        F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("_lines"),
+        toks_expr.alias("_toks"),
+    )
+    # most-repeated line, array-side: sort, then the longest run of equal
+    # neighbors would need a scan — use explode+groupBy instead (same
+    # shape as the bigram mode, one pass for both)
+    line_counts = (
+        base.select("doc_id", F.explode("_lines").alias("ln"))
+        .groupBy("doc_id", "ln")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            (F.sum("c") - F.count(F.lit(1))).alias("n_dup_lines"),
+            F.max("c").alias("max_line_repeats"),
+        )
+    )
+    toks = base.select("doc_id", F.size("_toks").alias("n_tokens"), F.col("_toks"))
+    bigrams = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.zip_with(
+                    F.slice("_toks", 1, F.size("_toks") - 1),
+                    F.slice("_toks", 2, F.size("_toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    bigram_top = (
+        bigrams.groupBy("doc_id", "n_tokens", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    # docs with <2 tokens produce no bigram rows → left join, fill 0;
+    # doc universe comes from the (map-only) token relation
+    out = (
+        toks.select("doc_id", "n_tokens")
+        .join(line_counts, "doc_id", "left")
+        .join(bigram_top.drop("n_tokens"), "doc_id", "left")
+        .na.fill(
+            {"n_lines": 0, "n_dup_lines": 0, "max_line_repeats": 0, "top_bigram_count": 0}
+        )
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_dup_lines", "max_line_repeats", "n_tokens",
+        "top_bigram_count",
+    )
+
+
+def ngram_set(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram relation (id, gram) — decontamination's unit
+    of evidence. Map-side only (same HOF discipline as word_shingles)."""
+    toks_expr = F.filter(
+        F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0
+    )
+    t = df.select(F.col(id_col).alias("id"), toks_expr.alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return t.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def decontaminate_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word n-gram
+    with an eval/benchmark document (the published 13-gram rule; n is a
+    parameter). Returns (train_id, eval_id, n_shared_grams) per
+    contaminated pair.
+
+    Plan shape: two map-only n-gram scans, an equi-join on the gram, one
+    partial-aggregated count. At 100 TB the eval side is tiny (benchmark
+    suites are MBs) — hash its gram set and let AQE broadcast it, making
+    decontamination a map-side join over the training scan; cap
+    degenerate grams upstream like ngram_jaccard if a benchmark contains
+    boilerplate."""
+    tg = ngram_set(train, id_col, text_col, n).withColumnRenamed("id", "train_id")
+    eg = ngram_set(eval_set, id_col, text_col, n).withColumnRenamed("id", "eval_id")
+    return (
+        tg.join(eg, tg.gram == eg.gram)
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an (id_a, id_b) edge list by iterative
+    min-label propagation: every node's label becomes the min of its own
+    and its neighbors', repeated until fixpoint. Returns (id, component)
+    with component = min node id of the cluster.
+
+    Each iteration is one groupBy over the (bidirectional) edge relation
+    joined to current labels — O(diameter) rounds; near-dup clusters are
+    shallow (pairs/triangles), so 2-3 rounds close real corpora. The
+    loop's driver traffic is a single converged? count per round, never
+    data. checkpoint/localCheckpoint every few rounds would truncate the
+    lineage on a real cluster; at harness scale the plan stays small.
+
+    This is the canonicalization step after LSH: keep component == id
+    rows (one canonical doc per duplicate cluster), drop the rest."""
+    sym = edges.selectExpr("id_a AS src", "id_b AS dst").union(
+        edges.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -182,7 +182,9 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.78 @ nprobe=4)."""
     emb = table(prep(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return topk_ivf_kmeans(queries, emb, k=3, nprobe=2, n_lists=8)
+    # max_iter=3: recall is converged by then (0.52 vs 0.50 at 5 iters,
+    # sf0.1) and each extra Lloyd's round is a full scheduling round-trip
+    return topk_ivf_kmeans(queries, emb, k=3, nprobe=2, n_lists=8, max_iter=3)
 
 
 REGISTRY = {
