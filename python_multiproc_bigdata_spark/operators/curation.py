@@ -23,16 +23,19 @@ def repetition_signals(
     hash-exact — a ratio like 1/32 lands on a 4-decimal half-boundary
     where engine rounding modes diverge).
 
-      n_lines           non-empty lines
-      n_dup_lines       lines minus distinct lines (duplicate-line count)
-      max_line_repeats  occurrences of the most-repeated line
-      n_tokens          whitespace tokens
-      top_bigram_count  occurrences of the most frequent token 2-gram
-                        (0 for docs with < 2 tokens)
+      n_lines            non-empty lines
+      n_dup_lines        lines minus distinct lines (duplicate-line count)
+      max_line_repeats   occurrences of the most-repeated line
+      n_tokens           whitespace tokens
+      n_distinct_tokens  vocabulary size of the doc
+      top_token_count    occurrences of the most frequent token
+      top_bigram_count   occurrences of the most frequent token 2-gram
+                         (0 for docs with < 2 tokens)
 
-    Line metrics are pure array math (map-only). The bigram mode needs a
-    per-(doc, gram) count: explode + two partial-aggregated groupBys —
-    word-count shaped, scales like the tokenizer."""
+    Every metric is an explode + two partial-aggregated groupBys —
+    word-count shaped, scales like the tokenizer. (The harness corpus has
+    no newlines, so the line columns are flat there — they matter on real
+    scraped text; the token/bigram columns carry the signal either way.)"""
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda ln: F.length(F.trim(ln)) > 0
     )
@@ -59,9 +62,18 @@ def repetition_signals(
         )
     )
     toks = base.select("doc_id", F.size("_toks").alias("n_tokens"), F.col("_toks"))
+    token_stats = (
+        base.select("doc_id", F.explode("_toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("top_token_count"),
+        )
+    )
     bigrams = toks.select(
         "doc_id",
-        "n_tokens",
         F.explode(
             F.when(
                 F.col("n_tokens") >= 2,
@@ -74,24 +86,32 @@ def repetition_signals(
         ).alias("bg"),
     )
     bigram_top = (
-        bigrams.groupBy("doc_id", "n_tokens", "bg")
+        bigrams.groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_tokens")
+        .groupBy("doc_id")
         .agg(F.max("c").alias("top_bigram_count"))
     )
-    # docs with <2 tokens produce no bigram rows → left join, fill 0;
-    # doc universe comes from the (map-only) token relation
+    # docs with no tokens/bigrams produce no grouped rows → left join,
+    # fill 0; doc universe comes from the (map-only) token relation
     out = (
         toks.select("doc_id", "n_tokens")
         .join(line_counts, "doc_id", "left")
-        .join(bigram_top.drop("n_tokens"), "doc_id", "left")
+        .join(token_stats, "doc_id", "left")
+        .join(bigram_top, "doc_id", "left")
         .na.fill(
-            {"n_lines": 0, "n_dup_lines": 0, "max_line_repeats": 0, "top_bigram_count": 0}
+            {
+                "n_lines": 0,
+                "n_dup_lines": 0,
+                "max_line_repeats": 0,
+                "n_distinct_tokens": 0,
+                "top_token_count": 0,
+                "top_bigram_count": 0,
+            }
         )
     )
     return out.select(
         "doc_id", "n_lines", "n_dup_lines", "max_line_repeats", "n_tokens",
-        "top_bigram_count",
+        "n_distinct_tokens", "top_token_count", "top_bigram_count",
     )
 
 

@@ -26,9 +26,10 @@ from python_multiproc_bigdata_spark.registry import streaming as _streaming
 from python_multiproc_bigdata_spark.registry import multimodal as _multimodal
 from python_multiproc_bigdata_spark.registry import stats as _stats
 from python_multiproc_bigdata_spark.registry import training as _training
+from python_multiproc_bigdata_spark.registry import curation as _curation
 
 _ALL: dict[str, QuerySpec] = {}
-for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advanced, _streaming, _multimodal, _stats, _training):
+for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advanced, _streaming, _multimodal, _stats, _training, _curation):
     overlap = _ALL.keys() & mod.REGISTRY.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -57,7 +58,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "words_distinct_files",
     "words_no_dupes",
     "words_doc_frequency",
-    "words_top20",
     # TPC-H flagships (scan pushdown + broadcast joins + partial agg)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -68,14 +68,12 @@ CHECKED_FIRST: tuple[str, ...] = (
     "events_tumbling_window",
     "events_sliding_window",
     "events_sessionize",
-    "events_funnel",
     # text analysis + profiling
     "profile_documents",
     "text_tfidf_top_terms",
     "text_quality",
     "text_lang_id",
     "text_token_count",
-    "text_fingerprint",
     # dedup (exact, Jaccard, capped guardrail, LSH, SimHash)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -111,6 +109,13 @@ CHECKED_FIRST: tuple[str, ...] = (
     "training_mix_by_lang",
     "quota_sample_per_lang",
     "semantic_only_neardups",
+    # corpus curation (repetition signals, decontamination, dup-cluster
+    # canonicalization) — demoted for these: words_top20, events_funnel,
+    # text_fingerprint (all round-1 green; families keep in-window
+    # siblings)
+    "curation_repetition_signals",
+    "decontaminate_train_eval",
+    "dedup_components_canonical",
 )
 
 _missing = [n for n in CHECKED_FIRST if n not in _ALL]

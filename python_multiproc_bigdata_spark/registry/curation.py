@@ -1,0 +1,154 @@
+"""Corpus-curation query family (beyond-reference, training-data
+pipeline): repetition signals, eval-set decontamination, duplicate-
+cluster canonicalization. DuckDB oracles reproduce every value exactly
+(md5/id-deterministic, integer outputs, recursive-CTE closure)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.curation import (
+    connected_components,
+    decontaminate_overlap,
+    repetition_signals,
+)
+from python_multiproc_bigdata_spark.operators.dedup import minhash_lsh_pairs
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+from python_multiproc_bigdata_spark.registry.dedup import SQL_MINHASH_LSH
+
+
+def curation_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-document repetition counters (integers only —
+    ratios are the caller's division, keeping the gate hash-exact)."""
+    d = table(prep(spark), sf_dir, "documents")
+    return repetition_signals(d)
+
+
+SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), ln -> length(trim(ln)) > 0) AS lines,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS t
+  FROM documents
+), linec AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+         max(c) AS max_line_repeats
+  FROM (SELECT doc_id, ln, count(*) AS c
+        FROM (SELECT doc_id, unnest(lines) AS ln FROM base) GROUP BY doc_id, ln)
+  GROUP BY doc_id
+), tokc AS (
+  SELECT doc_id, count(*) AS n_distinct_tokens, max(c) AS top_token_count
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS w FROM base) GROUP BY doc_id, w)
+  GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, max(c) AS top_bigram_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(t) - 1, 0)),
+                 i -> t[i+1] || ' ' || t[i+2])) AS g
+          FROM base) GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(l.n_lines, 0) AS n_lines,
+       coalesce(l.n_dup_lines, 0) AS n_dup_lines,
+       coalesce(l.max_line_repeats, 0) AS max_line_repeats,
+       len(b.t) AS n_tokens,
+       coalesce(k.n_distinct_tokens, 0) AS n_distinct_tokens,
+       coalesce(k.top_token_count, 0) AS top_token_count,
+       coalesce(g.top_bigram_count, 0) AS top_bigram_count
+FROM base b
+LEFT JOIN linec l USING (doc_id)
+LEFT JOIN tokc k USING (doc_id)
+LEFT JOIN bg g USING (doc_id)
+"""
+
+
+EVAL_MOD = 10  # doc_id % 10 == 0 → the held-out "benchmark" slice
+DECON_N = 13  # the published 13-gram decontamination rule
+
+
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: the eval set
+    is the deterministic doc_id % 10 == 0 slice, training is the rest;
+    emit (train_id, eval_id, n_shared_grams) for every training doc
+    sharing a 13-gram with an eval doc. At 100 TB the eval side is a
+    benchmark suite (MBs): its gram set broadcasts and this becomes a
+    map-side join over the training scan."""
+    d = table(prep(spark), sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontaminate_overlap(tr, ev, n=DECON_N)
+
+
+SQL_DECONTAMINATE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(greatest(len(t) - {DECON_N - 1}, 0)),
+           i -> array_to_string(t[i+1:i+{DECON_N}], ' '))) AS g
+    FROM toks)
+), ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+   tr AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % {EVAL_MOD} != 0)
+SELECT train_id, eval_id, count(*) AS n_shared_grams
+FROM tr JOIN ev USING (g)
+GROUP BY train_id, eval_id
+"""
+
+
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    MinHash-LSH near-dup pair graph (threshold 0.8), labeling every
+    clustered doc with its cluster's min doc_id — the keep-list step
+    between "pairs exist" and "deduplicated corpus" (keep rows where
+    doc_id == component). Iterative min-label propagation, O(diameter)
+    rounds; the oracle computes the same closure with a recursive CTE."""
+    d = table(prep(spark), sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.8).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+# Reuse the full MinHash-LSH pipeline SQL as a CTE, then close over the
+# pair graph with a recursive CTE (closure is tiny: |pairs| ~ dup rate).
+_LSH_PAIRS_CTE = SQL_MINHASH_LSH.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+    "\nSELECT id_a AS doc_a, id_b AS doc_b,",
+    ", pairs AS (\nSELECT id_a AS doc_a, id_b AS doc_b,",
+).rstrip() + "\n)"
+
+SQL_COMPONENTS = _LSH_PAIRS_CTE + r"""
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT n.id AS doc_id, least(n.id, min(r.b)) AS component
+FROM (SELECT DISTINCT a AS id FROM edges) n
+JOIN reach r ON r.a = n.id
+GROUP BY n.id
+"""
+
+
+REGISTRY = {
+    "curation_repetition_signals": QuerySpec(
+        curation_repetition_signals, SQL_REPETITION
+    ),
+    "decontaminate_train_eval": QuerySpec(
+        decontaminate_train_eval, SQL_DECONTAMINATE
+    ),
+    "dedup_components_canonical": QuerySpec(
+        dedup_components_canonical, SQL_COMPONENTS
+    ),
+}

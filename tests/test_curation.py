@@ -1,0 +1,63 @@
+"""Unit tests for corpus-curation operators on hand-built fixtures —
+the harness corpus has no newlines and only shallow dup clusters, so
+these cover what the oracle queries can't: multi-hop component chains,
+duplicate lines, and crafted n-gram contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.curation import (
+    connected_components,
+    decontaminate_overlap,
+    repetition_signals,
+)
+
+
+def test_connected_components_chain_and_singleton_pair(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # separate pair 10-11, disjoint pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_repetition_signals_lines_and_grams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a\nx\nx\n  \nx"),   # dup lines + repeated bigram
+            (2, "solo"),                      # 1 token → no bigrams
+            (3, ""),                          # empty doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    # lines: ['a b a b a', 'x', 'x', 'x'] (blank line dropped)
+    assert (r1.n_lines, r1.n_dup_lines, r1.max_line_repeats) == (4, 2, 3)
+    # tokens: a b a b a x x x → 8 tokens, 3 distinct, 'a' and 'x' 3x each
+    assert (r1.n_tokens, r1.n_distinct_tokens, r1.top_token_count) == (8, 3, 3)
+    # bigrams: 'a b','b a','a b','b a','a x','x x','x x' → 'a b'/'b a'/'x x' 2x
+    assert r1.top_bigram_count == 2
+    assert (rows[2].n_tokens, rows[2].top_bigram_count) == (1, 0)
+    assert (rows[3].n_tokens, rows[3].n_lines, rows[3].top_token_count) == (0, 0, 0)
+
+
+def test_decontaminate_overlap_finds_planted_ngram(spark):
+    shared = "one two three four five"
+    train = spark.createDataFrame(
+        [(1, f"prefix {shared} suffix"), (2, "totally different text here")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, f"intro {shared} outro")], ["doc_id", "text"])
+    got = {
+        (r.train_id, r.eval_id, r.n_shared_grams)
+        for r in decontaminate_overlap(train, ev, n=5).collect()
+    }
+    assert got == {(1, 100, 1)}  # exactly the planted 5-gram, doc 2 clean

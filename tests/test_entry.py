@@ -46,6 +46,8 @@ def test_checked_window_is_curated():
         "asof_click_to_view", "range_join_close_events",
         "udaf_median_acctbal", "multimodal_features",
         "func_arabic_tokenize", "dedup_ngram_jaccard_capped",
+        "sim_topk_ivf_kmeans", "curation_repetition_signals",
+        "decontaminate_train_eval", "dedup_components_canonical",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
