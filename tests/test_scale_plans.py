@@ -65,6 +65,47 @@ def test_neardup_banded_equijoin_only(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    # Spark's runtime Bloom filter (on by default) turns a selective dim
+    # filter into a pre-shuffle fact-side filter: bloom_filter_agg built
+    # from the filtered creation side, might_contain applied under the
+    # fact scan — at 100 TB this prunes the shuffle, not just the join.
+    # Local datasets sit under the default thresholds, so lower them to
+    # prove the rewrite fires; production sizes clear the defaults.
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = optimized_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_count_matches_plain(spark):
     df = spark.range(0, 10_000).select(
         (F.col("id") % 3).alias("k")  # key 0/1/2, deliberately few keys
