@@ -152,7 +152,76 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a 2-epoch change feed (maxFilesPerTrigger=1
+    forces two micro-batches) merged into a parquet target by highest
+    version per key via foreach_batch_cdc_apply. Epoch 1 bumps every
+    custkey%10==0 balance by 100 (version 1); epoch 2 bumps custkey%20==0
+    by 200 from base (version 2, superseding half of epoch 1's rows).
+    The final target state is deterministic AND micro-batch-order-
+    independent (version-aware merge), so the oracle is a closed-form
+    CASE over the customer table."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        foreach_batch_cdc_apply,
+    )
+
+    spark = prep(spark)
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(0).alias("version"),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    target = os.path.join(root, "target")
+    changes = os.path.join(root, "changes")
+    os.makedirs(changes)
+    base.write.mode("overwrite").parquet(target)
+    epochs = [
+        base.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", (F.col("bal") + 100).alias("bal"), F.lit(1).alias("version")
+        ),
+        base.filter(F.col("c_custkey") % 20 == 0).select(
+            "c_custkey", (F.col("bal") + 200).alias("bal"), F.lit(2).alias("version")
+        ),
+    ]
+    for i, df in enumerate(epochs):
+        tmp = os.path.join(root, f"e{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(changes, f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes)
+    )
+    q = foreach_batch_cdc_apply(
+        stream, target, ["c_custkey"], "version",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
+
+
+SQL_STREAM_CDC = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 20 = 0 THEN round(c_acctbal, 2) + 200
+            WHEN c_custkey % 10 = 0 THEN round(c_acctbal, 2) + 100
+            ELSE round(c_acctbal, 2) END AS bal,
+       CASE WHEN c_custkey % 20 = 0 THEN 2
+            WHEN c_custkey % 10 = 0 THEN 1
+            ELSE 0 END AS version
+FROM customer
+"""
+
+
 REGISTRY = {
+    "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
     "streaming_dedup_watermark": QuerySpec(streaming_dedup_watermark, SQL_STREAM_DEDUP),
     "streaming_tumbling_counts": QuerySpec(streaming_tumbling_counts, SQL_STREAM_TUMBLING),
     "streaming_first_event": QuerySpec(streaming_first_event, SQL_STREAM_FIRST),

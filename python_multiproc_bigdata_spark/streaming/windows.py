@@ -157,6 +157,52 @@ def foreach_batch_multi_sink(
     return writer.start()
 
 
+def foreach_batch_cdc_apply(
+    changes: DataFrame,
+    target_path: str,
+    keys: list[str],
+    version_col: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming MERGE INTO emulation without a table format: every
+    micro-batch of the change feed is merged into the parquet target by
+    HIGHEST VERSION per key (operators/cdc.latest_per_key over
+    target ∪ batch) — read, merge, write-to-tmp, swap. Version-aware
+    apply makes the result independent of micro-batch arrival order
+    (an unconditional upsert would let a late-arriving old version
+    clobber a newer row); versions must be unique per key.
+
+    The tmp-write materializes the merge BEFORE the old target is
+    replaced, so a mid-write crash leaves the previous target intact;
+    foreachBatch gives per-epoch exactly-once on top. This is precisely
+    what Delta/Iceberg MERGE does with a transactional commit instead of
+    the directory swap — same logical plan, swap the sink when a table
+    format is available. Returns the started StreamingQuery.
+    """
+    import shutil
+
+    spark = changes.sparkSession
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from python_multiproc_bigdata_spark.operators.cdc import latest_per_key
+
+        target = spark.read.parquet(target_path)
+        merged = latest_per_key(
+            target.unionByName(batch_df.select(*target.columns)),
+            keys,
+            version_col,
+        )
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)  # full read of old target
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.rename(tmp, target_path)
+
+    writer = changes.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through a
     memory sink; returns the materialized result as a batch DataFrame."""

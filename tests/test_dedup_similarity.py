@@ -272,3 +272,42 @@ def test_streaming_session_and_dedup(spark, tmp_path):
         per_user[r.user_id] += 1
     assert per_user[1] == 2  # two sessions for user 1
     assert per_user[2] == 1
+
+
+def test_streaming_cdc_apply_version_wins_over_arrival_order(spark, tmp_path):
+    # a LATE-arriving OLD version must not clobber a newer row: files are
+    # named so version 2 streams in the FIRST micro-batch and version 1
+    # in the second — the version-aware merge must still keep version 2
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        foreach_batch_cdc_apply,
+    )
+
+    target = str(tmp_path / "target")
+    changes = tmp_path / "changes"
+    changes.mkdir()
+    base = spark.createDataFrame(
+        [(k, 0.0, 0) for k in range(5)], "k long, v double, version int"
+    )
+    base.write.parquet(target)
+    newer = spark.createDataFrame([(1, 2.0, 2)], "k long, v double, version int")
+    older = spark.createDataFrame([(1, 1.0, 1), (3, 3.0, 1)], "k long, v double, version int")
+    for name, df in (("00.parquet", newer), ("01.parquet", older)):
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), str(changes / name))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(changes))
+    )
+    q = foreach_batch_cdc_apply(
+        stream, target, ["k"], "version", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {r.k: (r.v, r.version) for r in spark.read.parquet(target).collect()}
+    assert got == {0: (0.0, 0), 1: (2.0, 2), 2: (0.0, 0), 3: (3.0, 1), 4: (0.0, 0)}
