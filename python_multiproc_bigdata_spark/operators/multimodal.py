@@ -87,3 +87,79 @@ def extract_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize plumbing over binary media (mapInPandas, 1 row → 1 row).
+    The FAKE resize truncates the payload to target_w·target_h/64 bytes —
+    deterministic and size-dependent, standing in for a real
+    PIL.Image.resize whose output bytes would flow through the identical
+    schema. Output carries the resized payload plus its size/digest so
+    downstream stages (feature extraction, dedup on digest) compose."""
+    cap = max(1, (target_w * target_h) // 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [bytes(p)[:cap] for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": resized,
+                    "n_bytes": [len(r) for r in resized],
+                    "digest": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+FRAME_BYTES = 256
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 2, max_frames: int = 4
+) -> DataFrame:
+    """Video-frame sampling plumbing (mapInPandas, 1 row → N rows): the
+    payload is treated as a sequence of fixed-size FRAME_BYTES frames
+    (the fake stand-in for ffmpeg keyframe extraction); emit every
+    `every_n`-th frame up to `max_frames` per document, keyed by the
+    ORIGINAL frame index. The 1→N Arrow-batch shape — one input row
+    yielding a variable number of output rows — is exactly what a real
+    frame sampler needs; only the chunking is fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                p = bytes(payload)
+                n_chunks = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_chunks, every_n):
+                    if i // every_n >= max_frames:
+                        break
+                    fr = p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frame_bytes"].append(len(fr))
+                    out["frame_digest"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -6,8 +6,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from python_multiproc_bigdata_spark.operators.multimodal import (
+    FRAME_BYTES,
     attach_binary,
     extract_features,
+    sample_frames,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
@@ -15,6 +17,16 @@ from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, tabl
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(prep(spark), sf_dir, "documents")
     return extract_features(attach_binary(d, "text", kind="image"))
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N mapInPandas frame sampling: every 2nd FRAME_BYTES-byte chunk,
+    max 4 per doc, keyed by the original frame index. Oracle reproduces
+    the chunking with character slicing — valid because the documents
+    corpus is pure ASCII (octet_length == length for every row), so byte
+    offsets and char offsets coincide."""
+    d = table(prep(spark), sf_dir, "documents")
+    return sample_frames(attach_binary(d, "text", kind="video"), every_n=2, max_frames=4)
 
 
 # The fake decode is width = int(md5[:4],16) % 1024, height = int(md5[4:8],16) % 1024
@@ -30,6 +42,21 @@ FROM documents
 """
 
 
+SQL_FRAME_SAMPLE = f"""
+WITH chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         substring(text, CAST(i * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES}) AS fr
+  FROM (SELECT doc_id, text,
+               unnest(range(CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER))) AS i
+        FROM documents)
+  WHERE i % 2 = 0 AND i // 2 < 4
+)
+SELECT doc_id, frame_idx, length(fr) AS n_frame_bytes, md5(fr) AS frame_digest
+FROM chunks
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, SQL_FRAME_SAMPLE),
 }

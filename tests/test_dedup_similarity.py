@@ -311,3 +311,41 @@ def test_streaming_cdc_apply_version_wins_over_arrival_order(spark, tmp_path):
     q.awaitTermination()
     got = {r.k: (r.v, r.version) for r in spark.read.parquet(target).collect()}
     assert got == {0: (0.0, 0), 1: (2.0, 2), 2: (0.0, 0), 3: (3.0, 1), 4: (0.0, 0)}
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    import hashlib
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        FRAME_BYTES,
+        attach_binary,
+        resize_media,
+        sample_frames,
+    )
+
+    texts = [
+        (1, "x" * (FRAME_BYTES * 7 + 10)),  # 8 chunks → sampled idx 0,2,4,6
+        (2, "short"),                        # 1 chunk → idx 0 only
+        (3, ""),                             # empty → no frames
+    ]
+    media = attach_binary(spark.createDataFrame(texts, ["doc_id", "text"]))
+
+    frames = sample_frames(media, every_n=2, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2, 4, 6]
+    # last sampled frame of doc 1 is the partial 10-byte tail? idx 6 is
+    # full; the 8th chunk (idx 7, 10 bytes) is skipped by every_n=2
+    assert all(r.n_frame_bytes == FRAME_BYTES for r in by_doc[1])
+    assert [r.frame_idx for r in by_doc[2]] == [0]
+    assert by_doc[2][0].n_frame_bytes == 5
+    assert by_doc[2][0].frame_digest == hashlib.md5(b"short").hexdigest()
+    assert 3 not in by_doc
+
+    resized = {r.doc_id: r for r in resize_media(media, 64, 64).collect()}
+    cap = 64 * 64 // 64
+    assert resized[1].n_bytes == cap  # truncated to the fake-resize cap
+    assert resized[2].n_bytes == 5    # smaller payload passes through
+    assert bytes(resized[2].media) == b"short"
+    assert resized[1].digest == hashlib.md5(b"x" * cap).hexdigest()
