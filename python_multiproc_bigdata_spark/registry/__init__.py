@@ -55,7 +55,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "words_v1_length_filter",
     "words_pipeline",
     "words_total_tokens",
-    "words_distinct_files",
     "words_no_dupes",
     "words_doc_frequency",
     # TPC-H flagships (scan pushdown + broadcast joins + partial agg)
@@ -105,8 +104,12 @@ CHECKED_FIRST: tuple[str, ...] = (
     "grouping_sets_orders",
     "map_status_counts",
     "split_train_test_documents",
-    # training-mix compositions
+    # training-mix compositions (training_corpus_pipeline is the
+    # end-to-end capstone: quality → dedup → decontaminate → quota;
+    # words_distinct_files demoted for it — a 1-row count whose family
+    # keeps 7 in-window siblings)
     "training_mix_by_lang",
+    "training_corpus_pipeline",
     "quota_sample_per_lang",
     "semantic_only_neardups",
     # corpus curation (repetition signals, decontamination, dup-cluster

@@ -166,8 +166,120 @@ WHERE s.score >= 0.4 AND fa.fp != fb.fp
 """
 
 
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE logical plan — what a user
+    of this engine actually runs to build a training corpus:
+
+      1. split: doc_id % 10 == 0 is the held-out benchmark slice, the
+         rest is candidate training data
+      2. quality-filter the candidates (score >= 0.5, map-side math)
+      3. exact-dedup survivors (min doc_id per fingerprint)
+      4. DECONTAMINATE: drop any training doc sharing a 13-gram with a
+         benchmark doc (anti-join on the contaminated id set)
+      5. quota-sample at most 40 docs per language (md5-deterministic)
+      6. report the final per-language mix (doc/token counts, quality
+         range — integer sums and min/max only, order-independent)
+
+    Every stage is a primitive tested on its own elsewhere in the
+    registry; this query pins their COMPOSITION, oracle-checked
+    end-to-end. Shuffle ledger: dedup groupBy, gram equi-join (eval side
+    broadcasts at scale), quota window per lang, final groupBy — nothing
+    quadratic, nothing driver-side."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        decontaminate_overlap,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    scored = quality_score(tr, "text").filter(F.col("quality_score") >= QUALITY_MIN)
+    fp = scored.withColumn("fp", doc_fingerprint("text"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(keep, ["fp", "doc_id"])
+    contaminated = (
+        decontaminate_overlap(kept, ev, n=13).select("train_id").distinct()
+    )
+    clean = kept.join(
+        contaminated, kept.doc_id == contaminated.train_id, "left_anti"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sampled = clean.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= QUOTA_PER_LANG
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.round(F.min("quality_score"), 4).alias("min_quality"),
+        F.round(F.max("quality_score"), 4).alias("max_quality"),
+    )
+
+
+SQL_CORPUS_PIPELINE = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents WHERE doc_id % 10 != 0
+), m AS (
+  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+         round(CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars ELSE 0 END, 4) AS alpha_ratio,
+         round(CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) * 1.0 / len(toks)
+           ELSE 0 END, 4) AS stopword_ratio
+  FROM base
+), s AS (
+  SELECT doc_id, lang, text, toks, n_tokens,
+         round(least(1.0, n_tokens / 100.0) * 0.4
+               + alpha_ratio * 0.4
+               + least(1.0, stopword_ratio * 5.0) * 0.2, 4) AS quality_score
+  FROM m
+), filt AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp
+  FROM s WHERE quality_score >= 0.5
+), keep AS (
+  SELECT fp, min(doc_id) AS doc_id FROM filt GROUP BY fp
+), kept AS (
+  SELECT f.* FROM filt f JOIN keep k USING (fp, doc_id)
+), tgrams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 12, 0)),
+           i -> array_to_string(toks[i+1:i+13], ' '))) AS g
+    FROM kept)
+), egrams AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(greatest(len(toks) - 12, 0)),
+           i -> array_to_string(toks[i+1:i+13], ' '))) AS g
+    FROM (SELECT list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents WHERE doc_id % 10 = 0))
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM tgrams JOIN egrams USING (g)
+), clean AS (
+  SELECT k.* FROM kept k ANTI JOIN contaminated c USING (doc_id)
+), sampled AS (
+  SELECT * FROM (
+    SELECT lang, doc_id, n_tokens, quality_score,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+    FROM clean)
+  WHERE rn <= 40
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       round(min(quality_score), 4) AS min_quality,
+       round(max(quality_score), 4) AS max_quality
+FROM sampled GROUP BY lang
+"""
+
+
 REGISTRY = {
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
+    "training_corpus_pipeline": QuerySpec(
+        training_corpus_pipeline, SQL_CORPUS_PIPELINE
+    ),
     "quota_sample_per_lang": QuerySpec(quota_sample_per_lang, SQL_QUOTA_SAMPLE),
     "semantic_only_neardups": QuerySpec(semantic_only_neardups, SQL_SEMANTIC_ONLY),
 }
