@@ -225,6 +225,67 @@ def minhash_lsh_pairs(
     )
 
 
+def materialize_signatures(
+    df: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    buckets: int = 8,
+) -> DataFrame:
+    """Write the (id, shingle-set, minhash) signature relation as a
+    parquet table BUCKETED on id — the SCALE.md 'one write, N reads'
+    fix: every downstream join keyed on id (candidate verification
+    reads it twice; repeated LSH runs at different thresholds read it
+    again) scans pre-partitioned buckets instead of recomputing
+    shingling + re-shuffling the widest relation in the pipeline per
+    read. At 100 TB the signature build is the dominant map cost — pay
+    it once. Returns the bucketed table as a DataFrame."""
+    spark = df.sparkSession
+    sig = (
+        word_shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("shs"), *minhash_exprs())
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        sig.write.bucketBy(buckets, "id").sortBy("id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def lsh_pairs_from_signatures(sig: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash-LSH near-dup pairs from a prebuilt signature relation
+    (see materialize_signatures). Same banding + exact verification as
+    minhash_lsh_pairs, but the two verification reads join the bucketed
+    table on its bucket key — no Exchange on the signature side (plan
+    asserted in tests/test_bucketing.py); only the slim candidate list
+    shuffles."""
+    band_arr = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), f"h{2 * b}", f"h{2 * b + 1}")
+            for b in range(MINHASH_K // 2)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_arr).alias("key"))
+    cand = _posting_pairs(bands, F.col("key")).dropDuplicates()
+    siga = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sigb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash per document as a bitstring column `simhash`.
 
