@@ -545,3 +545,118 @@ def neardup_pairs_banded(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    max_iter: int = 5,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Offline IVF index build — the amortization every per-call
+    topk_ivf_kmeans docstring promises: train the coarse quantizer ONCE
+    (optionally on a deterministic hash-sample: WHERE xxhash64(vec_id) %
+    sample_mod = 0 — the quantizer needs thousands of points per
+    centroid, not the corpus), assign every vector ONCE, and write the
+    corpus hive-partitioned by its list id (cid=...). Returns the
+    n_lists×dims centroid matrix (caller stores it next to the index;
+    it is O(KB)). After this, nprobe search is partition pruning — see
+    topk_ivf_partitioned."""
+    train_on = (
+        corpus.filter(F.xxhash64("vec_id") % sample_mod == 0)
+        if sample_mod
+        else corpus
+    )
+    cents = train_spherical_kmeans(train_on, n_lists=n_lists, max_iter=max_iter)
+    spark = corpus.sparkSession
+    cvec = corpus.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
+    cnormed = cvec.select(
+        "vec_id",
+        F.when(
+            F.col("c_norm") > 0,
+            F.transform("embedding", lambda x: x / F.col("c_norm")),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("e"),
+    )
+    assign_df = _assign_clusters(
+        cnormed,
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, c array<double>"
+        ),
+    )
+    (
+        cvec.join(assign_df, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    return cents
+
+
+def topk_ivf_partitioned(
+    queries: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve ANN top-k from a build_ivf_index layout. Per query, rank
+    centroids by cosine and keep the top-nprobe list ids; the UNION of
+    probed ids across the (bounded) query batch is collected driver-side
+    (≤ n_lists ints) and applied as a STATIC IN-filter on the partition
+    column — the scan lists and reads only those cid= directories
+    (PartitionFilters; asserted in tests/test_scale_plans.py). The
+    unprobed (1 − nprobe/n_lists) of a 100 TB corpus is never touched.
+    Exact cosine verification + rounded-score ranking within the probed
+    lists, identical to topk_ivf_kmeans search semantics."""
+    spark = queries.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "probe_label int, rep array<double>",
+        ).withColumn("rep_norm", l2_norm("rep"))
+    )
+    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_score"), F.asc("probe_label")
+    )
+    probed = (
+        q.crossJoin(cent_df)
+        .withColumn(
+            "probe_score",
+            _score(dot("q_emb", "rep"), F.col("q_norm"), F.col("rep_norm")),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("probe_label").alias("cid"))
+    )
+    # the probe ranking is O(|queries| × n_lists) — cheap enough to run
+    # twice: once (collected) to learn the probed-partition set, once
+    # inside the main plan. The collect moves ≤ n_lists ints.
+    cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cid").isin(cids))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "c_norm",
+            "cid",
+        )
+    )
+    pairs = (
+        probed.join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
