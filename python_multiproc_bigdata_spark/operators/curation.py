@@ -133,6 +133,34 @@ def ngram_set(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return t.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_doc_freq: int = 2,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate mining (the C4/CCNet prefilter): the corpus's most
+    document-frequent word n-grams — license headers, templates, nav
+    chrome — ranked by doc frequency (ties → gram asc, so the cut is
+    deterministic). The output feeds the dedup frequency caps
+    (ngram_jaccard's max_shingle_freq) and line-level strip rules.
+
+    Plan: one map-side distinct-gram scan + one partial-aggregated
+    count + a top-k — word-count shaped, no skew risk beyond the hot
+    grams themselves (which partial aggregation absorbs: each mapper
+    emits one row per gram)."""
+    return (
+        ngram_set(df, id_col, text_col, n)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(top_k)
+    )
+
+
 def decontaminate_overlap(
     train: DataFrame,
     eval_set: DataFrame,

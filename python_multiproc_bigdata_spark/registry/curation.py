@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.curation import (
+    boilerplate_ngrams,
     connected_components,
     decontaminate_overlap,
     repetition_signals,
@@ -141,9 +142,43 @@ GROUP BY n.id
 """
 
 
+BP_N = 5  # boilerplate gram width (3-grams are dedup's unit; 5 is C4-ish)
+
+
+def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most document-frequent 5-grams (doc_freq ≥ 2) — the
+    boilerplate mining pass whose output calibrates the dedup frequency
+    caps. Deterministic cut: doc_freq desc, gram asc."""
+    d = table(prep(spark), sf_dir, "documents")
+    return boilerplate_ngrams(d, n=BP_N, min_doc_freq=2, top_k=50)
+
+
+SQL_BOILERPLATE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(greatest(len(t) - {BP_N - 1}, 0)),
+           i -> array_to_string(t[i+1:i+{BP_N}], ' '))) AS g
+    FROM toks)
+)
+SELECT g AS gram, count(*) AS doc_freq
+FROM grams
+GROUP BY g
+HAVING count(*) >= 2
+ORDER BY doc_freq DESC, gram ASC
+LIMIT 50
+"""
+
+
 REGISTRY = {
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
+    ),
+    "curation_boilerplate_ngrams": QuerySpec(
+        curation_boilerplate_ngrams, SQL_BOILERPLATE
     ),
     "decontaminate_train_eval": QuerySpec(
         decontaminate_train_eval, SQL_DECONTAMINATE
