@@ -161,6 +161,57 @@ def boilerplate_ngrams(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4 cleanup rule): drop every
+    line whose trimmed form appears in ≥ min_doc_freq distinct documents
+    (nav chrome, license banners, template footers), preserving the
+    order of surviving lines. Returns (id, text, n_lines_dropped).
+
+    Plan: one map-side line scan → doc-freq count → the hot-line set is
+    SMALL by construction (only lines frequent across docs survive the
+    HAVING), so it broadcasts and the strip is a map-side
+    array_except-style filter over each document's line array — the
+    corpus rebuilds in a single pass with no per-document shuffle. Lines
+    compare trimmed; blank lines are never counted as boilerplate."""
+    lines_arr = F.split(F.col(text_col), "\n")
+    doc_lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(lines_arr, lambda ln: F.trim(ln)),
+                    lambda ln: F.length(ln) > 0,
+                )
+            )
+        ).alias("ln"),
+    )
+    hot = (
+        doc_lines.groupBy("ln")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= min_doc_freq)
+        .select(F.collect_set("ln").alias("hot"))
+    )
+    # hot is ONE row (a set aggregate) — crossJoin broadcasts it to every
+    # document; at scale this is the broadcast of a small dictionary
+    src = df.select(F.col(id_col).alias("id"), lines_arr.alias("_lines"))
+    kept = F.filter(
+        F.col("_lines"), lambda ln: ~F.array_contains(F.col("hot"), F.trim(ln))
+    )
+    return (
+        src.crossJoin(F.broadcast(hot))
+        .select(
+            "id",
+            F.concat_ws("\n", kept).alias("text"),
+            (F.size("_lines") - F.size(kept)).alias("n_lines_dropped"),
+        )
+    )
+
+
 def decontaminate_overlap(
     train: DataFrame,
     eval_set: DataFrame,

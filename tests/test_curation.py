@@ -61,3 +61,56 @@ def test_decontaminate_overlap_finds_planted_ngram(spark):
         for r in decontaminate_overlap(train, ev, n=5).collect()
     }
     assert got == {(1, 100, 1)}  # exactly the planted 5-gram, doc 2 clean
+
+
+def test_strip_boilerplate_lines_drops_frequent_preserves_order(spark):
+    from python_multiproc_bigdata_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    nav = "HOME | ABOUT | CONTACT"
+    lic = "(c) 2026 Example Corp. All rights reserved."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nalpha body one\n{lic}"),
+            (2, f"{nav}\nbeta body two\nmore beta\n  {lic}  "),  # trimmed match
+            (3, f"{nav}\ngamma body three\n{lic}"),
+            (4, "delta only unique\nsecond delta line"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: (r.text, r.n_lines_dropped)
+        for r in strip_boilerplate_lines(docs, min_doc_freq=3).collect()
+    }
+    assert out[1] == ("alpha body one", 2)
+    # surviving lines keep ORIGINAL form and order; trimmed lic matched
+    assert out[2] == ("beta body two\nmore beta", 2)
+    assert out[3] == ("gamma body three", 2)
+    assert out[4] == ("delta only unique\nsecond delta line", 0)
+    assert out[5][1] in (0, 1)  # empty doc: the empty line is never "hot"
+
+    plan = (
+        strip_boilerplate_lines(docs, min_doc_freq=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the hot-line dictionary reaches documents via broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_boilerplate_ngrams_ranking_deterministic(spark):
+    from python_multiproc_bigdata_spark.operators.curation import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox sleeps"),
+            (3, "the quick brown fox sleeps"),
+            (4, "entirely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = boilerplate_ngrams(docs, n=4, min_doc_freq=2, top_k=10).collect()
+    assert rows[0].gram == "the quick brown fox" and rows[0].doc_freq == 3
+    assert ("quick brown fox sleeps", 2) in {(r.gram, r.doc_freq) for r in rows}
