@@ -198,6 +198,68 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU panel: distinct users + event volume per day. One scan, one
+    partial-aggregated groupBy on the day bucket (the distinct expands
+    to (day, user) partial dedup — still a word-count shape). Day bucket
+    via F.window to mirror the proven time_bucket pairing."""
+    e = table(prep(spark), sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("day"), "n_users", "n_events")
+    )
+
+
+SQL_DAU = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct actives per (cohort_day, day_offset). Two groupBys (first
+    day per user; distinct activity days) + a join keyed on user_id —
+    the cohort table is |users| rows, so AQE broadcasts it against the
+    activity relation; at 100 TB both sides partial-aggregate before
+    any shuffle and the join key is the natural user partitioning."""
+    e = table(prep(spark), sf_dir, "events")
+    day = F.col("w.start")
+    act = (
+        e.groupBy("user_id", F.window("ts", "1 day").alias("w"))
+        .agg(F.lit(1))
+        .select("user_id", day.alias("day"))
+    )
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_cumulative_value": QuerySpec(events_cumulative_value, SQL_CUMULATIVE),
@@ -207,4 +269,6 @@ REGISTRY = {
     "events_sliding_window": QuerySpec(events_sliding_window, SQL_SLIDING),
     "events_sessionize": QuerySpec(events_sessionize, SQL_SESSIONIZE),
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
+    "events_daily_active_users": QuerySpec(events_daily_active_users, SQL_DAU),
+    "events_retention_cohorts": QuerySpec(events_retention_cohorts, SQL_RETENTION),
 }
