@@ -182,6 +182,16 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*minhash_exprs())
 
 
+def _signature_relation(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shs, h0..h7): minhash signature + the doc's shingle set in
+    one aggregation — the relation LSH verification needs (shared by the
+    one-shot and materialized paths)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    return sh.groupBy("id").agg(F.collect_set("sh").alias("shs"), *minhash_exprs())
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -196,32 +206,10 @@ def minhash_lsh_pairs(
     # The signature aggregation also collects the doc's shingle set, and
     # verification joins the (tiny) candidate list back to it — a per-pair
     # array_intersect instead of a second shuffle over all shingles.
-    # Candidates are generated from bands WITHOUT the arrays: exploding
-    # bands with the shingle set attached would push ~2x the whole corpus
-    # through the band shuffle per side (measured 2.5x slower at sf0.1).
-    # Per-band buckets go through _posting_pairs (one shuffle of the slim
-    # (id, band-key) relation) rather than a band self-join, which would
-    # shuffle it twice and evaluate the signature subtree per side.
-    sh = word_shingles(df, id_col, text_col, n)
-    sig = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"), *minhash_exprs())
-    band_arr = F.array(
-        *[
-            F.concat_ws("|", F.lit(str(b)), f"h{2 * b}", f"h{2 * b + 1}")
-            for b in range(MINHASH_K // 2)
-        ]
-    )
-    bands = sig.select("id", F.explode(band_arr).alias("key"))
-    cand = _posting_pairs(bands, F.col("key")).dropDuplicates()
-    siga = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
-    sigb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    union = F.size("shs_a") + F.size("shs_b") - inter
-    return (
-        cand.join(siga, "id_a")
-        .join(sigb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    # Banding + verification are lsh_pairs_from_signatures (ONE body for
+    # the one-shot and materialized paths — they can't drift apart).
+    return lsh_pairs_from_signatures(
+        _signature_relation(df, id_col, text_col, n), threshold
     )
 
 
@@ -243,11 +231,7 @@ def materialize_signatures(
     read. At 100 TB the signature build is the dominant map cost — pay
     it once. Returns the bucketed table as a DataFrame."""
     spark = df.sparkSession
-    sig = (
-        word_shingles(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("shs"), *minhash_exprs())
-    )
+    sig = _signature_relation(df, id_col, text_col, n)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         sig.write.bucketBy(buckets, "id").sortBy("id")
@@ -259,12 +243,18 @@ def materialize_signatures(
 
 
 def lsh_pairs_from_signatures(sig: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """MinHash-LSH near-dup pairs from a prebuilt signature relation
-    (see materialize_signatures). Same banding + exact verification as
-    minhash_lsh_pairs, but the two verification reads join the bucketed
-    table on its bucket key — no Exchange on the signature side (plan
-    asserted in tests/test_bucketing.py); only the slim candidate list
-    shuffles."""
+    """MinHash-LSH banding + exact verification over a (id, shs, h0..h7)
+    signature relation — THE single implementation behind both
+    minhash_lsh_pairs (one-shot) and the materialized-table path.
+
+    Candidates are generated from bands WITHOUT the shingle arrays:
+    exploding bands with the set attached would push ~2x the corpus
+    through the band shuffle per side (measured 2.5x slower at sf0.1).
+    Per-band buckets go through _posting_pairs (one shuffle of the slim
+    (id, band-key) relation) rather than a band self-join. When `sig`
+    is a bucketed table (materialize_signatures), the two verification
+    reads join on its bucket key with no Exchange on the signature side
+    (plan asserted in tests/test_bucketing.py)."""
     band_arr = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), f"h{2 * b}", f"h{2 * b + 1}")

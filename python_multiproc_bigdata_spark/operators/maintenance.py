@@ -8,8 +8,8 @@ are the jobs that keep the engine's own outputs scannable:
 - **Compaction**: streaming/CDC/append sinks accumulate small files;
   a scan of 10^6 × 1 MB files spends more time in task scheduling and
   footer reads than in I/O. Compaction rewrites a dataset to
-  ~`target_file_mb` files using the same write-to-tmp + directory-swap
-  crash posture as streaming.foreach_batch_cdc_apply.
+  ~`target_file_mb` files using a rename-based swap (see
+  `_swap_directories`) so readers never observe a half-written state.
 - **Incremental processing**: a daily pipeline must not rescan 100 TB
   to process yesterday's partition. `new_partition_values` diffs the
   partition listing against a persisted high-water state; callers read
@@ -23,6 +23,7 @@ import json
 import math
 import os
 import shutil
+import urllib.parse
 from collections.abc import Callable, Sequence
 from pathlib import Path
 
@@ -30,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _dataset_bytes(path: str) -> int:
+def _tree_bytes(path: str) -> int:
     """Total bytes of data files under `path` (driver-side listing; a
     cluster deployment would use the FileSystem API / catalog stats —
     same number, different listing call)."""
@@ -51,6 +52,22 @@ def data_file_count(path: str) -> int:
     return n
 
 
+def _swap_directories(path: str, tmp: str) -> None:
+    """Replace the dataset at `path` with the one at `tmp` using two
+    renames: path→path.old, tmp→path, then delete path.old. Renames are
+    instant, so the only unreadable window is between the two renames
+    (microseconds) — never during the long rmtree of the old data,
+    which now happens AFTER the new dataset is live. A crash mid-swap
+    leaves the data recoverable at path.old or path.tmp. On a real
+    deployment this is an atomic catalog/table-format commit
+    (Delta/Iceberg); the rename pair is the filesystem approximation."""
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -63,18 +80,38 @@ def compact_parquet(
 
     Sizing is estimated from the CURRENT on-disk bytes (already
     compressed, so the estimate is conservative in the right
-    direction — recompacted files land at or under target). The rewrite
-    goes to `path + ".tmp"` first and the directory is swapped only
-    after the write commits, so a mid-compaction crash leaves the
-    original dataset intact.
+    direction — recompacted files land at or under target). For a
+    hive-partitioned dataset the shuffle key is (partition columns +
+    a hash salt bounded by the LARGEST partition's own file budget):
+    without the salt every hive partition hashes to a single task and
+    writes one file regardless of size; with it a 10 GB day still
+    splits into ~ceil(10 GB / target) files while small days stay at
+    one. The rewrite lands at `path + ".tmp"` and goes live via a
+    rename swap (`_swap_directories`) — readers never see a partial
+    dataset and a crash leaves the data recoverable.
 
     `sort_within_by` orders rows inside each output file (no shuffle —
     sortWithinPartitions) which clusters similar values for better
     column compression and tighter min/max zone maps on those columns.
     """
-    n_files = max(1, math.ceil(_dataset_bytes(path) / (target_file_mb * 1024 * 1024)))
+    target_bytes = target_file_mb * 1024 * 1024
+    n_files = max(1, math.ceil(_tree_bytes(path) / target_bytes))
     df = spark.read.parquet(path)
-    out = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    if partition_by:
+        part_dirs = [
+            os.path.join(path, p.name)
+            for p in Path(path).iterdir()
+            if p.is_dir() and not p.name.startswith((".", "_"))
+        ]
+        biggest = max((_tree_bytes(p) for p in part_dirs), default=0)
+        per_part_files = max(1, math.ceil(biggest / target_bytes))
+        salt = F.pmod(
+            F.xxhash64(*[c for c in df.columns if c not in partition_by]),
+            F.lit(per_part_files),
+        )
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by], salt)
+    else:
+        out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = path.rstrip("/") + ".tmp"
@@ -82,44 +119,44 @@ def compact_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    _swap_directories(path, tmp)
     return data_file_count(path)
 
 
-def list_partition_values(spark: SparkSession, path: str, partition_col: str) -> list[str]:
-    """Distinct hive-style partition values present under `path`,
-    read from the directory layout (metadata-only — no data scan)."""
+def list_partition_values(path: str, partition_col: str) -> list[str]:
+    """Distinct hive-style partition values present under `path`, read
+    from the directory layout (metadata-only — no data scan). Directory
+    names are hive-UNESCAPED (%3A → ':', etc.) so the returned values
+    compare equal to the column values — an escaped name fed to an
+    isin() filter would match zero rows and silently skip the
+    partition."""
     prefix = partition_col + "="
-    vals = sorted(
-        p.name[len(prefix):]
+    return sorted(
+        urllib.parse.unquote(p.name[len(prefix):])
         for p in Path(path).iterdir()
         if p.is_dir() and p.name.startswith(prefix)
     )
-    return vals
 
 
-def new_partition_values(
-    spark: SparkSession, path: str, partition_col: str, state_path: str
-) -> list[str]:
-    """Partition values present on disk but not yet recorded in the
-    JSON state file — the increment a scheduled run should process."""
-    seen: set[str] = set()
+def _read_state(state_path: str) -> set[str]:
     if os.path.exists(state_path):
         with open(state_path) as fh:
-            seen = set(json.load(fh)["processed"])
-    return [v for v in list_partition_values(spark, path, partition_col) if v not in seen]
+            return set(json.load(fh)["processed"])
+    return set()
+
+
+def new_partition_values(path: str, partition_col: str, state_path: str) -> list[str]:
+    """Partition values present on disk but not yet recorded in the
+    JSON state file — the increment a scheduled run should process."""
+    seen = _read_state(state_path)
+    return [v for v in list_partition_values(path, partition_col) if v not in seen]
 
 
 def mark_processed(state_path: str, values: Sequence[str]) -> None:
     """Append `values` to the processed set (write-tmp + rename so a
     crash never truncates the state; at cluster scale this file lives
     on the shared FS or in a catalog table)."""
-    seen: set[str] = set()
-    if os.path.exists(state_path):
-        with open(state_path) as fh:
-            seen = set(json.load(fh)["processed"])
-    seen.update(values)
+    seen = _read_state(state_path) | set(values)
     tmp = state_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"processed": sorted(seen)}, fh)
@@ -144,7 +181,7 @@ def process_new_partitions(
     idempotently, e.g. mode("overwrite") into per-partition output).
     Returns the partition values processed this run.
     """
-    todo = new_partition_values(spark, path, partition_col, state_path)
+    todo = new_partition_values(path, partition_col, state_path)
     if not todo:
         return []
     df = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))

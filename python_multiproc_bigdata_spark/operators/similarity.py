@@ -302,6 +302,70 @@ def dot_arrays(a: Column, b: Column) -> Column:
     )
 
 
+def _centroid_table(spark, cents: list[list[float]], label: str = "cid") -> DataFrame:
+    """The tiny (label, centroid) relation — n_lists rows, always
+    broadcast-sized. ONE schema for training, assignment and probing."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], f"{label} int, c array<double>"
+    )
+
+
+def _corpus_with_unit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vec_id, embedding, c_norm) plus its (vec_id, e) unit-vector view
+    (zero vectors pass through unnormalized — they score 0 against
+    everything). Shared by the per-call k-means search and the offline
+    index build so assignment semantics cannot drift between them."""
+    cvec = corpus.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
+    cnormed = cvec.select(
+        "vec_id",
+        F.when(
+            F.col("c_norm") > 0, F.transform("embedding", lambda x: x / F.col("c_norm"))
+        )
+        .otherwise(F.col("embedding"))
+        .alias("e"),
+    )
+    return cvec, cnormed
+
+
+def _probe_lists(
+    queries: DataFrame, cents: list[list[float]], nprobe: int, label: str = "cid"
+) -> DataFrame:
+    """(query_id, q_emb, q_norm, <label>): each query's top-nprobe
+    centroids by ROUNDED cosine, ties to the lowest centroid id — the
+    one probe-ranking policy both IVF serving paths share."""
+    spark = queries.sparkSession
+    cent_df = F.broadcast(
+        _centroid_table(spark, cents, "probe_label").withColumn(
+            "rep_norm", l2_norm("c")
+        )
+    )
+    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_score"), F.asc("probe_label")
+    )
+    return (
+        q.crossJoin(cent_df)
+        .withColumn(
+            "probe_score",
+            _score(dot("q_emb", "c"), F.col("q_norm"), F.col("rep_norm")),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("probe_label").alias(label))
+    )
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """row_number top-k on (score desc, neighbor_id asc) — the shared
+    ranking tail of the IVF search paths."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
 def topk_ivf_kmeans(
     queries: DataFrame,
     corpus: DataFrame,
@@ -323,56 +387,20 @@ def topk_ivf_kmeans(
     note: sample-train, assign once, partition by list id)."""
     cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
     spark = corpus.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "probe_label int, rep array<double>"
-        ).withColumn("rep_norm", l2_norm("rep"))
-    )
     # corpus→list assignment through the same broadcast-join argmax used
     # in training (no giant literal tree; at scale this assignment runs
-    # ONCE and its cid becomes the table's partition key)
-    cvec = corpus.select(
-        "vec_id",
+    # ONCE and its cid becomes the table's partition key — build_ivf_index
+    # IS that run, sharing _corpus_with_unit/_centroid_table/_probe_lists
+    # so per-call and offline semantics cannot drift)
+    cvec, cnormed = _corpus_with_unit(corpus)
+    assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    c = cvec.join(assign_df, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm("embedding").alias("c_norm"),
+        "c_norm",
+        F.col("cid").alias("probe_label"),
     )
-    cnormed = cvec.select(
-        "vec_id",
-        F.when(
-            F.col("c_norm") > 0, F.transform("c_emb", lambda x: x / F.col("c_norm"))
-        )
-        .otherwise(F.col("c_emb"))
-        .alias("e"),
-    )
-    assign_df = _assign_clusters(
-        cnormed,
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, c array<double>"
-        ),
-    )
-    c = (
-        cvec.join(assign_df, "vec_id")
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "c_emb",
-            "c_norm",
-            F.col("cid").alias("probe_label"),
-        )
-    )
-    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
-    wp = Window.partitionBy("query_id").orderBy(
-        F.desc("probe_score"), F.asc("probe_label")
-    )
-    probed = (
-        q.crossJoin(cent_df)
-        .withColumn(
-            "probe_score",
-            _score(dot("q_emb", "rep"), F.col("q_norm"), F.col("rep_norm")),
-        )
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", "probe_label")
-    )
+    probed = _probe_lists(queries, cents, nprobe, label="probe_label")
     pairs = (
         probed.join(c, "probe_label")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -380,12 +408,7 @@ def topk_ivf_kmeans(
             "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "score", "rk")
-    )
+    return _rank_topk(pairs, k)
 
 
 def topk_by_group_agg(
@@ -569,23 +592,8 @@ def build_ivf_index(
         else corpus
     )
     cents = train_spherical_kmeans(train_on, n_lists=n_lists, max_iter=max_iter)
-    spark = corpus.sparkSession
-    cvec = corpus.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
-    cnormed = cvec.select(
-        "vec_id",
-        F.when(
-            F.col("c_norm") > 0,
-            F.transform("embedding", lambda x: x / F.col("c_norm")),
-        )
-        .otherwise(F.col("embedding"))
-        .alias("e"),
-    )
-    assign_df = _assign_clusters(
-        cnormed,
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, c array<double>"
-        ),
-    )
+    cvec, cnormed = _corpus_with_unit(corpus)
+    assign_df = _assign_clusters(cnormed, _centroid_table(corpus.sparkSession, cents))
     (
         cvec.join(assign_df, "vec_id")
         .write.mode("overwrite")
@@ -612,26 +620,7 @@ def topk_ivf_partitioned(
     Exact cosine verification + rounded-score ranking within the probed
     lists, identical to topk_ivf_kmeans search semantics."""
     spark = queries.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "probe_label int, rep array<double>",
-        ).withColumn("rep_norm", l2_norm("rep"))
-    )
-    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
-    wp = Window.partitionBy("query_id").orderBy(
-        F.desc("probe_score"), F.asc("probe_label")
-    )
-    probed = (
-        q.crossJoin(cent_df)
-        .withColumn(
-            "probe_score",
-            _score(dot("q_emb", "rep"), F.col("q_norm"), F.col("rep_norm")),
-        )
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", F.col("probe_label").alias("cid"))
-    )
+    probed = _probe_lists(queries, centroids, nprobe, label="cid")
     # the probe ranking is O(|queries| × n_lists) — cheap enough to run
     # twice: once (collected) to learn the probed-partition set, once
     # inside the main plan. The collect moves ≤ n_lists ints.
@@ -654,9 +643,4 @@ def topk_ivf_partitioned(
             _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "score", "rk")
-    )
+    return _rank_topk(pairs, k)

@@ -173,18 +173,21 @@ def foreach_batch_cdc_apply(
     clobber a newer row); versions must be unique per key.
 
     The tmp-write materializes the merge BEFORE the old target is
-    replaced, so a mid-write crash leaves the previous target intact;
+    replaced, then the rename-pair swap (maintenance._swap_directories)
+    makes it live — a mid-write crash leaves the previous target
+    intact, and the unreadable window is two renames, not an rmtree;
     foreachBatch gives per-epoch exactly-once on top. This is precisely
     what Delta/Iceberg MERGE does with a transactional commit instead of
     the directory swap — same logical plan, swap the sink when a table
     format is available. Returns the started StreamingQuery.
     """
-    import shutil
-
     spark = changes.sparkSession
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         from python_multiproc_bigdata_spark.operators.cdc import latest_per_key
+        from python_multiproc_bigdata_spark.operators.maintenance import (
+            _swap_directories,
+        )
 
         target = spark.read.parquet(target_path)
         merged = latest_per_key(
@@ -194,8 +197,7 @@ def foreach_batch_cdc_apply(
         )
         tmp = target_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)  # full read of old target
-        shutil.rmtree(target_path, ignore_errors=True)
-        os.rename(tmp, target_path)
+        _swap_directories(target_path, tmp)
 
     writer = changes.writeStream.foreachBatch(handle).trigger(availableNow=True)
     if checkpoint_dir:

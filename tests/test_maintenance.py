@@ -43,8 +43,32 @@ def test_compact_parquet_keeps_hive_partitioning(spark, tmp_path):
     )
     df.repartition(10).write.partitionBy("day").parquet(path)
     M.compact_parquet(spark, path, target_file_mb=128, partition_by=["day"])
-    assert sorted(M.list_partition_values(spark, path, "day")) == ["0", "1", "2"]
+    assert sorted(M.list_partition_values(path, "day")) == ["0", "1", "2"]
     assert spark.read.parquet(path).count() == 3_000
+
+
+def test_compact_parquet_splits_oversized_partition(spark, tmp_path):
+    # one hive partition much larger than target_file_mb must split into
+    # multiple files (the salt in the shuffle key) — without it, hashing
+    # on the partition column alone collapses each day into ONE file
+    path = str(tmp_path / "skewed")
+    big = spark.range(0, 120_000).select(
+        F.lit("hot").alias("day"),
+        F.md5(F.col("id").cast("string")).alias("a"),
+        F.md5((F.col("id") * 7).cast("string")).alias("b"),
+    )
+    small = spark.range(0, 100).select(
+        F.lit("cold").alias("day"),
+        F.md5(F.col("id").cast("string")).alias("a"),
+        F.md5((F.col("id") * 7).cast("string")).alias("b"),
+    )
+    big.unionAll(small).write.partitionBy("day").parquet(path)
+    M.compact_parquet(spark, path, target_file_mb=1, partition_by=["day"])
+    hot_files = M.data_file_count(str(tmp_path / "skewed" / "day=hot"))
+    cold_files = M.data_file_count(str(tmp_path / "skewed" / "day=cold"))
+    assert hot_files >= 2, hot_files
+    assert cold_files >= 1
+    assert spark.read.parquet(path).count() == 120_100
 
 
 def test_incremental_processes_each_partition_once(spark, tmp_path):
@@ -82,6 +106,23 @@ def test_incremental_processes_each_partition_once(spark, tmp_path):
     assert set(json.load(open(state))["processed"]) == {
         "2026-01-01", "2026-01-02", "2026-01-03"
     }
+
+
+def test_incremental_handles_hive_escaped_partition_values(spark, tmp_path):
+    # values with ':' / ' ' are %-escaped in directory names; the listing
+    # must unescape them or the isin() filter silently matches nothing
+    src = str(tmp_path / "escaped")
+    state = str(tmp_path / "state.json")
+    vals = ["2026-01-01 00:00:00", "2026-01-01 01:00:00"]
+    for v in vals:
+        spark.range(0, 40).select(F.col("id"), F.lit(v).alias("hour")).write.mode(
+            "append"
+        ).partitionBy("hour").parquet(src)
+
+    assert M.list_partition_values(src, "hour") == vals
+    seen: list[int] = []
+    done = M.process_new_partitions(spark, src, "hour", state, lambda df: seen.append(df.count()))
+    assert done == vals and sum(seen) == 80
 
 
 def test_incremental_scan_is_partition_pruned(spark, tmp_path):
