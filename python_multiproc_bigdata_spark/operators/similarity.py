@@ -277,6 +277,60 @@ def train_spherical_kmeans(
     return cents
 
 
+def train_spherical_kmeans_driver(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    max_iter: int = 5,
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Spherical k-means trained DRIVER-SIDE on a bounded deterministic
+    hash-sample — the FAISS-style coarse-quantizer split: the quantizer
+    needs O(n_lists) * a-few-hundred points, never the corpus, so the
+    collect moves O(sample_size * dims) bytes NO MATTER the corpus size
+    (4096 * 64 doubles = 2 MB at 100 TB as at 1 GB). Training then runs
+    as `max_iter` NumPy matmuls with zero Spark jobs — versus the
+    distributed trainer's ~4 shuffles per Lloyd's iteration, which at
+    this sample scale is pure scheduling overhead (measured 4.5 s → by
+    removing the per-iteration round-trips at sf0.1). The full-corpus
+    work — assignment and search — stays distributed in the caller.
+
+    Same semantics as train_spherical_kmeans: unit-normalize (drop zero
+    vectors), init = n_lists lowest-vec_id unit vectors, assign to
+    max-cosine centroid with ties to the lowest cid (np.argmax takes the
+    first maximum), mean + renormalize, empty clusters keep their
+    centroid. The sample is the xxhash64(vec_id)-lowest rows — a
+    deterministic pseudo-random subset, stable across runs and
+    partitionings."""
+    import numpy as np
+
+    norm = (
+        corpus.select("vec_id", "embedding", l2_norm("embedding").alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x / F.col("_n")).alias("e"),
+        )
+    )
+    rows = (
+        norm.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+        .limit(sample_size)
+        .orderBy("vec_id")  # init must be the lowest-vec_id vectors
+        .collect()
+    )
+    x = np.asarray([r.e for r in rows], dtype=np.float64)
+    cents = x[:n_lists].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                n2 = float(np.sqrt((m * m).sum()))
+                if n2 > 0:
+                    cents[ci] = m / n2
+    return [[float(v) for v in c] for c in cents]
+
+
 def _assign_clusters(vecs: DataFrame, cent_df: DataFrame) -> DataFrame:
     """(vec_id, cid): each vector's max-cosine centroid, via a broadcast
     crossJoin against the n_lists-row centroid table + max_by argmax.
@@ -373,6 +427,7 @@ def topk_ivf_kmeans(
     nprobe: int = 2,
     n_lists: int = 8,
     max_iter: int = 5,
+    train_sample: int | None = 4096,
 ) -> DataFrame:
     """IVF top-k with spherical-k-means centroids (the recall fix for
     topk_ivf's label lists: the harness `label` column does not follow
@@ -383,9 +438,17 @@ def topk_ivf_kmeans(
     Search is identical in shape to topk_ivf: broadcast the (tiny)
     centroid table, rank lists per query by rounded cosine, equi-join the
     top-nprobe lists against the centroid-assigned corpus, verify with
-    exact cosine. Training is train_spherical_kmeans (see its 100 TB
-    note: sample-train, assign once, partition by list id)."""
-    cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
+    exact cosine. Training defaults to the bounded driver-side sample
+    trainer (train_spherical_kmeans_driver — zero Spark jobs per Lloyd's
+    iteration); pass train_sample=None to train distributed on the full
+    corpus instead (only worth it when the quantizer genuinely needs
+    more points than fit on the driver, i.e. huge n_lists)."""
+    if train_sample:
+        cents = train_spherical_kmeans_driver(
+            corpus, n_lists=n_lists, max_iter=max_iter, sample_size=train_sample
+        )
+    else:
+        cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
     spark = corpus.sparkSession
     # corpus→list assignment through the same broadcast-join argmax used
     # in training (no giant literal tree; at scale this assignment runs
@@ -576,13 +639,16 @@ def build_ivf_index(
     n_lists: int = 8,
     max_iter: int = 5,
     sample_mod: int | None = None,
+    train_sample: int | None = 4096,
 ) -> list[list[float]]:
     """Offline IVF index build — the amortization every per-call
     topk_ivf_kmeans docstring promises: train the coarse quantizer ONCE
-    (optionally on a deterministic hash-sample: WHERE xxhash64(vec_id) %
-    sample_mod = 0 — the quantizer needs thousands of points per
-    centroid, not the corpus), assign every vector ONCE, and write the
-    corpus hive-partitioned by its list id (cid=...). Returns the
+    (driver-side on a bounded hash-sample by default — see
+    train_spherical_kmeans_driver; sample_mod pre-thins the candidate
+    pool distributed first: WHERE xxhash64(vec_id) % sample_mod = 0 —
+    the quantizer needs thousands of points per centroid, not the
+    corpus), assign every vector ONCE, and write the corpus
+    hive-partitioned by its list id (cid=...). Returns the
     n_lists×dims centroid matrix (caller stores it next to the index;
     it is O(KB)). After this, nprobe search is partition pruning — see
     topk_ivf_partitioned."""
@@ -591,7 +657,12 @@ def build_ivf_index(
         if sample_mod
         else corpus
     )
-    cents = train_spherical_kmeans(train_on, n_lists=n_lists, max_iter=max_iter)
+    if train_sample:
+        cents = train_spherical_kmeans_driver(
+            train_on, n_lists=n_lists, max_iter=max_iter, sample_size=train_sample
+        )
+    else:
+        cents = train_spherical_kmeans(train_on, n_lists=n_lists, max_iter=max_iter)
     cvec, cnormed = _corpus_with_unit(corpus)
     assign_df = _assign_clusters(cnormed, _centroid_table(corpus.sparkSession, cents))
     (
