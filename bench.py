@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",
     "training_mix_by_lang",
+    "training_pack_chunks",
+    "training_pack_greedy",
     "curation_repetition_signals",
     "decontaminate_train_eval",
     "text_quality",

@@ -1,0 +1,107 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+bins — the step between a curated corpus and actual training batches
+(beyond-reference; completes the training-data story of
+registry/training.py).
+
+Two semantics, matching the two ways production pipelines pack:
+
+- `chunk_pack`: concat-then-chunk. Documents are laid out end-to-end in
+  a deterministic per-shard order and the stream is cut every `budget`
+  tokens; a document belongs to the bin where it STARTS (documents may
+  straddle a cut — exactly what concat-and-chunk pretraining loaders
+  do). This is a pure prefix-sum: one window aggregate per shard, fully
+  parallel, no state.
+
+- `greedy_pack`: first-fit-sequential. Walk the shard in order and
+  start a new bin whenever the next document would overflow the budget
+  (documents never straddle; bins under-fill instead). The fill level
+  resets on overflow, so this is an ordered FOLD, not a prefix sum —
+  no window function expresses it. It runs as one Arrow-batched
+  applyInPandas pass per shard: the payload is metadata only
+  (id + token count, ~16 bytes/doc — a 10^8-doc shard is ~1.6 GB),
+  so the shard key chooses the parallelism/coherence trade-off; at
+  100 TB shard by (lang, hash-bucket) to bound the per-task list, at
+  the cost of one final partially-filled bin per extra bucket.
+
+Both orders by the id column — packing must be deterministic or two
+runs of the same corpus produce different batches (and different loss
+curves).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_pack(
+    df: DataFrame,
+    budget: int,
+    by: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(by, id, n_tokens, offset, bin_id): concat-then-chunk packing.
+    `offset` is the document's start position in the shard's concatenated
+    token stream; `bin_id = offset // budget`. One RANGE-frame window sum
+    per shard — Catalyst plans a single sort+window, no shuffle beyond
+    the partitionBy, and the frame is safe because `id_col` is unique
+    within a shard (ties would otherwise share a cumulative value)."""
+    w = Window.partitionBy(by).orderBy(id_col)
+    offset = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    return df.select(
+        by,
+        id_col,
+        tokens_col,
+        offset.alias("offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    budget: int,
+    by: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(by, id, n_tokens, bin_id): first-fit-sequential packing per
+    shard. A document larger than the budget gets a bin of its own (it
+    always overflows the running fill). Implemented as applyInPandas —
+    the per-shard fold is inherently sequential, but shards pack in
+    parallel and only (id, token-count) metadata moves through Arrow."""
+    out_schema = f"{by} string, {id_col} long, {tokens_col} long, bin_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bins: list[int] = []
+        fill = 0
+        b = -1  # first doc always "overflows" the empty fill into bin 0
+        for t in pdf[tokens_col]:
+            if b >= 0 and fill + t <= budget:
+                fill += t
+            else:
+                b += 1
+                fill = t
+            bins.append(b)
+        pdf = pdf[[by, id_col, tokens_col]].copy()
+        pdf["bin_id"] = bins
+        return pdf
+
+    return (
+        df.select(by, id_col, tokens_col).groupBy(by).applyInPandas(pack, out_schema)
+    )
+
+
+def bin_stats(
+    packed: DataFrame, budget: int, by: str, tokens_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-bin packing report: (by, bin_id, n_docs, bin_tokens,
+    fill_ratio). The consumer-side sanity check — mean fill_ratio is the
+    padding waste a training run will pay."""
+    return packed.groupBy(by, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).alias("bin_tokens"),
+        F.round(F.sum(tokens_col) / F.lit(budget), 4).alias("fill_ratio"),
+    )

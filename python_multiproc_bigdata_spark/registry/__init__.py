@@ -61,9 +61,10 @@ CHECKED_FIRST: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    # events: JSON, windows, sessionization, funnel
+    # events: JSON, windows, sessionization, funnel (events_interarrival
+    # demoted for the packing pair — lag() stays exercised by
+    # events_sessionize's gap detection)
     "events_from_json_struct",
-    "events_interarrival",
     "events_tumbling_window",
     "events_sliding_window",
     "events_sessionize",
@@ -102,16 +103,21 @@ CHECKED_FIRST: tuple[str, ...] = (
     "stats_lineitem_moments",
     "stats_price_percentiles",
     "grouping_sets_orders",
-    "map_status_counts",
     "split_train_test_documents",
     # training-mix compositions (training_corpus_pipeline is the
     # end-to-end capstone: quality → dedup → decontaminate → quota;
     # words_distinct_files demoted for it — a 1-row count whose family
-    # keeps 7 in-window siblings)
+    # keeps 7 in-window siblings; map_status_counts demoted for the
+    # packing pair — the map_from_entries surface is pytest-covered)
     "training_mix_by_lang",
     "training_corpus_pipeline",
     "quota_sample_per_lang",
     "semantic_only_neardups",
+    # sequence packing (training-batch construction: concat-then-chunk
+    # prefix-sum + first-fit-sequential applyInPandas fold with a
+    # recursive-CTE oracle replaying the identical fold)
+    "training_pack_chunks",
+    "training_pack_greedy",
     # corpus curation (repetition signals, decontamination, dup-cluster
     # canonicalization) — demoted for these: words_top20, events_funnel,
     # text_fingerprint (all round-1 green; families keep in-window

@@ -275,8 +275,86 @@ FROM sampled GROUP BY lang
 """
 
 
+PACK_BUDGET = 256
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_tokens): the slim metadata relation packing runs
+    on — whitespace token counts, same tokenization as text_token_count."""
+    d = table(prep(spark), sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", WHITESPACE_RE), lambda w: F.length(w) > 0))
+    return d.select("lang", "doc_id", ws.alias("n_tokens"))
+
+
+SQL_DOC_TOKENS = r"""
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0)) AS n_tokens
+  FROM documents
+"""
+
+
+def training_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing per language: each doc's start
+    offset in the shard's concatenated token stream and the
+    context-window bin that offset falls in (docs may straddle a cut —
+    the semantics of concat-and-chunk pretraining loaders). Pure window
+    prefix-sum — see operators/packing.py."""
+    from python_multiproc_bigdata_spark.operators.packing import chunk_pack
+
+    return chunk_pack(_doc_tokens(spark, sf_dir), PACK_BUDGET, by="lang")
+
+
+SQL_PACK_CHUNKS = (
+    "WITH toks AS (" + SQL_DOC_TOKENS + r"""
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS off
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens, CAST(off AS BIGINT) AS offset,
+       CAST(off // 256 AS BIGINT) AS bin_id
+FROM c
+"""
+)
+
+
+def training_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-sequential packing per language: a new bin starts when
+    the next doc would overflow the 256-token budget, so no doc
+    straddles and no bin exceeds the budget (unless a single doc does).
+    The per-shard fold is an applyInPandas pass over (id, count)
+    metadata; the oracle replays the identical fold as a recursive CTE
+    stepping one row_number at a time."""
+    from python_multiproc_bigdata_spark.operators.packing import greedy_pack
+
+    return greedy_pack(_doc_tokens(spark, sf_dir), PACK_BUDGET, by="lang")
+
+
+SQL_PACK_GREEDY = (
+    "WITH RECURSIVE toks AS (" + SQL_DOC_TOKENS + r"""
+), ordered AS (
+  SELECT lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM toks
+), pack AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 256 THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM pack p JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1
+)
+SELECT lang, doc_id, n_tokens, bin_id FROM pack
+"""
+)
+
+
 REGISTRY = {
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
+    "training_pack_chunks": QuerySpec(training_pack_chunks, SQL_PACK_CHUNKS),
+    "training_pack_greedy": QuerySpec(training_pack_greedy, SQL_PACK_GREEDY),
     "training_corpus_pipeline": QuerySpec(
         training_corpus_pipeline, SQL_CORPUS_PIPELINE
     ),

@@ -48,7 +48,8 @@ def test_checked_window_is_curated():
         "func_arabic_tokenize", "dedup_ngram_jaccard_capped",
         "sim_topk_ivf_kmeans", "curation_repetition_signals",
         "decontaminate_train_eval", "dedup_components_canonical",
-        "training_corpus_pipeline",
+        "training_corpus_pipeline", "training_pack_chunks",
+        "training_pack_greedy",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
