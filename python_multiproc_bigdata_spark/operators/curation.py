@@ -289,3 +289,88 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common dialect (no
+# lookaround, explicit character classes, ASCII \b) so the Spark engine
+# and a DuckDB oracle replace the exact same spans.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9() \-]{6,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Anonymization pass for training corpora: replace email / IPv4 /
+    phone spans with <TYPE> placeholder tokens and count what was
+    redacted per doc. Pure map-side regexp_replace chain — JVM-side,
+    whole-stage-codegen, no shuffle; the counts let a pipeline alert on
+    documents that are mostly PII (drop candidates) instead of silently
+    rewriting them.
+
+    Order matters: email before phone (an email's digits must not be
+    half-eaten as a phone number), ipv4 before phone (dotted quads
+    contain phone-length digit runs). The harness corpus contains no
+    digits, so this operator is exercised by the constructed-fixture
+    test (tests/test_curation.py) rather than a registered query — a
+    corpus-wide all-zeros oracle would pin nothing."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.coalesce(F.regexp_count(text_col, F.lit(pat)), F.lit(0))
+        )
+    for name, pat in pats.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.withColumn("redacted", redacted)
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document cross
+    entropy under the corpus's own unigram distribution,
+    −mean(ln p(token)) in nats, lower = more typical. Filtering the
+    high-perplexity tail is the classic LM quality gate (CCNet does it
+    with KenLM 5-grams; the unigram model is the same mechanism with a
+    weaker LM and zero external dependencies).
+
+    Plan: one explode+groupBy builds the (token, count) model, a
+    1-row total, then the token stream joins the model and aggregates
+    back per doc — two shuffles, word-count shaped. The token join is
+    zipf-skewed by construction (hot tokens dominate); at 100 TB either
+    let AQE's skew-join split the hot partitions or broadcast a top-K
+    vocabulary with an OOV floor probability — the model table, unlike
+    the corpus, is vocabulary-sized.
+
+    Tokens are lowercased whitespace tokens; every scored token is in
+    the model by construction (self-scoring), so no smoothing term.
+    Scores rounded to 4 — ln() values are irrational, so both engines
+    round an ulp-close double; spacing 1e-4 makes a flip ~1e-9 likely,
+    the accepted repo-wide rounding posture."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WHITESPACE_RE),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("tok"),
+    )
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        toks.join(model, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("xent_nats"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

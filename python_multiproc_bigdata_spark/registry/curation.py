@@ -173,9 +173,42 @@ LIMIT 50
 """
 
 
+def curation_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross entropy under the corpus's own unigram LM (nats) —
+    the CCNet-style perplexity quality gate with a dependency-free LM.
+    See operators/curation.py:unigram_logprob_score."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        unigram_logprob_score,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return unigram_logprob_score(d)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+), model AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT count(*) AS t FROM toks
+)
+SELECT doc_id, round(-avg(ln(c * 1.0 / t)), 4) AS xent_nats,
+       count(*) AS n_tokens
+FROM toks JOIN model USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 REGISTRY = {
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
+    ),
+    "curation_unigram_logprob": QuerySpec(
+        curation_unigram_logprob, SQL_UNIGRAM_LOGPROB
     ),
     "curation_boilerplate_ngrams": QuerySpec(
         curation_boilerplate_ngrams, SQL_BOILERPLATE

@@ -114,3 +114,50 @@ def test_boilerplate_ngrams_ranking_deterministic(spark):
     rows = boilerplate_ngrams(docs, n=4, min_doc_freq=2, top_k=10).collect()
     assert rows[0].gram == "the quick brown fox" and rows[0].doc_freq == 3
     assert ("quick brown fox sleeps", 2) in {(r.gram, r.doc_freq) for r in rows}
+
+
+def test_redact_pii_replaces_spans_and_counts(spark):
+    from python_multiproc_bigdata_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or bob@sub.host.io today"),
+            (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+            (3, "call +1 415-555-0199 now"),
+            (4, "no pii here at all"),
+            (5, "mixed: a@b.co from 127.0.0.1 phone 0044 20 7946 0958"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].n_email == 2 and "<EMAIL>" in out[1].redacted
+    assert "@" not in out[1].redacted.replace("<EMAIL>", "")
+    assert out[2].n_ipv4 == 2 and out[2].redacted.count("<IPV4>") == 2
+    assert out[3].n_phone == 1 and "<PHONE>" in out[3].redacted
+    assert out[4].redacted == "no pii here at all"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    # email/ip digits are not re-eaten as phones
+    assert out[5].n_email == 1 and out[5].n_ipv4 == 1 and out[5].n_phone == 1
+    assert out[5].redacted == "mixed: <EMAIL> from <IPV4> phone <PHONE>"
+
+
+def test_unigram_logprob_orders_rare_docs_last(spark):
+    from python_multiproc_bigdata_spark.operators.curation import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # most typical: hottest token
+            (2, "the the rare the"),
+            (3, "zebra quux xylo plumb"),    # all singletons: highest xent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(docs).collect()}
+    assert out[1].n_tokens == 4
+    assert out[1].xent_nats < out[2].xent_nats < out[3].xent_nats
+    # doc 1: every token is "the", p = 7/12 over the 12-token corpus
+    import math
+
+    assert abs(out[1].xent_nats - round(-math.log(7 / 12), 4)) < 1e-9
