@@ -128,3 +128,13 @@ def multi_sink(*sinks: Sink) -> Sink:
             s(df)
 
     return _write
+
+
+def jsonl_sink(path: str, mode: str = "overwrite") -> Sink:
+    """L-series extension: JSONL corpus sink (see sources/files.py
+    read_jsonl — the LLM-corpus interchange format)."""
+
+    def _write(df: DataFrame) -> None:
+        df.write.mode(mode).json(path)
+
+    return _write

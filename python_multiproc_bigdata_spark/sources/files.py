@@ -100,3 +100,47 @@ def with_path_taxonomy(df: DataFrame, levels: list[str], path_col: str = "file_p
             name, F.when(idx >= 1, F.element_at(parts, idx)).otherwise(F.lit(None))
         )
     return out
+
+
+DOCUMENT_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    *paths: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL corpus source — the interchange format LLM training corpora
+    actually ship in (one JSON object per line, splittable, appendable).
+
+    An EXPLICIT schema is required at scale: without one Spark runs a
+    full sampling pass over the input just to infer types — a second
+    read of 100 TB before the first real job. Defaults to the harness
+    document schema. PERMISSIVE mode routes malformed lines into
+    `corrupt_col` instead of failing the job (a web-scale crawl always
+    contains broken lines); callers split on `corrupt_col IS NULL` to
+    quarantine them, and drop the column on the clean branch.
+
+    Caveat (enforced by Spark as QUERY_ONLY_CORRUPT_RECORD_COLUMN): a
+    query over the raw scan may not prune down to ONLY the corrupt
+    column — e.g. `df.filter(corrupt.isNotNull()).count()`. Either
+    persist() the parsed frame before splitting (what the test does —
+    correct for a bounded quarantine pass) or, at 100 TB, split in ONE
+    write by partitioning the output on `corrupt_col IS NULL` instead
+    of counting the branches separately."""
+    full_schema = (schema or DOCUMENT_SCHEMA) + f", {corrupt_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(list(paths))
+    )
+
+
+def jsonl_sink_write(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL corpus sink (one object per line; gzip-free so downstream
+    readers can split files). Pair of read_jsonl."""
+    df.write.mode(mode).json(path)

@@ -192,3 +192,28 @@ def test_profile_approx_default_no_expand(spark):
         assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
             3, 0.03 * exact[c].n_distinct
         ), c
+
+
+def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
+    from python_multiproc_bigdata_spark.sinks import jsonl_sink
+    from python_multiproc_bigdata_spark.sources.files import read_jsonl
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (2, "bonjour", "fr", "web", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    jsonl_sink(out)(docs)
+    # drop a malformed file into the dataset (a fresh file, not an
+    # append — Hadoop's .crc sidecars reject in-place edits)
+    with open(out + "/malformed.json", "w") as fh:
+        fh.write('{"doc_id": broken not json\n')
+
+    # persist before splitting: Spark disallows queries that prune the
+    # raw scan to only the corrupt column (see read_jsonl docstring)
+    back = read_jsonl(spark, out).persist()
+    clean = back.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2 and bad.count() == 1
+    got = {r.doc_id: (r.text, r.lang) for r in clean.collect()}
+    assert got[1] == ("hello world", "en") and got[2] == ("bonjour", "fr")
