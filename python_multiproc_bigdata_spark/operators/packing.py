@@ -94,6 +94,50 @@ def greedy_pack(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = r"[ \t\n\r\f\x0B]+",
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens): cut each document into
+    sliding token windows of `size` tokens starting every `stride`
+    tokens (stride < size → overlapping context windows, stride == size
+    → disjoint). Chunk starts are 0, stride, 2·stride, … for every start
+    < the doc's token count, so each token lands in ≥1 chunk and the
+    last chunk may run short — the deterministic rule RAG/pretraining
+    chunkers use.
+
+    Entirely JVM-side: tokenize once in a projection, `sequence()` the
+    start offsets, posexplode, `slice()` each window out of the kept
+    token array. Chunking inherently rewrites the corpus ~size/stride×
+    — that output amplification is the cost of the operator itself, not
+    plan overhead; the explode is map-only (no shuffle), so it pipelines
+    into whatever consumes the chunks.
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
+    toks = df.select(
+        id_col,
+        F.filter(F.split(text_col, pattern), lambda w: F.length(w) > 0).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+    return toks.select(
+        id_col, "_t", F.posexplode(starts).alias("chunk_id", "_start")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(F.slice("_t", F.col("_start") + 1, size), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(size), F.size("_t") - F.col("_start"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 def bin_stats(
     packed: DataFrame, budget: int, by: str, tokens_col: str = "n_tokens"
 ) -> DataFrame:

@@ -351,8 +351,41 @@ SELECT lang, doc_id, n_tokens, bin_id FROM pack
 )
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # < size → 16-token overlap between consecutive windows
+
+
+def training_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows every 48
+    tokens): the context-window construction step between curation and
+    packing — each token lands in ≥1 chunk, consecutive chunks overlap
+    by 16 tokens. Map-only explode; see operators/packing.py
+    chunk_documents."""
+    from python_multiproc_bigdata_spark.operators.packing import chunk_documents
+
+    d = table(prep(spark), sf_dir, "documents")
+    return chunk_documents(d, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+SQL_CHUNK_WINDOWS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(t[start + 1:start + {CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(least({CHUNK_SIZE}, len(t) - start) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
 REGISTRY = {
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
+    "training_chunk_windows": QuerySpec(training_chunk_windows, SQL_CHUNK_WINDOWS),
     "training_pack_chunks": QuerySpec(training_pack_chunks, SQL_PACK_CHUNKS),
     "training_pack_greedy": QuerySpec(training_pack_greedy, SQL_PACK_GREEDY),
     "training_corpus_pipeline": QuerySpec(

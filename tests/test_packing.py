@@ -62,6 +62,35 @@ def test_chunk_pack_offsets_are_exclusive_prefix_sums(spark, toks):
     assert got[7] == (0, 0) and got[8] == (100, 1)
 
 
+def test_chunk_documents_windows(spark):
+    # 10 tokens, size 4, stride 3 → starts 0,3,6,9; last two run short
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in P.chunk_documents(docs, size=4, stride=3).collect()
+    }
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)
+    assert got[(2, 0)] == ("a", 1)
+    # whitespace-only doc produces no chunks; every token of doc 1 is
+    # covered and consecutive chunks overlap by size - stride = 1
+    assert {k for k in got if k[0] == 3} == set()
+    assert len(got) == 5
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        P.chunk_documents(docs, size=4, stride=0)
+    with pytest.raises(ValueError):
+        P.chunk_documents(docs, size=4, stride=5)
+
+
 def test_bin_stats_fill_ratio(spark, toks):
     packed = P.greedy_pack(toks, budget=100, by="lang")
     stats = {
