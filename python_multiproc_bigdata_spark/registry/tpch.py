@@ -994,6 +994,258 @@ WHERE l_quantity < q_threshold
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table in the harness, so
+    per-part "stock value" = sum(p_retailprice * l_quantity) over lines
+    shipped by suppliers of one nation stands in for
+    sum(ps_supplycost * ps_availqty)): grouped value per part, kept only
+    where value > fraction * total. The total is a scalar subquery over
+    the SAME grouped relation — Catalyst broadcasts the 1-row side; the
+    lineitem scan happens twice unless cached, but both are
+    partial-aggregated shuffles on l_partkey (narrow at 100 TB: #parts
+    rows, not #lines).
+
+    Reference parity note: reference has no join/HAVING surface at all
+    (SURVEY §2.7); this is new-engine surface with a DuckDB oracle.
+    """
+    spark = prep(spark)
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    value = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("p_retailprice") * F.col("l_quantity")), 2).alias(
+                "stock_value"
+            )
+        )
+    )
+    threshold = value.agg(
+        F.round(F.sum("stock_value") * 0.002, 2).alias("thr")
+    )
+    return (
+        value.join(F.broadcast(threshold), F.col("stock_value") > F.col("thr"))
+        .select(F.col("l_partkey").alias("ps_partkey"), "stock_value")
+    )
+
+
+SQL_Q11 = """
+WITH value AS (
+  SELECT l_partkey, round(sum(p_retailprice * l_quantity), 2) AS stock_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey)
+SELECT l_partkey AS ps_partkey, stock_value
+FROM value
+WHERE stock_value > (SELECT round(sum(stock_value) * 0.002, 2) FROM value)
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: distinct (l_partkey, l_suppkey) pairs
+    from lineitem stand in for partsupp; suppliers with negative acctbal
+    stand in for 'complaints' suppliers): distinct-supplier count per
+    (brand, type, size) over a filtered part universe, excluding a NOT IN
+    supplier set. The exclusion list is tiny → broadcast anti-join; the
+    only real shuffle is the partial-aggregated distinct on part attrs."""
+    spark = prep(spark)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: 'supplier shipped > 120 units of some
+    gear part in 1996' stands in for 'availqty > half of what was
+    ordered'): nested IN — suppliers IN (per-(supp,part) grouped HAVING
+    over a part-filtered lineitem year slice) AND from one nation. The
+    inner aggregate shuffles on (l_suppkey, l_partkey) partial-first;
+    the final IN is a semi-join against the small supplier dim."""
+    spark = prep(spark)
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey = 3
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%gear%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50)
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in the harness,
+    so 'late' = shipped more than 60 days after the order date): for
+    multi-supplier 'F' orders, count per supplier the orders where it was
+    the ONLY late supplier — EXISTS (another supplier on the order) via a
+    semi-join, NOT EXISTS (another LATE supplier) via an anti-join, both
+    non-equi self-joins of lineitem on l_orderkey with l_suppkey <>. The
+    two self-join shuffles co-partition on l_orderkey (one exchange
+    reused); supplier+nation broadcast. Top-100 by count, name tiebreak
+    (s_name is unique → the LIMIT cut is deterministic)."""
+    spark = prep(spark)
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE s_nationkey = 2
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no c_phone in the harness, so
+    cntrycode = c_nationkey % 10 stands in for substring(c_phone,1,2)):
+    customers from a code list with above-average balance and no RECENT
+    orders (the synthetic harness gives every customer at least one
+    order, so 'no orders since 1999' stands in for 'no orders' — same
+    anti-join shape, non-degenerate result) — scalar subquery (avg over
+    positive balances in the code list, broadcast 1-row join) +
+    anti-join against orders, then a tiny groupBy per code. The
+    anti-join shuffles on custkey; at 100 TB the orders side is the big
+    relation and the join key is its natural distribution — no skew
+    (custkey is near-unique)."""
+    spark = prep(spark)
+    c = table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 10).cast("string")
+    )
+    codes = c.filter(F.col("cntrycode").isin("1", "3", "5", "7", "9"))
+    avg_bal = codes.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        codes.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22 = """
+WITH coded AS (
+  SELECT *, CAST(c_nationkey % 10 AS VARCHAR) AS cntrycode FROM customer),
+codes AS (
+  SELECT * FROM coded WHERE cntrycode IN ('1', '3', '5', '7', '9'))
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM codes
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM codes WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY cntrycode
+"""
+
+
 REGISTRY = {
     "window_rank_functions": QuerySpec(window_rank_functions, SQL_WINDOW_RANKS),
     "string_agg_nations": QuerySpec(string_agg_nations, SQL_STRING_AGG),
@@ -1027,4 +1279,9 @@ REGISTRY = {
     "q13_customer_distribution": QuerySpec(q13_customer_distribution, SQL_Q13),
     "q15_top_supplier": QuerySpec(q15_top_supplier, SQL_Q15),
     "q17_small_quantity_revenue": QuerySpec(q17_small_quantity_revenue, SQL_Q17),
+    "q11_important_stock": QuerySpec(q11_important_stock, SQL_Q11),
+    "q16_supplier_part_counts": QuerySpec(q16_supplier_part_counts, SQL_Q16),
+    "q20_potential_promotion": QuerySpec(q20_potential_promotion, SQL_Q20),
+    "q21_suppliers_kept_waiting": QuerySpec(q21_suppliers_kept_waiting, SQL_Q21),
+    "q22_global_sales_opportunity": QuerySpec(q22_global_sales_opportunity, SQL_Q22),
 }
