@@ -62,15 +62,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects. Read the raw int64 nanos (legacy.parquet.nanosAsLong) and
-    truncate to microseconds with integer division — exactly DuckDB's
-    TIMESTAMP_NS → TIMESTAMP truncation, keeping the oracle comparable.
-    (Float division would lose precision: epoch-nanos ≈ 1.7e18 exceeds a
-    double's 53-bit integer range.)
+    """Load events.parquet with a normalized TIMESTAMP `ts` column,
+    adapting to how the generator stored it:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it, so read the raw int64
+      nanos (legacy.parquet.nanosAsLong) and truncate to microseconds
+      with integer division — exactly DuckDB's TIMESTAMP_NS → TIMESTAMP
+      truncation, keeping the oracle comparable. (Float division would
+      lose precision: epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit
+      integer range.)
+    - timestamp[us] (no tz): Spark infers TIMESTAMP_NTZ; cast to the
+      session-local TIMESTAMP (session tz is pinned UTC in prep()) so the
+      wall-clock values and downstream window/date arithmetic match what
+      DuckDB computes on its naive TIMESTAMP.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_type != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw

@@ -21,31 +21,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 _sink_ids = itertools.count()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table: readStream over the parquet
-    file, nanos → microsecond timestamps (same truncation as the batch
-    loader, registry/common.py:load_events)."""
+    file with `ts` normalized to a TIMESTAMP exactly like the batch
+    loader (registry/common.py:load_events), so streaming and batch
+    aggregations agree row-for-row.
+
+    readStream needs an explicit schema, so probe the file's batch
+    schema (driver-side metadata read, no data scan) and mirror the
+    batch loader's type adaptation: int64 → nanos truncated to micros;
+    TIMESTAMP_NTZ → session-local TIMESTAMP (session tz pinned UTC).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_type != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
