@@ -80,11 +80,14 @@ CHECKED_FIRST: tuple[str, ...] = (
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # similarity search (bruteforce baseline, LSH, IVF, banded near-dup;
-    # the k-means IVF is rows-only — iterative training isn't
-    # SQL-expressible — with recall pinned in tests/test_recall_floors.py)
+    # similarity search (bruteforce baseline, banded multi-table LSH, IVF,
+    # banded near-dup; the k-means IVF is rows-only — iterative training
+    # isn't SQL-expressible — with recall pinned in
+    # tests/test_recall_floors.py; the single-bucket sim_topk_lsh is
+    # demoted past the window — r02-green but recall-weak, kept as the
+    # pedagogical baseline and still parity-checked locally)
     "sim_topk_bruteforce",
-    "sim_topk_lsh",
+    "sim_topk_lsh_banded",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",

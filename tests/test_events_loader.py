@@ -1,0 +1,87 @@
+"""The events table's `ts` column has been generated two ways across
+harness versions: int64 epoch-nanos (TIMESTAMP(NANOS), readable only via
+legacy.parquet.nanosAsLong) and native timestamp[us] (read as
+TIMESTAMP_NTZ). Both loaders (batch registry/common.py:load_events and
+streaming streaming/windows.py:stream_events) must normalize either
+storage to the SAME session-local TIMESTAMP values — this pins that the
+schema drift that broke round 2 (analysis error batch-side, 1970-era
+windows stream-side) stays fixed for both storages."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.registry.common import load_events
+from python_multiproc_bigdata_spark.streaming.windows import stream_events
+
+# 2024-01-01 00:00:00.123456 and 2024-06-15 12:34:56.654321 UTC, in
+# epoch-micros (the nanos fixture adds a sub-micro tail that truncation
+# must drop, mirroring DuckDB's TIMESTAMP_NS → TIMESTAMP cast)
+MICROS = [1704067200123456, 1718454896654321]
+
+
+def _write(dirpath, ts_array):
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(['{"a":1}', '{"b":2}']),
+        }
+    )
+    pq.write_table(table, f"{dirpath}/events.parquet")
+    return str(dirpath)
+
+
+def _fixture_dirs(tmp_path):
+    nanos = _write(
+        tmp_path / "nanos",
+        pa.array([m * 1000 + 789 for m in MICROS], pa.int64()),
+    )
+    micros = _write(tmp_path / "micros", pa.array(MICROS, pa.timestamp("us")))
+    return nanos, micros
+
+
+def test_load_events_adapts_to_both_ts_storages(spark, tmp_path):
+    (tmp_path / "nanos").mkdir()
+    (tmp_path / "micros").mkdir()
+    nanos_dir, micros_dir = _fixture_dirs(tmp_path)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name, d in [("nanos", nanos_dir), ("micros", micros_dir)]:
+        df = load_events(spark, d)
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        out[name] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert out["nanos"] == out["micros"]
+    assert out["micros"][0][1] == "2024-01-01T00:00:00.123456"
+
+
+def test_stream_events_matches_batch_loader(spark, tmp_path):
+    (tmp_path / "nanos").mkdir()
+    (tmp_path / "micros").mkdir()
+    nanos_dir, micros_dir = _fixture_dirs(tmp_path)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for d in (nanos_dir, micros_dir):
+        batch = {(r.event_id, r.ts) for r in load_events(spark, d).collect()}
+        ev = stream_events(spark, d).select("event_id", "ts")
+        sink = f"t_evloader_{abs(hash(d)) % 10**8}"
+        q = (
+            ev.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed = {
+            (r.event_id, r.ts) for r in spark.table(sink).collect()
+        }
+        assert streamed == batch

@@ -6,6 +6,7 @@ Measured at build time (sf0.001 / sf0.1):
   ivf_kmeans nprobe=2/8 lists : 0.61 / 0.50   (floor 0.45)
   ivf_minid  nprobe=2         : 0.21 / 0.17   (kmeans must beat it)
   banded near-dup pair recall : 62/66 / 878/920  (floor 0.90)
+  banded LSH top-k recall@3   : 0.93 / 0.94   (floor 0.85)
 
 Floors sit below the measured values because k-means assignment can flip
 on float-sum near-ties across partitionings; the MARGIN is the
@@ -28,6 +29,8 @@ from python_multiproc_bigdata_spark.operators.similarity import (  # noqa: E402
     topk_bruteforce,
     topk_ivf,
     topk_ivf_kmeans,
+    topk_lsh,
+    topk_lsh_banded,
 )
 from tests.conftest import SF_DIR  # noqa: E402
 
@@ -40,6 +43,20 @@ def test_ivf_kmeans_recall_floor_and_beats_label_lists(spark):
     r_minid = recall_at_k(topk_ivf(q, emb, k=3, nprobe=2), exact)
     assert r_kmeans >= 0.45, r_kmeans
     assert r_kmeans > r_minid, (r_kmeans, r_minid)
+
+
+def test_lsh_banded_recall_floor_and_beats_single_table(spark):
+    # ANY-of-16 4-bit bands: measured 0.93 @ sf0.001 / 0.94 @ sf0.1;
+    # floor 0.85 leaves margin for band-boundary float flips. Must
+    # dominate the single-bucket form by construction (its candidate
+    # set is a superset whenever the full 8-bit prefix agrees).
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)
+    exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    r_banded = recall_at_k(topk_lsh_banded(q, emb, k=3), exact)
+    r_single = recall_at_k(topk_lsh(q, emb, k=3, bits=8), exact)
+    assert r_banded >= 0.85, r_banded
+    assert r_banded > r_single, (r_banded, r_single)
 
 
 def test_neardup_banded_pair_recall_floor(spark):

@@ -65,6 +65,16 @@ def test_neardup_banded_equijoin_only(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_lsh_banded_topk_broadcast_candidates(spark):
+    # banded LSH top-k: the bounded query side's band keys broadcast onto
+    # the corpus bands — candidate generation must be a broadcast
+    # equi-join (zero corpus shuffle), never cartesian/nested-loop
+    plan = plan_of(REGISTRY["sim_topk_lsh_banded"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
     # Spark's runtime Bloom filter (on by default) turns a selective dim
     # filter into a pre-shuffle fact-side filter: bloom_filter_agg built

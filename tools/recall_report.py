@@ -33,6 +33,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     topk_ivf,
     topk_ivf_kmeans,
     topk_lsh,
+    topk_lsh_banded,
     topk_lsh_multiprobe,
 )
 from python_multiproc_bigdata_spark.session import get_spark
@@ -70,6 +71,9 @@ def main() -> None:
         "lsh": round(recall_at_k(topk_lsh(queries, emb, k=K, bits=8), exact), 4),
         "lsh_multiprobe": round(
             recall_at_k(topk_lsh_multiprobe(queries, emb, k=K, bits=8), exact), 4
+        ),
+        "lsh_banded": round(
+            recall_at_k(topk_lsh_banded(queries, emb, k=K), exact), 4
         ),
         "ivf_minid_nprobe2": round(
             recall_at_k(topk_ivf(queries, emb, k=K, nprobe=2), exact), 4
