@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_lsh_banded",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",

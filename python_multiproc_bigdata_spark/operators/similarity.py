@@ -182,11 +182,18 @@ def topk_lsh_banded(
         )
         return sig.select(id_alias, F.explode(keys).alias("key"))
 
+    # keyed repartition with a pinned count: serves dropDuplicates'
+    # required distribution (no extra exchange) while keeping the
+    # FLOP-bound verify stage parallel — AQE would coalesce the
+    # two-longs-per-row candidate relation to near-1 partition by bytes
+    # (same reasoning as neardup_pairs_banded's verify_partitions)
+    nparts = corpus.sparkSession.sparkContext.defaultParallelism
     cand = (
         F.broadcast(banded(queries, "query_id"))
         .join(banded(corpus, "neighbor_id"), "key")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .repartition(nparts, F.col("query_id"), F.col("neighbor_id"))
         .dropDuplicates()
     )
     q = _with_norm(queries, "query_id", "q_emb", "q_norm")
@@ -639,6 +646,7 @@ def neardup_pairs_banded(
     threshold: float,
     bits_per_band: int = 4,
     n_bands: int = 16,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Banded embedding near-dup: sign-LSH candidate generation + exact
     cosine verification — the scale path that replaces the crossJoin.
@@ -662,7 +670,18 @@ def neardup_pairs_banded(
 
     Posting lists must stay bounded: a degenerate band key shared by f
     vectors contributes f·(f−1)/2 candidate rows — frequency-cap hot
-    buckets upstream at larger scales exactly as ngram_jaccard does."""
+    buckets upstream at larger scales exactly as ngram_jaccard does.
+
+    `verify_partitions` pins the parallelism of the verification stage
+    (default: the cluster's defaultParallelism). AQE right-sizes shuffle
+    partitions by BYTES, but the candidate relation is two longs per row
+    while verifying each row costs a 64-dim fold — byte-sized partitions
+    under-parallelize the FLOP-bound stage (measured: AQE coalesced the
+    2M-candidate dedup to 8 partitions at sf0.1, 3.4 s → 2.5 s with 32).
+    The keyed repartition is FREE: hash-partitioning by (id_a, id_b) is
+    exactly the distribution dropDuplicates needs, so Catalyst plans no
+    second exchange — same shuffle count as plain dropDuplicates, with a
+    pinned instead of byte-derived partition count."""
     from python_multiproc_bigdata_spark.operators.dedup import _posting_pairs
 
     b, n = bits_per_band, n_bands
@@ -676,7 +695,12 @@ def neardup_pairs_banded(
         ]
     )
     bands = sig.select("id", F.explode(band_keys).alias("key"))
-    cand = _posting_pairs(bands, F.col("key")).dropDuplicates()
+    nparts = verify_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        _posting_pairs(bands, F.col("key"))
+        .repartition(nparts, F.col("id_a"), F.col("id_b"))
+        .dropDuplicates()
+    )
     ea = _with_norm(corpus, "id_a", "e_a", "n_a")
     eb = _with_norm(corpus, "id_b", "e_b", "n_b")
     return (
