@@ -85,14 +85,28 @@ def word_shingles(
     return t.select("id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
-def _posting_pairs(df: DataFrame, key: F.Column) -> DataFrame:
+def _posting_pairs(
+    df: DataFrame, key: F.Column, partitions: int | None = None
+) -> DataFrame:
     """Candidate pairs from a posting-list relation: group rows by `key`,
     sort each bucket's id list, and emit the id-combinations JVM-side
     (sorted, so id_a < id_b by construction) — ONE aggregation shuffle
     instead of a bucket self-join (which shuffles the relation twice and
     re-evaluates its subtree per side). Emits one row per (bucket, pair);
     callers dedupe or count as needed. Posting lists must be bounded
-    (frequency-cap hot buckets upstream at larger scales)."""
+    (frequency-cap hot buckets upstream at larger scales).
+
+    The keyed repartition pins the pair-GENERATION stage's parallelism
+    (default: defaultParallelism; pass `partitions` to override). AQE
+    sizes the aggregation's shuffle by input BYTES, but each posting row
+    fans out to O(list²) pair rows — output-heavy, byte-light, so AQE
+    coalesced the explode stage to 1 partition at sf0.1 (measured
+    3.2 s → 2.0 s for ngram-Jaccard with the pin). Hash-partitioning by
+    the group key is the distribution the groupBy needs, so no second
+    exchange appears; collect_list gains nothing from map-side partial
+    aggregation, so pre-shuffling costs nothing either."""
+    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(nparts, key)
     ids = F.col("ids")
     pair_arr = F.flatten(
         F.transform(
@@ -262,7 +276,16 @@ def lsh_pairs_from_signatures(sig: DataFrame, threshold: float = 0.8) -> DataFra
         ]
     )
     bands = sig.select("id", F.explode(band_arr).alias("key"))
-    cand = _posting_pairs(bands, F.col("key")).dropDuplicates()
+    # keyed repartition = dropDuplicates' distribution in one exchange,
+    # with pinned parallelism for the array_intersect verification stage
+    # (AQE would size it by the two-longs-per-row candidate bytes; the
+    # work is per-pair set intersection — see _posting_pairs docstring)
+    nparts = sig.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        _posting_pairs(bands, F.col("key"))
+        .repartition(nparts, F.col("id_a"), F.col("id_b"))
+        .dropDuplicates()
+    )
     siga = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     sigb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
