@@ -105,6 +105,54 @@ FROM sess GROUP BY user_id
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window) in a BATCH
+    aggregation — the merge-on-overlap operator itself, complementing
+    events_sessionize's lag+cumsum islands formulation. One per-user
+    session row with its [start, last_event + gap) bounds.
+
+    Boundary semantics differ from the islands query deliberately: a gap
+    of EXACTLY the 30-minute duration starts a new session here (the next
+    event does not overlap [ts, ts+30m)), whereas gap > 1800 s starts one
+    there — the oracle mirrors this with integer-micros gap >= 1800e6 (no
+    float seconds, so the boundary cannot flip on rounding)."""
+    e = table(prep(spark), sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH gaps AS (
+  SELECT user_id, ts, value, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation funnel: users reaching each stage."""
     e = table(prep(spark), sf_dir, "events")
@@ -268,6 +316,7 @@ REGISTRY = {
     "events_tumbling_window": QuerySpec(events_tumbling_window, SQL_TUMBLING),
     "events_sliding_window": QuerySpec(events_sliding_window, SQL_SLIDING),
     "events_sessionize": QuerySpec(events_sessionize, SQL_SESSIONIZE),
+    "events_session_window": QuerySpec(events_session_window, SQL_SESSION_WINDOW),
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
     "events_daily_active_users": QuerySpec(events_daily_active_users, SQL_DAU),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, SQL_RETENTION),

@@ -13,6 +13,7 @@ from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, tabl
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
     run_to_memory,
+    session_counts,
     sliding_counts,
     stream_events,
     tumbling_counts,
@@ -220,8 +221,40 @@ FROM customer
 """
 
 
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows over the event stream (update mode; the
+    bounded single-file source arrives in one micro-batch, so each
+    finalized session is emitted exactly once — see
+    streaming/windows.py:session_counts)."""
+    ev = stream_events(prep(spark), sf_dir)
+    return run_to_memory(session_counts(ev), mode="complete")
+
+
+# identical sessions to the batch session_window oracle: integer-micros
+# gap >= 30 min starts a session; end = last event + gap
+SQL_STREAM_SESSION = """
+WITH gaps AS (
+  SELECT user_id, ts, value, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 REGISTRY = {
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
+    "streaming_session_counts": QuerySpec(streaming_session_counts, SQL_STREAM_SESSION),
     "streaming_dedup_watermark": QuerySpec(streaming_dedup_watermark, SQL_STREAM_DEDUP),
     "streaming_tumbling_counts": QuerySpec(streaming_tumbling_counts, SQL_STREAM_TUMBLING),
     "streaming_first_event": QuerySpec(streaming_first_event, SQL_STREAM_FIRST),

@@ -383,8 +383,67 @@ FROM s
 """
 
 
+TEMPERATURE_BUDGET = 1_000_000  # token budget the α-weights allocate
+
+
+def training_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language re-weighting — the standard multilingual
+    training-mix primitive (sampling weights ∝ p_l^α): natural language
+    shares p_l from corpus token counts, α = 0.5 flattens them toward
+    uniform, and a fixed token budget is allocated by the tempered
+    weights. High-resource languages are down-weighted, low-resource
+    up-weighted, exactly the mixture a 100 TB multilingual pretraining
+    corpus is drawn with.
+
+    One groupBy(lang) plus two scalar whole-frame windows over the
+    ~|languages| rows — map-side token counting dominates; the window
+    stage is O(langs), broadcast-trivial at any corpus size.
+
+    Engine-parity note: α is fixed at 0.5 so the tempering is sqrt() —
+    IEEE-exact on both engines, unlike pow() which libm may round
+    differently at the last ulp. Shares divide exact integer sums; only
+    the final 4-decimal rounds touch accumulated float error."""
+    d = table(prep(spark), sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.sum(token_count_bpeish("text")).alias("total_tokens")
+    )
+    whole = Window.partitionBy()
+    grand = F.sum("total_tokens").over(whole)
+    sq = F.sqrt(F.col("total_tokens") / grand)
+    z = F.sum(sq).over(whole)
+    return counts.select(
+        "lang",
+        "total_tokens",
+        F.round(F.col("total_tokens") / grand, 4).alias("p_lang"),
+        F.round(sq / z, 4).alias("w_temp"),
+        F.round(sq / z * TEMPERATURE_BUDGET).cast("bigint").alias("alloc_tokens"),
+    )
+
+
+SQL_TEMPERATURE_MIX = r"""
+WITH counts AS (
+  SELECT lang,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]'))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, total_tokens,
+         total_tokens * 1.0 / (sum(total_tokens * 1.0) OVER ()) AS p,
+         sqrt(total_tokens * 1.0 / (sum(total_tokens * 1.0) OVER ())) AS sq
+  FROM counts
+)
+SELECT lang, total_tokens,
+       round(p, 4) AS p_lang,
+       round(sq / (sum(sq) OVER ()), 4) AS w_temp,
+       CAST(round(sq / (sum(sq) OVER ()) * 1000000) AS BIGINT) AS alloc_tokens
+FROM w
+"""
+
+
 REGISTRY = {
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
+    "training_temperature_mix": QuerySpec(
+        training_temperature_mix, SQL_TEMPERATURE_MIX
+    ),
     "training_chunk_windows": QuerySpec(training_chunk_windows, SQL_CHUNK_WINDOWS),
     "training_pack_chunks": QuerySpec(training_pack_chunks, SQL_PACK_CHUNKS),
     "training_pack_greedy": QuerySpec(training_pack_greedy, SQL_PACK_GREEDY),

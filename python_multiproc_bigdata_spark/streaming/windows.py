@@ -70,16 +70,28 @@ def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 mi
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds") -> DataFrame:
-    """Event-time session windows with a watermark (append-mode capable)."""
+    """Per-user session aggregation with Spark-native session windows —
+    the streaming generalization of the batch islands sessionization
+    (merge-on-overlap state instead of a lag window).
+
+    With the bounded single-file harness source the whole table arrives
+    in ONE micro-batch (availableNow + one parquet file), so
+    complete-mode output equals the batch session_window aggregation.
+    In production a nonzero watermark delay bounds late-event merging
+    and append mode emits each session once its window closes."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "user_id",
             "n_events",
+            "total_value",
         )
     )
 

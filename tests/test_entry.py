@@ -45,11 +45,13 @@ def test_checked_window_is_curated():
         "quota_sample_per_lang", "semantic_only_neardups",
         "asof_click_to_view", "range_join_close_events",
         "udaf_median_acctbal", "multimodal_features",
-        "func_arabic_tokenize", "dedup_ngram_jaccard_capped",
+        "func_arabic_tokenize",
         "sim_topk_ivf_kmeans", "curation_repetition_signals",
         "decontaminate_train_eval", "dedup_components_canonical",
         "training_corpus_pipeline", "training_pack_chunks",
-        "training_pack_greedy",
+        "training_pack_greedy", "sim_topk_lsh_banded",
+        "events_session_window", "streaming_session_counts",
+        "training_temperature_mix",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 

@@ -4,6 +4,8 @@ fails here loudly instead of silently shipping worse recall.
 
 Measured at build time (sf0.001 / sf0.1):
   ivf_kmeans nprobe=2/8 lists : 0.61 / 0.50   (floor 0.45)
+  ivf_kmeans nprobe=4/16 lists: 0.66 / 0.62   (floor 0.55; the
+    registered query's config — same 25% scan, finer lists)
   ivf_minid  nprobe=2         : 0.21 / 0.17   (kmeans must beat it)
   banded near-dup pair recall : 62/66 / 878/920  (floor 0.90)
   banded LSH top-k recall@3   : 0.93 / 0.94   (floor 0.85)
@@ -43,6 +45,11 @@ def test_ivf_kmeans_recall_floor_and_beats_label_lists(spark):
     r_minid = recall_at_k(topk_ivf(q, emb, k=3, nprobe=2), exact)
     assert r_kmeans >= 0.45, r_kmeans
     assert r_kmeans > r_minid, (r_kmeans, r_minid)
+    # the registered config: finer lists at the same 25% scan fraction
+    # must beat the coarse config AND hold its own floor
+    r_fine = recall_at_k(topk_ivf_kmeans(q, emb, k=3, nprobe=4, n_lists=16), exact)
+    assert r_fine >= 0.55, r_fine
+    assert r_fine > r_kmeans, (r_fine, r_kmeans)
 
 
 def test_lsh_banded_recall_floor_and_beats_single_table(spark):

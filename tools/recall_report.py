@@ -87,6 +87,15 @@ def main() -> None:
         "ivf_kmeans_nprobe4": round(
             recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=4, n_lists=8), exact), 4
         ),
+        # same scan fractions with finer lists — the n_lists ∝ √corpus
+        # sizing rule, kept measured (16/4 and 16/8 scan 25% and 50%,
+        # exactly like 8/2 and 8/4 above)
+        "ivf_kmeans_16lists_nprobe4": round(
+            recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=4, n_lists=16), exact), 4
+        ),
+        "ivf_kmeans_16lists_nprobe8": round(
+            recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=8, n_lists=16), exact), 4
+        ),
     }
 
     n_exact = neardup_pairs_cosine(emb, 0.4).count()
