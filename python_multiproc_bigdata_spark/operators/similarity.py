@@ -794,3 +794,53 @@ def topk_ivf_partitioned(
         )
     )
     return _rank_topk(pairs, k)
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor label prediction by plurality vote (the
+    classifier a labeled embedding store gives you for free — the batch
+    form of 'label this new corpus by its nearest curated exemplars').
+
+    Exact cosine top-k per query (topk_bruteforce), then the neighbors'
+    labels vote; ties break deterministically on (more votes, smaller
+    label). Emits (query_id, predicted_label, votes, true_label,
+    correct).
+
+    Scale: the vote/argmax stages are one groupBy over |queries| x k
+    rows — negligible next to the candidate search, which is pluggable:
+    swap topk_bruteforce for topk_ivf_kmeans / topk_lsh_banded at 100 TB
+    (identical downstream shape). The neighbor->label join broadcasts
+    the top-k side (bounded |queries| x k), so the corpus is never
+    shuffled.
+    """
+    labels = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    topk = topk_bruteforce(queries, corpus, k=k)
+    # broadcast the small (|queries| x k) side into the corpus-label join
+    votes = (
+        labels.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nb_label").alias("predicted_label"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "predicted_label",
+        "votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )

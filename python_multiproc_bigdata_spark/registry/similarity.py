@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.similarity import (
+    knn_classify,
     neardup_pairs_banded,
     sign_bucket,
     topk_bruteforce,
@@ -237,8 +238,43 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf_kmeans(queries, emb, k=3, nprobe=4, n_lists=16, max_iter=3)
 
 
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN plurality-vote label prediction over the labeled embeddings
+    (operators/similarity.py:knn_classify). Exact top-5 neighbors here so
+    the oracle can replay the identical vote; at scale the candidate
+    stage swaps to IVF/banded-LSH with the same downstream plan."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_classify(queries, emb, k=5)
+
+
+SQL_KNN_CLASSIFY = SQL_COSINE_CTE.format(n_queries=N_QUERIES) + """
+, topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk <= 5
+), votes AS (
+  SELECT t.query_id, e.label AS nb_label, count(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+), pred AS (
+  SELECT query_id, nb_label AS predicted_label, votes FROM (
+    SELECT query_id, nb_label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, nb_label ASC) AS vr
+    FROM votes) WHERE vr = 1
+)
+SELECT p.query_id, p.predicted_label, p.votes, e.label AS true_label,
+       p.predicted_label = e.label AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
+    "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),

@@ -160,8 +160,99 @@ FROM documents GROUP BY 1
 """
 
 
+N_BUCKETS = 20
+PRICE_LO = 0.0
+PRICE_HI = 120000.0  # covers TPC-H extendedprice (~900..105k) with headroom
+
+
+def stats_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice: 20 fixed buckets over
+    [0, 120000). The bucket index is plain double arithmetic written
+    identically in the oracle (floor((v-lo)/(hi-lo)*n), clamped), so the
+    cut points are bit-identical across engines. One partial-aggregated
+    groupBy on a derived int key — word-count shaped, scales flat. Fixed
+    bounds (vs data-driven min/max) keep it single-pass; at 100 TB a
+    data-driven variant first runs a cheap min/max agg and broadcasts
+    the bounds."""
+    li = table(prep(spark), sf_dir, "lineitem")
+    width = (PRICE_HI - PRICE_LO) / N_BUCKETS
+    idx = F.floor(
+        (F.col("l_extendedprice") - PRICE_LO) / (PRICE_HI - PRICE_LO) * N_BUCKETS
+    ).cast("int")
+    bucket = F.least(F.lit(N_BUCKETS - 1), F.greatest(F.lit(0), idx))
+    return (
+        li.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * width, 2))
+        .withColumn("bucket_hi", F.round((F.col("bucket") + 1) * width, 2))
+    )
+
+
+SQL_HISTOGRAM = f"""
+SELECT bucket,
+       count(*) AS n_items,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(bucket * CAST({(PRICE_HI - PRICE_LO) / N_BUCKETS} AS DOUBLE), 2) AS bucket_lo,
+       round((bucket + 1) * CAST({(PRICE_HI - PRICE_LO) / N_BUCKETS} AS DOUBLE), 2) AS bucket_hi
+FROM (
+  SELECT least({N_BUCKETS - 1}, greatest(0,
+           CAST(floor((l_extendedprice - {PRICE_LO})
+                      / ({PRICE_HI} - {PRICE_LO}) * {N_BUCKETS}) AS INTEGER)
+         )) AS bucket,
+         l_extendedprice
+  FROM lineitem)
+GROUP BY bucket
+"""
+
+
+def stats_argminmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by surface: per order-priority, the orderkey carrying
+    the extreme totalprice. The ordering value is a (price, orderkey)
+    STRUCT so the extreme is unique — max_by on a bare price would be
+    nondeterministic under ties, across engines AND across Spark task
+    retries. The oracle replays the same tuple ordering with window
+    ranks."""
+    o = table(prep(spark), sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("max_price_orderkey"),
+        F.min_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("min_price_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+SQL_ARGMINMAX = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+  FROM orders)
+SELECT mx.o_orderpriority,
+       mx.o_orderkey AS max_price_orderkey,
+       mn.o_orderkey AS min_price_orderkey,
+       round(mx.o_totalprice, 2) AS max_price,
+       round(mn.o_totalprice, 2) AS min_price
+FROM (SELECT * FROM ranked WHERE rmax = 1) mx
+JOIN (SELECT * FROM ranked WHERE rmin = 1) mn USING (o_orderpriority)
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
+    "stats_price_histogram": QuerySpec(stats_price_histogram, SQL_HISTOGRAM),
+    "stats_argminmax_orders": QuerySpec(stats_argminmax_orders, SQL_ARGMINMAX),
     "stats_price_percentiles": QuerySpec(stats_price_percentiles, SQL_PERCENTILES),
     "grouping_sets_orders": QuerySpec(grouping_sets_orders, SQL_GROUPING_SETS),
     "map_status_counts": QuerySpec(map_status_counts, SQL_MAP_COUNTS),

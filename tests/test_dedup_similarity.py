@@ -349,3 +349,31 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert resized[2].n_bytes == 5    # smaller payload passes through
     assert bytes(resized[2].media) == b"short"
     assert resized[1].digest == hashlib.md5(b"x" * cap).hexdigest()
+
+
+def test_knn_classify_self_consistent(spark):
+    """Each query's prediction carries 1..k votes and matches the
+    plurality label of its exact top-5 neighbors."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        knn_classify,
+        topk_bruteforce,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_classify(queries, emb, k=5).collect()
+    assert len(out) == 20
+    assert all(1 <= r.votes <= 5 for r in out)
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    topk = topk_bruteforce(queries, emb, k=5).collect()
+    from collections import Counter, defaultdict
+
+    by_q = defaultdict(list)
+    for r in topk:
+        by_q[r.query_id].append(labels[r.neighbor_id])
+    for r in out:
+        counts = Counter(by_q[r.query_id])
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r.predicted_label, r.votes) == best

@@ -30,3 +30,32 @@ def test_grouping_sets_levels(spark):
     # status subtotals sum to the grand total
     subtotals = [r for r in out if r.g_status == 0 and r.g_priority == 1]
     assert sum(r.n_orders for r in subtotals) == grand[0].n_orders
+
+
+def test_price_histogram_partitions_rows(spark):
+    from python_multiproc_bigdata_spark.registry.stats import (
+        N_BUCKETS,
+        stats_price_histogram,
+    )
+
+    out = stats_price_histogram(spark, SF_DIR).collect()
+    li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert sum(r.n_items for r in out) == li_rows  # every row lands in a bucket
+    for r in out:
+        assert 0 <= r.bucket < N_BUCKETS
+        # observed extremes sit inside the bucket bounds (clamp buckets
+        # 0 / N-1 may legitimately hold out-of-range values; none in TPC-H)
+        assert r.bucket_lo <= r.min_price <= r.max_price <= r.bucket_hi
+
+
+def test_argminmax_deterministic_extremes(spark):
+    from python_multiproc_bigdata_spark.registry.stats import stats_argminmax_orders
+
+    out = {r.o_orderpriority: r for r in stats_argminmax_orders(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    for prio, r in out.items():
+        rows = o.filter(o.o_orderpriority == prio).collect()
+        mx = max(rows, key=lambda x: (x.o_totalprice, x.o_orderkey))
+        mn = min(rows, key=lambda x: (x.o_totalprice, x.o_orderkey))
+        assert r.max_price_orderkey == mx.o_orderkey
+        assert r.min_price_orderkey == mn.o_orderkey
