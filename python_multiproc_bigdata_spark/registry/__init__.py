@@ -53,7 +53,10 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # streaming_session_counts (the window's first streaming entry);
 # split_train_test_documents → training_temperature_mix;
 # dedup_ngram_jaccard_capped (cap-guardrail variant of the in-window
-# uncapped form) demoted to stay at 50.
+# uncapped form) demoted to stay at 50. Later round-3 swap:
+# text_token_count (map-only twin of in-window text_quality, r02-green)
+# → sim_knn_classify (new capability class: kNN label classification
+# over embeddings, full-hash oracle).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
@@ -80,7 +83,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "text_quality",
     "text_lang_id",
-    "text_token_count",
     # dedup (exact, Jaccard, capped guardrail, LSH, SimHash)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -93,6 +95,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # demoted past the window — r02-green but recall-weak, kept as the
     # pedagogical baseline and still parity-checked locally)
     "sim_topk_bruteforce",
+    "sim_knn_classify",
     "sim_topk_lsh_banded",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
