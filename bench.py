@@ -42,6 +42,8 @@ HEADLINE = [
     "sim_topk_lsh_banded",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
+    "sim_topk_sq8",
+    "sim_knn_classify",
     "sim_neardup_cosine",
     "training_mix_by_lang",
     "training_pack_chunks",

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
+from python_multiproc_bigdata_spark.operators.skew import salted_count_per_key
 from python_multiproc_bigdata_spark.operators.udfs import median_by_group
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
@@ -167,6 +168,24 @@ WHERE rn = 1
 """
 
 
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted GROUP BY count per event_type
+    (operators/skew.py:salted_count_per_key, salt_buckets=16) — the
+    mitigation for a single hot key melting one reducer at 100 TB.
+    Results are salt-invariant (counts are algebraic), so the plain
+    GROUP BY oracle checks the rewrite is lossless while the plan
+    carries the two-stage shuffle."""
+    e = table(prep(spark), sf_dir, "events")
+    return salted_count_per_key(
+        e, ["event_type"], out_col="n_events", salt_buckets=16
+    )
+
+
+SQL_SKEW_SALTED = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
 REGISTRY = {
     "cdc_upsert_customers": QuerySpec(cdc_upsert_customers, SQL_CDC_UPSERT),
     "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
@@ -175,4 +194,5 @@ REGISTRY = {
     "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),
     "cube_orders": QuerySpec(cube_orders, SQL_CUBE),
     "approx_distinct_stats": QuerySpec(approx_distinct_stats, None),
+    "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
 }

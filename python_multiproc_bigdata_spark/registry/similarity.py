@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.similarity import (
     knn_classify,
+    topk_sq8,
     neardup_pairs_banded,
     sign_bucket,
     topk_bruteforce,
@@ -272,9 +273,70 @@ FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 """
 
 
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized top-k with exact re-rank
+    (operators/similarity.py:topk_sq8) — the 4x-memory-bandwidth scale
+    path. The oracle replays the identical quantization arithmetic, so
+    the gate checks the quantized ranking AND the re-rank end-to-end."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_sq8(queries, emb, k=3, rerank=10)
+
+
+# DuckDB twin of operators/similarity.py:topk_sq8 (rerank=10, k=3):
+# same per-vector scale, same round-then-int8 quantization, same
+# reconstructed-cosine candidate ranking, same exact re-rank.
+SQL_TOPK_SQ8 = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sq AS (
+  SELECT vec_id, e,
+         CASE WHEN mx > 0 THEN CAST(127.0 AS DOUBLE) / mx ELSE 1.0 END AS scale,
+         sqrt(list_dot_product(e, e)) AS nrm
+  FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS mx FROM emb)
+), qz AS (
+  SELECT vec_id, scale, nrm,
+         list_transform(e, x -> CAST(round(x * scale) AS INTEGER))::DOUBLE[] AS q
+  FROM sq
+), approx AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+               THEN (list_dot_product(a.q, b.q) / (a.scale * b.scale))
+                    / (a.nrm * b.nrm)
+               ELSE 0.0 END, 4) AS approx_score
+  FROM qz a JOIN qz b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {n_queries}
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_score DESC, neighbor_id ASC) AS ark
+    FROM approx) WHERE ark <= 10
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qa.e, qa.e)) > 0
+                     AND sqrt(list_dot_product(qb.e, qb.e)) > 0
+               THEN list_dot_product(qa.e, qb.e)
+                    / (sqrt(list_dot_product(qa.e, qa.e))
+                       * sqrt(list_dot_product(qb.e, qb.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN emb qa ON qa.vec_id = c.query_id
+  JOIN emb qb ON qb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM exact) WHERE rk <= 3
+""".format(n_queries=N_QUERIES)
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
+    "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),

@@ -377,3 +377,31 @@ def test_knn_classify_self_consistent(spark):
         counts = Counter(by_q[r.query_id])
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         assert (r.predicted_label, r.votes) == best
+
+
+def test_sq8_rerank_matches_exact_topk(spark):
+    """With rerank covering the whole corpus-side candidate pool the SQ8
+    path must equal the exact brute-force ranking (quantization only
+    reorders the CANDIDATE stage; the re-rank is exact)."""
+    from python_multiproc_bigdata_spark.operators.similarity import topk_sq8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    exact = topk_bruteforce(queries, emb, k=3)
+    sq = topk_sq8(queries, emb, k=3, rerank=n)
+    a = {(r.query_id, r.rk): r.neighbor_id for r in exact.collect()}
+    b = {(r.query_id, r.rk): r.neighbor_id for r in sq.collect()}
+    assert a == b
+
+
+def test_salted_count_equals_plain_count(spark):
+    from python_multiproc_bigdata_spark.operators.skew import salted_count_per_key
+
+    df = spark.range(0, 5000).select((F.col("id") % 7).alias("k"))
+    # make key 0 hot: union 5000 extra rows of the same key
+    hot = spark.range(0, 5000).select(F.lit(0).alias("k"))
+    df = df.union(hot)
+    out = {r.k: r.n for r in salted_count_per_key(df, ["k"], out_col="n").collect()}
+    plain = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out == plain

@@ -35,6 +35,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     topk_lsh,
     topk_lsh_banded,
     topk_lsh_multiprobe,
+    topk_sq8,
 )
 from python_multiproc_bigdata_spark.session import get_spark
 
@@ -95,6 +96,11 @@ def main() -> None:
         ),
         "ivf_kmeans_16lists_nprobe8": round(
             recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=8, n_lists=16), exact), 4
+        ),
+        # int8 quantize + rerank=10: measures what 4x bandwidth compression
+        # costs in ranking fidelity (expected ~1.0 — rerank re-scores exact)
+        "sq8_rerank10": round(
+            recall_at_k(topk_sq8(queries, emb, k=K, rerank=10), exact), 4
         ),
     }
 
