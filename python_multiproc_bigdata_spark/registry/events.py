@@ -308,6 +308,38 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the count and max value of the same
+    user's events in the trailing hour (fraud/velocity-check shape).
+    The frame is over integer epoch seconds so both engines cut it
+    identically; count/max are order-independent inside the frame, so
+    tied timestamps (frame peers) cannot flake the hash. Per-user
+    partitions — bounded state, scales like sessionize."""
+    e = table(prep(spark), sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.max("value").over(w), 4).alias("max_value_1h"),
+    )
+
+
+SQL_TRAILING_1H = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(max(value) OVER w, 4) AS max_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_cumulative_value": QuerySpec(events_cumulative_value, SQL_CUMULATIVE),
@@ -320,4 +352,5 @@ REGISTRY = {
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
     "events_daily_active_users": QuerySpec(events_daily_active_users, SQL_DAU),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, SQL_RETENTION),
+    "events_trailing_1h": QuerySpec(events_trailing_1h, SQL_TRAILING_1H),
 }

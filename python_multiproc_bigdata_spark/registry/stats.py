@@ -13,7 +13,7 @@ groupBy itself, so they scale like a word count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -249,10 +249,43 @@ JOIN (SELECT * FROM ranked WHERE rmin = 1) mn USING (o_orderpriority)
 """
 
 
+def stats_price_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile bucketing of orders by totalprice within each
+    priority — the percentile-bucket surface. The ntile ordering key is
+    the unique (price, orderkey) pair, so bucket boundaries are
+    deterministic across engines and retries."""
+    o = table(prep(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderpriority, quartile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders)
+GROUP BY o_orderpriority, quartile
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_price_histogram": QuerySpec(stats_price_histogram, SQL_HISTOGRAM),
     "stats_argminmax_orders": QuerySpec(stats_argminmax_orders, SQL_ARGMINMAX),
+    "stats_price_quartiles_ntile": QuerySpec(stats_price_quartiles_ntile, SQL_NTILE),
     "stats_price_percentiles": QuerySpec(stats_price_percentiles, SQL_PERCENTILES),
     "grouping_sets_orders": QuerySpec(grouping_sets_orders, SQL_GROUPING_SETS),
     "map_status_counts": QuerySpec(map_status_counts, SQL_MAP_COUNTS),
