@@ -77,3 +77,17 @@ def test_neardup_banded_pair_recall_floor(spark):
     assert banded <= exact
     assert len(exact) > 0
     assert len(banded) / len(exact) >= 0.90, (len(banded), len(exact))
+
+
+def test_sq8_rerank_recall_floor(spark):
+    """int8 quantize + rerank=10: measured 1.0 at sf0.1 (rerank re-scores
+    exactly, so only a candidate missing the top-10 approx cut can cost
+    recall). Floor 0.95 budgets quantization-boundary flips at other
+    data scales."""
+    from python_multiproc_bigdata_spark.operators.similarity import topk_sq8
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)
+    exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    r = recall_at_k(topk_sq8(q, emb, k=3, rerank=10), exact)
+    assert r >= 0.95, r
