@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
 from python_multiproc_bigdata_spark.operators.skew import salted_count_per_key
+from python_multiproc_bigdata_spark.operators.quality import expectations_report
 from python_multiproc_bigdata_spark.operators.udfs import median_by_group
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
@@ -186,6 +187,48 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders
+    (operators/quality.py:expectations_report): positive price, status
+    domain, non-null date, unique orderkey — one scan, one row per
+    check. The oracle recomputes each counter as a conditional
+    aggregate."""
+    o = table(prep(spark), sf_dir, "orders")
+    return expectations_report(
+        o,
+        violated_when={
+            "positive_totalprice": ~(F.col("o_totalprice") > 0),
+            "status_in_domain": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "orderdate_not_null": F.col("o_orderdate").isNull(),
+        },
+        unique_keys={"unique_orderkey": ["o_orderkey"]},
+    )
+
+
+SQL_DQ_ORDERS = """
+SELECT check_name, n_violations, n_rows, n_violations = 0 AS passed FROM (
+  SELECT 'positive_totalprice' AS check_name,
+         CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         count(*) AS n_rows
+  FROM orders
+  UNION ALL
+  SELECT 'status_in_domain',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_not_null',
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM orders
+  UNION ALL
+  SELECT 'unique_orderkey',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         count(*)
+  FROM orders)
+"""
+
+
 REGISTRY = {
     "cdc_upsert_customers": QuerySpec(cdc_upsert_customers, SQL_CDC_UPSERT),
     "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
@@ -195,4 +238,5 @@ REGISTRY = {
     "cube_orders": QuerySpec(cube_orders, SQL_CUBE),
     "approx_distinct_stats": QuerySpec(approx_distinct_stats, None),
     "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
+    "dq_check_orders": QuerySpec(dq_check_orders, SQL_DQ_ORDERS),
 }

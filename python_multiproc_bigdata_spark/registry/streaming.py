@@ -12,6 +12,7 @@ from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
+    stream_stream_click_view_join,
     run_to_memory,
     session_counts,
     sliding_counts,
@@ -252,6 +253,24 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def streaming_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/windows.py:
+    stream_stream_click_view_join) driven to completion; append mode —
+    a stream-stream inner join emits rows as both sides arrive."""
+    ev = stream_events(prep(spark), sf_dir)
+    return run_to_memory(stream_stream_click_view_join(ev), mode="append")
+
+
+SQL_STREAM_SS_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+FROM events c
+JOIN events v
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND v.ts >= c.ts - INTERVAL '1 hour' AND v.ts <= c.ts
+"""
+
+
 REGISTRY = {
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
     "streaming_session_counts": QuerySpec(streaming_session_counts, SQL_STREAM_SESSION),
@@ -261,4 +280,5 @@ REGISTRY = {
     "streaming_sliding_counts": QuerySpec(streaming_sliding_counts, SQL_STREAM_SLIDING),
     "streaming_words_doc_frequency": QuerySpec(streaming_words_doc_frequency, SQL_STREAM_WORDS),
     "streaming_enriched_counts": QuerySpec(streaming_enriched_counts, SQL_STREAM_ENRICHED),
+    "streaming_click_view_join": QuerySpec(streaming_click_view_join, SQL_STREAM_SS_JOIN),
 }

@@ -219,6 +219,46 @@ def foreach_batch_cdc_apply(
     return writer.start()
 
 
+def stream_stream_click_view_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: each click pairs with the same
+    user's views in the preceding `lookback` (attribution, both sides
+    unbounded). Watermarks on BOTH sides plus the time-interval join
+    condition are what let Spark evict join state — without them the
+    buffered sides grow forever; with them state is bounded by
+    watermark + lookback per user. The bounded harness file arrives in
+    one micro-batch, so append-mode output equals the batch interval
+    join the oracle runs."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("click_id", "user_id", "view_id")
+
+
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through a
     memory sink; returns the materialized result as a batch DataFrame."""

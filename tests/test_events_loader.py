@@ -85,3 +85,37 @@ def test_stream_events_matches_batch_loader(spark, tmp_path):
             (r.event_id, r.ts) for r in spark.table(sink).collect()
         }
         assert streamed == batch
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """Append-mode stream-stream interval join over the bounded events
+    file must equal the equivalent batch join."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.common import load_events, prep
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_click_view_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_to_memory(
+        stream_stream_click_view_join(stream_events(prep(spark), sf)), mode="append"
+    )
+    e = load_events(spark, sf)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    batch = c.join(
+        v,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("vts") <= F.col("cts")),
+    ).select("click_id", "user_id", "view_id")
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))

@@ -217,3 +217,28 @@ def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
     assert clean.count() == 2 and bad.count() == 1
     got = {r.doc_id: (r.text, r.lang) for r in clean.collect()}
     assert got[1] == ("hello world", "en") and got[2] == ("bonjour", "fr")
+
+
+def test_expectations_report_counts(spark):
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (2, 0.0, "A"), (4, 3.0, "Z")],
+        "id long, price double, status string",
+    )
+    out = {
+        r.check_name: (r.n_violations, r.n_rows, r.passed)
+        for r in expectations_report(
+            df,
+            violated_when={
+                "positive_price": ~(F.col("price") > 0),
+                "status_in_domain": ~F.col("status").isin("A", "B"),
+            },
+            unique_keys={"unique_id": ["id"]},
+        ).collect()
+    }
+    assert out["positive_price"] == (2, 4, False)
+    assert out["status_in_domain"] == (1, 4, False)
+    assert out["unique_id"] == (1, 4, False)
