@@ -56,7 +56,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # uncapped form) demoted to stay at 50. Later round-3 swap:
 # text_token_count (map-only twin of in-window text_quality, r02-green)
 # → sim_knn_classify (new capability class: kNN label classification
-# over embeddings, full-hash oracle).
+# over embeddings, full-hash oracle); events_sliding_window (twin of
+# in-window events_tumbling_window, r02-green) → sim_topk_sq8 (int8
+# quantized ANN — the bandwidth-scale path, full-hash oracle).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
@@ -74,7 +76,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     # events_sessionize's gap detection)
     "events_from_json_struct",
     "events_tumbling_window",
-    "events_sliding_window",
     "events_sessionize",
     "events_session_window",
     "streaming_session_counts",
@@ -96,6 +97,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # pedagogical baseline and still parity-checked locally)
     "sim_topk_bruteforce",
     "sim_knn_classify",
+    "sim_topk_sq8",
     "sim_topk_lsh_banded",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
