@@ -281,8 +281,37 @@ GROUP BY o_orderpriority, quartile
 """
 
 
+def stats_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, native
+    in Spark 4): per-event-type user sketches, estimated, PLUS a
+    hll_union across types proving the merge path — the 100 TB story is
+    exactly that partial sketches merge across partitions/days without
+    rescanning (incremental daily uniques = union of daily sketches).
+    Rows-only check: sketch estimates are engine-specific by design
+    (DuckDB's HLL differs), like approx_distinct_stats."""
+    e = table(prep(spark), sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    total = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+            "n_events",
+        )
+        .unionByName(total)
+    )
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
+    "stats_hll_users_per_type": QuerySpec(stats_hll_users_per_type, None),
     "stats_price_histogram": QuerySpec(stats_price_histogram, SQL_HISTOGRAM),
     "stats_argminmax_orders": QuerySpec(stats_argminmax_orders, SQL_ARGMINMAX),
     "stats_price_quartiles_ntile": QuerySpec(stats_price_quartiles_ntile, SQL_NTILE),

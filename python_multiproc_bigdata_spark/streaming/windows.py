@@ -145,6 +145,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """running_user_totals on the transformWithStateInPandas API (the
+    Spark 4 successor to applyInPandasWithState): identical semantics —
+    per-user running (count, value-sum), one row per user per
+    micro-batch — with typed ValueState instead of a raw tuple. Kept as
+    a twin so both stateful APIs stay exercised; new stateful operators
+    should start from this one (state schema evolution, TTL, and timers
+    only exist here).
+
+    Requires the RocksDB state store provider (set below — a Spark
+    requirement for transformWithState) AND a working `google.protobuf`
+    (the TWS state-server wire protocol): this container ships a broken
+    protobuf, so the twin test skips here and the applyInPandasWithState
+    form (running_user_totals) carries the tested stateful path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    # transformWithState runs only on the RocksDB state store provider
+    # (Spark requirement; the default HDFS-backed provider is rejected).
+    # Session-level conf, read at query start.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, round(total, 4)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def foreach_batch_multi_sink(
     stream: DataFrame, sinks: list, checkpoint_dir: str | None = None
 ):

@@ -249,6 +249,23 @@ def test_streaming_session_and_dedup(spark, tmp_path):
     by_user = {r.user_id: (r.n_events, r.total_value) for r in totals}
     assert by_user == {1: (3, 3.0), 2: (2, 2.0)}
 
+    # the transformWithStateInPandas twin must agree row-for-row.
+    # The TWS state server speaks protobuf; this container's protobuf is
+    # broken (ImportError on google.protobuf.descriptor), so skip there.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _has_protobuf = True
+    except ImportError:
+        _has_protobuf = False
+    if _has_protobuf:
+        from python_multiproc_bigdata_spark.streaming.windows import (
+            running_user_totals_tws,
+        )
+
+        tws = run_to_memory(running_user_totals_tws(ev), mode="update").collect()
+        assert {r.user_id: (r.n_events, r.total_value) for r in tws} == by_user
+
     # foreachBatch multi-sink: one micro-batch fanned out to two sinks
     from python_multiproc_bigdata_spark.streaming.windows import (
         foreach_batch_multi_sink,

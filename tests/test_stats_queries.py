@@ -59,3 +59,19 @@ def test_argminmax_deterministic_extremes(spark):
         mn = min(rows, key=lambda x: (x.o_totalprice, x.o_orderkey))
         assert r.max_price_orderkey == mx.o_orderkey
         assert r.min_price_orderkey == mn.o_orderkey
+
+
+def test_hll_sketch_union_consistency(spark):
+    from python_multiproc_bigdata_spark.registry.stats import stats_hll_users_per_type
+
+    rows = {r.event_type: r for r in stats_hll_users_per_type(spark, SF_DIR).collect()}
+    assert "ALL" in rows
+    per_type = [r for t, r in rows.items() if t != "ALL"]
+    # the union-of-sketches estimate can never undershoot any single type
+    assert rows["ALL"].approx_users >= max(r.approx_users for r in per_type)
+    assert rows["ALL"].n_events == sum(r.n_events for r in per_type)
+    # HLL at this cardinality (~150 users) is exact-ish: within 5%
+    exact = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id").distinct().count()
+    )
+    assert abs(rows["ALL"].approx_users - exact) / exact < 0.05
