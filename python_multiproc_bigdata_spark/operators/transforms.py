@@ -114,3 +114,50 @@ def project_values_path(
     )
     required = [name for name, _path, req in values_path if req]
     return selected.na.drop(subset=required) if required else selected
+
+
+def with_global_index(
+    df: DataFrame,
+    order_by: str,
+    out_col: str = "idx",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Global 0-based dense index by a unique orderable key WITHOUT a
+    single-partition sort (the scalable zipWithIndex: training-shard
+    sample numbering, stable row addressing).
+
+    `orderBy + row_number over ()` funnels 100 TB through ONE task; this
+    splits the sort: (1) approxQuantile learns ~n_buckets range
+    boundaries (driver gets n_buckets doubles, never data), (2) rows
+    rank within their range bucket (parallel shuffle-by-bucket sort),
+    (3) bucket counts — n_buckets rows — cumsum into offsets broadcast
+    back as a literal map. idx = offset[bucket] + rank - 1. Boundaries
+    only steer bucket sizes; any boundary skew changes parallelism, not
+    correctness. Requires a NUMERIC `order_by` (approxQuantile) with
+    unique values for a deterministic total order (ties would make
+    ranks retry-unstable)."""
+    from pyspark.sql import Window
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.approxQuantile(order_by, qs, 0.001)))
+    bucket = F.lit(0)
+    for i, c in enumerate(cuts):
+        bucket = F.when(F.col(order_by) > F.lit(c), i + 1).otherwise(bucket)
+    b = df.withColumn("_gb", bucket)
+    w = Window.partitionBy("_gb").orderBy(order_by)
+    ranked = b.withColumn("_rk", F.row_number().over(w))
+    counts = sorted(
+        (r._gb, r.n)
+        for r in b.groupBy("_gb").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for gb, n in counts:
+        offsets[gb] = acc
+        acc += n
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return ranked.withColumn(
+        out_col,
+        (F.element_at(omap, F.col("_gb")) + F.col("_rk") - 1).cast("long"),
+    ).drop("_gb", "_rk")

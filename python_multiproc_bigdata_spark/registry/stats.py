@@ -309,9 +309,31 @@ def stats_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global dense index over orders by orderkey
+    (operators/transforms.py:with_global_index — bucketed parallel sort,
+    no single-partition funnel). The oracle is the single-sort
+    row_number() the operator replaces, proving the distributed form
+    computes the identical total order."""
+    from python_multiproc_bigdata_spark.operators.transforms import with_global_index
+
+    o = table(prep(spark), sf_dir, "orders")
+    return with_global_index(
+        o.select("o_orderkey", "o_totalprice"), "o_orderkey", out_col="idx"
+    )
+
+
+SQL_GLOBAL_INDEX = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx
+FROM orders
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_hll_users_per_type": QuerySpec(stats_hll_users_per_type, None),
+    "global_index_orders": QuerySpec(global_index_orders, SQL_GLOBAL_INDEX),
     "stats_price_histogram": QuerySpec(stats_price_histogram, SQL_HISTOGRAM),
     "stats_argminmax_orders": QuerySpec(stats_argminmax_orders, SQL_ARGMINMAX),
     "stats_price_quartiles_ntile": QuerySpec(stats_price_quartiles_ntile, SQL_NTILE),

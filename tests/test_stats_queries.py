@@ -75,3 +75,17 @@ def test_hll_sketch_union_consistency(spark):
         spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id").distinct().count()
     )
     assert abs(rows["ALL"].approx_users - exact) / exact < 0.05
+
+
+def test_global_index_is_dense_and_parallel(spark):
+    from python_multiproc_bigdata_spark.operators.transforms import with_global_index
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    out = with_global_index(o, "o_orderkey", out_col="idx", n_buckets=8)
+    rows = sorted((r.o_orderkey, r.idx) for r in out.collect())
+    n = len(rows)
+    # dense permutation 0..n-1, monotone in the key
+    assert [i for _, i in rows] == list(range(n))
+    # the whole point: no single-partition global sort in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
