@@ -242,3 +242,37 @@ def test_expectations_report_counts(spark):
     assert out["positive_price"] == (2, 4, False)
     assert out["status_in_domain"] == (1, 4, False)
     assert out["unique_id"] == (1, 4, False)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Evolved datasets (a 100 TB corpus never has one frozen schema):
+    writer adds a column in a later batch; mergeSchema reconciles, old
+    rows read null for the new column, filters on it stay pushed."""
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).select("id").write.parquet(p + "/batch=1")
+    spark.range(5, 10).select(
+        "id", (F.col("id") * 2).alias("extra")
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "extra", "batch"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows[0] is None and rows[7] == 14
+    assert df.filter(F.col("extra").isNotNull()).count() == 5
+
+
+def test_orc_sink_source_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively — the
+    engine's sinks are format-parameterized, so prove the roundtrip
+    (schema + values) like the CSV/JSONL sinks."""
+    p = str(tmp_path / "orc_out")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    df.write.format("orc").mode("overwrite").save(p)
+    back = spark.read.format("orc").load(p)
+    # nullability widens on read (ORC files don't carry Spark's
+    # non-null flag for range()-derived columns); names+types must hold
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
