@@ -330,10 +330,54 @@ FROM orders
 """
 
 
+def calendar_month_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly order counts via a RECURSIVE CTE (Spark 4
+    WITH RECURSIVE): generate the full month series from min to max
+    orderdate, left-join counts so empty months report 0 — the
+    time-series densification a naive GROUP BY month silently skips.
+    Recursion depth = months spanned (~80 here), under Spark's
+    cteRecursionLevelLimit; the series is O(months) rows, the join is
+    one broadcast of that tiny series against the scan."""
+    o = table(prep(spark), sf_dir, "orders")
+    o.createOrReplaceTempView("orders_rcte")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT to_date(date_trunc('MONTH', min(o_orderdate))) FROM orders_rcte
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < (SELECT to_date(date_trunc('MONTH', max(o_orderdate)))
+                     FROM orders_rcte)
+        )
+        SELECT m AS month_start,
+               CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN orders_rcte o
+          ON to_date(date_trunc('MONTH', o.o_orderdate)) = months.m
+        GROUP BY m
+    """)
+
+
+SQL_CALENDAR_MONTHS = """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', min(o_orderdate))::DATE FROM orders
+  UNION ALL
+  SELECT (m + INTERVAL 1 MONTH)::DATE FROM months
+  WHERE m < (SELECT date_trunc('month', max(o_orderdate))::DATE FROM orders)
+)
+SELECT m AS month_start,
+       CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders o
+  ON date_trunc('month', o.o_orderdate)::DATE = months.m
+GROUP BY m
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_hll_users_per_type": QuerySpec(stats_hll_users_per_type, None),
     "global_index_orders": QuerySpec(global_index_orders, SQL_GLOBAL_INDEX),
+    "calendar_month_order_counts": QuerySpec(
+        calendar_month_order_counts, SQL_CALENDAR_MONTHS
+    ),
     "stats_price_histogram": QuerySpec(stats_price_histogram, SQL_HISTOGRAM),
     "stats_argminmax_orders": QuerySpec(stats_argminmax_orders, SQL_ARGMINMAX),
     "stats_price_quartiles_ntile": QuerySpec(stats_price_quartiles_ntile, SQL_NTILE),
