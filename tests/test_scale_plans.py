@@ -177,3 +177,29 @@ def test_ivf_partitioned_index_prunes_and_holds_recall(spark, tmp_path):
     exact = _topk_sets(topk_bruteforce(q, emb, k=3))
     r = recall_at_k(res, exact)
     assert r >= 0.45, r
+
+
+def test_knn_classify_label_join_broadcasts(spark):
+    """The neighbor→label and truth joins must broadcast the bounded
+    top-k/query side — the corpus is never shuffled for labeling."""
+    df = REGISTRY["sim_knn_classify"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_index_no_single_partition_sort(spark):
+    """with_global_index exists to avoid the row_number-over-everything
+    funnel; its plan must not collapse to a SinglePartition exchange."""
+    df = REGISTRY["global_index_orders"].fn(spark, SF_DIR)
+    assert "SinglePartition" not in plan_of(df)
+
+
+def test_dq_check_single_scan(spark):
+    """All expectation counters fold into one aggregation over one scan
+    (plus the uniqueness distinct) — the plan reads orders at most
+    twice (conditional counters + countDistinct expand), never once
+    per check."""
+    df = REGISTRY["dq_check_orders"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 2, plan
