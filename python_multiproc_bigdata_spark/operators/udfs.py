@@ -51,3 +51,29 @@ def median_by_group(
     return grouped_apply(
         df, key_list, reduce, schema=f"{key_schema}, {out_col} double, n long"
     )
+
+
+def char_ngrams_udtf():
+    """A real Python UDTF (Spark 4 table function): one input string →
+    N rows of (pos, ngram) character trigrams. Completes the
+    UDF/UDAF/UDTF trio the reference's callable slots imply — the
+    tokenizers' explode(regexp_extract_all(...)) stays the FAST path
+    (JVM-side); a UDTF is the generality escape hatch for table
+    functions no expression composition can write. Arrow-optimized
+    (useArrow) so rows batch across the Python boundary.
+
+    Returns the registrable class; use:
+        spark.udtf.register("char_ngrams", char_ngrams_udtf())
+        spark.sql("SELECT t.* FROM docs, LATERAL char_ngrams(text) t")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string", useArrow=True)
+    class CharNgrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i in range(max(0, len(text) - 2)):
+                yield i, text[i : i + 3]
+
+    return CharNgrams

@@ -46,3 +46,44 @@ def test_median_by_group(spark):
     )
     out = {r.k: (r.median, r.n) for r in median_by_group(df, ["k"], "v").collect()}
     assert out == {"a": (2.0, 3), "b": (5.0, 2)}  # even count → interpolated
+
+
+def test_char_ngrams_udtf_matches_jvm_path(spark):
+    """The UDTF (generality escape hatch) must agree with the JVM-side
+    expression form (the fast path) on the same input."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.udfs import char_ngrams_udtf
+
+    spark.udtf.register("char_ngrams_t", char_ngrams_udtf())
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "ab"), (3, None)], "id long, text string"
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT d.id, g.pos, g.ngram FROM udtf_docs d, LATERAL char_ngrams_t(d.text) g"
+            ).collect(),
+        )
+    )
+    jvm = sorted(
+        map(
+            tuple,
+            docs.select(
+                "id",
+                F.posexplode(
+                    # NB: Spark sequence(1, 0) DESCENDS ([1,0]) instead of
+                    # being empty — guard short strings explicitly
+                    F.expr(
+                        "CASE WHEN length(text) >= 3 THEN"
+                        " transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                        " ELSE array() END"
+                    )
+                ).alias("pos", "ngram"),
+            ).collect(),
+        )
+    )
+    assert got == jvm
