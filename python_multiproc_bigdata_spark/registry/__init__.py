@@ -58,7 +58,13 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # → sim_knn_classify (new capability class: kNN label classification
 # over embeddings, full-hash oracle); events_sliding_window (twin of
 # in-window events_tumbling_window, r02-green) → sim_topk_sq8 (int8
-# quantized ANN — the bandwidth-scale path, full-hash oracle).
+# quantized ANN — the bandwidth-scale path, full-hash oracle);
+# events_session_window (session surface keeps two in-window siblings:
+# events_sessionize + streaming_session_counts) →
+# calendar_month_order_counts (Spark 4 WITH RECURSIVE — new SQL
+# surface, full-hash oracle); approx_distinct_stats (rows-only — the
+# weakest check form; sketches stay pytest-covered) → dq_check_orders
+# (data-quality gate, full-hash oracle).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
@@ -77,7 +83,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "events_from_json_struct",
     "events_tumbling_window",
     "events_sessionize",
-    "events_session_window",
     "streaming_session_counts",
     # text analysis + profiling
     "profile_documents",
@@ -110,13 +115,14 @@ CHECKED_FIRST: tuple[str, ...] = (
     "asof_click_to_view",
     "range_join_close_events",
     "udaf_median_acctbal",
-    "approx_distinct_stats",
+    "dq_check_orders",
     # multimodal plumbing
     "multimodal_features",
     # stats panel
     "stats_lineitem_moments",
     "stats_price_percentiles",
     "grouping_sets_orders",
+    "calendar_month_order_counts",
     # training-mix compositions (training_corpus_pipeline is the
     # end-to-end capstone: quality → dedup → decontaminate → quota;
     # words_distinct_files demoted for it — a 1-row count whose family
