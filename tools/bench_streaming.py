@@ -63,6 +63,12 @@ def main() -> None:
                 "append",
             )
         ),
+        "stream_stream_join": lambda: (
+            _drain(
+                W.stream_stream_click_view_join(W.stream_events(spark, sf_dir)),
+                "append",
+            )
+        ),
     }
 
     # warmup absorbs JVM/codegen/stream-planner startup
