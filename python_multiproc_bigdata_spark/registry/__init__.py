@@ -64,12 +64,14 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # calendar_month_order_counts (Spark 4 WITH RECURSIVE — new SQL
 # surface, full-hash oracle); approx_distinct_stats (rows-only — the
 # weakest check form; sketches stay pytest-covered) → dq_check_orders
-# (data-quality gate, full-hash oracle).
+# (data-quality gate, full-hash oracle); words_v1_length_filter
+# (trivial filter, green in r01 AND r02; family keeps 5 in-window
+# siblings) → streaming_click_view_join (stream-stream interval join —
+# a major Structured Streaming surface with no driver signal yet).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
     "words_duplicate_occurrences",
-    "words_v1_length_filter",
     "words_pipeline",
     "words_total_tokens",
     "words_doc_frequency",
@@ -84,6 +86,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "events_tumbling_window",
     "events_sessionize",
     "streaming_session_counts",
+    "streaming_click_view_join",
     # text analysis + profiling
     "profile_documents",
     "text_tfidf_top_terms",
