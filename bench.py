@@ -56,6 +56,10 @@ HEADLINE = [
     "asof_click_to_view",
     "range_join_close_events",
     "udaf_median_acctbal",
+    "dq_check_orders",
+    "calendar_month_order_counts",
+    "stats_price_histogram",
+    "global_index_orders",
 ]
 
 

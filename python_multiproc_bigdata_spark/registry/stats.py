@@ -337,16 +337,26 @@ def calendar_month_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series densification a naive GROUP BY month silently skips.
     Recursion depth = months spanned (~80 here), under Spark's
     cteRecursionLevelLimit; the series is O(months) rows, the join is
-    one broadcast of that tiny series against the scan."""
+    one broadcast of that tiny series against the scan.
+
+    The date bounds are resolved FIRST with one 2-value aggregate and
+    embedded as literals: a scalar subquery inside the recursive step's
+    WHERE would rescan orders once PER ITERATION (measured 11 s vs
+    ~0.5 s at sf0.1 — and ~80 full scans of a 100 TB table). The
+    recursion then touches no base table at all. (sequence() + explode
+    generates the same series in one expression; this query exists to
+    exercise WITH RECURSIVE.)"""
     o = table(prep(spark), sf_dir, "orders")
     o.createOrReplaceTempView("orders_rcte")
-    return spark.sql("""
+    lo, hi = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).first()
+    return spark.sql(f"""
         WITH RECURSIVE months(m) AS (
-          SELECT to_date(date_trunc('MONTH', min(o_orderdate))) FROM orders_rcte
+          SELECT to_date(date_trunc('MONTH', DATE '{lo}'))
           UNION ALL
           SELECT add_months(m, 1) FROM months
-          WHERE m < (SELECT to_date(date_trunc('MONTH', max(o_orderdate)))
-                     FROM orders_rcte)
+          WHERE m < to_date(date_trunc('MONTH', DATE '{hi}'))
         )
         SELECT m AS month_start,
                CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS n_orders
