@@ -50,8 +50,11 @@ def test_checked_window_is_curated():
         "decontaminate_train_eval", "dedup_components_canonical",
         "training_corpus_pipeline", "training_pack_chunks",
         "training_pack_greedy", "sim_topk_lsh_banded",
-        "events_session_window", "streaming_session_counts",
+        "streaming_session_counts",
         "training_temperature_mix",
+        # round-3 promotions (swap log in registry/__init__.py)
+        "sim_knn_classify", "sim_topk_sq8", "dq_check_orders",
+        "calendar_month_order_counts", "streaming_click_view_join",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
