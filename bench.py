@@ -63,17 +63,23 @@ HEADLINE = [
 ]
 
 
-def run_one(spark, name: str, repeats: int = 2) -> float:
-    """Steady-state timing: min of `repeats` full materializations (the
-    first run on a cold page cache / fresh code path can be 2x the
-    steady state; min-of-2 reports what a warmed executor does)."""
+def run_one(spark, name: str, repeats: int = 3) -> dict:
+    """Steady-state timing: median (and min) of `repeats` full
+    materializations — the first run on a cold page cache / fresh code
+    path can be 2x the steady state, and single-sample deltas proved too
+    noisy to compare round-over-round (three sub-second ±11–38% swings in
+    r03 were all unreplicated), so the headline number is the median."""
     fn = REGISTRY[name].fn
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "median": round(times[len(times) // 2], 3),
+        "min": round(times[0], 3),
+    }
 
 
 def main() -> None:
@@ -83,24 +89,37 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     # warmup: small query to absorb JVM/codegen startup
-    REGISTRY[names[0]].fn(spark, SF_DIR).limit(1).collect()
+    try:
+        REGISTRY[names[0]].fn(spark, SF_DIR).limit(1).collect()
+    except Exception:  # noqa: BLE001 — warmup failure is the query's to report
+        pass
 
+    # One broken query must never zero the whole artifact (BENCH_r02
+    # died entirely on a single AnalysisException): isolate per query,
+    # record the error, and ALWAYS emit the JSON line.
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        timings[name] = round(run_one(spark, name), 3)
+        try:
+            r = run_one(spark, name)
+            timings[name] = r["median"]
+            mins[name] = r["min"]
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,23 @@ def expectations_report(
     """One row per named constraint: (check_name, n_violations, n_rows,
     passed). `violated_when[name]` is the VIOLATION predicate (true =
     bad row); `unique_keys[name]` checks key-set uniqueness as
-    count(*) - count(distinct keys)."""
+    count(*) - count(distinct keys).
+
+    Check names become column aliases inside a stack() expression, so
+    they must be plain identifiers (letters/digits/underscore, not
+    starting with a digit) — a quote or backtick in a name would inject
+    into the generated SQL. `_n_rows` is reserved for the internal
+    row-count alias. Both are rejected up front."""
+    import re
+
+    names_all = list(violated_when) + list(unique_keys or {})
+    for n in names_all:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+            raise ValueError(f"check name must be a plain identifier: {n!r}")
+        if n == "_n_rows":
+            raise ValueError("check name '_n_rows' is reserved")
+    if len(set(names_all)) != len(names_all):
+        raise ValueError("duplicate check names across violated_when/unique_keys")
     distinct_fn = F.approx_count_distinct if unique_approx else F.countDistinct
     aggs = [
         F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)

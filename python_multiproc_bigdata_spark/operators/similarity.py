@@ -339,6 +339,30 @@ def train_spherical_kmeans(
     return cents
 
 
+def kmeans_core(x, n_lists: int, max_iter: int):
+    """The NumPy Lloyd's loop shared by the driver-side trainer AND the
+    DuckDB oracle generator (registry/similarity.py:make_ivf_kmeans_oracle)
+    — one implementation, so Spark-trained and oracle-replayed centroids
+    are bit-identical by construction. `x` is the (n, d) unit-vector
+    sample sorted by vec_id; init = the first n_lists rows; assign to
+    max-cosine centroid with ties to the lowest cid (np.argmax takes the
+    first maximum); mean + renormalize; empty clusters keep their
+    centroid."""
+    import numpy as np
+
+    cents = x[:n_lists].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                n2 = float(np.sqrt((m * m).sum()))
+                if n2 > 0:
+                    cents[ci] = m / n2
+    return cents
+
+
 def train_spherical_kmeans_driver(
     corpus: DataFrame,
     n_lists: int = 8,
@@ -357,12 +381,12 @@ def train_spherical_kmeans_driver(
     work — assignment and search — stays distributed in the caller.
 
     Same semantics as train_spherical_kmeans: unit-normalize (drop zero
-    vectors), init = n_lists lowest-vec_id unit vectors, assign to
-    max-cosine centroid with ties to the lowest cid (np.argmax takes the
-    first maximum), mean + renormalize, empty clusters keep their
-    centroid. The sample is the xxhash64(vec_id)-lowest rows — a
-    deterministic pseudo-random subset, stable across runs and
-    partitionings."""
+    vectors), init = n_lists lowest-vec_id unit vectors, then kmeans_core.
+    The sample is the md5(vec_id)-lowest rows — a deterministic
+    pseudo-random subset, stable across runs and partitionings, and
+    engine-portable (md5 over the decimal string is identical in Spark,
+    DuckDB, and hashlib) so the DuckDB oracle generator replays the
+    IDENTICAL sample and therefore the identical centroids."""
     import numpy as np
 
     norm = (
@@ -374,23 +398,13 @@ def train_spherical_kmeans_driver(
         )
     )
     rows = (
-        norm.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+        norm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(sample_size)
         .orderBy("vec_id")  # init must be the lowest-vec_id vectors
         .collect()
     )
     x = np.asarray([r.e for r in rows], dtype=np.float64)
-    cents = x[:n_lists].copy()
-    for _ in range(max_iter):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for ci in range(len(cents)):
-            members = x[assign == ci]
-            if len(members):
-                m = members.mean(axis=0)
-                n2 = float(np.sqrt((m * m).sum()))
-                if n2 > 0:
-                    cents[ci] = m / n2
-    return [[float(v) for v in c] for c in cents]
+    return [[float(v) for v in c] for c in kmeans_core(x, n_lists, max_iter)]
 
 
 def _assign_clusters(vecs: DataFrame, cent_df: DataFrame) -> DataFrame:

@@ -135,7 +135,16 @@ def with_global_index(
     only steer bucket sizes; any boundary skew changes parallelism, not
     correctness. Requires a NUMERIC `order_by` (approxQuantile) with
     unique values for a deterministic total order (ties would make
-    ranks retry-unstable)."""
+    ranks retry-unstable).
+
+    Three jobs read the bucketed frame (quantiles, bucket counts, the
+    final ranked materialization), so it is persisted here: on a
+    non-deterministic input (sample(), re-read mutable source) separate
+    recomputations could disagree between counts/offsets and ranks,
+    breaking the density/uniqueness guarantee. The cache stays live for
+    the returned plan (unpersisting before the caller materializes would
+    reopen the recompute window); callers may df.unpersist() the input
+    afterwards. Inputs must still be deterministic BETWEEN calls."""
     from pyspark.sql import Window
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -143,7 +152,7 @@ def with_global_index(
     bucket = F.lit(0)
     for i, c in enumerate(cuts):
         bucket = F.when(F.col(order_by) > F.lit(c), i + 1).otherwise(bucket)
-    b = df.withColumn("_gb", bucket)
+    b = df.withColumn("_gb", bucket).persist()
     w = Window.partitionBy("_gb").orderBy(order_by)
     ranked = b.withColumn("_rk", F.row_number().over(w))
     counts = sorted(

@@ -68,53 +68,67 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # (trivial filter, green in r01 AND r02; family keeps 5 in-window
 # siblings) → streaming_click_view_join (stream-stream interval join —
 # a major Structured Streaming surface with no driver signal yet).
+#
+# Round-4 rotation (VERDICT r3 ask #3: push the window into the
+# never-driver-checked tail; every demotion below is r03-green on
+# record and keeps ≥1 in-window family sibling):
+#   q3_shipping_priority, q5_region_revenue → q8_market_share,
+#     q21_suppliers_kept_waiting (strictly harder TPC-H members:
+#     8-table join + CASE market share; multi-join + exists/not-exists)
+#   words_doc_frequency → q17_small_quantity_revenue (correlated
+#     scalar subquery — never driver-checked)
+#   events_tumbling_window → events_trailing_1h (RANGE frame)
+#   events_from_json_struct → events_retention_cohorts
+#   dedup_simhash → streaming_dedup_watermark (A4's streaming form)
+#   cdc_latest_per_key → streaming_cdc_merge (the streaming CDC member)
+#   sim_topk_ivf → func_datetime_parts (kmeans-IVF now carries the IVF
+#     signal WITH a full-hash oracle; datetime parts never checked)
+#   grouping_sets_orders → cube_orders (CUBE ⊃ grouping-sets surface)
+#   stats_price_percentiles → stats_price_quartiles_ntile (ntile never
+#     checked; exact percentiles stay parity-checked locally)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
     "words_duplicate_occurrences",
     "words_pipeline",
     "words_total_tokens",
-    "words_doc_frequency",
-    # TPC-H flagships (scan pushdown + broadcast joins + partial agg)
+    # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
+    # are the hardest never-checked members, promoted r4)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    # events: JSON, windows, sessionization, funnel (events_interarrival
-    # demoted for the packing pair — lag() stays exercised by
-    # events_sessionize's gap detection)
-    "events_from_json_struct",
-    "events_tumbling_window",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    # events: sessionization, retention, trailing RANGE frame
     "events_sessionize",
+    "events_trailing_1h",
+    "events_retention_cohorts",
     "streaming_session_counts",
     "streaming_click_view_join",
+    "streaming_dedup_watermark",
+    "streaming_cdc_merge",
     # text analysis + profiling
     "profile_documents",
     "text_tfidf_top_terms",
     "text_quality",
     "text_lang_id",
-    # dedup (exact, Jaccard, capped guardrail, LSH, SimHash)
+    # dedup (exact, Jaccard, LSH; SimHash demoted r4 — r03-green)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    # similarity search (bruteforce baseline, banded multi-table LSH, IVF,
-    # banded near-dup; the k-means IVF is rows-only — iterative training
-    # isn't SQL-expressible — with recall pinned in
-    # tests/test_recall_floors.py; the single-bucket sim_topk_lsh is
-    # demoted past the window — r02-green but recall-weak, kept as the
-    # pedagogical baseline and still parity-checked locally)
+    # similarity search (bruteforce baseline, banded multi-table LSH,
+    # k-means IVF — full-hash-checked since r4 via the generated
+    # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
     "sim_topk_bruteforce",
     "sim_knn_classify",
     "sim_topk_sq8",
     "sim_topk_lsh_banded",
-    "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",
-    # Arabic tokenizer parity (SURVEY §6 risk #1)
+    # Arabic tokenizer parity (SURVEY §6 risk #1) + datetime parts
     "func_arabic_tokenize",
+    "func_datetime_parts",
     # advanced: CDC, as-of, range join, UDAF, cube, approx profile
     "cdc_upsert_customers",
-    "cdc_latest_per_key",
     "asof_click_to_view",
     "range_join_close_events",
     "udaf_median_acctbal",
@@ -123,14 +137,11 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_features",
     # stats panel
     "stats_lineitem_moments",
-    "stats_price_percentiles",
-    "grouping_sets_orders",
+    "stats_price_quartiles_ntile",
+    "cube_orders",
     "calendar_month_order_counts",
     # training-mix compositions (training_corpus_pipeline is the
-    # end-to-end capstone: quality → dedup → decontaminate → quota;
-    # words_distinct_files demoted for it — a 1-row count whose family
-    # keeps 7 in-window siblings; map_status_counts demoted for the
-    # packing pair — the map_from_entries surface is pytest-covered)
+    # end-to-end capstone: quality → dedup → decontaminate → quota)
     "training_mix_by_lang",
     "training_temperature_mix",
     "training_corpus_pipeline",
@@ -142,9 +153,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "training_pack_chunks",
     "training_pack_greedy",
     # corpus curation (repetition signals, decontamination, dup-cluster
-    # canonicalization) — demoted for these: words_top20, events_funnel,
-    # text_fingerprint (all round-1 green; families keep in-window
-    # siblings)
+    # canonicalization)
     "curation_repetition_signals",
     "decontaminate_train_eval",
     "dedup_components_canonical",

@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → rows-only correctness check
+    # DuckDB SQL; None → rows-only correctness check. A zero-arg callable
+    # defers generation to first use (e.g. the kmeans-IVF oracle retrains
+    # its deterministic centroids from parquet and embeds them as
+    # literals) — resolve with `resolve_oracle`.
+    oracle: str | Callable[[], str] | None
+
+    def resolve_oracle(self) -> str | None:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 _PKG_ZIP: str | None = None
@@ -78,8 +85,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Scoped, not leaked: the scan binds its schema when spark.read
+    # .parquet() resolves the relation (verified: a nanos file read with
+    # the flag set still executes after the flag is restored), so a host
+    # app sharing this session never inherits the legacy flag.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.schema  # force relation resolution inside the scoped window
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

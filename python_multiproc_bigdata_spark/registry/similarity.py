@@ -222,10 +222,20 @@ SELECT id_a, id_b, score FROM verified WHERE score >= 0.4
 """
 
 
+# One config shared by the registered Spark query AND the generated
+# DuckDB oracle — change it in one place and both sides follow.
+IVF_KMEANS_CFG = dict(k=3, nprobe=4, n_lists=16, max_iter=3, train_sample=4096)
+
+
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with spherical-k-means centroids — rows-only check
-    (iterative training is not SQL-expressible); recall vs the exact
-    baseline is measured by tools/recall_report.py and pinned in
+    """IVF top-k with spherical-k-means centroids. Training is iterative
+    (not SQL-expressible) but DETERMINISTIC — md5-hash sample, fixed
+    init, NumPy Lloyd's — so the oracle generator
+    (make_ivf_kmeans_oracle) retrains the identical centroids from the
+    parquet directly and embeds them as SQL literals: assignment, probe
+    ranking, and exact re-rank then replay in plain DuckDB, giving this
+    query a full value-level check. Recall vs the exact baseline is
+    measured by tools/recall_report.py and pinned in
     tests/test_recall_floors.py.
 
     n_lists=16 / nprobe=4: at the SAME 25% scan fraction, finer lists
@@ -236,7 +246,139 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     # max_iter=3: recall is converged by then (±0.02 vs 5 iters at
     # sf0.1) and each extra Lloyd's round is a full scheduling round-trip
-    return topk_ivf_kmeans(queries, emb, k=3, nprobe=4, n_lists=16, max_iter=3)
+    cfg = IVF_KMEANS_CFG
+    return topk_ivf_kmeans(
+        queries,
+        emb,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        train_sample=cfg["train_sample"],
+    )
+
+
+def _train_centroids_from_parquet(
+    emb_parquet: str, n_lists: int, max_iter: int, sample_size: int
+) -> list[list[float]]:
+    """Retrain the coarse quantizer OUTSIDE Spark, bit-identical to
+    train_spherical_kmeans_driver: float32→double casts, the sequential
+    left-fold norm, element division, the md5(vec_id)-lowest sample, and
+    the shared kmeans_core are all IEEE-identical to what the Spark query
+    computes, so the centroids agree to the last bit."""
+    import hashlib
+    import math
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{emb_parquet}' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    normed = []
+    for vid, emb in rows:
+        acc = 0.0
+        for v in emb:  # float32 → Python float: exact double widening
+            acc += v * v  # sequential left fold — Spark's F.aggregate order
+        n = math.sqrt(acc)
+        if n > 0:
+            normed.append((vid, [v / n for v in emb]))
+    sample = sorted(
+        normed, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )[:sample_size]
+    sample.sort(key=lambda t: t[0])  # init = lowest-vec_id unit vectors
+    x = np.asarray([e for _, e in sample], dtype=np.float64)
+    from python_multiproc_bigdata_spark.operators.similarity import kmeans_core
+
+    cents = kmeans_core(x, n_lists, max_iter)
+    return [[float(v) for v in c] for c in cents]
+
+
+# DuckDB twin of operators/similarity.py:topk_ivf_kmeans with the trained
+# centroids as literals: same argmax list assignment (ties → lowest cid),
+# same rounded-cosine probe ranking, same exact verification and ranking.
+SQL_TOPK_IVF_KMEANS_TEMPLATE = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents(cid, c) AS (
+  VALUES {centroid_values}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, q_e, q_norm, cid FROM (
+    SELECT q.query_id, q.q_e, q.q_norm, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0
+                         AND sqrt(list_dot_product(cents.c, cents.c)) > 0
+                   THEN list_dot_product(q.q_e, cents.c)
+                        / (q.q_norm * sqrt(list_dot_product(cents.c, cents.c)))
+                   ELSE 0.0 END, 4) DESC, cents.cid ASC) AS pr
+    FROM q CROSS JOIN cents) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN p.q_norm > 0 AND sqrt(list_dot_product(c.e, c.e)) > 0
+               THEN list_dot_product(p.q_e, c.e)
+                    / (p.q_norm * sqrt(list_dot_product(c.e, c.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN emb c ON c.vec_id = a.vec_id
+  WHERE c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored) WHERE rk <= {k}
+"""
+
+_IVF_KMEANS_ORACLE_CACHE: dict[str, str] = {}
+
+
+def make_ivf_kmeans_oracle() -> str:
+    """Generate the sim_topk_ivf_kmeans oracle for the correctness-gate
+    scale factor: retrain the (deterministic) centroids from the parquet,
+    embed them as DOUBLE[] literals, and replay assignment + probing +
+    re-rank in plain SQL. Cached per sf_dir — training is 4096×64 NumPy,
+    but the parquet read shouldn't repeat per oracle_sql() call."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _IVF_KMEANS_ORACLE_CACHE:
+        return _IVF_KMEANS_ORACLE_CACHE[sf_dir]
+    cfg = IVF_KMEANS_CFG
+    cents = _train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    values = ",\n          ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    sql = SQL_TOPK_IVF_KMEANS_TEMPLATE.format(
+        centroid_values=values,
+        n_queries=N_QUERIES,
+        nprobe=cfg["nprobe"],
+        k=cfg["k"],
+    )
+    _IVF_KMEANS_ORACLE_CACHE[sf_dir] = sql
+    return sql
 
 
 def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +482,6 @@ REGISTRY = {
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),
-    "sim_topk_ivf_kmeans": QuerySpec(sim_topk_ivf_kmeans, None),
+    "sim_topk_ivf_kmeans": QuerySpec(sim_topk_ivf_kmeans, make_ivf_kmeans_oracle),
     "sim_neardup_cosine": QuerySpec(sim_neardup_cosine, SQL_NEARDUP),
 }

@@ -290,10 +290,13 @@ def stats_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: sketch estimates are engine-specific by design
     (DuckDB's HLL differs), like approx_distinct_stats."""
     e = table(prep(spark), sf_dir, "events")
+    # per_type feeds BOTH the per-type select and the ALL union row;
+    # persist so the merge path merges sketches instead of rescanning
+    # events twice (the whole point of mergeable sketches)
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).persist()
     total = per_type.agg(
         F.lit("ALL").alias("event_type"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),

@@ -145,6 +145,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def use_rocksdb_state_store(spark) -> str | None:
+    """Explicit opt-in to the RocksDB state store provider (required by
+    transformWithState). Session-wide and read at query START, so it is
+    deliberately NOT set inside operator builders — switching providers
+    mid-session invalidates existing HDFS-backed streaming checkpoints.
+    Returns the previous provider value (None if unset) so a harness can
+    restore it after its query stops."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return prev
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """running_user_totals on the transformWithStateInPandas API (the
     Spark 4 successor to applyInPandasWithState): identical semantics —
@@ -154,8 +170,12 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     should start from this one (state schema evolution, TTL, and timers
     only exist here).
 
-    Requires the RocksDB state store provider (set below — a Spark
-    requirement for transformWithState) AND a working `google.protobuf`
+    Requires the RocksDB state store provider — a Spark requirement for
+    transformWithState, and a SESSION-WIDE conf read at query start, so
+    this operator does NOT set it implicitly (a silent provider switch
+    can invalidate existing HDFS-backed checkpoints of unrelated queries
+    in the same session): callers opt in via use_rocksdb_state_store()
+    before starting the query. Also needs a working `google.protobuf`
     (the TWS state-server wire protocol): this container ships a broken
     protobuf, so the twin test skips here and the applyInPandasWithState
     form (running_user_totals) carries the tested stateful path."""
@@ -166,14 +186,6 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
     out_schema = "user_id long, n_events long, total_value double"
-
-    # transformWithState runs only on the RocksDB state store provider
-    # (Spark requirement; the default HDFS-backed provider is rejected).
-    # Session-level conf, read at query start.
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -261,10 +261,21 @@ def test_streaming_session_and_dedup(spark, tmp_path):
     if _has_protobuf:
         from python_multiproc_bigdata_spark.streaming.windows import (
             running_user_totals_tws,
+            use_rocksdb_state_store,
         )
 
-        tws = run_to_memory(running_user_totals_tws(ev), mode="update").collect()
-        assert {r.user_id: (r.n_events, r.total_value) for r in tws} == by_user
+        # RocksDB provider is an explicit session-wide opt-in now (the
+        # operator no longer mutates the session); restore afterwards
+        prev = use_rocksdb_state_store(ev.sparkSession)
+        try:
+            tws = run_to_memory(running_user_totals_tws(ev), mode="update").collect()
+            assert {r.user_id: (r.n_events, r.total_value) for r in tws} == by_user
+        finally:
+            key = "spark.sql.streaming.stateStore.providerClass"
+            if prev is None:
+                ev.sparkSession.conf.unset(key)
+            else:
+                ev.sparkSession.conf.set(key, prev)
 
     # foreachBatch multi-sink: one micro-batch fanned out to two sinks
     from python_multiproc_bigdata_spark.streaming.windows import (

@@ -60,7 +60,7 @@ def main() -> int:
             if spec.oracle is None:
                 print(f"  {name}: rows-only ({len(srows)} rows) OK")
                 continue
-            res = con.execute(spec.oracle)
+            res = con.execute(spec.resolve_oracle())
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
