@@ -888,6 +888,90 @@ def _sq8(df: DataFrame, id_alias: str, p: str) -> DataFrame:
     )
 
 
+def topk_sq8_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    n_lists: int = 16,
+    max_iter: int = 3,
+    rerank: int = 10,
+    train_sample: int | None = 4096,
+) -> DataFrame:
+    """SQ8-over-IVF: the composed ANN plan you'd actually run at 100 TB —
+    IVF k-means lists cut the CANDIDATE COUNT to ~nprobe/n_lists of the
+    corpus (partition pruning once the cid is the table's partition key,
+    see build_ivf_index), int8 scalar quantization cuts the candidate
+    SCAN BANDWIDTH ~4x, and an exact re-rank on the top `rerank` full
+    vectors restores accuracy (the FAISS IVF+SQ recipe). topk_sq8 alone
+    quantizes but scans every candidate; topk_ivf_kmeans alone prunes
+    but scores full vectors — this composes both halves, sharing their
+    building blocks (_sq8 quantization, _assign_clusters,
+    _probe_lists) so the pieces cannot drift from the forms the oracles
+    already verify.
+
+    Fully deterministic (driver-trained md5-sample centroids, rounded
+    scores, id tiebreaks), so the generated DuckDB oracle replays the
+    entire pipeline — candidates, quantized ranking, exact re-rank —
+    value-exact (registry/similarity.py:make_sq8_ivf_oracle)."""
+    if train_sample:
+        cents = train_spherical_kmeans_driver(
+            corpus, n_lists=n_lists, max_iter=max_iter, sample_size=train_sample
+        )
+    else:
+        cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
+    spark = corpus.sparkSession
+    _, cnormed = _corpus_with_unit(corpus)
+    assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    # int8-quantized corpus carrying its inverted-list id: the only
+    # full-corpus relations in the plan are this (int8 + 2 doubles/row)
+    # and the assignment — never a full-corpus float crossJoin
+    cq = _sq8(corpus, "neighbor_id", "b").join(
+        assign_df.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("probe_label")
+        ),
+        "neighbor_id",
+    )
+    qq = _sq8(queries, "query_id", "a")
+    probed = _probe_lists(queries, cents, nprobe, label="probe_label").select(
+        "query_id", "probe_label"
+    )
+    approx = (
+        probed.join(qq, "query_id")
+        .join(cq, "probe_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_score",
+            F.round(
+                F.when(
+                    (F.col("a_norm") > 0) & (F.col("b_norm") > 0),
+                    (dot("a_q", "b_q") / (F.col("a_scale") * F.col("b_scale")))
+                    / (F.col("a_norm") * F.col("b_norm")),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
+    exact = (
+        cand.join(qf, "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(exact, k)
+
+
 def topk_sq8(
     queries: DataFrame, corpus: DataFrame, k: int = 3, rerank: int = 10
 ) -> DataFrame:

@@ -86,6 +86,11 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   grouping_sets_orders → cube_orders (CUBE ⊃ grouping-sets surface)
 #   stats_price_percentiles → stats_price_quartiles_ntile (ntile never
 #     checked; exact percentiles stay parity-checked locally)
+#   sim_topk_sq8 → sim_topk_sq8_ivf (the composed IVF-pruned +
+#     int8-quantized + exact-rerank plan — the shape you'd run at
+#     100 TB; its generated oracle replays the same quantization
+#     arithmetic SQL_TOPK_SQ8 verified, so the SQ8 surface keeps a
+#     hard signal through the composition)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
@@ -120,7 +125,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
     "sim_topk_bruteforce",
     "sim_knn_classify",
-    "sim_topk_sq8",
+    "sim_topk_sq8_ivf",
     "sim_topk_lsh_banded",
     "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",

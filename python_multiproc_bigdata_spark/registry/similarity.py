@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from python_multiproc_bigdata_spark.operators.similarity import (
     knn_classify,
     topk_sq8,
+    topk_sq8_ivf,
     neardup_pairs_banded,
     sign_bucket,
     topk_bruteforce,
@@ -224,7 +225,11 @@ SELECT id_a, id_b, score FROM verified WHERE score >= 0.4
 
 # One config shared by the registered Spark query AND the generated
 # DuckDB oracle — change it in one place and both sides follow.
-IVF_KMEANS_CFG = dict(k=3, nprobe=4, n_lists=16, max_iter=3, train_sample=4096)
+# 128 lists / nprobe 32 from the r4 sweep: at the SAME 25% scan
+# fraction, recall@3 at sf0.1 is 0.97 vs 0.85 (64/16) vs 0.59 (16/4) —
+# finer lists dominate well past the √corpus rule on this data, and at
+# 0.97 the k-means IVF beats the banded-LSH path (0.94) at equal cost.
+IVF_KMEANS_CFG = dict(k=3, nprobe=32, n_lists=128, max_iter=3, train_sample=4096)
 
 
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,10 +243,11 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured by tools/recall_report.py and pinned in
     tests/test_recall_floors.py.
 
-    n_lists=16 / nprobe=4: at the SAME 25% scan fraction, finer lists
-    beat coarser ones (recall@3 0.62 vs 0.50 for 8 lists / nprobe=2 at
-    sf0.1) — the standard IVF sizing rule (n_lists grows ~√corpus,
-    nprobe scales the recall/cost knob) demonstrated by measurement."""
+    Config: see IVF_KMEANS_CFG — 128 lists / nprobe 32, chosen by the
+    r4 sweep (recall@3 0.97 at a 25% scan fraction at sf0.1; finer
+    lists at fixed scan keep winning on this data). Training degrades
+    gracefully to corpus-many lists if the corpus is ever smaller than
+    n_lists (kmeans_core inits from the available sample)."""
     emb = table(prep(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     # max_iter=3: recall is converged by then (±0.02 vs 5 iters at
@@ -346,39 +352,43 @@ SELECT query_id, neighbor_id, score, rk FROM (
   FROM scored) WHERE rk <= {k}
 """
 
-_IVF_KMEANS_ORACLE_CACHE: dict[str, str] = {}
+_CENTROID_LITERAL_CACHE: dict[str, str] = {}
 
 
-def make_ivf_kmeans_oracle() -> str:
-    """Generate the sim_topk_ivf_kmeans oracle for the correctness-gate
-    scale factor: retrain the (deterministic) centroids from the parquet,
-    embed them as DOUBLE[] literals, and replay assignment + probing +
-    re-rank in plain SQL. Cached per sf_dir — training is 4096×64 NumPy,
-    but the parquet read shouldn't repeat per oracle_sql() call."""
+def _centroid_values_literal() -> str:
+    """Trained-centroid VALUES literal for the correctness-gate scale
+    factor, shared by every generated IVF oracle. Cached per sf_dir —
+    training is 4096×64 NumPy, but the parquet read shouldn't repeat per
+    oracle_sql() call."""
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    if sf_dir in _IVF_KMEANS_ORACLE_CACHE:
-        return _IVF_KMEANS_ORACLE_CACHE[sf_dir]
+    if sf_dir not in _CENTROID_LITERAL_CACHE:
+        cfg = IVF_KMEANS_CFG
+        cents = _train_centroids_from_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            n_lists=cfg["n_lists"],
+            max_iter=cfg["max_iter"],
+            sample_size=cfg["train_sample"],
+        )
+        _CENTROID_LITERAL_CACHE[sf_dir] = ",\n          ".join(
+            f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+            for i, c in enumerate(cents)
+        )
+    return _CENTROID_LITERAL_CACHE[sf_dir]
+
+
+def make_ivf_kmeans_oracle() -> str:
+    """Generate the sim_topk_ivf_kmeans oracle: retrain the
+    (deterministic) centroids from the parquet, embed them as DOUBLE[]
+    literals, and replay assignment + probing + re-rank in plain SQL."""
     cfg = IVF_KMEANS_CFG
-    cents = _train_centroids_from_parquet(
-        f"{sf_dir}/embeddings.parquet",
-        n_lists=cfg["n_lists"],
-        max_iter=cfg["max_iter"],
-        sample_size=cfg["train_sample"],
-    )
-    values = ",\n          ".join(
-        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
-    sql = SQL_TOPK_IVF_KMEANS_TEMPLATE.format(
-        centroid_values=values,
+    return SQL_TOPK_IVF_KMEANS_TEMPLATE.format(
+        centroid_values=_centroid_values_literal(),
         n_queries=N_QUERIES,
         nprobe=cfg["nprobe"],
         k=cfg["k"],
     )
-    _IVF_KMEANS_ORACLE_CACHE[sf_dir] = sql
-    return sql
 
 
 def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,10 +485,126 @@ SELECT query_id, neighbor_id, score, rk FROM (
 """.format(n_queries=N_QUERIES)
 
 
+SQ8_IVF_RERANK = 10
+
+
+def sim_topk_sq8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN plan (operators/similarity.py:
+    topk_sq8_ivf): k-means IVF lists prune candidates to
+    ~nprobe/n_lists of the corpus, int8 quantization cuts candidate
+    scan bandwidth 4x, exact re-rank on the top-10 restores accuracy.
+    Deterministic end-to-end, so the generated oracle replays
+    candidates, quantized ranking, and re-rank value-exact."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cfg = IVF_KMEANS_CFG
+    return topk_sq8_ivf(
+        queries,
+        emb,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        rerank=SQ8_IVF_RERANK,
+        train_sample=cfg["train_sample"],
+    )
+
+
+# DuckDB twin of operators/similarity.py:topk_sq8_ivf: the kmeans
+# assignment/probe CTEs (as in SQL_TOPK_IVF_KMEANS_TEMPLATE) feed the
+# SQ8 quantized ranking and exact re-rank (as in SQL_TOPK_SQ8).
+SQL_TOPK_SQ8_IVF_TEMPLATE = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents(cid, c) AS (
+  VALUES {centroid_values}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), sq AS (
+  SELECT vec_id, e,
+         CASE WHEN mx > 0 THEN CAST(127.0 AS DOUBLE) / mx ELSE 1.0 END AS scale,
+         sqrt(list_dot_product(e, e)) AS nrm
+  FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS mx FROM emb)
+), qz AS (
+  SELECT vec_id, scale, nrm,
+         list_transform(e, x -> CAST(round(x * scale) AS INTEGER))::DOUBLE[] AS q
+  FROM sq
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0
+                         AND sqrt(list_dot_product(cents.c, cents.c)) > 0
+                   THEN list_dot_product(q.q_e, cents.c)
+                        / (q.q_norm * sqrt(list_dot_product(cents.c, cents.c)))
+                   ELSE 0.0 END, 4) DESC, cents.cid ASC) AS pr
+    FROM q CROSS JOIN cents) WHERE pr <= {nprobe}
+), approx AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+               THEN (list_dot_product(a.q, b.q) / (a.scale * b.scale))
+                    / (a.nrm * b.nrm)
+               ELSE 0.0 END, 4) AS approx_score
+  FROM probes p
+  JOIN assign s ON s.cid = p.cid
+  JOIN qz b ON b.vec_id = s.vec_id
+  JOIN qz a ON a.vec_id = p.query_id
+  WHERE b.vec_id != p.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_score DESC, neighbor_id ASC) AS ark
+    FROM approx) WHERE ark <= {rerank}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qa.e, qa.e)) > 0
+                     AND sqrt(list_dot_product(qb.e, qb.e)) > 0
+               THEN list_dot_product(qa.e, qb.e)
+                    / (sqrt(list_dot_product(qa.e, qa.e))
+                       * sqrt(list_dot_product(qb.e, qb.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN emb qa ON qa.vec_id = c.query_id
+  JOIN emb qb ON qb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM exact) WHERE rk <= {k}
+"""
+
+
+def make_sq8_ivf_oracle() -> str:
+    cfg = IVF_KMEANS_CFG
+    return SQL_TOPK_SQ8_IVF_TEMPLATE.format(
+        centroid_values=_centroid_values_literal(),
+        n_queries=N_QUERIES,
+        nprobe=cfg["nprobe"],
+        rerank=SQ8_IVF_RERANK,
+        k=cfg["k"],
+    )
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
+    "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),

@@ -37,10 +37,19 @@ def test_oracle_centroids_bit_identical_to_spark_trainer(spark):
 
 
 def test_oracle_sql_embeds_config(monkeypatch):
+    from python_multiproc_bigdata_spark.registry.similarity import (
+        _centroid_values_literal,
+        make_sq8_ivf_oracle,
+    )
+
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
     sql = make_ivf_kmeans_oracle()
     assert f"pr <= {IVF_KMEANS_CFG['nprobe']}" in sql
     assert f"rk <= {IVF_KMEANS_CFG['k']}" in sql
     assert sql.count("::DOUBLE[])") == IVF_KMEANS_CFG["n_lists"]
-    # cached: second call returns the same object without retraining
-    assert make_ivf_kmeans_oracle() is sql
+    assert make_ivf_kmeans_oracle() == sql
+    # the trained-centroid literal is cached (no retrain per call) and
+    # shared verbatim by the composed SQ8-over-IVF oracle
+    lit = _centroid_values_literal()
+    assert _centroid_values_literal() is lit
+    assert lit in sql and lit in make_sq8_ivf_oracle()

@@ -244,6 +244,23 @@ def test_expectations_report_counts(spark):
     assert out["unique_id"] == (1, 4, False)
 
 
+def test_expectations_report_rejects_unsafe_names(spark):
+    """Check names become stack() aliases — quotes/backticks would inject
+    into the generated expression and _n_rows collides with the internal
+    row-count alias, so both are rejected up front (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.quality import expectations_report
+
+    df = spark.range(3)
+    for bad in ("has'quote", "back`tick", "1starts_with_digit", "_n_rows", "a b"):
+        with pytest.raises(ValueError):
+            expectations_report(df, {bad: F.col("id") < 0})
+    with pytest.raises(ValueError):  # duplicate across the two maps
+        expectations_report(df, {"dup": F.col("id") < 0}, unique_keys={"dup": ["id"]})
+
+
 def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     """Evolved datasets (a 100 TB corpus never has one frozen schema):
     writer adds a column in a later batch; mergeSchema reconciles, old

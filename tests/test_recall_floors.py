@@ -3,12 +3,14 @@ measurement (tools/recall_report.py) — a quantizer or banding regression
 fails here loudly instead of silently shipping worse recall.
 
 Measured at build time (sf0.001 / sf0.1):
-  ivf_kmeans nprobe=2/8 lists : 0.61 / 0.50   (floor 0.45)
-  ivf_kmeans nprobe=4/16 lists: 0.66 / 0.62   (floor 0.55; the
-    registered query's config — same 25% scan, finer lists)
-  ivf_minid  nprobe=2         : 0.21 / 0.17   (kmeans must beat it)
-  banded near-dup pair recall : 62/66 / 878/920  (floor 0.90)
-  banded LSH top-k recall@3   : 0.93 / 0.94   (floor 0.85)
+  ivf_kmeans nprobe=2/8 lists   : 0.61 / 0.50   (floor 0.45)
+  ivf_kmeans nprobe=32/128 lists: 0.95 / 0.97   (floor 0.90; the
+    registered config from the r4 sweep — finer lists at a fixed 25%
+    scan fraction dominate: 16/4 0.59, 64/16 0.85, 128/32 0.97)
+  sq8_ivf composed (same cfg)   : 0.95 / 0.97   (floor 0.90)
+  ivf_minid  nprobe=2           : 0.21 / 0.17   (kmeans must beat it)
+  banded near-dup pair recall   : 62/66 / 878/920  (floor 0.90)
+  banded LSH top-k recall@3     : 0.93 / 0.94   (floor 0.85)
 
 Floors sit below the measured values because k-means assignment can flip
 on float-sum near-ties across partitionings; the MARGIN is the
@@ -45,10 +47,11 @@ def test_ivf_kmeans_recall_floor_and_beats_label_lists(spark):
     r_minid = recall_at_k(topk_ivf(q, emb, k=3, nprobe=2), exact)
     assert r_kmeans >= 0.45, r_kmeans
     assert r_kmeans > r_minid, (r_kmeans, r_minid)
-    # the registered config: finer lists at the same 25% scan fraction
-    # must beat the coarse config AND hold its own floor
-    r_fine = recall_at_k(topk_ivf_kmeans(q, emb, k=3, nprobe=4, n_lists=16), exact)
-    assert r_fine >= 0.55, r_fine
+    # the registered config (IVF_KMEANS_CFG, 128 lists / nprobe 32 —
+    # the r4 sweep winner): measured 0.95 @ sf0.001, 0.97 @ sf0.1 at a
+    # 25% scan fraction; floor 0.9 budgets assignment near-tie flips
+    r_fine = recall_at_k(topk_ivf_kmeans(q, emb, k=3, nprobe=32, n_lists=128, max_iter=3), exact)
+    assert r_fine >= 0.9, r_fine
     assert r_fine > r_kmeans, (r_fine, r_kmeans)
 
 
@@ -91,3 +94,20 @@ def test_sq8_rerank_recall_floor(spark):
     exact = _topk_sets(topk_bruteforce(q, emb, k=3))
     r = recall_at_k(topk_sq8(q, emb, k=3, rerank=10), exact)
     assert r >= 0.95, r
+
+
+def test_sq8_ivf_composed_recall_floor(spark):
+    """The composed SQ8-over-IVF plan at the registered config must not
+    lose recall vs plain kmeans-IVF (rerank=10 re-scores exactly, so
+    quantization only costs recall if a true top-3 misses the top-10
+    quantized cut — measured: it doesn't; 0.95 @ sf0.001, 0.97 @ sf0.1,
+    identical to the unquantized IVF path)."""
+    from python_multiproc_bigdata_spark.operators.similarity import topk_sq8_ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)
+    exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    r = recall_at_k(
+        topk_sq8_ivf(q, emb, k=3, nprobe=32, n_lists=128, max_iter=3, rerank=10), exact
+    )
+    assert r >= 0.9, r

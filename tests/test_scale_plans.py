@@ -203,3 +203,14 @@ def test_dq_check_single_scan(spark):
     df = REGISTRY["dq_check_orders"].fn(spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") <= 2, plan
+
+
+def test_sq8_ivf_candidates_pruned_not_crossjoined(spark):
+    # the composed SQ8-over-IVF plan must generate candidates from the
+    # probed inverted lists (probe_label equi-join), never a full-corpus
+    # query x corpus pair space; the only nested-loop fan-outs allowed
+    # are the two n_lists-row centroid broadcasts (assignment + probing)
+    plan = plan_of(REGISTRY["sim_topk_sq8_ivf"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

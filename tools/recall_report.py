@@ -36,6 +36,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     topk_lsh_banded,
     topk_lsh_multiprobe,
     topk_sq8,
+    topk_sq8_ivf,
 )
 from python_multiproc_bigdata_spark.session import get_spark
 
@@ -97,10 +98,24 @@ def main() -> None:
         "ivf_kmeans_16lists_nprobe8": round(
             recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=8, n_lists=16), exact), 4
         ),
+        # r4 finding: at a FIXED scan fraction (nprobe/n_lists = 25%),
+        # finer lists keep winning well past the √corpus rule on this
+        # data — 16/4: 0.59, 64/16: 0.85, 128/32: 0.97 at sf0.1 — so the
+        # registered config is 128/32 (IVF_KMEANS_CFG)
+        "ivf_kmeans_64lists_nprobe16": round(
+            recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=16, n_lists=64), exact), 4
+        ),
+        "ivf_kmeans_128lists_nprobe32": round(
+            recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=32, n_lists=128), exact), 4
+        ),
         # int8 quantize + rerank=10: measures what 4x bandwidth compression
         # costs in ranking fidelity (expected ~1.0 — rerank re-scores exact)
         "sq8_rerank10": round(
             recall_at_k(topk_sq8(queries, emb, k=K, rerank=10), exact), 4
+        ),
+        # the composed scale plan at the registered config
+        "sq8_ivf_registered": round(
+            recall_at_k(topk_sq8_ivf(queries, emb, k=K, nprobe=32, n_lists=128), exact), 4
         ),
     }
 
