@@ -41,7 +41,7 @@ def test_checked_window_is_curated():
     assert len(CHECKED_FIRST) == 50
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
-        "sim_topk_ivf", "sim_neardup_cosine", "training_mix_by_lang",
+        "sim_neardup_cosine", "training_mix_by_lang",
         "quota_sample_per_lang", "semantic_only_neardups",
         "asof_click_to_view", "range_join_close_events",
         "udaf_median_acctbal", "multimodal_features",
@@ -53,8 +53,17 @@ def test_checked_window_is_curated():
         "streaming_session_counts",
         "training_temperature_mix",
         # round-3 promotions (swap log in registry/__init__.py)
-        "sim_knn_classify", "sim_topk_sq8", "dq_check_orders",
+        "sim_knn_classify", "dq_check_orders",
         "calendar_month_order_counts", "streaming_click_view_join",
+        # round-4 promotions: never-driver-checked tail + the composed
+        # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
+        # their surfaces now carry through sim_topk_ivf_kmeans /
+        # sim_topk_sq8_ivf, both full-hash-checked)
+        "sim_topk_sq8_ivf", "q8_market_share", "q17_small_quantity_revenue",
+        "q21_suppliers_kept_waiting", "streaming_cdc_merge",
+        "streaming_dedup_watermark", "events_retention_cohorts",
+        "events_trailing_1h", "cube_orders", "stats_price_quartiles_ntile",
+        "func_datetime_parts",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
