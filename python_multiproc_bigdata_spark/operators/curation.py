@@ -239,6 +239,51 @@ def decontaminate_overlap(
     )
 
 
+def decontamination_fraction(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    flag_threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document FRACTIONAL contamination (the published corpus-
+    cleaning rule: drop a training doc when more than X% of its word
+    n-grams appear anywhere in the eval suite — a doc sharing one
+    boilerplate gram is noise, a doc 30% covered is a leak).
+    Complements decontaminate_overlap, which emits per-PAIR evidence.
+
+    Emits (train_id, n_grams, n_contaminated, contamination_frac,
+    flagged) for every training doc with ≥1 n-gram (docs shorter than n
+    tokens have nothing to leak and are omitted).
+
+    Plan: the eval gram set is distinct-collapsed and LEFT SEMI-joined
+    against the training grams — at 100 TB the eval side is a benchmark
+    suite (MBs), so the semi-join broadcasts and contamination scoring
+    is a map-side pass over the training gram scan; two partial-agg
+    groupBys on the doc id do the rest."""
+    tg = ngram_set(train, id_col, text_col, n)
+    eg = ngram_set(eval_set, id_col, text_col, n).select("gram").distinct()
+    totals = tg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(eg, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.round(F.col("n_contaminated") / F.col("n_grams"), 4)
+    return (
+        totals.join(hits, "id", "left")
+        .na.fill({"n_contaminated": 0})
+        .select(
+            F.col("id").alias("train_id"),
+            "n_grams",
+            "n_contaminated",
+            frac.alias("contamination_frac"),
+            (frac >= flag_threshold).alias("flagged"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:

@@ -138,6 +138,63 @@ def chunk_documents(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(bucket, batch_id, n_docs, max_tokens, sum_tokens, pad_frac):
+    length-bucketed batching — the third packing semantics alongside
+    concat-then-chunk and first-fit: sequences are grouped into
+    power-of-two length classes and batched WITHIN a class, so each
+    batch pads to its own max length instead of the global one (the
+    padding-efficiency trick dynamic-batching trainers use; pad_frac is
+    the padding waste that batch still pays).
+
+    The length class is the token count's BIT LENGTH (length of its
+    base-2 string — integer/string ops only, deliberately not
+    floor(log2(x)), whose float boundary at exact powers of two is an
+    engine-parity flake). Batching is deterministic: docs order by id
+    within a bucket, batch_id = (rank-1) // batch_size.
+
+    Scale: one shuffle on the bucket key (≤ ~20 buckets for any real
+    corpus — at 100 TB salt the bucket with a shard hash to spread the
+    window, same recipe as operators/skew.py), then one partial-agg
+    groupBy. The output is one row per BATCH, corpus-size / batch_size
+    rows."""
+    bucket = (
+        F.when(F.col(tokens_col) <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col(tokens_col).cast("string"), 10, 2)))
+        .cast("int")
+    )
+    b = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        bucket.alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    rows = b.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long"),
+    )
+    return rows.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(tokens_col).alias("max_tokens"),
+        F.sum(tokens_col).alias("sum_tokens"),
+        F.when(
+            F.max(tokens_col) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.sum(tokens_col) / (F.count(F.lit(1)) * F.max(tokens_col)),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pad_frac"),
+    )
+
+
 def bin_stats(
     packed: DataFrame, budget: int, by: str, tokens_col: str = "n_tokens"
 ) -> DataFrame:

@@ -12,6 +12,7 @@ from python_multiproc_bigdata_spark.operators.curation import (
     boilerplate_ngrams,
     connected_components,
     decontaminate_overlap,
+    decontamination_fraction,
     repetition_signals,
 )
 from python_multiproc_bigdata_spark.operators.dedup import minhash_lsh_pairs
@@ -99,6 +100,48 @@ WITH toks AS (
 SELECT train_id, eval_id, count(*) AS n_shared_grams
 FROM tr JOIN ev USING (g)
 GROUP BY train_id, eval_id
+"""
+
+DECON_FLAG_THRESHOLD = 0.05
+
+
+def decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional contamination per training doc (operators/curation.py:
+    decontamination_fraction): the share of each doc's 13-grams that
+    appear anywhere in the eval slice, flagged at >=5% — the published
+    drop-if-X%-covered rule, complementing decontaminate_train_eval's
+    per-pair evidence. Same eval split (doc_id % 10 == 0)."""
+    d = table(prep(spark), sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontamination_fraction(
+        tr, ev, n=DECON_N, flag_threshold=DECON_FLAG_THRESHOLD
+    )
+
+
+SQL_DECONTAMINATE_FRACTION = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(greatest(len(t) - {DECON_N - 1}, 0)),
+           i -> array_to_string(t[i+1:i+{DECON_N}], ' '))) AS g
+    FROM toks)
+), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+   tr AS (SELECT doc_id, g FROM grams WHERE doc_id % {EVAL_MOD} != 0),
+   totals AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+   hits AS (
+     SELECT doc_id, count(*) AS n_contaminated
+     FROM tr WHERE g IN (SELECT g FROM ev) GROUP BY doc_id
+   )
+SELECT t.doc_id AS train_id, t.n_grams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) / t.n_grams, 4) AS contamination_frac,
+       round(coalesce(h.n_contaminated, 0) / t.n_grams, 4)
+         >= {DECON_FLAG_THRESHOLD} AS flagged
+FROM totals t LEFT JOIN hits h USING (doc_id)
 """
 
 
@@ -215,6 +258,9 @@ REGISTRY = {
     ),
     "decontaminate_train_eval": QuerySpec(
         decontaminate_train_eval, SQL_DECONTAMINATE
+    ),
+    "decontaminate_fraction": QuerySpec(
+        decontaminate_fraction, SQL_DECONTAMINATE_FRACTION
     ),
     "dedup_components_canonical": QuerySpec(
         dedup_components_canonical, SQL_COMPONENTS

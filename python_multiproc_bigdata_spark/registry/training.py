@@ -439,8 +439,54 @@ FROM w
 """
 
 
+LENGTH_BATCH_SIZE = 32
+
+
+def training_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report (operators/packing.py:
+    length_bucketed_batches): docs grouped into power-of-two token-count
+    classes (bit-length buckets — integer ops, no float log2 boundary
+    flakes) and batched 32-per-batch within a class; each batch row
+    carries its own max length and the padding fraction it pays — the
+    dynamic-batching padding-efficiency view of the corpus."""
+    from python_multiproc_bigdata_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    return length_bucketed_batches(
+        _doc_tokens(spark, sf_dir), batch_size=LENGTH_BATCH_SIZE
+    )
+
+
+SQL_LENGTH_BATCHES = (
+    "WITH toks AS (" + SQL_DOC_TOKENS + rf"""
+), b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 0 THEN 0
+              ELSE length(bin(n_tokens)) END AS bucket
+  FROM toks
+), r AS (
+  SELECT bucket, doc_id, n_tokens,
+         CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+              // {LENGTH_BATCH_SIZE} AS BIGINT) AS batch_id
+  FROM b
+)
+SELECT bucket, batch_id, count(*) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CASE WHEN max(n_tokens) > 0
+            THEN round(1.0 - sum(n_tokens) / (count(*) * max(n_tokens)), 4)
+            ELSE 0.0 END AS pad_frac
+FROM r GROUP BY bucket, batch_id
+"""
+)
+
+
 REGISTRY = {
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
+    "training_length_batches": QuerySpec(
+        training_length_batches, SQL_LENGTH_BATCHES
+    ),
     "training_temperature_mix": QuerySpec(
         training_temperature_mix, SQL_TEMPERATURE_MIX
     ),

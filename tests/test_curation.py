@@ -161,3 +161,25 @@ def test_unigram_logprob_orders_rare_docs_last(spark):
     import math
 
     assert abs(out[1].xent_nats - round(-math.log(7 / 12), 4)) < 1e-9
+
+
+def test_decontamination_fraction_semantics(spark):
+    from python_multiproc_bigdata_spark.operators.curation import (
+        decontamination_fraction,
+    )
+
+    # n=2 grams; train doc 1 shares 'b c' with eval; doc 2 shares nothing;
+    # doc 3 is fully covered by eval; doc 4 too short for any gram
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z"), (3, "p q"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(10, "b c e p q")], "doc_id long, text string")
+    out = {
+        r.train_id: (r.n_grams, r.n_contaminated, r.contamination_frac, r.flagged)
+        for r in decontamination_fraction(train, ev, n=2, flag_threshold=0.5).collect()
+    }
+    assert out[1] == (3, 1, round(1 / 3, 4), False)
+    assert out[2] == (2, 0, 0.0, False)
+    assert out[3] == (1, 1, 1.0, True)
+    assert 4 not in out  # shorter than n → nothing to leak

@@ -105,3 +105,22 @@ def test_bin_stats_fill_ratio(spark, toks):
     assert stats[("a", 2)] == (1, 130, 1.3)
     assert stats[("a", 3)] == (2, 100, 1.0)
     assert stats[("a", 4)] == (1, 10, 0.1)
+
+
+def test_length_bucketed_batches_semantics(spark):
+    # token counts 1..10 → bit-length buckets: 1→1, 2-3→2, 4-7→3, 8-10→4
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)] + [(11, 0)], "doc_id long, n_tokens long"
+    )
+    out = {
+        (r.bucket, r.batch_id): (r.n_docs, r.max_tokens, r.sum_tokens, r.pad_frac)
+        for r in P.length_bucketed_batches(docs, batch_size=2).collect()
+    }
+    assert out[(0, 0)] == (1, 0, 0, 0.0)  # zero-length doc, pad guard
+    assert out[(1, 0)] == (1, 1, 1, 0.0)
+    assert out[(2, 0)] == (2, 3, 5, round(1 - 5 / 6, 4))
+    # bucket 3 holds 4..7 → two batches of 2 in doc_id order
+    assert out[(3, 0)] == (2, 5, 9, round(1 - 9 / 10, 4))
+    assert out[(3, 1)] == (2, 7, 13, round(1 - 13 / 14, 4))
+    assert out[(4, 0)] == (2, 9, 17, round(1 - 17 / 18, 4))
+    assert out[(4, 1)] == (1, 10, 10, 0.0)
