@@ -9,7 +9,7 @@ oracles reproduce results bit-for-bit, per the repo-wide rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
@@ -281,6 +281,47 @@ def decontamination_fraction(
             frac.alias("contamination_frac"),
             (frac >= flag_threshold).alias("flagged"),
         )
+    )
+
+
+def cap_source_share(
+    docs_tokens: DataFrame,
+    cap_frac: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source token-share capping (the domain-cap rule: no single
+    source/domain may exceed `cap_frac` of the corpus's tokens —
+    protects the mix from one crawl dominating). Docs are admitted in
+    deterministic id order within their source until the source's
+    running token sum would pass the cap; emits one summary row per
+    source: (source, n_docs, total_tokens, kept_docs, kept_tokens,
+    cap_tokens).
+
+    Plan: one scalar total (1-row broadcast fan-out), one per-source
+    window prefix-sum (the shuffle key is the source — a skewed crawl
+    IS the case this operator exists for, and its window still
+    processes that source's rows on one task ordered by id; salt by a
+    hash bucket and re-merge if a single source outgrows a task), one
+    partial-agg groupBy."""
+    total = docs_tokens.agg(F.sum(tokens_col).cast("long").alias("_total"))
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    run = F.sum(tokens_col).over(w).cast("long")
+    with_run = (
+        docs_tokens.crossJoin(F.broadcast(total))
+        .withColumn("_run", run)
+        .withColumn("_budget", (F.col("_total") * F.lit(cap_frac)).cast("long"))
+    )
+    kept = F.col("_run") <= F.col("_budget")
+    return with_run.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("total_tokens"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.sum(F.when(kept, F.col(tokens_col)).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.max("_budget").alias("cap_tokens"),
     )
 
 

@@ -482,11 +482,52 @@ FROM r GROUP BY bucket, batch_id
 )
 
 
+SOURCE_CAP_FRAC = 0.3
+
+
+def training_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source token-share capping (operators/curation.py:
+    cap_source_share): no source may exceed 30% of the corpus's
+    whitespace tokens; docs admitted in id order until the cap. One
+    summary row per source with kept/total docs and tokens."""
+    from python_multiproc_bigdata_spark.operators.curation import cap_source_share
+
+    d = table(prep(spark), sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", WHITESPACE_RE), lambda w: F.length(w) > 0))
+    toks = d.select("source", "doc_id", ws.alias("n_tokens"))
+    return cap_source_share(toks, cap_frac=SOURCE_CAP_FRAC)
+
+
+SQL_SOURCE_CAPS = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0)) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM toks
+), r AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS run,
+         -- floor, not bare CAST: DuckDB rounds double->BIGINT while
+         -- Spark's cast truncates
+         CAST(floor(t.total * {SOURCE_CAP_FRAC}) AS BIGINT) AS budget
+  FROM toks, tot t
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN run <= budget THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN run <= budget THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       max(budget) AS cap_tokens
+FROM r GROUP BY source
+"""
+
+
 REGISTRY = {
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
     "training_length_batches": QuerySpec(
         training_length_batches, SQL_LENGTH_BATCHES
     ),
+    "training_source_caps": QuerySpec(training_source_caps, SQL_SOURCE_CAPS),
     "training_temperature_mix": QuerySpec(
         training_temperature_mix, SQL_TEMPERATURE_MIX
     ),

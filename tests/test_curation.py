@@ -183,3 +183,20 @@ def test_decontamination_fraction_semantics(spark):
     assert out[2] == (2, 0, 0.0, False)
     assert out[3] == (1, 1, 1.0, True)
     assert 4 not in out  # shorter than n → nothing to leak
+
+
+def test_cap_source_share_semantics(spark):
+    from python_multiproc_bigdata_spark.operators.curation import cap_source_share
+
+    # total = 100 tokens, cap 30% -> budget 30; source a admits docs in
+    # id order until the running sum passes 30; source b fits entirely
+    toks = spark.createDataFrame(
+        [("a", 1, 20), ("a", 2, 10), ("a", 3, 40), ("b", 4, 30)],
+        "source string, doc_id long, n_tokens long",
+    )
+    out = {
+        r.source: (r.n_docs, r.total_tokens, r.kept_docs, r.kept_tokens, r.cap_tokens)
+        for r in cap_source_share(toks, cap_frac=0.3).collect()
+    }
+    assert out["a"] == (3, 70, 2, 30, 30)
+    assert out["b"] == (1, 30, 1, 30, 30)
