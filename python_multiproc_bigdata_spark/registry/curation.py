@@ -168,7 +168,7 @@ _LSH_PAIRS_CTE = SQL_MINHASH_LSH.replace("WITH ", "WITH RECURSIVE ", 1).replace(
     ", pairs AS (\nSELECT id_a AS doc_a, id_b AS doc_b,",
 ).rstrip() + "\n)"
 
-SQL_COMPONENTS = _LSH_PAIRS_CTE + r"""
+_COMPONENTS_BODY = r"""
 , edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -177,11 +177,55 @@ SQL_COMPONENTS = _LSH_PAIRS_CTE + r"""
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT n.id AS doc_id, least(n.id, min(r.b)) AS component
+  FROM (SELECT DISTINCT a AS id FROM edges) n
+  JOIN reach r ON r.a = n.id
+  GROUP BY n.id
 )
-SELECT n.id AS doc_id, least(n.id, min(r.b)) AS component
-FROM (SELECT DISTINCT a AS id FROM edges) n
-JOIN reach r ON r.a = n.id
-GROUP BY n.id
+"""
+
+SQL_COMPONENTS = _LSH_PAIRS_CTE + _COMPONENTS_BODY + """
+SELECT doc_id, component FROM comp
+"""
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe ~80/20 split (GroupShuffleSplit semantics): the split
+    hash is taken over each doc's near-dup CLUSTER canonical id, not the
+    doc id, so two near-duplicates can never land on opposite sides of a
+    train/test boundary — the held-out set stays honest. Docs outside
+    any cluster group as themselves. Same md5-hex rule as
+    split_train_test_documents; emits (doc_id, group_key, split).
+
+    Plan: the components pass (iterative min-label propagation over the
+    LSH pair graph — O(dup-cluster diameter) rounds) + one left join of
+    the tiny clustered-doc relation back onto the corpus (broadcasts at
+    scale: |clustered| ~ dup rate) + a map-side hash. The invariant
+    (no group straddles splits) is pinned in tests/test_curation.py."""
+    d = table(prep(spark), sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.8).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    g = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").cast("long").alias("group_key"),
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("group_key").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("test")
+    return g.select("doc_id", "group_key", split.alias("split"))
+
+
+SQL_SPLIT_LEAKAGE_SAFE = _LSH_PAIRS_CTE + _COMPONENTS_BODY + """
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key,
+       CASE WHEN substring(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 2) < 'cd'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -265,4 +309,5 @@ REGISTRY = {
     "dedup_components_canonical": QuerySpec(
         dedup_components_canonical, SQL_COMPONENTS
     ),
+    "split_leakage_safe": QuerySpec(split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
 }

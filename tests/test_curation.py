@@ -200,3 +200,24 @@ def test_cap_source_share_semantics(spark):
     }
     assert out["a"] == (3, 70, 2, 30, 30)
     assert out["b"] == (1, 30, 1, 30, 30)
+
+
+def test_split_leakage_safe_invariants(spark):
+    """No near-dup cluster may straddle the train/test boundary, and the
+    grouped split must agree with the plain hash split for unclustered
+    docs."""
+    from python_multiproc_bigdata_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["split_leakage_safe"].fn(spark, sf).collect()
+    by_group: dict[int, set[str]] = {}
+    for r in rows:
+        by_group.setdefault(r.group_key, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())  # no straddling
+    # both splits nonempty and ~80/20-ish
+    n = len(rows)
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert 0 < n_train < n
+    assert 0.6 < n_train / n < 0.95
+    # some docs actually grouped (the fixture has near-dups)
+    assert any(r.group_key != r.doc_id for r in rows)
