@@ -4,7 +4,7 @@ column-expression plan over `documents` (map-only at any scale)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import (
@@ -207,8 +207,98 @@ SELECT col_name, n_rows, n_nulls, n_distinct FROM (
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_QUERIES = 20
+BM25_TOP_K = 5
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi/Lucene form, k1=1.2 b=0.75): the
+    ranking function a corpus-scale search/retrieval pass uses where
+    TF-IDF stops — length-normalized, saturating term weight. The query
+    set is the corpus's own top-20 document-frequent terms (fully
+    deterministic — ties to the lexicographically first term), each
+    scored against every containing doc; top-5 docs per query term.
+
+    Plan: tokenize once, two partial-agg groupBys (tf per doc-term, dl
+    per doc), a term-level df rollup whose top-20 slice is a broadcast,
+    a 1-row corpus-stats broadcast (N, avgdl), one row_number cut per
+    term. The global window picking the query terms orders the DISTINCT
+    VOCABULARY (bounded, not corpus-sized); idf = ln((N-df+0.5)/(df+0.5)
+    + 1) keeps the Lucene non-negativity fix. Arithmetic parenthesization
+    mirrors the oracle exactly so the rounded scores are bit-equal."""
+    d = table(prep(spark), sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", WHITESPACE_RE)).alias("term")
+    ).filter(F.length(F.trim("term")) > 0)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    queries = (
+        df_.withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= BM25_TOP_QUERIES)
+        .drop("qr")
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    score = F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 4)
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("term", "doc_id", "tf", "score", "rk")
+    )
+
+
+SQL_BM25 = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS term FROM documents
+), tok_nb AS (
+  SELECT doc_id, term FROM tok WHERE length(trim(term)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok_nb GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok_nb GROUP BY 1
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), queries AS (
+  SELECT term, df FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS qr FROM df)
+  WHERE qr <= {BM25_TOP_QUERIES}
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf
+               * {BM25_K1 + 1}
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 4) AS score
+  FROM tf JOIN queries USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT term, doc_id, tf, score, rk FROM (
+  SELECT term, doc_id, tf, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored) WHERE rk <= {BM25_TOP_K}
+"""
+
+
 REGISTRY = {
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
+    "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),
     "text_quality": QuerySpec(text_quality, SQL_QUALITY),
     "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),

@@ -39,3 +39,24 @@ def test_spot_parity(spark, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) > 0
     assert norm_rows(scols, srows) == norm_rows(dcols, drows)
+
+
+def test_bm25_invariants(spark):
+    from python_multiproc_bigdata_spark.registry.text import (
+        BM25_TOP_K,
+        BM25_TOP_QUERIES,
+        text_bm25_topk,
+    )
+
+    rows = text_bm25_topk(spark, SF_DIR).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    assert len(by_term) == BM25_TOP_QUERIES
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOP_K
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)  # rank follows score
+        assert all(r.tf >= 1 for r in rs)  # only docs containing the term
