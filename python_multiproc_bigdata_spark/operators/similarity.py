@@ -363,6 +363,50 @@ def kmeans_core(x, n_lists: int, max_iter: int):
     return cents
 
 
+def kmeans_l2_core(x, k: int, max_iter: int):
+    """Plain-L2 Lloyd's (no renormalization) — the PQ sub-codebook
+    trainer, shared by the Spark-side trainer and the oracle generator
+    exactly like kmeans_core. Init = first k rows; assignment by min
+    squared distance with ties to the lowest code (np.argmin takes the
+    first minimum); empty codes keep their centroid."""
+    import numpy as np
+
+    cents = x[:k].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return cents
+
+
+def collect_unit_sample(corpus: DataFrame, sample_size: int = 4096):
+    """The deterministic md5-lowest unit-vector sample every driver-side
+    quantizer trainer uses (spherical k-means, PQ codebooks): one bounded
+    collect of O(sample_size × dims), ordered by vec_id for stable
+    init. Engine-portable by construction — the oracle generators replay
+    the identical sample from parquet via hashlib md5."""
+    import numpy as np
+
+    norm = (
+        corpus.select("vec_id", "embedding", l2_norm("embedding").alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x / F.col("_n")).alias("e"),
+        )
+    )
+    rows = (
+        norm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_size)
+        .orderBy("vec_id")  # init must be the lowest-vec_id vectors
+        .collect()
+    )
+    return np.asarray([r.e for r in rows], dtype=np.float64)
+
+
 def train_spherical_kmeans_driver(
     corpus: DataFrame,
     n_lists: int = 8,
@@ -387,24 +431,61 @@ def train_spherical_kmeans_driver(
     engine-portable (md5 over the decimal string is identical in Spark,
     DuckDB, and hashlib) so the DuckDB oracle generator replays the
     IDENTICAL sample and therefore the identical centroids."""
-    import numpy as np
-
-    norm = (
-        corpus.select("vec_id", "embedding", l2_norm("embedding").alias("_n"))
-        .filter(F.col("_n") > 0)
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x / F.col("_n")).alias("e"),
-        )
-    )
-    rows = (
-        norm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(sample_size)
-        .orderBy("vec_id")  # init must be the lowest-vec_id vectors
-        .collect()
-    )
-    x = np.asarray([r.e for r in rows], dtype=np.float64)
+    x = collect_unit_sample(corpus, sample_size)
     return [[float(v) for v in c] for c in kmeans_core(x, n_lists, max_iter)]
+
+
+def train_pq_codebooks_driver(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 3,
+    sample_size: int = 4096,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding splits into `n_sub`
+    contiguous subspaces and each subspace gets its own plain-L2 k-means
+    codebook of `n_codes` centroids, trained driver-side on the shared
+    md5-sample of UNIT vectors (cosine-PQ: normalize first, then
+    quantize -- the FAISS recipe for inner-product/cosine metrics).
+    Returns codebooks[sub][code] = centroid (n_sub x n_codes x
+    dims/n_sub -- 8x16x8 doubles here, ~8 KB: broadcast-sized at any
+    corpus scale). Deterministic end-to-end, so the oracle generator
+    retrains bit-identical books (registry/similarity.py:
+    make_pq_oracle)."""
+    x = collect_unit_sample(corpus, sample_size)
+    return pq_books_from_sample(x, n_sub, n_codes, max_iter)
+
+
+def pq_books_from_sample(x, n_sub: int, n_codes: int, max_iter: int):
+    """The subspace-slicing + per-subspace kmeans_l2_core loop, shared by
+    the Spark trainer and the oracle generator so codebooks cannot
+    drift."""
+    d = x.shape[1]
+    if d % n_sub:
+        raise ValueError(f"dims {d} not divisible by n_sub {n_sub}")
+    w = d // n_sub
+    books = []
+    for s in range(n_sub):
+        sub = x[:, s * w : (s + 1) * w].copy()
+        cents = kmeans_l2_core(sub, n_codes, max_iter)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_book_sq(books: list[list[list[float]]]) -> list[list[float]]:
+    """Per-code squared norms via the sequential left fold — ONE
+    implementation, so the constant bits embedded in the Spark plan and
+    in the generated oracle are identical."""
+    out = []
+    for cb in books:
+        row = []
+        for c in cb:
+            acc = 0.0
+            for v in c:
+                acc += v * v
+            row.append(acc)
+        out.append(row)
+    return out
 
 
 def _assign_clusters(vecs: DataFrame, cent_df: DataFrame) -> DataFrame:
@@ -950,6 +1031,111 @@ def topk_sq8_ivf(
                 ).otherwise(F.lit(0.0)),
                 4,
             ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
+    exact = (
+        cand.join(qf, "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(exact, k)
+
+
+def topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    book_sq: list[list[float]],
+    k: int = 3,
+    rerank: int = 10,
+) -> DataFrame:
+    """Product-quantization ADC top-k: the corpus collapses to n_sub
+    small integer codes per vector (8 codes here -- 8 BYTES per vector
+    against 256 for float32, the deepest compression tier after SQ8's
+    4x), approximate scores come from the code-reconstructed vectors,
+    and an exact re-rank on the top `rerank` restores accuracy. Scoring
+    against the reconstruction is mathematically the classic per-query
+    ADC lookup-table sum (the dot distributes over the concatenated
+    sub-centroids); expressing it as one reconstructed dot keeps the
+    whole plan in JVM higher-order functions.
+
+    `books[sub][code]` are the per-subspace centroids, `book_sq[sub]
+    [code]` their precomputed squared norms (passed in, not recomputed,
+    so the Spark plan and the generated oracle share the identical
+    constant bits). Encoding = argmin squared distance per subspace via
+    the expanded form d2 = e.e - 2 e.c + cc (ties -> lowest code), ONE
+    broadcast join against the n_sub*n_codes-row codebook + one groupBy
+    argmin -- at 100 TB the codes are computed once and stored like the
+    IVF assignment (build_ivf_index pattern), and the scan reads codes,
+    not vectors. Candidate generation here is the bounded-query scan
+    (the bruteforce shape); compose with IVF lists for row pruning
+    exactly like topk_sq8_ivf."""
+    spark = corpus.sparkSession
+    n_sub = len(books)
+    w = len(books[0][0])
+    book_rows = [
+        (s, i, c, book_sq[s][i])
+        for s, cb in enumerate(books)
+        for i, c in enumerate(cb)
+    ]
+    book_df = F.broadcast(
+        spark.createDataFrame(book_rows, "sub int, cid int, c array<double>, cc double")
+    )
+    _, cnormed = _corpus_with_unit(corpus)
+    subs = cnormed.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        "e",
+    ).select(
+        "vec_id", "sub", F.slice("e", F.col("sub") * w + 1, w).alias("es")
+    )
+    d2 = (
+        dot_arrays(F.col("es"), F.col("es"))
+        - 2 * dot_arrays(F.col("es"), F.col("c"))
+        + F.col("cc")
+    )
+    codes = (
+        subs.join(book_df, "sub")
+        .select("vec_id", "sub", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    recon = (
+        codes.join(book_df.select("sub", "cid", "c"), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "c"))),
+                    lambda s: s["c"],
+                )
+            ).alias("r")
+        )
+    )
+    cr = recon.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "r",
+        F.sqrt(dot_arrays(F.col("r"), F.col("r"))).alias("r_norm"),
+    )
+    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    approx = (
+        q.crossJoin(cr)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_score",
+            _score(dot("q_emb", "r"), F.col("q_norm"), F.col("r_norm")),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(

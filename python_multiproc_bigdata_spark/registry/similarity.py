@@ -264,14 +264,13 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _train_centroids_from_parquet(
-    emb_parquet: str, n_lists: int, max_iter: int, sample_size: int
-) -> list[list[float]]:
-    """Retrain the coarse quantizer OUTSIDE Spark, bit-identical to
-    train_spherical_kmeans_driver: float32→double casts, the sequential
-    left-fold norm, element division, the md5(vec_id)-lowest sample, and
-    the shared kmeans_core are all IEEE-identical to what the Spark query
-    computes, so the centroids agree to the last bit."""
+def _unit_sample_from_parquet(emb_parquet: str, sample_size: int):
+    """Replay operators/similarity.py:collect_unit_sample OUTSIDE Spark,
+    bit-identically: float32→double casts, the sequential left-fold
+    norm, element division, and the md5(vec_id)-lowest sample are all
+    IEEE-identical to what the Spark query computes, so every quantizer
+    the oracle generators train from this sample agrees with the
+    Spark-trained one to the last bit."""
     import hashlib
     import math
 
@@ -295,9 +294,15 @@ def _train_centroids_from_parquet(
         normed, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
     )[:sample_size]
     sample.sort(key=lambda t: t[0])  # init = lowest-vec_id unit vectors
-    x = np.asarray([e for _, e in sample], dtype=np.float64)
+    return np.asarray([e for _, e in sample], dtype=np.float64)
+
+
+def _train_centroids_from_parquet(
+    emb_parquet: str, n_lists: int, max_iter: int, sample_size: int
+) -> list[list[float]]:
     from python_multiproc_bigdata_spark.operators.similarity import kmeans_core
 
+    x = _unit_sample_from_parquet(emb_parquet, sample_size)
     cents = kmeans_core(x, n_lists, max_iter)
     return [[float(v) for v in c] for c in cents]
 
@@ -600,8 +605,149 @@ def make_sq8_ivf_oracle() -> str:
     )
 
 
+# r4 sweep at sf0.1 (recall@3, rerank=50): 16 codes 0.56, 64 codes
+# 0.77, 256 codes 0.93 — the code count is THE recall knob, exactly the
+# FAISS sizing story (these near-uniform synthetic embeddings are PQ's
+# worst case: no cluster structure for the codebooks to exploit).
+# 64/50 is the registered balance; 256 is the documented quality point
+# (still 8 bytes/vector — one byte per code).
+PQ_CFG = dict(k=3, n_sub=8, n_codes=64, max_iter=3, rerank=50, train_sample=4096)
+
+
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py:topk_pq):
+    8 int codes per vector (8 bytes vs 256 for float32 — the deepest
+    compression tier, completing the IVF/SQ8/PQ triad), reconstructed-
+    cosine candidate ranking, exact re-rank on the top-`rerank`.
+    Training, encoding, and scoring are deterministic end-to-end, so the
+    generated oracle (make_pq_oracle) replays the whole pipeline with
+    codebook literals. Config tradeoffs measured in the PQ_CFG comment /
+    RECALL.json; floor pinned in test_recall_floors.py."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        topk_pq,
+        train_pq_codebooks_driver,
+    )
+
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cfg = PQ_CFG
+    books = train_pq_codebooks_driver(
+        emb,
+        n_sub=cfg["n_sub"],
+        n_codes=cfg["n_codes"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    return topk_pq(
+        queries, emb, books, pq_book_sq(books), k=cfg["k"], rerank=cfg["rerank"]
+    )
+
+
+# DuckDB twin of operators/similarity.py:topk_pq with the trained
+# codebooks (and their Python-folded squared norms) as literals: same
+# expanded-form argmin encoding (ties -> lowest code), same ordered
+# reconstruction, same rounded reconstructed-cosine candidate ranking,
+# same exact re-rank.
+SQL_TOPK_PQ_TEMPLATE = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), books(sub, cid, c, cc) AS (
+  VALUES {book_values}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), subs AS (
+  SELECT vec_id, t.sub, u[t.sub * {sub_w} + 1 : t.sub * {sub_w} + {sub_w}] AS es
+  FROM cn, range({n_sub}) t(sub)
+), codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT s.vec_id, s.sub, b.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY list_dot_product(s.es, s.es)
+                      - 2 * list_dot_product(s.es, b.c) + b.cc ASC,
+                      b.cid ASC) AS cr
+    FROM subs s JOIN books b ON b.sub = s.sub) WHERE cr = 1
+), recon AS (
+  SELECT c.vec_id, flatten(list(b.c ORDER BY c.sub)) AS r
+  FROM codes c JOIN books b ON b.sub = c.sub AND b.cid = c.cid
+  GROUP BY c.vec_id
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {n_queries}
+), approx AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(CASE WHEN q.q_norm > 0 AND sqrt(list_dot_product(r.r, r.r)) > 0
+               THEN list_dot_product(q.q_e, r.r)
+                    / (q.q_norm * sqrt(list_dot_product(r.r, r.r)))
+               ELSE 0.0 END, 4) AS approx_score
+  FROM q CROSS JOIN recon r WHERE r.vec_id != q.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_score DESC, neighbor_id ASC) AS ark
+    FROM approx) WHERE ark <= {rerank}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qa.e, qa.e)) > 0
+                     AND sqrt(list_dot_product(qb.e, qb.e)) > 0
+               THEN list_dot_product(qa.e, qb.e)
+                    / (sqrt(list_dot_product(qa.e, qa.e))
+                       * sqrt(list_dot_product(qb.e, qb.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN emb qa ON qa.vec_id = c.query_id
+  JOIN emb qb ON qb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM exact) WHERE rk <= {k}
+"""
+
+_PQ_BOOKS_CACHE: dict[str, str] = {}
+
+
+def make_pq_oracle() -> str:
+    import os
+
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        pq_books_from_sample,
+    )
+
+    cfg = PQ_CFG
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        x = _unit_sample_from_parquet(
+            f"{sf_dir}/embeddings.parquet", cfg["train_sample"]
+        )
+        books = pq_books_from_sample(
+            x, cfg["n_sub"], cfg["n_codes"], cfg["max_iter"]
+        )
+        sq = pq_book_sq(books)
+        _PQ_BOOKS_CACHE[sf_dir] = ",\n          ".join(
+            f"({s}, {i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[], {sq[s][i]!r})"
+            for s, cb in enumerate(books)
+            for i, c in enumerate(cb)
+        )
+    sub_w = 64 // cfg["n_sub"]
+    return SQL_TOPK_PQ_TEMPLATE.format(
+        book_values=_PQ_BOOKS_CACHE[sf_dir],
+        sub_w=sub_w,
+        n_sub=cfg["n_sub"],
+        n_queries=N_QUERIES,
+        rerank=cfg["rerank"],
+        k=cfg["k"],
+    )
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
+    "sim_topk_pq": QuerySpec(sim_topk_pq, make_pq_oracle),
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
