@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_topk_sq8",
     "sim_topk_sq8_ivf",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
     "sim_knn_classify",
     "sim_neardup_cosine",
     "training_mix_by_lang",

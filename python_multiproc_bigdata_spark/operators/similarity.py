@@ -1158,6 +1158,111 @@ def topk_pq(
     return _rank_topk(exact, k)
 
 
+def topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    book_sq: list[list[float]],
+    k: int = 3,
+    nprobe: int = 32,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF+PQ: the full FAISS serving recipe in one plan -- k-means
+    inverted lists prune ROWS to ~nprobe/n_lists of the corpus, PQ codes
+    cut BYTES to 8 per candidate, and an exact re-rank on the top
+    `rerank` restores accuracy. (Simplification vs textbook IVFPQ:
+    codes quantize the vectors directly, not the per-list residuals --
+    an IVFFlat+PQ hybrid -- which keeps one global codebook broadcast
+    and, more importantly here, keeps encode semantics identical to
+    topk_pq so both oracles share the replay machinery. Residual
+    codebooks would add ~1 bit/dim of effective precision at the cost
+    of n_lists codebooks.)
+
+    Trained centroids and codebooks are passed in (both deterministic,
+    driver-trained on the shared md5 sample), so the generated oracle
+    embeds BOTH literal sets and replays list assignment, probing, PQ
+    encoding, reconstruction, candidate ranking, and re-rank
+    value-exact."""
+    spark = corpus.sparkSession
+    n_sub = len(books)
+    w = len(books[0][0])
+    book_rows = [
+        (s, i, c, book_sq[s][i])
+        for s, cb in enumerate(books)
+        for i, c in enumerate(cb)
+    ]
+    book_df = F.broadcast(
+        spark.createDataFrame(book_rows, "sub int, cid int, c array<double>, cc double")
+    )
+    _, cnormed = _corpus_with_unit(corpus)
+    # inverted-list assignment (shared argmax) + PQ encode (shared argmin)
+    assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    subs = cnormed.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        "e",
+    ).select(
+        "vec_id", "sub", F.slice("e", F.col("sub") * w + 1, w).alias("es")
+    )
+    d2 = (
+        dot_arrays(F.col("es"), F.col("es"))
+        - 2 * dot_arrays(F.col("es"), F.col("c"))
+        + F.col("cc")
+    )
+    codes = (
+        subs.join(book_df, "sub")
+        .select("vec_id", "sub", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    recon = (
+        codes.join(book_df.select("sub", "cid", "c"), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "c"))),
+                    lambda s: s["c"],
+                )
+            ).alias("r")
+        )
+    )
+    cr = recon.join(assign_df, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "r",
+        F.sqrt(dot_arrays(F.col("r"), F.col("r"))).alias("r_norm"),
+        F.col("cid").alias("probe_label"),
+    )
+    probed = _probe_lists(queries, cents, nprobe, label="probe_label")
+    approx = (
+        probed.join(cr, "probe_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_score",
+            _score(dot("q_emb", "r"), F.col("q_norm"), F.col("r_norm")),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
+    exact = (
+        cand.join(qf, "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(exact, k)
+
+
 def topk_sq8(
     queries: DataFrame, corpus: DataFrame, k: int = 3, rerank: int = 10
 ) -> DataFrame:

@@ -91,6 +91,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     100 TB; its generated oracle replays the same quantization
 #     arithmetic SQL_TOPK_SQ8 verified, so the SQ8 surface keeps a
 #     hard signal through the composition)
+#   text_tfidf_top_terms (r03-green; family keeps profile/quality/
+#     lang_id in-window) → sim_topk_pq (product quantization — a new
+#     capability class with a generated codebook-literal oracle)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
@@ -113,7 +116,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "streaming_cdc_merge",
     # text analysis + profiling
     "profile_documents",
-    "text_tfidf_top_terms",
     "text_quality",
     "text_lang_id",
     # dedup (exact, Jaccard, LSH; SimHash demoted r4 — r03-green)
@@ -126,6 +128,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_knn_classify",
     "sim_topk_sq8_ivf",
+    "sim_topk_pq",
     "sim_topk_lsh_banded",
     "sim_topk_ivf_kmeans",
     "sim_neardup_cosine",

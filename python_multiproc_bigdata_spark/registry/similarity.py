@@ -745,9 +745,175 @@ def make_pq_oracle() -> str:
     )
 
 
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (operators/similarity.py:topk_ivfpq): k-means
+    lists prune rows (IVF_KMEANS_CFG: 128 lists / nprobe 32 = 25% scan),
+    PQ codes cut candidate bytes 32× (PQ_CFG: 8 sub × 64 codes), exact
+    re-rank on the top-50 restores accuracy — the full FAISS serving
+    recipe as one declarative plan, with BOTH trained literal sets
+    replayed by the generated oracle."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        topk_ivfpq,
+        train_pq_codebooks_driver,
+        train_spherical_kmeans_driver,
+    )
+
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    icfg, pcfg = IVF_KMEANS_CFG, PQ_CFG
+    cents = train_spherical_kmeans_driver(
+        emb,
+        n_lists=icfg["n_lists"],
+        max_iter=icfg["max_iter"],
+        sample_size=icfg["train_sample"],
+    )
+    books = train_pq_codebooks_driver(
+        emb,
+        n_sub=pcfg["n_sub"],
+        n_codes=pcfg["n_codes"],
+        max_iter=pcfg["max_iter"],
+        sample_size=pcfg["train_sample"],
+    )
+    return topk_ivfpq(
+        queries,
+        emb,
+        cents,
+        books,
+        pq_book_sq(books),
+        k=icfg["k"],
+        nprobe=icfg["nprobe"],
+        rerank=pcfg["rerank"],
+    )
+
+
+# DuckDB twin of operators/similarity.py:topk_ivfpq: the kmeans
+# assignment/probe CTEs + the PQ encode/reconstruct CTEs, candidates
+# restricted to the probed lists, rounded reconstructed-cosine ranking,
+# exact re-rank.
+SQL_TOPK_IVFPQ_TEMPLATE = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents(cid, c) AS (
+  VALUES {centroid_values}
+), books(sub, bcid, bc, cc) AS (
+  VALUES {book_values}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), subs AS (
+  SELECT vec_id, t.sub, u[t.sub * {sub_w} + 1 : t.sub * {sub_w} + {sub_w}] AS es
+  FROM cn, range({n_sub}) t(sub)
+), codes AS (
+  SELECT vec_id, sub, bcid FROM (
+    SELECT s.vec_id, s.sub, b.bcid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY list_dot_product(s.es, s.es)
+                      - 2 * list_dot_product(s.es, b.bc) + b.cc ASC,
+                      b.bcid ASC) AS cr
+    FROM subs s JOIN books b ON b.sub = s.sub) WHERE cr = 1
+), recon AS (
+  SELECT c.vec_id, flatten(list(b.bc ORDER BY c.sub)) AS r
+  FROM codes c JOIN books b ON b.sub = c.sub AND b.bcid = c.bcid
+  GROUP BY c.vec_id
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, q_e, q_norm, cid FROM (
+    SELECT q.query_id, q.q_e, q.q_norm, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0
+                         AND sqrt(list_dot_product(cents.c, cents.c)) > 0
+                   THEN list_dot_product(q.q_e, cents.c)
+                        / (q.q_norm * sqrt(list_dot_product(cents.c, cents.c)))
+                   ELSE 0.0 END, 4) DESC, cents.cid ASC) AS pr
+    FROM q CROSS JOIN cents) WHERE pr <= {nprobe}
+), approx AS (
+  SELECT p.query_id, r.vec_id AS neighbor_id,
+         round(CASE WHEN p.q_norm > 0 AND sqrt(list_dot_product(r.r, r.r)) > 0
+               THEN list_dot_product(p.q_e, r.r)
+                    / (p.q_norm * sqrt(list_dot_product(r.r, r.r)))
+               ELSE 0.0 END, 4) AS approx_score
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN recon r ON r.vec_id = a.vec_id
+  WHERE r.vec_id != p.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_score DESC, neighbor_id ASC) AS ark
+    FROM approx) WHERE ark <= {rerank}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qa.e, qa.e)) > 0
+                     AND sqrt(list_dot_product(qb.e, qb.e)) > 0
+               THEN list_dot_product(qa.e, qb.e)
+                    / (sqrt(list_dot_product(qa.e, qa.e))
+                       * sqrt(list_dot_product(qb.e, qb.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN emb qa ON qa.vec_id = c.query_id
+  JOIN emb qb ON qb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM exact) WHERE rk <= {k}
+"""
+
+
+def make_ivfpq_oracle() -> str:
+    import os
+
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        pq_books_from_sample,
+    )
+
+    icfg, pcfg = IVF_KMEANS_CFG, PQ_CFG
+    # reuse both literal caches (each trains once per sf_dir)
+    cent_values = _centroid_values_literal()
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        x = _unit_sample_from_parquet(
+            f"{sf_dir}/embeddings.parquet", pcfg["train_sample"]
+        )
+        books = pq_books_from_sample(
+            x, pcfg["n_sub"], pcfg["n_codes"], pcfg["max_iter"]
+        )
+        sq = pq_book_sq(books)
+        _PQ_BOOKS_CACHE[sf_dir] = ",\n          ".join(
+            f"({s}, {i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[], {sq[s][i]!r})"
+            for s, cb in enumerate(books)
+            for i, c in enumerate(cb)
+        )
+    return SQL_TOPK_IVFPQ_TEMPLATE.format(
+        centroid_values=cent_values,
+        book_values=_PQ_BOOKS_CACHE[sf_dir],
+        sub_w=64 // pcfg["n_sub"],
+        n_sub=pcfg["n_sub"],
+        n_queries=N_QUERIES,
+        nprobe=icfg["nprobe"],
+        rerank=pcfg["rerank"],
+        k=icfg["k"],
+    )
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_topk_pq": QuerySpec(sim_topk_pq, make_pq_oracle),
+    "sim_topk_ivfpq": QuerySpec(sim_topk_ivfpq, make_ivfpq_oracle),
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),

@@ -59,7 +59,8 @@ def test_checked_window_is_curated():
         # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
         # their surfaces now carry through sim_topk_ivf_kmeans /
         # sim_topk_sq8_ivf, both full-hash-checked)
-        "sim_topk_sq8_ivf", "q8_market_share", "q17_small_quantity_revenue",
+        "sim_topk_sq8_ivf", "sim_topk_pq",
+        "q8_market_share", "q17_small_quantity_revenue",
         "q21_suppliers_kept_waiting", "streaming_cdc_merge",
         "streaming_dedup_watermark", "events_retention_cohorts",
         "events_trailing_1h", "cube_orders", "stats_price_quartiles_ntile",

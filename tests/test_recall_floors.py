@@ -13,6 +13,8 @@ Measured at build time (sf0.001 / sf0.1):
   banded LSH top-k recall@3     : 0.93 / 0.94   (floor 0.85)
   PQ 8sub×64codes rerank=50     : 0.92 / 0.77   (floor 0.85 at test SF;
     code count is the knob — 256 codes reaches 0.93 at sf0.1)
+  IVF+PQ composed (same cfgs)   : 0.95 / 0.85   (floor 0.85; beats PQ
+    alone — pruning cleans the approx pool before the rerank cut)
 
 Floors sit below the measured values because k-means assignment can flip
 on float-sum near-ties across partitionings; the MARGIN is the
@@ -133,4 +135,29 @@ def test_pq_recall_floor(spark):
     exact = _topk_sets(topk_bruteforce(q, emb, k=3))
     books = train_pq_codebooks_driver(emb, n_sub=8, n_codes=64, max_iter=3)
     r = recall_at_k(topk_pq(q, emb, books, pq_book_sq(books), k=3, rerank=50), exact)
+    assert r >= 0.85, r
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF+PQ at the registered configs (128 lists/nprobe 32 + 8 sub x
+    64 codes, rerank=50): measured 0.95 @ sf0.001 / 0.85 @ sf0.1 --
+    HIGHER than PQ alone (0.77 at sf0.1): list pruning removes
+    out-of-list junk from the approx candidate pool before the rerank
+    cut, so the top-50 holds more true neighbors. Floor 0.85."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        topk_ivfpq,
+        train_pq_codebooks_driver,
+        train_spherical_kmeans_driver,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)
+    exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    cents = train_spherical_kmeans_driver(emb, n_lists=128, max_iter=3)
+    books = train_pq_codebooks_driver(emb, n_sub=8, n_codes=64, max_iter=3)
+    r = recall_at_k(
+        topk_ivfpq(q, emb, cents, books, pq_book_sq(books), k=3, nprobe=32, rerank=50),
+        exact,
+    )
     assert r >= 0.85, r

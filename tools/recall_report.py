@@ -70,6 +70,21 @@ def _pq(queries, emb, n_codes: int, rerank: int = 50):
     return topk_pq(queries, emb, books, pq_book_sq(books), k=K, rerank=rerank)
 
 
+def _ivfpq(queries, emb):
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        topk_ivfpq,
+        train_pq_codebooks_driver,
+        train_spherical_kmeans_driver,
+    )
+
+    cents = train_spherical_kmeans_driver(emb, n_lists=128, max_iter=3)
+    books = train_pq_codebooks_driver(emb, n_sub=8, n_codes=64, max_iter=3)
+    return topk_ivfpq(
+        queries, emb, cents, books, pq_book_sq(books), k=K, nprobe=32, rerank=50
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark()
@@ -133,6 +148,9 @@ def main() -> None:
         # synthetic embeddings are PQ's worst case (no cluster structure)
         "pq_64codes_rerank50": round(recall_at_k(_pq(queries, emb, 64), exact), 4),
         "pq_256codes_rerank50": round(recall_at_k(_pq(queries, emb, 256), exact), 4),
+        # IVF+PQ at the registered configs: beats PQ alone (list pruning
+        # cleans the approx candidate pool before the rerank cut)
+        "ivfpq_registered": round(recall_at_k(_ivfpq(queries, emb), exact), 4),
     }
 
     n_exact = neardup_pairs_cosine(emb, 0.4).count()
