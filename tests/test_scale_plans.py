@@ -214,3 +214,14 @@ def test_sq8_ivf_candidates_pruned_not_crossjoined(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivfpq_candidates_from_probed_lists(spark):
+    # the composed IVF+PQ plan: candidates must come from the probed
+    # inverted lists (probe_label equi-join against the PQ-encoded
+    # corpus), never a full query x corpus pair space; nested-loop
+    # fan-outs are only the two n_lists-row centroid broadcasts
+    plan = plan_of(REGISTRY["sim_topk_ivfpq"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
