@@ -73,3 +73,19 @@ def test_all_queries_run_sf0001(spark):
     for name, fn in e.queries().items():
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_oracle_sql_isolates_generator_failure(monkeypatch):
+    # a generated oracle that cannot build must degrade ITS query to
+    # rows-only (omitted from the map) without sinking the other oracles
+    from python_multiproc_bigdata_spark.registry import REGISTRY
+    from python_multiproc_bigdata_spark.registry.common import QuerySpec
+
+    def boom():
+        raise RuntimeError("no testdata here")
+
+    spec = REGISTRY["sim_topk_ivf_kmeans"]
+    monkeypatch.setitem(REGISTRY, "sim_topk_ivf_kmeans", QuerySpec(spec.fn, boom))
+    o = e.oracle_sql()
+    assert "sim_topk_ivf_kmeans" not in o
+    assert "q1_pricing_summary" in o and len(o) > 100
