@@ -969,6 +969,98 @@ def _sq8(df: DataFrame, id_alias: str, p: str) -> DataFrame:
     )
 
 
+def _approx_cut(approx: DataFrame, rerank: int) -> DataFrame:
+    """Shared candidate cut: keep the top-`rerank` (query_id, neighbor_id)
+    pairs by rounded approx_score, ties to the lowest neighbor — the one
+    policy every quantized ANN path uses, so a tie-break tweak cannot
+    desync one path from the oracles that replay it."""
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    return (
+        approx.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _rerank_exact(
+    cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: int
+) -> DataFrame:
+    """Shared exact re-rank tail: score the candidate pairs on the FULL
+    vectors (touching rerank x |queries| rows, never the corpus) and keep
+    top-k — one implementation for SQ8, SQ8-over-IVF, PQ, and IVF+PQ."""
+    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
+    exact = (
+        cand.join(qf, "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(exact, k)
+
+
+def _pq_reconstructed(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    book_sq: list[list[float]],
+) -> DataFrame:
+    """(vec_id, r, r_norm): the PQ-encoded-then-reconstructed corpus —
+    the shared encode path of topk_pq and topk_ivfpq. Encoding = argmin
+    squared distance per subspace via the expanded form
+    d2 = e.e - 2 e.c + cc (ties -> lowest code), one broadcast join
+    against the n_sub*n_codes-row codebook + one groupBy argmin; at
+    100 TB the codes are computed once and stored (build_ivf_index
+    pattern) and the scan reads codes, not vectors."""
+    spark = corpus.sparkSession
+    n_sub = len(books)
+    w = len(books[0][0])
+    book_rows = [
+        (s, i, c, book_sq[s][i])
+        for s, cb in enumerate(books)
+        for i, c in enumerate(cb)
+    ]
+    book_df = F.broadcast(
+        spark.createDataFrame(book_rows, "sub int, cid int, c array<double>, cc double")
+    )
+    _, cnormed = _corpus_with_unit(corpus)
+    subs = cnormed.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        "e",
+    ).select(
+        "vec_id", "sub", F.slice("e", F.col("sub") * w + 1, w).alias("es")
+    )
+    d2 = (
+        dot_arrays(F.col("es"), F.col("es"))
+        - 2 * dot_arrays(F.col("es"), F.col("c"))
+        + F.col("cc")
+    )
+    codes = (
+        subs.join(book_df, "sub")
+        .select("vec_id", "sub", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    recon = (
+        codes.join(book_df.select("sub", "cid", "c"), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "c"))),
+                    lambda s: s["c"],
+                )
+            ).alias("r")
+        )
+    )
+    return recon.select(
+        "vec_id", "r", F.sqrt(dot_arrays(F.col("r"), F.col("r"))).alias("r_norm")
+    )
+
+
 def topk_sq8_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1033,24 +1125,7 @@ def topk_sq8_ivf(
             ),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_score"), F.asc("neighbor_id")
-    )
-    cand = (
-        approx.withColumn("ark", F.row_number().over(wa))
-        .filter(F.col("ark") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
-    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
-    exact = (
-        cand.join(qf, "query_id")
-        .join(cf, "neighbor_id")
-        .withColumn(
-            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
-        )
-    )
-    return _rank_topk(exact, k)
+    return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
 
 
 def topk_pq(
@@ -1082,52 +1157,8 @@ def topk_pq(
     not vectors. Candidate generation here is the bounded-query scan
     (the bruteforce shape); compose with IVF lists for row pruning
     exactly like topk_sq8_ivf."""
-    spark = corpus.sparkSession
-    n_sub = len(books)
-    w = len(books[0][0])
-    book_rows = [
-        (s, i, c, book_sq[s][i])
-        for s, cb in enumerate(books)
-        for i, c in enumerate(cb)
-    ]
-    book_df = F.broadcast(
-        spark.createDataFrame(book_rows, "sub int, cid int, c array<double>, cc double")
-    )
-    _, cnormed = _corpus_with_unit(corpus)
-    subs = cnormed.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
-        "e",
-    ).select(
-        "vec_id", "sub", F.slice("e", F.col("sub") * w + 1, w).alias("es")
-    )
-    d2 = (
-        dot_arrays(F.col("es"), F.col("es"))
-        - 2 * dot_arrays(F.col("es"), F.col("c"))
-        + F.col("cc")
-    )
-    codes = (
-        subs.join(book_df, "sub")
-        .select("vec_id", "sub", "cid", d2.alias("d2"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
-    recon = (
-        codes.join(book_df.select("sub", "cid", "c"), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "c"))),
-                    lambda s: s["c"],
-                )
-            ).alias("r")
-        )
-    )
-    cr = recon.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "r",
-        F.sqrt(dot_arrays(F.col("r"), F.col("r"))).alias("r_norm"),
+    cr = _pq_reconstructed(corpus, books, book_sq).select(
+        F.col("vec_id").alias("neighbor_id"), "r", "r_norm"
     )
     q = _with_norm(queries, "query_id", "q_emb", "q_norm")
     approx = (
@@ -1138,24 +1169,7 @@ def topk_pq(
             _score(dot("q_emb", "r"), F.col("q_norm"), F.col("r_norm")),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_score"), F.asc("neighbor_id")
-    )
-    cand = (
-        approx.withColumn("ark", F.row_number().over(wa))
-        .filter(F.col("ark") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
-    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
-    exact = (
-        cand.join(qf, "query_id")
-        .join(cf, "neighbor_id")
-        .withColumn(
-            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
-        )
-    )
-    return _rank_topk(exact, k)
+    return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
 
 
 def topk_ivfpq(
@@ -1185,53 +1199,14 @@ def topk_ivfpq(
     encoding, reconstruction, candidate ranking, and re-rank
     value-exact."""
     spark = corpus.sparkSession
-    n_sub = len(books)
-    w = len(books[0][0])
-    book_rows = [
-        (s, i, c, book_sq[s][i])
-        for s, cb in enumerate(books)
-        for i, c in enumerate(cb)
-    ]
-    book_df = F.broadcast(
-        spark.createDataFrame(book_rows, "sub int, cid int, c array<double>, cc double")
-    )
+    # inverted-list assignment (shared argmax) + PQ encode (shared with
+    # topk_pq via _pq_reconstructed, so the two paths cannot drift)
     _, cnormed = _corpus_with_unit(corpus)
-    # inverted-list assignment (shared argmax) + PQ encode (shared argmin)
     assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
-    subs = cnormed.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
-        "e",
-    ).select(
-        "vec_id", "sub", F.slice("e", F.col("sub") * w + 1, w).alias("es")
-    )
-    d2 = (
-        dot_arrays(F.col("es"), F.col("es"))
-        - 2 * dot_arrays(F.col("es"), F.col("c"))
-        + F.col("cc")
-    )
-    codes = (
-        subs.join(book_df, "sub")
-        .select("vec_id", "sub", "cid", d2.alias("d2"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
-    recon = (
-        codes.join(book_df.select("sub", "cid", "c"), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "c"))),
-                    lambda s: s["c"],
-                )
-            ).alias("r")
-        )
-    )
-    cr = recon.join(assign_df, "vec_id").select(
+    cr = _pq_reconstructed(corpus, books, book_sq).join(assign_df, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         "r",
-        F.sqrt(dot_arrays(F.col("r"), F.col("r"))).alias("r_norm"),
+        "r_norm",
         F.col("cid").alias("probe_label"),
     )
     probed = _probe_lists(queries, cents, nprobe, label="probe_label")
@@ -1243,24 +1218,7 @@ def topk_ivfpq(
             _score(dot("q_emb", "r"), F.col("q_norm"), F.col("r_norm")),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_score"), F.asc("neighbor_id")
-    )
-    cand = (
-        approx.withColumn("ark", F.row_number().over(wa))
-        .filter(F.col("ark") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
-    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
-    exact = (
-        cand.join(qf, "query_id")
-        .join(cf, "neighbor_id")
-        .withColumn(
-            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
-        )
-    )
-    return _rank_topk(exact, k)
+    return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
 
 
 def topk_sq8(
@@ -1295,21 +1253,4 @@ def topk_sq8(
             ),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_score"), F.asc("neighbor_id")
-    )
-    cand = (
-        approx.withColumn("ark", F.row_number().over(wa))
-        .filter(F.col("ark") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    qf = _with_norm(queries, "query_id", "q_emb", "q_norm")
-    cf = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
-    exact = (
-        cand.join(qf, "query_id")
-        .join(cf, "neighbor_id")
-        .withColumn(
-            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
-        )
-    )
-    return _rank_topk(exact, k)
+    return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)

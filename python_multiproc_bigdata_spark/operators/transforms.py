@@ -137,14 +137,17 @@ def with_global_index(
     unique values for a deterministic total order (ties would make
     ranks retry-unstable).
 
-    Three jobs read the bucketed frame (quantiles, bucket counts, the
-    final ranked materialization), so it is persisted here: on a
-    non-deterministic input (sample(), re-read mutable source) separate
-    recomputations could disagree between counts/offsets and ranks,
-    breaking the density/uniqueness guarantee. The cache stays live for
-    the returned plan (unpersisting before the caller materializes would
-    reopen the recompute window); callers may df.unpersist() the input
-    afterwards. Inputs must still be deterministic BETWEEN calls."""
+    Two jobs read the bucketed frame (the bucket counts and the final
+    ranked materialization — the quantiles run on `df` before it
+    exists, and the cuts only steer bucket SIZES, never correctness),
+    so it is persisted while both run: on a non-deterministic input
+    (sample(), re-read mutable source) separate recomputations could
+    disagree between counts/offsets and ranks, breaking the
+    density/uniqueness guarantee. The RESULT is persisted and eagerly
+    materialized (still inside the bucketed cache's lifetime), then the
+    internal cache is released — so the operator leaks nothing the
+    caller can't free: unpersist the RETURNED frame when done with it.
+    Inputs must still be deterministic BETWEEN calls."""
     from pyspark.sql import Window
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -166,7 +169,14 @@ def with_global_index(
     omap = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    return ranked.withColumn(
-        out_col,
-        (F.element_at(omap, F.col("_gb")) + F.col("_rk") - 1).cast("long"),
-    ).drop("_gb", "_rk")
+    result = (
+        ranked.withColumn(
+            out_col,
+            (F.element_at(omap, F.col("_gb")) + F.col("_rk") - 1).cast("long"),
+        )
+        .drop("_gb", "_rk")
+        .persist()
+    )
+    result.count()  # materialize while b's cache is live → consistent
+    b.unpersist()
+    return result

@@ -264,13 +264,21 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIT_SAMPLE_CACHE: dict = {}
+
+
 def _unit_sample_from_parquet(emb_parquet: str, sample_size: int):
     """Replay operators/similarity.py:collect_unit_sample OUTSIDE Spark,
     bit-identically: float32→double casts, the sequential left-fold
     norm, element division, and the md5(vec_id)-lowest sample are all
     IEEE-identical to what the Spark query computes, so every quantizer
     the oracle generators train from this sample agrees with the
-    Spark-trained one to the last bit."""
+    Spark-trained one to the last bit. Cached per (path, size): the
+    centroid and PQ-codebook generators need the IDENTICAL sample, and
+    the full-corpus Python pass shouldn't run once per consumer."""
+    key = (emb_parquet, sample_size)
+    if key in _UNIT_SAMPLE_CACHE:
+        return _UNIT_SAMPLE_CACHE[key]
     import hashlib
     import math
 
@@ -294,7 +302,9 @@ def _unit_sample_from_parquet(emb_parquet: str, sample_size: int):
         normed, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
     )[:sample_size]
     sample.sort(key=lambda t: t[0])  # init = lowest-vec_id unit vectors
-    return np.asarray([e for _, e in sample], dtype=np.float64)
+    x = np.asarray([e for _, e in sample], dtype=np.float64)
+    _UNIT_SAMPLE_CACHE[key] = x
+    return x
 
 
 def _train_centroids_from_parquet(
@@ -708,10 +718,14 @@ SELECT query_id, neighbor_id, score, rk FROM (
   FROM exact) WHERE rk <= {k}
 """
 
-_PQ_BOOKS_CACHE: dict[str, str] = {}
+# per-sf_dir: (VALUES literal for the codebooks, subspace width)
+_PQ_BOOKS_CACHE: dict[str, tuple[str, int]] = {}
 
 
-def make_pq_oracle() -> str:
+def _pq_books_literal() -> tuple[str, int]:
+    """Trained-codebook VALUES literal (+ subspace width, derived from
+    the sample's dimensionality — NOT hard-coded 64) shared by every
+    PQ-based generated oracle, exactly like _centroid_values_literal."""
     import os
 
     from python_multiproc_bigdata_spark.operators.similarity import (
@@ -729,14 +743,20 @@ def make_pq_oracle() -> str:
             x, cfg["n_sub"], cfg["n_codes"], cfg["max_iter"]
         )
         sq = pq_book_sq(books)
-        _PQ_BOOKS_CACHE[sf_dir] = ",\n          ".join(
+        values = ",\n          ".join(
             f"({s}, {i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[], {sq[s][i]!r})"
             for s, cb in enumerate(books)
             for i, c in enumerate(cb)
         )
-    sub_w = 64 // cfg["n_sub"]
+        _PQ_BOOKS_CACHE[sf_dir] = (values, x.shape[1] // cfg["n_sub"])
+    return _PQ_BOOKS_CACHE[sf_dir]
+
+
+def make_pq_oracle() -> str:
+    cfg = PQ_CFG
+    values, sub_w = _pq_books_literal()
     return SQL_TOPK_PQ_TEMPLATE.format(
-        book_values=_PQ_BOOKS_CACHE[sf_dir],
+        book_values=values,
         sub_w=sub_w,
         n_sub=cfg["n_sub"],
         n_queries=N_QUERIES,
@@ -874,34 +894,14 @@ SELECT query_id, neighbor_id, score, rk FROM (
 
 
 def make_ivfpq_oracle() -> str:
-    import os
-
-    from python_multiproc_bigdata_spark.operators.similarity import (
-        pq_book_sq,
-        pq_books_from_sample,
-    )
-
     icfg, pcfg = IVF_KMEANS_CFG, PQ_CFG
-    # reuse both literal caches (each trains once per sf_dir)
-    cent_values = _centroid_values_literal()
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    if sf_dir not in _PQ_BOOKS_CACHE:
-        x = _unit_sample_from_parquet(
-            f"{sf_dir}/embeddings.parquet", pcfg["train_sample"]
-        )
-        books = pq_books_from_sample(
-            x, pcfg["n_sub"], pcfg["n_codes"], pcfg["max_iter"]
-        )
-        sq = pq_book_sq(books)
-        _PQ_BOOKS_CACHE[sf_dir] = ",\n          ".join(
-            f"({s}, {i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[], {sq[s][i]!r})"
-            for s, cb in enumerate(books)
-            for i, c in enumerate(cb)
-        )
+    # both literal caches are shared with the single-technique oracles
+    # (each trains once per sf_dir, from the SAME cached unit sample)
+    values, sub_w = _pq_books_literal()
     return SQL_TOPK_IVFPQ_TEMPLATE.format(
-        centroid_values=cent_values,
-        book_values=_PQ_BOOKS_CACHE[sf_dir],
-        sub_w=64 // pcfg["n_sub"],
+        centroid_values=_centroid_values_literal(),
+        book_values=values,
+        sub_w=sub_w,
         n_sub=pcfg["n_sub"],
         n_queries=N_QUERIES,
         nprobe=icfg["nprobe"],

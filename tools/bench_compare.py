@@ -36,8 +36,11 @@ def main() -> int:
     only_a = sorted(set(a) - set(b))
     only_b = sorted(set(b) - set(a))
     ta, tb = sum(a[q] for q in shared), sum(b[q] for q in shared)
-    print(f"\nshared total: {ta:.1f}s -> {tb:.1f}s "
-          f"({(tb - ta) / ta * 100:+.1f}%), {flagged} queries moved >={thresh:.0f}%")
+    if ta > 0:
+        print(f"\nshared total: {ta:.1f}s -> {tb:.1f}s "
+              f"({(tb - ta) / ta * 100:+.1f}%), {flagged} queries moved >={thresh:.0f}%")
+    else:
+        print("\nno overlapping timed queries between the two artifacts")
     if only_a:
         print(f"only in {a_path}: {', '.join(only_a)}")
     if only_b:
