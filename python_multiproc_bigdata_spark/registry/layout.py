@@ -1,0 +1,112 @@
+"""Layout queries: Z-order clustering arithmetic and runtime
+bloom-filter join pruning (operators/layout.py), both full-hash
+oracle-checked — the z-value is pure integer bit math DuckDB replays
+exactly, and the bloom filter never changes join RESULTS (false
+positives are removed by the exact join), so the oracle is the plain
+join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.layout import (
+    bloom_pruned_join,
+    spread_bits_sql,
+    with_z_value,
+)
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def zorder_lineitem_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Z-bucket stats of lineitem clustered on (l_partkey,
+    l_suppkey): bucket = top 8 bits of the 32-bit Morton value. The
+    narrow pk/sk min-max ranges per bucket ARE the file-skipping
+    evidence — after `zorder_write` each bucket is a file whose parquet
+    stats prune on either column. One global-bounds aggregate
+    (broadcast) + one map-side z computation + one groupBy: two small
+    shuffles total, no UDF, whole-stage codegen throughout."""
+    li = table(prep(spark), sf_dir, "lineitem")
+    z = with_z_value(li, ["l_partkey", "l_suppkey"], out_col="_z")
+    return (
+        z.groupBy(F.shiftright(F.col("_z"), 24).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+_NX = "((l_partkey - pmin) * 65535) // greatest(pmax - pmin, 1)"
+_NY = "((l_suppkey - smin) * 65535) // greatest(smax - smin, 1)"
+
+SQL_ZORDER_LAYOUT = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), nxy AS (
+  SELECT l_partkey, l_suppkey, {_NX} AS nx, {_NY} AS ny
+  FROM lineitem, b
+), z AS (
+  SELECT l_partkey, l_suppkey,
+         ({spread_bits_sql('nx')} | ({spread_bits_sql('ny')} << 1)) AS zv
+  FROM nxy
+)
+SELECT (zv >> 24) AS z_bucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+FROM z
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, by return
+    flag/status — with Spark's runtime bloom filter injected so the
+    lineitem scan drops non-urgent orderkeys BEFORE the join shuffle
+    (tests pin `might_contain` in the optimized plan). At 100 TB this
+    is the difference between shuffling the full fact table and
+    shuffling the ~20% that can match; results are identical to the
+    plain join (the bloom is a superset filter), which is exactly what
+    the oracle checks."""
+    s = prep(spark)
+    li = table(s, sf_dir, "lineitem")
+    o = table(s, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    j = bloom_pruned_join(
+        s, li, o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        j.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+REGISTRY = {
+    "zorder_lineitem_layout": QuerySpec(zorder_lineitem_layout, SQL_ZORDER_LAYOUT),
+    "bloom_filtered_join": QuerySpec(bloom_filtered_join, SQL_BLOOM_JOIN),
+}
