@@ -323,3 +323,63 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         *[F.when(F.col(f"v{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
     )
     return agg.select("id", bits.alias("simhash"))
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    prefix_len: int = 64,
+    bucket_width: int = 32,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Entity-resolution-style fuzzy dedup: candidate pairs via BLOCKING
+    (same language, adjacent length buckets), verified with Levenshtein
+    edit distance over a fixed-length prefix.
+
+    Classic ER recipe: all-pairs edit distance is O(n²·L²) — the
+    blocking key bounds the candidate space to same-block pairs, and
+    the prefix cap bounds the per-pair DP cost to prefix_len². Length
+    blocking is SOUND for this predicate: edit distance ≥ |len(a) −
+    len(b)|, so with max_dist < bucket_width a qualifying pair's
+    lengths differ by < bucket_width and land in the same or adjacent
+    buckets — probing {bucket, bucket+1} from one side finds every such
+    pair (same two-bucket trick as joins.range_join_bucketed). Each
+    pair is seen once or twice (a→b and b→a when buckets differ);
+    least/greatest + distinct canonicalizes.
+
+    At 100 TB: per-block self-join — block sizes are bounded by
+    (lang × length-bucket) cardinality of the corpus; cap or salt hot
+    blocks the same way ngram_jaccard_pairs caps hot shingles if a
+    single (lang, length) dominates. Levenshtein runs JVM-side
+    (built-in), never Python."""
+    if max_dist >= bucket_width:
+        raise ValueError(
+            f"max_dist ({max_dist}) must be < bucket_width ({bucket_width}): "
+            "length blocking only probes adjacent buckets, so a wider "
+            "distance could pair docs two buckets apart and be missed"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lg"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("px"),
+        (F.length(text_col) / bucket_width).cast("long").alias("bk"),
+    )
+    probe = base.withColumn("pb", F.explode(F.array(F.col("bk"), F.col("bk") + 1)))
+    cand = probe.alias("a").join(
+        base.alias("b"),
+        (F.col("a.lg") == F.col("b.lg"))
+        & (F.col("a.pb") == F.col("b.bk"))
+        & (F.col("a.id") != F.col("b.id")),
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("a.px"), F.col("b.px")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+            "dist",
+        )
+        .distinct()
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from python_multiproc_bigdata_spark.functions.text import doc_fingerprint
 from python_multiproc_bigdata_spark.operators.dedup import (
     MINHASH_K,
+    blocked_edit_distance_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -180,8 +181,42 @@ SELECT id AS doc_id, {_BITS} AS simhash FROM votes
 """
 
 
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER-style fuzzy dedup: blocking on (lang, adjacent length
+    buckets), Levenshtein over a 64-char prefix, threshold 20. The
+    blocking is lossless for this predicate (edit distance lower-bounds
+    the length gap — operators/dedup.py:blocked_edit_distance_pairs);
+    DuckDB's levenshtein is the same classic DP, so values replay
+    exactly."""
+    d = table(prep(spark), sf_dir, "documents")
+    out = blocked_edit_distance_pairs(d, prefix_len=64, bucket_width=32, max_dist=20)
+    return out.select(
+        "doc_a", "doc_b", F.col("dist").cast("long").alias("dist")
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_EDIT_DISTANCE = """
+WITH base AS (
+  SELECT doc_id AS id, lang AS lg, substr(text, 1, 64) AS px,
+         length(text) // 32 AS bk
+  FROM documents
+), probe AS (
+  SELECT id, lg, px, unnest([bk, bk + 1]) AS pb FROM base
+)
+SELECT DISTINCT least(a.id, b.id) AS doc_a, greatest(a.id, b.id) AS doc_b,
+       levenshtein(a.px, b.px) AS dist
+FROM probe a JOIN base b
+  ON a.lg = b.lg AND a.pb = b.bk AND a.id <> b.id
+WHERE levenshtein(a.px, b.px) <= 20
+ORDER BY doc_a, doc_b
+"""
+
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, SQL_EXACT),
+    "dedup_edit_distance_blocked": QuerySpec(
+        dedup_edit_distance_blocked, SQL_EDIT_DISTANCE
+    ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_ngram_jaccard_capped": QuerySpec(
         dedup_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED

@@ -192,6 +192,40 @@ FROM events GROUP BY event_type
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: parse_json once
+    into an open-schema VARIANT column, then typed variant_get
+    extraction — the shredding-friendly shape for 100 TB of
+    heterogeneous JSON (no fixed schema to declare up front, columnar
+    shredding when written to parquet). Aggregates the high-k slice so
+    the extraction feeds both a predicate and a measure."""
+    e = table(prep(spark), sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PROPS_VARIANT = """
+SELECT event_type,
+       count(*) AS n_high,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k
+FROM (SELECT event_type, (props::JSON ->> 'k')::BIGINT AS k FROM events)
+WHERE k >= 50
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: running value sum per user over event time
     (ROWS UNBOUNDED PRECEDING), reporting each user's final cumulative
@@ -342,6 +376,7 @@ WINDOW w AS (PARTITION BY user_id
 
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
+    "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_cumulative_value": QuerySpec(events_cumulative_value, SQL_CUMULATIVE),
     "events_interarrival": QuerySpec(events_interarrival, SQL_INTERARRIVAL),
     "events_json_extract": QuerySpec(events_json_extract, SQL_JSON),

@@ -384,8 +384,36 @@ GROUP BY m
 """
 
 
+def stats_top_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the DataSketches-backed approx_top_k — exact
+    below tracking capacity (maxItemsTracked=10000 ≫ 5 distinct event
+    types), which is what makes a full-hash oracle legitimate here:
+    the sketch only approximates once cardinality exceeds capacity, and
+    tests/test_stats_queries pins that regime too. At 100 TB this is
+    the one-pass mergeable top-k you run instead of a full groupBy+sort
+    when the domain is huge (URLs, tokens) — partial sketches merge
+    associatively map-side."""
+    e = table(prep(spark), sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 50, 10000)").alias("t"))
+    return (
+        topk.select(F.explode("t").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TOP_TYPES = """
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
+    "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),
     "stats_hll_users_per_type": QuerySpec(stats_hll_users_per_type, None),
     "global_index_orders": QuerySpec(global_index_orders, SQL_GLOBAL_INDEX),
     "calendar_month_order_counts": QuerySpec(

@@ -433,3 +433,34 @@ def test_salted_count_equals_plain_count(spark):
     out = {r.k: r.n for r in salted_count_per_key(df, ["k"], out_col="n").collect()}
     plain = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert out == plain
+
+
+def test_edit_distance_blocking_finds_cross_bucket_pair(spark):
+    # lengths 31 and 33 land in buckets 0 and 1 — only the adjacent-
+    # bucket probe can pair them; dist = 2 (two appended chars)
+    a = "x" * 31
+    b = a + "yz"
+    df = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en"), (3, "q" * 200, "en")],
+        "doc_id long, text string, lang string",
+    )
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        blocked_edit_distance_pairs,
+    )
+
+    rows = blocked_edit_distance_pairs(
+        df, prefix_len=64, bucket_width=32, max_dist=20
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in rows] == [(1, 2, 2)]
+
+
+def test_edit_distance_blocking_rejects_unsound_config(spark):
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        blocked_edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        blocked_edit_distance_pairs(df, bucket_width=16, max_dist=16)

@@ -89,3 +89,17 @@ def test_global_index_is_dense_and_parallel(spark):
     # the whole point: no single-partition global sort in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_approx_top_k_exact_below_capacity_only(spark):
+    """The full-hash oracle for stats_top_types_sketch is legitimate
+    only because capacity exceeds cardinality: verify counts are exact
+    in that regime and that the over-capacity regime truncates to k."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select((F.col("id") % 100).cast("string").alias("v"))
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    big = df.agg(F.expr("approx_top_k(v, 200, 10000)").alias("t")).collect()[0]["t"]
+    assert {x["item"]: x["count"] for x in big} == exact
+    small = df.agg(F.expr("approx_top_k(v, 10, 10000)").alias("t")).collect()[0]["t"]
+    assert len(small) == 10
