@@ -329,6 +329,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: per user, the first view,
+    the first click strictly after it, the first purchase strictly after
+    that (strict ordering makes tied timestamps deterministic). Three
+    user-keyed groupBys + two user-keyed joins — every stage relation is
+    ≤ |users| rows and shrinks monotonically, all on the same natural
+    user_id partitioning, so at 100 TB the joins are AQE-broadcast or
+    co-partitioned; nothing rescans the event log more than the three
+    stage filters (one scan each, filter pushed to parquet)."""
+    e = table(prep(spark), sf_dir, "events")
+
+    def first_after(stage: str, prev, prev_col: str, alias: str):
+        f = e.filter(F.col("event_type") == stage).select("user_id", "ts")
+        if prev is None:
+            return f.groupBy("user_id").agg(F.min("ts").alias(alias))
+        return (
+            f.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    views = first_after("view", None, "", "t_view")
+    clicks = first_after("click", views, "t_view", "t_click")
+    purchases = first_after("purchase", clicks, "t_click", "t_purchase")
+    n = lambda df: df.agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
+    return (
+        n(views).select(F.col("n").alias("n_view"))
+        .crossJoin(n(clicks).select(F.col("n").alias("n_click")))
+        .crossJoin(n(purchases).select(F.col("n").alias("n_purchase")))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
+            F.round(F.col("n_purchase") / F.col("n_click"), 4).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts) AS t_purchase FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c) / (SELECT count(*) FROM v)::DOUBLE, 4)
+         AS view_to_click,
+       round((SELECT count(*) FROM p) / (SELECT count(*) FROM c)::DOUBLE, 4)
+         AS click_to_purchase
+"""
+
+
 SQL_RETENTION = """
 WITH act AS (
   SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day FROM events
@@ -377,6 +440,7 @@ WINDOW w AS (PARTITION BY user_id
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
+    "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL),
     "events_cumulative_value": QuerySpec(events_cumulative_value, SQL_CUMULATIVE),
     "events_interarrival": QuerySpec(events_interarrival, SQL_INTERARRIVAL),
     "events_json_extract": QuerySpec(events_json_extract, SQL_JSON),

@@ -221,3 +221,20 @@ def test_split_leakage_safe_invariants(spark):
     assert 0.6 < n_train / n < 0.95
     # some docs actually grouped (the fixture has near-dups)
     assert any(r.group_key != r.doc_id for r in rows)
+
+
+def test_pagerank_star_graph_properties(spark):
+    from python_multiproc_bigdata_spark.operators.graph import pagerank
+
+    # symmetrized star: hub h <-> leaves x, y, z
+    fwd = [("h", "x"), ("h", "y"), ("h", "z")]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src string, dst string"
+    )
+    out = pagerank(edges, iterations=3)
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    out.unpersist()
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling mass lost
+    leaves = [ranks["x"], ranks["y"], ranks["z"]]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry
+    assert ranks["h"] > max(leaves)  # hub dominates
