@@ -63,6 +63,14 @@ HEADLINE = [
     "calendar_month_order_counts",
     "stats_price_histogram",
     "global_index_orders",
+    # round-4 layout/graph/analytics additions
+    "zorder_lineitem_layout",
+    "bloom_filtered_join",
+    "dedup_edit_distance_blocked",
+    "events_funnel_conversion",
+    "curation_pagerank_quality",
+    "events_props_variant",
+    "stats_top_types_sketch",
 ]
 
 
