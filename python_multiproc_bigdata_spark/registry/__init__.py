@@ -95,6 +95,23 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   text_tfidf_top_terms (r03-green; family keeps profile/quality/
 #     lang_id in-window) → sim_topk_pq (product quantization — a new
 #     capability class with a generated codebook-literal oracle)
+#
+# Late-round-4 swaps (new capability classes, all locally parity-green;
+# every demotion is r03-green on record and keeps in-window family
+# siblings):
+#   dedup_exact (green r01+r02+r03; family keeps jaccard+minhash) →
+#     dedup_edit_distance_blocked (ER blocking + levenshtein)
+#   sim_neardup_cosine (r03-green; banded path keeps signal via
+#     sim_topk_lsh_banded + semantic_only_neardups) →
+#     zorder_lineitem_layout (Z-order bit math, integer-exact oracle)
+#   training_temperature_mix (r03-green; family keeps mix_by_lang +
+#     corpus_pipeline + quota) → bloom_filtered_join (runtime
+#     bloom-filter pruning; oracle = plain join)
+#   quota_sample_per_lang (r03-green; corpus_pipeline composes the
+#     same quota stage in-window) → events_funnel_conversion
+#   curation_repetition_signals (r03-green; curation keeps
+#     decontaminate + components) → curation_pagerank_quality
+#     (iterative PageRank with an exact recurrence-replay oracle)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "words_first_position",
@@ -119,8 +136,9 @@ CHECKED_FIRST: tuple[str, ...] = (
     "profile_documents",
     "text_quality",
     "text_lang_id",
-    # dedup (exact, Jaccard, LSH; SimHash demoted r4 — r03-green)
-    "dedup_exact",
+    # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
+    # both multiply r03-green)
+    "dedup_edit_distance_blocked",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     # similarity search (bruteforce baseline, banded multi-table LSH,
@@ -132,7 +150,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     "sim_topk_pq",
     "sim_topk_lsh_banded",
     "sim_topk_ivf_kmeans",
-    "sim_neardup_cosine",
+    # layout: Z-order bit math (integer-exact oracle)
+    "zorder_lineitem_layout",
     # Arabic tokenizer parity (SURVEY §6 risk #1) + datetime parts
     "func_arabic_tokenize",
     "func_datetime_parts",
@@ -151,19 +170,21 @@ CHECKED_FIRST: tuple[str, ...] = (
     "calendar_month_order_counts",
     # training-mix compositions (training_corpus_pipeline is the
     # end-to-end capstone: quality → dedup → decontaminate → quota)
+    # + late-r4 promotions: runtime bloom pruning, funnel analytics
     "training_mix_by_lang",
-    "training_temperature_mix",
+    "bloom_filtered_join",
     "training_corpus_pipeline",
-    "quota_sample_per_lang",
+    "events_funnel_conversion",
     "semantic_only_neardups",
     # sequence packing (training-batch construction: concat-then-chunk
     # prefix-sum + first-fit-sequential applyInPandas fold with a
     # recursive-CTE oracle replaying the identical fold)
     "training_pack_chunks",
     "training_pack_greedy",
-    # corpus curation (repetition signals, decontamination, dup-cluster
-    # canonicalization)
-    "curation_repetition_signals",
+    # corpus curation (PageRank quality prior, decontamination,
+    # dup-cluster canonicalization; repetition signals demoted r4 —
+    # r03-green)
+    "curation_pagerank_quality",
     "decontaminate_train_eval",
     "dedup_components_canonical",
 )
