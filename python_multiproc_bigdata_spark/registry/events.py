@@ -329,6 +329,59 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: raw → 1-minute
+    partials → hourly (aggregating the minute PARTIALS, not raw) →
+    daily (aggregating hourly). Only algebraic measures (count, sum,
+    min, max) flow through the cascade — avg is derived at the final
+    level from sum/count, never re-averaged. At 100 TB this is the
+    rollup-maintenance pattern: each level reads the level below
+    (minutes: 1440× smaller than raw per day), so refreshing a day
+    never rescans raw events; the oracle aggregates raw directly,
+    making the re-aggregation equivalence ITSELF the checked claim."""
+    e = table(prep(spark), sf_dir, "events")
+
+    def lift(df, src_col: str, trunc: str):
+        return df.groupBy(
+            F.date_trunc(trunc, F.col(src_col)).alias("bucket")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+
+    minute = e.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    hour = lift(minute, "bucket", "hour")
+    day = lift(hour, "bucket", "day")
+    return day.select(
+        F.col("bucket").cast("date").alias("day"),
+        F.col("n").alias("n_events"),
+        F.round("sv", 2).alias("sum_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+    ).orderBy("day")
+
+
+SQL_HIERARCHICAL_ROLLUP = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: per user, the first view,
     the first click strictly after it, the first purchase strictly after
@@ -441,6 +494,9 @@ REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL),
+    "events_hierarchical_rollup": QuerySpec(
+        events_hierarchical_rollup, SQL_HIERARCHICAL_ROLLUP
+    ),
     "events_cumulative_value": QuerySpec(events_cumulative_value, SQL_CUMULATIVE),
     "events_interarrival": QuerySpec(events_interarrival, SQL_INTERARRIVAL),
     "events_json_extract": QuerySpec(events_json_extract, SQL_JSON),
