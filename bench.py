@@ -68,6 +68,7 @@ HEADLINE = [
     "bloom_filtered_join",
     "dedup_edit_distance_blocked",
     "events_funnel_conversion",
+    "events_hierarchical_rollup",
     "curation_pagerank_quality",
     "events_props_variant",
     "stats_top_types_sketch",

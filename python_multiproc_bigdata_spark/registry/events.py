@@ -424,7 +424,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_FUNNEL = """
+SQL_FUNNEL_ORDERED = """
 WITH v AS (
   SELECT user_id, min(ts) AS t_view FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -493,7 +493,7 @@ WINDOW w AS (PARTITION BY user_id
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
-    "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL),
+    "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),
     "events_hierarchical_rollup": QuerySpec(
         events_hierarchical_rollup, SQL_HIERARCHICAL_ROLLUP
     ),

@@ -89,3 +89,25 @@ def test_oracle_sql_isolates_generator_failure(monkeypatch):
     o = e.oracle_sql()
     assert "sim_topk_ivf_kmeans" not in o
     assert "q1_pricing_summary" in o and len(o) > 100
+
+
+def test_no_accidental_shared_oracles():
+    """A module-level SQL constant defined twice silently swaps oracles
+    between queries (bit us with SQL_FUNNEL: two funnel queries ended up
+    checked against one SQL). Identical oracle text is only legitimate
+    for batch/streaming twins that share semantics by design."""
+    from collections import defaultdict
+
+    from python_multiproc_bigdata_spark.registry import REGISTRY
+
+    allowed = {
+        frozenset({"streaming_session_counts", "events_session_window"}),
+        frozenset({"events_tumbling_window", "streaming_tumbling_counts"}),
+        frozenset({"events_sliding_window", "streaming_sliding_counts"}),
+    }
+    by_oracle = defaultdict(list)
+    for n, s in REGISTRY.items():
+        if isinstance(s.oracle, str):
+            by_oracle[s.oracle.strip()].append(n)
+    shared = {frozenset(v) for v in by_oracle.values() if len(v) > 1}
+    assert shared <= allowed, f"unexpected shared oracles: {shared - allowed}"
