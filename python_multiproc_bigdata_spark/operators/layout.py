@@ -26,7 +26,7 @@ layout levers that matter most at 100 TB:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,25 +162,36 @@ def bloom_pruned_join(
     fact: DataFrame,
     dim: DataFrame,
     on: Column,
+    finish: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> "DataFrame":
     """Shuffle-join `fact` to the (pre-filtered, selective) `dim` with
     Spark's runtime bloom filter injected into the fact scan. Returns a
-    lazily-composable DataFrame whose OPTIMIZED plan already contains
-    the `might_contain(bloom_filter_agg(...))` fact-side filter.
+    DataFrame whose OPTIMIZED plan already contains the
+    `might_contain(bloom_filter_agg(...))` fact-side filter.
 
     Implementation note: InjectRuntimeFilter is a logical-optimizer
-    rule, so it reads the session confs when the plan is optimized —
-    not when this function is called. We therefore set the scoped confs,
-    force optimization (`executedPlan`), and restore in a finally block:
-    the caller's session never observes the changed confs, and the
-    returned DataFrame's cached QueryExecution keeps the injected
-    filter. (Same scoped-resolution pattern as common.load_events.)
+    rule, so it reads the session confs when the plan is OPTIMIZED —
+    not when this function is called. We set the scoped confs, force
+    optimization (`executedPlan`), and restore in a finally block: the
+    caller's session never observes the changed confs, and the returned
+    DataFrame's cached QueryExecution keeps the injected filter. (Same
+    scoped-resolution pattern as common.load_events.)
+
+    CRITICAL composition caveat — hence `finish`: any transformation
+    applied to the RETURNED frame builds a NEW QueryExecution that
+    re-optimizes from scratch under the restored confs, silently
+    dropping the bloom filter (caught when PLANS.md showed the
+    registered aggregate without might_contain). Build the ENTIRE
+    downstream query inside the window by passing it as `finish`;
+    tests/test_layout.py pins might_contain on a finished plan.
     """
     saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     for k, v in _BLOOM_CONFS.items():
         spark.conf.set(k, v)
     try:
         out = fact.join(dim, on)
+        if finish is not None:
+            out = finish(out)
         out._jdf.queryExecution().executedPlan()  # optimize inside the window
     finally:
         for k, prev in saved.items():

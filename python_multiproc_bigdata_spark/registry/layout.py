@@ -79,18 +79,28 @@ def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = prep(spark)
     li = table(s, sf_dir, "lineitem")
     o = table(s, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    j = bloom_pruned_join(
-        s, li, o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    return (
-        j.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+
+    def finish(j: DataFrame) -> DataFrame:
+        # built INSIDE the bloom conf window — wrapping the returned
+        # join instead would re-optimize under restored confs and drop
+        # the runtime filter (see bloom_pruned_join's caveat)
+        return (
+            j.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
         )
-        .orderBy("l_returnflag", "l_linestatus")
+
+    return bloom_pruned_join(
+        s,
+        li,
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        finish=finish,
     )
 
 

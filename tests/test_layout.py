@@ -84,12 +84,25 @@ def test_bloom_join_plan_and_conf_hygiene(spark):
     after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     assert before == after, "bloom confs leaked into the session"
 
-    plan = j._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    plan = fmt(j)
     assert "might_contain" in plan, "runtime bloom filter was not injected"
     assert "bloom_filter_agg" in plan
 
     # the bloom never changes results: identical to the plain join
     expect = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
     assert j.count() == expect
+
+    # the REGISTERED query (join + aggregate) must keep the filter too:
+    # a transformation applied outside the conf window re-optimizes
+    # without it (the bug PLANS.md exposed — finish= is the fix)
+    from python_multiproc_bigdata_spark.registry.layout import bloom_filtered_join
+
+    from tests.conftest import SF01_DIR as _sf01  # noqa: PLC0415
+
+    reg_plan = fmt(bloom_filtered_join(spark, _sf01))
+    assert "might_contain" in reg_plan, "registered query lost the runtime filter"
