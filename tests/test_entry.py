@@ -41,17 +41,16 @@ def test_checked_window_is_curated():
     assert len(CHECKED_FIRST) == 50
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
-        "sim_neardup_cosine", "training_mix_by_lang",
-        "quota_sample_per_lang", "semantic_only_neardups",
+        "training_mix_by_lang",
+        "semantic_only_neardups",
         "asof_click_to_view", "range_join_close_events",
         "udaf_median_acctbal", "multimodal_features",
         "func_arabic_tokenize",
-        "sim_topk_ivf_kmeans", "curation_repetition_signals",
+        "sim_topk_ivf_kmeans",
         "decontaminate_train_eval", "dedup_components_canonical",
         "training_corpus_pipeline", "training_pack_chunks",
         "training_pack_greedy", "sim_topk_lsh_banded",
         "streaming_session_counts",
-        "training_temperature_mix",
         # round-3 promotions (swap log in registry/__init__.py)
         "sim_knn_classify", "dq_check_orders",
         "calendar_month_order_counts", "streaming_click_view_join",
@@ -65,6 +64,14 @@ def test_checked_window_is_curated():
         "streaming_dedup_watermark", "events_retention_cohorts",
         "events_trailing_1h", "cube_orders", "stats_price_quartiles_ntile",
         "func_datetime_parts",
+        # late-round-4 promotions (new capability classes; demoted
+        # sim_neardup_cosine / quota_sample_per_lang /
+        # curation_repetition_signals / training_temperature_mix /
+        # dedup_exact are all multiply-driver-green with in-window
+        # family siblings — swap log in registry/__init__.py)
+        "dedup_edit_distance_blocked", "zorder_lineitem_layout",
+        "bloom_filtered_join", "events_funnel_conversion",
+        "curation_pagerank_quality",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
