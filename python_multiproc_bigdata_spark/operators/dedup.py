@@ -353,7 +353,14 @@ def blocked_edit_distance_pairs(
     (lang × length-bucket) cardinality of the corpus; cap or salt hot
     blocks the same way ngram_jaccard_pairs caps hot shingles if a
     single (lang, length) dominates. Levenshtein runs JVM-side
-    (built-in), never Python."""
+    (built-in), never Python.
+
+    MEASURED LIMIT: on a length-homogeneous corpus the blocks
+    degenerate (28.8 s at 5 000 sf0.1 docs — quadratic within
+    mega-blocks). The registered query
+    (registry/dedup.dedup_edit_distance_blocked) therefore blocks with
+    MinHash LSH bands instead; prefer this form only when the length
+    distribution actually discriminates."""
     if max_dist >= bucket_width:
         raise ValueError(
             f"max_dist ({max_dist}) must be < bucket_width ({bucket_width}): "
