@@ -103,3 +103,65 @@ def test_approx_top_k_exact_below_capacity_only(spark):
     assert {x["item"]: x["count"] for x in big} == exact
     small = df.agg(F.expr("approx_top_k(v, 10, 10000)").alias("t")).collect()[0]["t"]
     assert len(small) == 10
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    """events_funnel_conversion counts a click only if STRICTLY after
+    the user's first view (and purchase strictly after that click) —
+    pin with a constructed log where ordering differs per user."""
+    from datetime import datetime as dt
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    rows = [
+        # u1: view < click < purchase → counts at every stage
+        (1, dt(2024, 1, 1, 10, 0), "view"),
+        (1, dt(2024, 1, 1, 10, 5), "click"),
+        (1, dt(2024, 1, 1, 10, 9), "purchase"),
+        # u2: click BEFORE view → viewed only
+        (2, dt(2024, 1, 1, 9, 0), "click"),
+        (2, dt(2024, 1, 1, 9, 30), "view"),
+        # u3: click at the SAME instant as view → strict '>' excludes it
+        (3, dt(2024, 1, 1, 8, 0), "view"),
+        (3, dt(2024, 1, 1, 8, 0), "click"),
+        # u4: purchase before click → clicked only
+        (4, dt(2024, 1, 1, 7, 0), "view"),
+        (4, dt(2024, 1, 1, 7, 2), "purchase"),
+        (4, dt(2024, 1, 1, 7, 5), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        r = ev.events_funnel_conversion(spark, "unused").collect()[0]
+    finally:
+        ev.table = orig
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (4, 2, 1)
+
+
+def test_hierarchical_rollup_equals_direct_aggregation(spark):
+    """The cascade's correctness claim: day-level results derived from
+    minute→hour partials equal aggregating raw directly."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_hierarchical_rollup,
+    )
+    from python_multiproc_bigdata_spark.registry.common import load_events
+
+    sf = "/root/testdata/sf0.001"
+    cascade = {r["day"]: r for r in events_hierarchical_rollup(spark, sf).collect()}
+    direct = {
+        r["day"]: r
+        for r in load_events(spark, sf)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(cascade) == set(direct)
+    for d, row in direct.items():
+        assert cascade[d]["n_events"] == row["n_events"], d
+        assert abs(cascade[d]["sum_value"] - row["sum_value"]) < 0.02, d
