@@ -477,3 +477,61 @@ def unigram_logprob_score(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM quality score: per-document cross entropy under the
+    corpus's own bigram distribution, -mean(ln P(w2|w1)) in nats with
+    P(w2|w1) = c(w1 w2) / c(w1 .). One LM order up from
+    unigram_logprob_score — the next rung on the CCNet/KenLM ladder —
+    so repetitive boilerplate (predictable continuations) scores low
+    and incoherent token soup scores high even when its unigrams are
+    common. Documents with fewer than 2 tokens have no bigrams and are
+    excluded (same contract as the oracle).
+
+    Plan: bigrams are formed JVM-side with zip_with over two array
+    slices (no positional self-join, no Python); the context counts
+    c(w1 .) are aggregated FROM THE MODEL (vocabulary-sized), not by
+    rescanning the token stream, so the model costs one groupBy over
+    the gram stream plus one over the model. The stream->model join is
+    zipf-skewed like the unigram case: at 100 TB let AQE skew-split
+    the hot grams or broadcast a top-K gram table with an OOV floor.
+    Self-scoring means every gram is in the model — no smoothing term.
+    Rounded to 4 dp (repo-wide posture for irrational ln values)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), WHITESPACE_RE),
+            lambda w: F.length(w) > 0,
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    model = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = model.groupBy(
+        F.substring_index("gram", " ", 1).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    return (
+        grams.withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(model, "gram")
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(F.log(F.col("c2") / F.col("c1"))), 4).alias(
+                "xent2_nats"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -291,6 +291,44 @@ GROUP BY doc_id
 """
 
 
+def curation_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross entropy under the corpus's own bigram LM (nats) —
+    one LM order up from curation_unigram_logprob, the next rung on
+    the CCNet/KenLM perplexity-gate ladder.
+    See operators/curation.py:bigram_logprob_score."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return bigram_logprob_score(d)
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM docs WHERE len(ws) >= 2
+), model AS (
+  SELECT gram, count(*) AS c2 FROM grams GROUP BY gram
+), ctx AS (
+  SELECT split_part(gram, ' ', 1) AS w1, sum(c2) AS c1 FROM model GROUP BY w1
+)
+SELECT doc_id,
+       round(-avg(ln(c2 * 1.0 / c1)), 4) AS xent2_nats,
+       count(*) AS n_bigrams
+FROM grams
+JOIN model USING (gram)
+JOIN ctx ON split_part(gram, ' ', 1) = ctx.w1
+GROUP BY doc_id
+"""
+
+
 def curation_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph quality signal: 3-iteration PageRank over the
     symmetrized part↔supplier bipartite graph (stand-in for a web-crawl
@@ -351,6 +389,9 @@ REGISTRY = {
     ),
     "curation_unigram_logprob": QuerySpec(
         curation_unigram_logprob, SQL_UNIGRAM_LOGPROB
+    ),
+    "curation_bigram_logprob": QuerySpec(
+        curation_bigram_logprob, SQL_BIGRAM_LOGPROB
     ),
     "curation_boilerplate_ngrams": QuerySpec(
         curation_boilerplate_ngrams, SQL_BOILERPLATE

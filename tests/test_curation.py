@@ -238,3 +238,31 @@ def test_pagerank_star_graph_properties(spark):
     leaves = [ranks["x"], ranks["y"], ranks["z"]]
     assert max(leaves) - min(leaves) < 1e-12  # symmetry
     assert ranks["h"] > max(leaves)  # hub dominates
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from python_multiproc_bigdata_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    # corpus bigrams: "a b" x2 (docs 1,2), "b c" x1 (doc 1)
+    # contexts: c("a .")=2, c("b .")=1
+    # doc1: -mean(ln(2/2), ln(1/1)) = 0.0 ; doc2: -ln(2/2) = 0.0 ... make
+    # it non-trivial: add doc 3 "a d" so P(b|a)=2/3, P(d|a)=1/3
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A b"), (3, "a d"), (4, "solo"), (5, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    # docs 4 (1 token) and 5 (empty) have no bigrams → excluded
+    assert set(rows) == {1, 2, 3}
+    # doc1: bigrams "a b" (p=2/3), "b c" (p=1/1) → -(ln(2/3)+ln1)/2
+    assert rows[1].xent2_nats == round(-(math.log(2 / 3) + 0.0) / 2, 4)
+    assert rows[1].n_bigrams == 2
+    # doc2 "A b" lowercased → "a b": -ln(2/3)
+    assert rows[2].xent2_nats == round(-math.log(2 / 3), 4)
+    # doc3 "a d": -ln(1/3) — rarer continuation scores higher
+    assert rows[3].xent2_nats == round(-math.log(1 / 3), 4)
+    assert rows[3].xent2_nats > rows[2].xent2_nats
