@@ -490,8 +490,56 @@ WINDOW w AS (PARTITION BY user_id
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix: P(next event_type | current
+    event_type) per user journey — the standard clickstream path model
+    (what follows a view? how often does checkout abandon to browse?).
+
+    Plan: one lead() window per user (shuffle on user_id — the same
+    partitioning every per-user events query reuses) then a tiny
+    groupBy on (cur, nxt): |event_type|^2 rows out, so the aggregate is
+    map-side-combined to near-nothing regardless of corpus size. The
+    row-probability denominator comes from a window SUM over the
+    (cur, nxt) counts — |types|^2 rows, no second scan of events.
+    End-of-journey (lead = NULL) rows are dropped: rows are
+    P(next | current, a next exists), each row of the matrix sums to 1.
+    Probability rounded to 6 dp (repo posture for division outputs)."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+SQL_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), counted AS (
+  SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM counted
+"""
+
+
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
+    "events_transition_matrix": QuerySpec(
+        events_transition_matrix, SQL_TRANSITION_MATRIX
+    ),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),
     "events_hierarchical_rollup": QuerySpec(

@@ -119,3 +119,27 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
         & (F.col("vts") <= F.col("cts")),
     ).select("click_id", "user_id", "view_id")
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_transition_matrix_rows_sum_to_one_and_drop_terminal(spark):
+    """Registry-level semantics on real sf0.001 events: each `cur` row of
+    the Markov matrix is a probability distribution (sums to 1 within
+    rounding), counts are positive, and terminal events contribute no
+    row (total n = n_events - n_users_with_events)."""
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_transition_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m = events_transition_matrix(spark, sf).collect()
+    assert m and all(r.n > 0 for r in m)
+    by_cur = {}
+    for r in m:
+        by_cur.setdefault(r.cur, []).append(r.p)
+    for cur, ps in by_cur.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, cur
+    e = load_events(spark, sf)
+    n_pairs = sum(r.n for r in m)
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert n_pairs == n_events - n_users
