@@ -117,6 +117,70 @@ WHERE rn <= 40
 """
 
 
+def training_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling without replacement: per language,
+    keep the WEIGHTED_SAMPLE_N documents with the smallest
+    key = h / n_chars, where h is a 48-bit uniform integer derived
+    from md5(doc_id). Longer (heavier) documents get proportionally
+    smaller keys, so the sample is biased toward them — the
+    deterministic analogue of the Efraimidis–Spirakis priority sample
+    that every training-mix builder uses to upweight by quality/length.
+
+    Why uniform/weight instead of the textbook u^(1/w) (equivalently
+    -ln(u)/w exponential race): pow/ln are libm-dependent and can
+    differ in the last ulp across engines, which would make the
+    selected SET itself nondeterministic at rank boundaries; plain
+    integer-from-md5 division is IEEE-exact-rounded and bit-identical
+    everywhere. The race is still weight-monotone (doubling a doc's
+    weight halves its key) — the exact win-probability law differs
+    from E-S, which the docstring owns rather than hides.
+
+    Plan: map-side key computation (no join), one per-lang window sort
+    — identical shuffle shape to quota_sample_per_lang; at 100 TB
+    pre-filter each language by a key threshold estimated from the
+    quota/|lang| ratio before the sort (same trick as quota's hash
+    pre-filter)."""
+    d = table(prep(spark), sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    key = h / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy("key", "doc_id")
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            key.alias("key"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WEIGHTED_SAMPLE_N)
+        # key is emitted RAW: the long/long division is IEEE-exact, so the
+        # bits (and repr) already agree across engines, while round(x, 4)
+        # on a ~1e11 double does NOT (Spark rounds the exact decimal
+        # HALF_UP, DuckDB rounds in float arithmetic — observed flipping
+        # the last digit at sf0.01).
+        .select("lang", "doc_id", "weight", "key", "rn")
+    )
+
+
+WEIGHTED_SAMPLE_N = 40
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars AS weight,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT * 1.0 / n_chars AS key
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, weight, key,
+         row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, weight, key, rn
+FROM ranked WHERE rn <= 40
+"""
+
+
 def semantic_only_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup audit: pairs whose EMBEDDINGS say near-duplicate
     (cosine ≥ 0.4) but whose normalized text fingerprints differ — the
@@ -538,5 +602,8 @@ REGISTRY = {
         training_corpus_pipeline, SQL_CORPUS_PIPELINE
     ),
     "quota_sample_per_lang": QuerySpec(quota_sample_per_lang, SQL_QUOTA_SAMPLE),
+    "training_weighted_sample": QuerySpec(
+        training_weighted_sample, SQL_WEIGHTED_SAMPLE
+    ),
     "semantic_only_neardups": QuerySpec(semantic_only_neardups, SQL_SEMANTIC_ONLY),
 }

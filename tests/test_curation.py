@@ -266,3 +266,32 @@ def test_bigram_logprob_hand_computed(spark):
     # doc3 "a d": -ln(1/3) — rarer continuation scores higher
     assert rows[3].xent2_nats == round(-math.log(1 / 3), 4)
     assert rows[3].xent2_nats > rows[2].xent2_nats
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """training_weighted_sample's key = h/weight race: with a 100:1
+    weight ratio the heavy class should dominate the per-lang quota
+    (deterministic fixture — md5 keys are fixed). Also pins the
+    weight-monotone invariant directly: doubling the weight exactly
+    halves the key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, "x", 10 if i % 2 else 1000) for i in range(1, 201)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    key = h / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy("key", "doc_id")
+    sel = (
+        d.select("lang", "doc_id", F.col("n_chars").alias("weight"), key.alias("key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .collect()
+    )
+    assert len(sel) == 40
+    assert sum(1 for r in sel if r.weight == 1000) == 40
+    # doubling weight halves the key, exactly (pure division, no libm)
+    half = d.select((h / F.col("n_chars")).alias("k1"), (h / (F.col("n_chars") * 2)).alias("k2")).collect()
+    assert all(r.k1 == r.k2 * 2 for r in half)
