@@ -54,3 +54,61 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         prev.unpersist()
     edges.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle counting via degree orientation (the node-iterator++
+    algorithm): orient each undirected edge from the endpoint with
+    lower (degree, id) to the higher, turning the graph into a DAG in
+    which every triangle {u,v,w} appears exactly once as the wedge
+    u→v→w closed by u→w. Returns (node, n_triangles), each triangle
+    credited to all three corners.
+
+    Scale design: the orientation is WHY this survives skew — wedge
+    generation joins the oriented list with itself on the middle
+    vertex, and out-degree under (deg, id) orientation is O(sqrt(m))
+    even for celebrity nodes, so the total wedge count is bounded by
+    O(m^1.5) instead of sum(deg^2) (the naive wedge join explodes on
+    the hottest vertex). Three shuffles total: degree groupBy, wedge
+    join, closure join; AQE handles residual middle-vertex skew. This
+    is the same plan Spark GraphFrames and every MPP triangle query
+    use; no iteration, no collect."""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    wedge = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    tri = wedge.join(
+        o.alias("e3"),
+        (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+    ).select("x", "y", "z")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -382,8 +382,52 @@ SELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node
 """
 
 
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order are linked; triangles mark cohesive product clusters — the
+    graph-cohesion signal recommender and community pipelines start
+    from). Edge build is a lineitem self-join on l_orderkey
+    (co-partitioned equi-join), then the degree-oriented wedge-closure
+    plan in operators/graph.py:triangle_count."""
+    from python_multiproc_bigdata_spark.operators.graph import triangle_count
+
+    li = table(prep(spark), sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = l1.join(l2, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count(pairs)
+
+
+SQL_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY n
+), o AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b)
+              THEN b ELSE a END AS v
+  FROM pairs JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM o e1 JOIN o e2 ON e1.v = e2.u
+  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+
 REGISTRY = {
     "curation_pagerank_quality": QuerySpec(curation_pagerank_quality, SQL_PAGERANK),
+    "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),

@@ -295,3 +295,18 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     # doubling weight halves the key, exactly (pure division, no libm)
     half = d.select((h / F.col("n_chars")).alias("k1"), (h / (F.col("n_chars") * 2)).alias("k2")).collect()
     assert all(r.k1 == r.k2 * 2 for r in half)
+
+
+def test_triangle_count_k4_square_and_chain(spark):
+    """K4 has C(3,2)=3 triangles per corner (4 total); a 4-cycle and a
+    chain have none. Edge direction/duplication in the input must not
+    matter (operator normalizes to undirected distinct)."""
+    from python_multiproc_bigdata_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    chain = [(20, 21), (21, 22)]
+    dupes = [(2, 1), (1, 2)]  # reversed + duplicate of a K4 edge
+    edges = spark.createDataFrame(k4 + square + chain + dupes, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
