@@ -116,7 +116,122 @@ ORDER BY 1, 2
 """
 
 
+def layout_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data-skipping effectiveness: how many of 64 file-sized
+    blocks can be pruned by min/max stats for the selective predicate
+    `l_partkey <= pmin + span/20` (a 5% band), under two physical
+    layouts of the SAME rows —
+
+      linear : blocks are contiguous l_orderkey ranges (insertion
+               order — what you get without clustering)
+      zorder : blocks are contiguous z-value ranges over
+               (l_partkey, l_suppkey) — what zorder_write produces
+
+    Blocks are VALUE ranges (top 6 bits of the block key), not
+    row_number windows: that is how zorder_write actually splits files
+    (range-partition on z), and it keeps the whole query map-side — no
+    global sort, no single-partition window. One scan computes both
+    block keys, one groupBy per layout builds the per-block min/max
+    'footer stats', and the verdict aggregate is 2 rows. The skipped
+    ratio IS the 100 TB story: a skipped block is a file the scan never
+    opens. Pure integer arithmetic end to end (oracle-exact)."""
+    s = prep(spark)
+    li = table(s, sf_dir, "lineitem")
+    z = with_z_value(li, ["l_partkey", "l_suppkey"], out_col="_z")
+    okb = li.agg(
+        F.min("l_orderkey").alias("omin"), F.max("l_orderkey").alias("omax")
+    )
+    pkb = li.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax")
+    )
+    lin = (
+        li.crossJoin(F.broadcast(okb))
+        .select(
+            F.lit("linear").alias("layout"),
+            F.floor(
+                ((F.col("l_orderkey") - F.col("omin")) * 64)
+                / F.greatest(F.col("omax") - F.col("omin") + 1, F.lit(1))
+            ).alias("blk"),
+            "l_partkey",
+        )
+    )
+    zed = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(F.col("_z"), 26).alias("blk"),
+        "l_partkey",
+    )
+    stats = (
+        lin.unionByName(zed)
+        .groupBy("layout", "blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+        )
+    )
+    skippable = F.col("pk_min") > F.col("thr")
+    return (
+        stats.crossJoin(F.broadcast(pkb))
+        .withColumn(
+            "thr", F.col("pmin") + F.expr("(pmax - pmin) div 20")
+        )
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(skippable, 1).otherwise(0))
+            .cast("long")
+            .alias("n_blocks_skipped"),
+            F.sum(F.when(skippable, 0).otherwise(F.col("n_rows")))
+            .cast("long")
+            .alias("n_rows_scanned"),
+            F.sum("n_rows").cast("long").alias("n_rows_total"),
+        )
+        .orderBy("layout")
+    )
+
+
+SQL_SKIPPING_STATS = f"""
+WITH okb AS (
+  SELECT min(l_orderkey) AS omin, max(l_orderkey) AS omax FROM lineitem
+), pkb AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM lineitem
+), b AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), nxy AS (
+  SELECT l_partkey, l_suppkey, l_orderkey, {_NX} AS nx, {_NY} AS ny
+  FROM lineitem, b
+), tagged AS (
+  SELECT 'linear' AS layout,
+         ((l_orderkey - omin) * 64) // greatest(omax - omin + 1, 1) AS blk,
+         l_partkey
+  FROM lineitem, okb
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         (({spread_bits_sql('nx')} | ({spread_bits_sql('ny')} << 1)) >> 26) AS blk,
+         l_partkey
+  FROM nxy
+), stats AS (
+  SELECT layout, blk, count(*) AS n_rows,
+         min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+  FROM tagged GROUP BY layout, blk
+)
+SELECT layout,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN pk_min > pmin + (pmax - pmin) // 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocks_skipped,
+       CAST(sum(CASE WHEN pk_min > pmin + (pmax - pmin) // 20 THEN 0 ELSE n_rows END) AS BIGINT)
+         AS n_rows_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows_total
+FROM stats, pkb
+GROUP BY layout
+ORDER BY layout
+"""
+
+
 REGISTRY = {
     "zorder_lineitem_layout": QuerySpec(zorder_lineitem_layout, SQL_ZORDER_LAYOUT),
+    "layout_skipping_stats": QuerySpec(layout_skipping_stats, SQL_SKIPPING_STATS),
     "bloom_filtered_join": QuerySpec(bloom_filtered_join, SQL_BLOOM_JOIN),
 }

@@ -106,3 +106,23 @@ def test_bloom_join_plan_and_conf_hygiene(spark):
 
     reg_plan = fmt(bloom_filtered_join(spark, _sf01))
     assert "might_contain" in reg_plan, "registered query lost the runtime filter"
+
+
+def test_skipping_stats_zorder_beats_linear(spark):
+    """The whole point of Z-ordering, pinned as data: under the same 5%
+    partkey predicate, value-range blocks of the z-ordered layout are
+    mostly skippable while insertion-order blocks are not (partkey is
+    uncorrelated with orderkey, so every linear block straddles the
+    full partkey range)."""
+    from python_multiproc_bigdata_spark.registry.layout import (
+        layout_skipping_stats,
+    )
+
+    rows = {
+        r.layout: r
+        for r in layout_skipping_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["linear"].n_blocks_skipped == 0
+    assert rows["zorder"].n_blocks_skipped > rows["zorder"].n_blocks // 2
+    assert rows["zorder"].n_rows_scanned < rows["linear"].n_rows_scanned // 4
+    assert rows["linear"].n_rows_total == rows["zorder"].n_rows_total
