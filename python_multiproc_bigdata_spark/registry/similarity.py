@@ -910,8 +910,146 @@ def make_ivfpq_oracle() -> str:
     )
 
 
+HYBRID_QUERIES = 20  # doc_id/vec_id are the same id space (aligned tables)
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    two-tower serving recipe (Elasticsearch/Vespa/RAG stacks): a SPARSE
+    lexical ranking (TF-IDF dot product via inverted-index join) and a
+    DENSE ranking (cosine top-k over embeddings) are fused per query by
+    rrf = sum(1 / (60 + rank)), which needs no score calibration
+    between systems — only ranks.
+
+    The documents and embeddings tables share one id space (vec_id =
+    doc_id), so each of the 20 query docs retrieves through both
+    towers. Sparse plan: tokenize once, tf/df groupBys, then the
+    20-query term list joins the posting list (query-bounded inverted
+    lookup — linear in corpus, never pairwise). Dense plan: the exact
+    cosine baseline (bounded query side; swap in the banded/IVF
+    candidate stage at 100 TB — composition unchanged since fusion
+    only consumes ranks). Both rankings rank on ROUNDED scores with id
+    tie-breaks (repo convention), and the fused score sums at most two
+    terms per pair, so IEEE commutativity makes the oracle exact."""
+    s = prep(spark)
+    from pyspark.sql import Window
+
+    emb = table(s, sf_dir, "embeddings")
+    docs = table(s, sf_dir, "documents")
+    dense = topk_bruteforce(
+        emb.filter(F.col("vec_id") < HYBRID_QUERIES), emb, k=10
+    ).select("query_id", "neighbor_id", "rk")
+
+    from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
+
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("term"),
+    ).filter(F.length(F.trim("term")) > 0)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wtd = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    qw = wtd.filter(F.col("doc_id") < HYBRID_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
+    )
+    sp = (
+        qw.join(wtd.withColumnRenamed("doc_id", "neighbor_id"), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(F.col("qw") * F.col("w")), 4).alias("s"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    sparse = (
+        sp.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    fused = (
+        dense.unionByName(sparse)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rk"))), 6).alias("rrf"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rrf", "rk")
+    )
+
+
+SQL_HYBRID_RRF = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+')) AS term
+  FROM documents
+), tok_nb AS (
+  SELECT doc_id, term FROM tok WHERE length(trim(term)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok_nb GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), wtd AS (
+  SELECT doc_id, term, tf * ln(n_docs * 1.0 / df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), sp AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+         round(sum(q.w * d.w), 4) AS s
+  FROM wtd q JOIN wtd d ON q.term = d.term AND q.doc_id != d.doc_id
+  WHERE q.doc_id < {HYBRID_QUERIES}
+  GROUP BY 1, 2
+), sparse AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rk
+    FROM sp) WHERE rk <= 10
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), dp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) AS dp,
+         sqrt(list_dot_product(q.e, q.e)) AS nq,
+         sqrt(list_dot_product(c.e, c.e)) AS nc
+  FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {HYBRID_QUERIES}
+), dsc AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN nq > 0 AND nc > 0 THEN dp / (nq * nc) ELSE 0.0 END, 4) AS score
+  FROM dp
+), dense AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM dsc) WHERE rk <= 10
+), un AS (
+  SELECT * FROM sparse UNION ALL SELECT * FROM dense
+), fused AS (
+  SELECT query_id, neighbor_id, round(sum(1.0 / ({RRF_K} + rk)), 6) AS rrf
+  FROM un GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf, rk FROM (
+  SELECT query_id, neighbor_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, neighbor_id ASC) AS rk
+  FROM fused) WHERE rk <= 5
+"""
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
+    "sim_hybrid_rrf": QuerySpec(sim_hybrid_rrf, SQL_HYBRID_RRF),
     "sim_topk_pq": QuerySpec(sim_topk_pq, make_pq_oracle),
     "sim_topk_ivfpq": QuerySpec(sim_topk_ivfpq, make_ivfpq_oracle),
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),

@@ -464,3 +464,23 @@ def test_edit_distance_blocking_rejects_unsound_config(spark):
     df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
     with _pytest.raises(ValueError, match="bucket_width"):
         blocked_edit_distance_pairs(df, bucket_width=16, max_dist=16)
+
+
+def test_hybrid_rrf_bounds_and_shape(spark):
+    """Fusion invariants at sf0.001: exactly 5 ranked rows per query,
+    rrf bounded by the two-tower maximum 2/(60+1), and every fused
+    score is a sum of at most two reciprocal-rank terms (so the
+    smallest possible value is 1/(60+10))."""
+    from python_multiproc_bigdata_spark.registry.similarity import (
+        sim_hybrid_rrf,
+    )
+
+    rows = sim_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 20
+    for q, rs in by_q.items():
+        assert sorted(r.rk for r in rs) == [1, 2, 3, 4, 5], q
+        for r in rs:
+            assert 1 / 70 - 1e-9 <= r.rrf <= 2 / 61 + 1e-9, (q, r)
