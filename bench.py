@@ -72,6 +72,16 @@ HEADLINE = [
     "curation_pagerank_quality",
     "events_props_variant",
     "stats_top_types_sketch",
+    # continuation-session additions: LM-gate upgrade, path analytics,
+    # weighted sampling, graph census, layout evidence, hybrid retrieval
+    "curation_bigram_logprob",
+    "events_transition_matrix",
+    "events_top_session_paths",
+    "events_time_decayed_value",
+    "training_weighted_sample",
+    "graph_triangle_copurchase",
+    "layout_skipping_stats",
+    "sim_hybrid_rrf",
 ]
 
 

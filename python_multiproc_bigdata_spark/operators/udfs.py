@@ -77,3 +77,47 @@ def char_ngrams_udtf():
                 yield i, text[i : i + 3]
 
     return CharNgrams
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    alpha: float = 0.1,
+    out_schema: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    inherently-sequential recurrence s_i = a*x_i + (1-a)*s_{i-1}
+    (s_1 = x_1) that no window frame expresses (each output depends on
+    the FULL prefix through a product chain, not an algebraic
+    aggregate). The per-key fold runs in pandas via grouped_apply;
+    keys fold in parallel, Arrow moves only (key, order, value).
+
+    Determinism/oracle note: the fold's float ops are evaluated in the
+    exact textbook order on float64, so an engine replaying the same
+    recurrence (e.g. a recursive CTE) reproduces the bits exactly — no
+    rounding needed. At 100 TB the group payload is the per-key event
+    history (bounded by per-entity activity, like every sessionization
+    window here); a hot key folds alone but never broadcasts.
+
+    Returns (key, *order, rn, ewma)."""
+    cols = [key, *order, value]
+    ocols = list(order)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols)
+        out_s = []
+        s = None
+        for x in pdf[value]:
+            s = float(x) if s is None else alpha * float(x) + (1.0 - alpha) * s
+            out_s.append(s)
+        res = pdf[[key, *ocols]].copy()
+        res["rn"] = range(1, len(res) + 1)
+        res["ewma"] = out_s
+        return res
+
+    schema = out_schema or (
+        f"{key} long, " + ", ".join(f"{c} long" for c in ocols) + ", rn long, ewma double"
+    )
+    return grouped_apply(df.select(*cols), [key], fold, schema)

@@ -597,6 +597,49 @@ GROUP BY user_id
 """
 
 
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha=0.1) over event-time order —
+    the inherently-sequential recurrence no SQL window frame expresses,
+    run as a parallel-per-user pandas fold
+    (operators/udfs.py:ewma_per_key). The DuckDB oracle replays the
+    identical recurrence with a recursive CTE (one recursion level per
+    event rank; bounded by the busiest user), and because both sides
+    evaluate a*x + (1-a)*s in the same order on float64, the values
+    match BIT-EXACTLY with no rounding."""
+    from python_multiproc_bigdata_spark.operators.udfs import ewma_per_key
+
+    e = table(prep(spark), sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("double").alias("tsd"),
+        "event_id",
+        "value",
+    )
+    out = ewma_per_key(
+        e,
+        "user_id",
+        ["tsd", "event_id"],
+        "value",
+        alpha=0.1,
+        out_schema="user_id long, tsd double, event_id long, rn long, ewma double",
+    )
+    return out.select("user_id", "event_id", "rn", "ewma")
+
+
+SQL_EWMA = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS rn
+  FROM events
+), ew AS (
+  SELECT user_id, event_id, rn, value AS ewma FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, 0.1 * s.value + 0.9 * e.ewma AS ewma
+  FROM seq s JOIN ew e ON s.user_id = e.user_id AND s.rn = e.rn + 1
+)
+SELECT user_id, event_id, rn, ewma FROM ew
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-event transition matrix: P(next event_type | current
     event_type) per user journey — the standard clickstream path model
@@ -653,6 +696,7 @@ REGISTRY = {
     "events_time_decayed_value": QuerySpec(
         events_time_decayed_value, SQL_TIME_DECAYED
     ),
+    "events_ewma_value": QuerySpec(events_ewma_value, SQL_EWMA),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),
     "events_hierarchical_rollup": QuerySpec(

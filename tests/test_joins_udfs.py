@@ -87,3 +87,28 @@ def test_char_ngrams_udtf_matches_jvm_path(spark):
         )
     )
     assert got == jvm
+
+
+def test_ewma_per_key_recurrence_exact(spark):
+    """Hand-replay of the EWMA fold on a two-key fixture, including
+    out-of-order input (the fold must sort by the order columns, not
+    trust arrival order)."""
+    from python_multiproc_bigdata_spark.operators.udfs import ewma_per_key
+
+    rows = [
+        (1, 3.0, 30, 7.0),   # key 1, deliberately shuffled order
+        (1, 1.0, 10, 1.0),
+        (1, 2.0, 20, 4.0),
+        (2, 1.0, 11, 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "o", "eid", "v"])
+    out = ewma_per_key(
+        df, "k", ["o", "eid"], "v", alpha=0.5,
+        out_schema="k long, o double, eid long, rn long, ewma double",
+    ).collect()
+    got = {(r.k, r.rn): r.ewma for r in out}
+    # key 1 ordered values: 1.0, 4.0, 7.0 → s = 1.0, 2.5, 4.75
+    assert got[(1, 1)] == 1.0
+    assert got[(1, 2)] == 0.5 * 4.0 + 0.5 * 1.0
+    assert got[(1, 3)] == 0.5 * 7.0 + 0.5 * 2.5
+    assert got[(2, 1)] == 10.0
