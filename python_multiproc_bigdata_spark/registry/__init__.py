@@ -112,20 +112,37 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   curation_repetition_signals (r03-green; curation keeps
 #     decontaminate + components) → curation_pagerank_quality
 #     (iterative PageRank with an exact recurrence-replay oracle)
+#
+# Continuation-session swaps (5 new capability CLASSES earn the hard
+# driver signal; every demotion is r03-green — most r01+r02 too — and
+# keeps >=2 in-window family siblings):
+#   words_first_position → graph_triangle_copurchase (degree-oriented
+#     triangle census — first graph-census class)
+#   q1_pricing_summary → sim_hybrid_rrf (sparse TF-IDF posting join +
+#     dense cosine fused by reciprocal-rank — hybrid retrieval class)
+#   events_sessionize → events_ewma_value (sequential per-key pandas
+#     fold with a BIT-EXACT recursive-CTE oracle — the applyInPandas
+#     stateful-recurrence class; the session surface keeps
+#     streaming_session_counts in-window, and the same 30-min gap rule
+#     is parity-checked via events_top_session_paths)
+#   stats_lineitem_moments → layout_skipping_stats (min/max pruning
+#     effectiveness, linear vs Z-order — the quantified-layout class)
+#   training_mix_by_lang → curation_bigram_logprob (bigram LM
+#     perplexity gate; corpus_pipeline keeps the mix stage in-window)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
-    "words_first_position",
+    "graph_triangle_copurchase",
     "words_duplicate_occurrences",
     "words_pipeline",
     "words_total_tokens",
     # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
     # are the hardest never-checked members, promoted r4)
-    "q1_pricing_summary",
+    "sim_hybrid_rrf",
     "q8_market_share",
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
     # events: sessionization, retention, trailing RANGE frame
-    "events_sessionize",
+    "events_ewma_value",
     "events_trailing_1h",
     "events_retention_cohorts",
     "streaming_session_counts",
@@ -164,14 +181,14 @@ CHECKED_FIRST: tuple[str, ...] = (
     # multimodal plumbing
     "multimodal_features",
     # stats panel
-    "stats_lineitem_moments",
+    "layout_skipping_stats",
     "stats_price_quartiles_ntile",
     "cube_orders",
     "calendar_month_order_counts",
     # training-mix compositions (training_corpus_pipeline is the
     # end-to-end capstone: quality → dedup → decontaminate → quota)
     # + late-r4 promotions: runtime bloom pruning, funnel analytics
-    "training_mix_by_lang",
+    "curation_bigram_logprob",
     "bloom_filtered_join",
     "training_corpus_pipeline",
     "events_funnel_conversion",

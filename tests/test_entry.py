@@ -41,7 +41,6 @@ def test_checked_window_is_curated():
     assert len(CHECKED_FIRST) == 50
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
-        "training_mix_by_lang",
         "semantic_only_neardups",
         "asof_click_to_view", "range_join_close_events",
         "udaf_median_acctbal", "multimodal_features",
@@ -72,6 +71,14 @@ def test_checked_window_is_curated():
         "dedup_edit_distance_blocked", "zorder_lineitem_layout",
         "bloom_filtered_join", "events_funnel_conversion",
         "curation_pagerank_quality",
+        # continuation-session promotions (new capability classes;
+        # demoted words_first_position / q1_pricing_summary /
+        # events_sessionize / stats_lineitem_moments /
+        # training_mix_by_lang are all multiply-driver-green with
+        # in-window family siblings — swap log in registry/__init__.py)
+        "graph_triangle_copurchase", "sim_hybrid_rrf",
+        "events_ewma_value", "layout_skipping_stats",
+        "curation_bigram_logprob",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
