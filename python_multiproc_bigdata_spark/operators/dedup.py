@@ -390,3 +390,72 @@ def blocked_edit_distance_pairs(
         )
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (the
+    AllPairs/PPJoin candidate-generation family): each document only
+    posts its RAREST `|d| - ceil(t*|d|) + 1` shingles (global
+    frequency-ascending order), because two sets with Jaccard >= t must
+    share at least one token inside both prefixes. Same output as
+    ngram_jaccard_pairs, different scale story: the hot boilerplate
+    shingles that make all-pairs posting lists quadratic sit at the END
+    of the frequency order, so they never enter candidate generation —
+    lossless, unlike the max_shingle_freq cap (which drops signal) and
+    unlike MinHash-LSH banding (which drops recall).
+
+    The threshold is a RATIONAL (num/den): prefix length and the size
+    filter use exact integer ceil `(num*sz + den - 1) div den` — a
+    float 0.8*|d| rounds up one shingle short at |d| multiples of 5,
+    silently truncating the prefix below the no-miss guarantee.
+
+    Plan: shingle scan -> frequency groupBy -> per-doc rank window ->
+    posting pairs on the (small) prefix relation -> integer size filter
+    -> exact intersection verify restricted to candidates. The verify
+    join touches candidates x shingles, not pairs x shingles."""
+    from pyspark.sql import Window
+
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy("f", "sh")
+    ceil_t = (threshold_num * F.col("sz") + threshold_den - 1).cast("long") / threshold_den
+    prefix_len = F.col("sz") - F.floor(ceil_t).cast("long") + 1
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "sh")
+    )
+    cand = (
+        _posting_pairs(prefix, F.xxhash64("sh"))
+        .distinct()
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .filter(
+            (threshold_den * F.col("sb") >= threshold_num * F.col("sa"))
+            & (threshold_den * F.col("sa") >= threshold_num * F.col("sb"))
+        )
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 4)
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold_num / threshold_den)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+        )
+    )

@@ -12,6 +12,7 @@ from python_multiproc_bigdata_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash16,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -70,6 +71,17 @@ JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
 """
+
+
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 pairs via AllPairs/PPJoin prefix filtering —
+    candidates come only from each doc's rarest |d|-ceil(0.8|d|)+1
+    shingles, so boilerplate posting lists never explode and NOTHING is
+    lost (same output as dedup_ngram_jaccard; the oracle IS the plain
+    all-pairs SQL, making the driver check an algebraic-equivalence
+    proof). See operators/dedup.py:prefix_filter_jaccard_pairs."""
+    d = table(prep(spark), sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +246,9 @@ REGISTRY = {
         dedup_edit_distance_blocked, SQL_EDIT_DISTANCE
     ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_prefix_filter_jaccard": QuerySpec(
+        dedup_prefix_filter_jaccard, SQL_NGRAM_JACCARD
+    ),
     "dedup_ngram_jaccard_capped": QuerySpec(
         dedup_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED
     ),

@@ -484,3 +484,36 @@ def test_hybrid_rrf_bounds_and_shape(spark):
         assert sorted(r.rk for r in rs) == [1, 2, 3, 4, 5], q
         for r in rs:
             assert 1 / 70 - 1e-9 <= r.rrf <= 2 / 61 + 1e-9, (q, r)
+
+
+def test_prefix_filter_jaccard_equals_all_pairs(spark):
+    """The PPJoin prefix filter must be LOSSLESS: identical pair set and
+    jaccard values as the all-pairs path at sf0.001, plus a crafted
+    10-shingle near-dup pair (|d| a multiple of 5 — the float-ceil trap
+    the rational threshold math exists for)."""
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    b = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, 4, 5).collect()
+    }
+    assert a == b and len(b) > 0
+
+    # crafted: 12 tokens -> 10 trigram shingles; drop-one-word twin gives
+    # 9/11-ish overlap... make overlap exactly >= 0.8: share 9 of 10
+    words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb"
+    twin = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa XX"
+    tiny = spark.createDataFrame(
+        [(1, words), (2, twin), (3, "zz yy xx ww vv uu")], ["doc_id", "text"]
+    )
+    ta = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(tiny, 0.8).collect()}
+    tb = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(tiny, 4, 5).collect()
+    }
+    assert ta == tb == {(1, 2)}
