@@ -80,6 +80,8 @@ HEADLINE = [
     "events_time_decayed_value",
     "training_weighted_sample",
     "graph_triangle_copurchase",
+    "dedup_prefix_filter_jaccard",
+    "dedup_source_overlap",
     "layout_skipping_stats",
     "sim_hybrid_rrf",
 ]

