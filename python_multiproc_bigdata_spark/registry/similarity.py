@@ -836,8 +836,7 @@ WITH emb AS (
   SELECT vec_id, sub, bcid FROM (
     SELECT s.vec_id, s.sub, b.bcid,
            row_number() OVER (PARTITION BY s.vec_id, s.sub
-             ORDER BY list_dot_product(s.es, s.es)
-                      - 2 * list_dot_product(s.es, b.bc) + b.cc ASC,
+             ORDER BY b.cc - 2 * list_dot_product(s.es, b.bc) ASC,
                       b.bcid ASC) AS cr
     FROM subs s JOIN books b ON b.sub = s.sub) WHERE cr = 1
 ), recon AS (
