@@ -133,6 +133,111 @@ GROUP BY 1, 2
 """
 
 
+def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-over-snapshot ingest gate: classify every document of
+    the incoming batch (source 'src0') against the ALREADY-ACCEPTED
+    corpus (every other source) as exact_dup (fingerprint seen before),
+    near_dup (3-gram Jaccard >= 0.8 with an accepted doc), or novel —
+    what Dolma/RedPajama-style pipelines run between crawl snapshots so
+    retrained models never re-ingest yesterday's corpus.
+
+    Plan: the exact arm is a fingerprint left-semi join (corpus side is
+    a distinct hash set — at 100 TB this is the bloom/bucketed-join
+    shape); the near arm reuses the lossless prefix-filter pair
+    generation over the union and keeps only boundary-crossing pairs.
+    Verdict precedence exact > near > novel."""
+    from python_multiproc_bigdata_spark.functions.text import doc_fingerprint
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    incoming = d.filter(F.col("source") == "src0")
+    accepted = d.filter(F.col("source") != "src0")
+    exact_ids = (
+        incoming.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .join(
+            accepted.select(doc_fingerprint("text").alias("fp")).distinct(),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("_exact", F.lit(1))
+    )
+    pairs = prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
+    src = d.select("doc_id", "source")
+    crossing = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+            "doc_b",
+        )
+        .filter(
+            ((F.col("_sa") == "src0") & (F.col("_sb") != "src0"))
+            | ((F.col("_sb") == "src0") & (F.col("_sa") != "src0"))
+        )
+        .select(
+            F.when(F.col("_sa") == "src0", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(crossing, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact") == 1, "exact_dup")
+            .when(F.col("_near") == 1, "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+        )
+    )
+
+
+SQL_INCREMENTAL_NOVELTY = SQL_SHINGLES_CTE + r"""
+, inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+), fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp
+  FROM documents
+), exact_ids AS (
+  SELECT DISTINCT i.doc_id
+  FROM fp i JOIN fp c ON i.fp = c.fp
+  WHERE i.source = 'src0' AND c.source != 'src0'
+), near_ids AS (
+  SELECT DISTINCT CASE WHEN da.source = 'src0' THEN id_a ELSE id_b END AS doc_id
+  FROM pairs
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b
+  WHERE (da.source = 'src0') != (db.source = 'src0')
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict
+FROM documents d
+LEFT JOIN exact_ids e ON e.doc_id = d.doc_id
+LEFT JOIN near_ids n ON n.doc_id = d.doc_id
+WHERE d.source = 'src0'
+"""
+
+
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB guardrail path of ngram_jaccard_pairs: posting lists for
     shingles shared by more than `max_shingle_freq` docs are dropped BEFORE
@@ -299,6 +404,9 @@ REGISTRY = {
         dedup_prefix_filter_jaccard, SQL_NGRAM_JACCARD
     ),
     "dedup_source_overlap": QuerySpec(dedup_source_overlap, SQL_SOURCE_OVERLAP),
+    "dedup_incremental_novelty": QuerySpec(
+        dedup_incremental_novelty, SQL_INCREMENTAL_NOVELTY
+    ),
     "dedup_ngram_jaccard_capped": QuerySpec(
         dedup_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED
     ),

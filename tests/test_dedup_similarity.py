@@ -517,3 +517,29 @@ def test_prefix_filter_jaccard_equals_all_pairs(spark):
         for r in prefix_filter_jaccard_pairs(tiny, 4, 5).collect()
     }
     assert ta == tb == {(1, 2)}
+
+
+def test_incremental_novelty_exact_arm(spark, tmp_path):
+    """The harness corpus has no exact cross-source dups, so the exact
+    arm is exercised on a crafted snapshot: src0 carries one verbatim
+    copy (whitespace-normalized) of an accepted doc, one near-dup, and
+    one novel doc."""
+    from python_multiproc_bigdata_spark.registry.dedup import (
+        dedup_incremental_novelty,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "src1", len(base)),
+        (2, "totally different text with unrelated words entirely", "en", "src2", 10),
+        (10, "  ALPHA beta gamma delta epsilon zeta eta theta iota kappa ", "en", "src0", 10),
+        (11, base + " lambda", "en", "src0", 10),   # near-dup of doc 1
+        (12, "qq ww ee rr tt yy uu ii oo pp", "en", "src0", 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path / "snap"
+    df.write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r.verdict for r in dedup_incremental_novelty(spark, str(d)).collect()}
+    assert got[10] == "exact_dup"
+    assert got[11] == "near_dup"
+    assert got[12] == "novel"
