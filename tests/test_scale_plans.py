@@ -225,3 +225,46 @@ def test_ivfpq_candidates_from_probed_lists(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_skipping_stats_no_sort_no_window(spark):
+    # value-range blocks keep the layout evidence query entirely
+    # map-side + two small aggregations: a global row_number layout
+    # would show Sort/Window here and die at scale
+    plan = plan_of(REGISTRY["layout_skipping_stats"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    # the single Sort is the 2-row result ordering AFTER the final
+    # aggregate — block-key assignment itself must stay sort-free
+    assert plan.count("Sort [") <= 1
+
+
+def test_triangle_census_no_cartesian(spark):
+    # degree-oriented wedge closure: every join is an equi-join (middle
+    # vertex / closing edge); an unoriented formulation explodes on the
+    # hottest vertex and a naive one shows CartesianProduct
+    plan = plan_of(REGISTRY["graph_triangle_copurchase"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_no_cartesian(spark):
+    # PPJoin candidates come from prefix posting lists (aggregation +
+    # equi-joins only) — the all-pairs shape must not appear
+    plan = plan_of(REGISTRY["dedup_prefix_filter_jaccard"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_sparse_tower_is_equi_join(spark):
+    # the sparse tower is a query-bounded inverted-index equi-join; the
+    # only nested-loop fan-outs allowed are the 1-row corpus-stats
+    # broadcast and the bounded dense-tower query side
+    plan = plan_of(REGISTRY["sim_hybrid_rrf"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_ewma_single_python_stage(spark):
+    # exactly one Arrow-grouped pandas stage (the per-key fold); no
+    # row-at-a-time BatchEvalPython anywhere
+    plan = plan_of(REGISTRY["events_ewma_value"].fn(spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
