@@ -17,6 +17,7 @@ from python_multiproc_bigdata_spark.streaming.windows import (
     session_counts,
     sliding_counts,
     stream_events,
+    transition_counts_stateful,
     tumbling_counts,
 )
 
@@ -271,8 +272,33 @@ JOIN events v
 """
 
 
+def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Markov transition counts from the event stream via the
+    remember-last-per-key stateful processor
+    (streaming/windows.py:transition_counts_stateful). Batch twin: the
+    lead() window + groupBy — the oracle below — which must agree
+    row-for-row because the processor sorts each user's slice by the
+    same (ts, event_id) order the window uses."""
+    ev = stream_events(prep(spark), sf_dir)
+    return run_to_memory(transition_counts_stateful(ev), mode="update")
+
+
+SQL_STREAM_TRANSITIONS = """
+WITH pairs AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id, cur, nxt, count(*) AS n
+FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY = {
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
+    "streaming_transition_counts": QuerySpec(
+        streaming_transition_counts, SQL_STREAM_TRANSITIONS
+    ),
     "streaming_session_counts": QuerySpec(streaming_session_counts, SQL_STREAM_SESSION),
     "streaming_dedup_watermark": QuerySpec(streaming_dedup_watermark, SQL_STREAM_DEDUP),
     "streaming_tumbling_counts": QuerySpec(streaming_tumbling_counts, SQL_STREAM_TUMBLING),

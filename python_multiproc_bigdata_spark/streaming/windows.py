@@ -341,3 +341,68 @@ def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     q.stop()
     q.awaitTermination(30)
     return df.sparkSession.table(name)
+
+
+def stitch_transitions(pdf, last_type, counts) -> str | None:
+    """The pure per-batch fold of transition_counts_stateful: sort one
+    user's batch slice by (ts, event_id), count (last>current)
+    transitions into `counts` (in place, including the pair that spans
+    the previous batch via `last_type`), return the new last event
+    type. Module-level so the cross-batch stitching contract is unit-
+    testable without a streaming harness."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for et in pdf["event_type"]:
+        if last_type is not None:
+            k = last_type + ">" + et
+            counts[k] = counts.get(k, 0) + 1
+        last_type = et
+    return last_type
+
+
+def transition_counts_stateful(events: DataFrame) -> DataFrame:
+    """Streaming Markov transition counter — the remember-last-per-key
+    stateful pattern: per user, state carries the LAST event seen
+    (so a transition spanning two micro-batches is still counted) plus
+    the accumulated (cur>nxt) counts; each batch emits the user's full
+    updated transition counts (update mode). This is the streaming twin
+    of the batch lead() transition matrix — the batch form re-sorts
+    history, the streaming form pays O(1) state per user.
+
+    State is a flat struct (last event fields + a JSON counts blob):
+    applyInPandasWithState state structs are fixed-schema, and the
+    per-user alphabet is |event_types|^2-bounded, so the blob stays
+    tiny. The inner loop is per-row Python over ONE user's batch slice
+    (bounded by per-user activity per trigger); at higher volume,
+    compute within-batch transitions vectorized (shift+concat) and only
+    stitch the batch-boundary pair through state."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, cur string, nxt string, n long"
+    state_schema = "last_type string, counts string"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            last_type, cjson = state.get
+            counts = json.loads(cjson)
+            last_type = last_type or None
+        else:
+            last_type, counts = None, {}
+        for pdf in pdf_iter:
+            last_type = stitch_transitions(pdf, last_type, counts)
+        state.update((last_type or "", json.dumps(counts, sort_keys=True)))
+        if counts:
+            rows = [
+                (key[0], *k.split(">"), n) for k, n in sorted(counts.items())
+            ]
+            yield pd.DataFrame(rows, columns=["user_id", "cur", "nxt", "n"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -191,3 +191,28 @@ def test_time_decayed_value_monotone_weights(spark):
     assert set(dec) == set(plain)
     for u, v in dec.items():
         assert v <= plain[u] + 1e-6
+
+
+def test_streaming_transitions_stitch_across_batches(spark):
+    """The single-file harness stream runs one micro-batch, so the
+    cross-batch property — a transition spanning a batch boundary is
+    still counted via the remembered last event — is pinned by driving
+    the operator's shared per-batch fold (stitch_transitions) over two
+    successive batches."""
+    import pandas as pd
+
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        stitch_transitions,
+    )
+
+    b1 = pd.DataFrame(
+        {"ts": [2, 1], "event_id": [2, 1], "event_type": ["click", "view"]}
+    )  # deliberately out of order — the fold must sort
+    b2 = pd.DataFrame({"ts": [3], "event_id": [3], "event_type": ["purchase"]})
+    counts: dict = {}
+    last = stitch_transitions(b1, None, counts)
+    assert last == "click" and counts == {"view>click": 1}
+    last = stitch_transitions(b2, last, counts)
+    # the click->purchase transition crosses the batch boundary
+    assert last == "purchase"
+    assert counts == {"view>click": 1, "click>purchase": 1}
