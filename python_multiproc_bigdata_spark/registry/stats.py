@@ -411,8 +411,83 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def stats_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into control/treatment by
+    id parity (the deterministic stand-in for an assignment table),
+    Welch's two-sample t statistic on event value per event_type — the
+    unequal-variance test every experimentation platform reports
+    (pooled-variance Student's t assumes homoscedasticity you can't
+    check at ingest).
+
+    One scan, one (event_type, variant) groupBy with algebraic
+    count/avg/var_samp partials, then a variant self-pivot at
+    |event_types| rows — the verdict math runs on a frame the driver
+    could print. t rounded to 4 (float-sum posture); welch_df left
+    unrounded is irrational too, so it is rounded the same."""
+    e = table(prep(spark), sf_dir, "events")
+    g = (
+        e.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (F.col("v_a") / F.col("n_a")) * (F.col("v_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("v_b") / F.col("n_b")) * (F.col("v_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dfw, 2).alias("welch_df"),
+    )
+
+
+SQL_AB_TTEST = """
+WITH g AS (
+  SELECT event_type, (user_id % 2)::INT AS variant,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT event_type, n AS n_a, m AS m_a, v AS v_a FROM g WHERE variant = 0
+), b AS (
+  SELECT event_type, n AS n_b, m AS m_b, v AS v_b FROM g WHERE variant = 1
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+       round(((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b))
+             / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2) AS welch_df
+FROM a JOIN b USING (event_type)
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
+    "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),
     "stats_hll_users_per_type": QuerySpec(stats_hll_users_per_type, None),
     "global_index_orders": QuerySpec(global_index_orders, SQL_GLOBAL_INDEX),

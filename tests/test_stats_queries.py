@@ -165,3 +165,33 @@ def test_hierarchical_rollup_equals_direct_aggregation(spark):
     for d, row in direct.items():
         assert cascade[d]["n_events"] == row["n_events"], d
         assert abs(cascade[d]["sum_value"] - row["sum_value"]) < 0.02, d
+
+
+def test_ab_ttest_detects_planted_shift(spark, tmp_path):
+    """Welch t on a crafted experiment: treatment values shifted by a
+    constant — |t| must be large for the shifted type and ~0 for the
+    null type; welch_df stays within (min(n)-1, n_a+n_b-2]."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.stats import stats_ab_ttest
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        for i in range(10):
+            eid += 1
+            base = float((u * 7 + i * 3) % 11)
+            shift = 50.0 if (u % 2 == 1) else 0.0
+            rows.append((eid, "2024-01-01 00:00:00", u, "shifted", base + shift, "{}"))
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", u, "null_effect", base, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tmp_path / "ab"
+    df.write.parquet(str(d / "events.parquet"))
+    got = {r.event_type: r for r in stats_ab_ttest(spark, str(d)).collect()}
+    assert abs(got["shifted"].t_stat) > 20
+    assert abs(got["null_effect"].t_stat) < 2
+    for r in got.values():
+        assert min(r.n_a, r.n_b) - 1 <= r.welch_df <= r.n_a + r.n_b - 2
