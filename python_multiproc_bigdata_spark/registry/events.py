@@ -597,6 +597,45 @@ GROUP BY user_id
 """
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier events by robust-ish z-score: value standardized against
+    the EVENT TYPE's own mean/stddev (types have different value
+    scales, so a global z flags whole types, not anomalies). Emits the
+    top-50 |z| events — the monitoring primitive behind every alerting
+    pipeline.
+
+    Per-type stats are a |types|-row aggregate broadcast back map-side;
+    the top-50 cut is one TakeOrdered (no full sort materialization —
+    Spark plans ORDER BY+LIMIT as a bounded per-partition heap). z
+    rounded to 4."""
+    e = table(prep(spark), sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.col("s") > 0)
+        .select("event_id", "event_type", "user_id", "value", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), F.col("event_id").asc())
+        .limit(50)
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, user_id, value,
+       round((value - m) / s, 4) AS z
+FROM events JOIN stats USING (event_type)
+WHERE s > 0
+ORDER BY abs(round((value - m) / s, 4)) DESC, event_id ASC
+LIMIT 50
+"""
+
+
 def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event value (alpha=0.1) over event-time order —
     the inherently-sequential recurrence no SQL window frame expresses,
@@ -697,6 +736,7 @@ REGISTRY = {
         events_time_decayed_value, SQL_TIME_DECAYED
     ),
     "events_ewma_value": QuerySpec(events_ewma_value, SQL_EWMA),
+    "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),
     "events_hierarchical_rollup": QuerySpec(
