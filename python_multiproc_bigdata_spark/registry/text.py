@@ -296,8 +296,93 @@ SELECT term, doc_id, tf, score, rk FROM (
 """
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing metric: what
+    fraction of the corpus token stream is covered by the top-K
+    frequency-ranked vocabulary, at K in {5, 10, 20, 100}
+    (plus the full vocab size as the last row's n_vocab). Drives the
+    classic vocab-size/OOV-rate tradeoff decision before training a
+    tokenizer.
+
+    One tokenize+groupBy builds (term, freq); the cumulative share is a
+    window prefix-sum over the frequency-ranked VOCABULARY (bounded by
+    distinct terms, not corpus size — the global window is a deliberate
+    single-partition pass over that bounded relation; for a 100M-term
+    web vocabulary switch to the bucketed parallel prefix-sum of
+    transforms.with_global_index); the K cuts read 4 rows from it.
+    Ratio rounded to 6."""
+    d = table(prep(spark), sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("term")
+    ).filter(F.length(F.trim("term")) > 0)
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = freq.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    nv = freq.agg(F.count(F.lit(1)).alias("n_vocab"))
+    mx = ranked.agg(F.max("rk").alias("max_rk"))
+    # cut rows: the K marks that exist plus the last vocab row (for K
+    # beyond the vocabulary) — a broadcast-filtered handful of rows, so
+    # everything after the ranked window is driver-printable size
+    cuts = ranked.crossJoin(F.broadcast(mx)).filter(
+        F.col("rk").isin(5, 10, 20, 100)
+        | (F.col("rk") == F.col("max_rk"))
+    )
+    ks = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(k) for k in (5, 10, 20, 100)])).alias("k")
+    )
+    return (
+        ks.join(
+            cuts,
+            (F.col("rk") == F.col("k"))
+            | ((F.col("k") >= F.col("max_rk")) & (F.col("rk") == F.col("max_rk"))),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.least(F.col("k"), F.col("max_rk")).alias("top_k"),
+            F.round(F.col("cum") / F.col("t"), 6).alias("coverage"),
+            F.col("n_vocab"),
+        )
+        .distinct()
+        .orderBy("top_k")
+    )
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                            x -> length(trim(x)) > 0)) AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY term
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rk,
+         sum(c) OVER (ORDER BY c DESC, term ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+), total AS (
+  SELECT count(*) AS t FROM toks
+), nv AS (
+  SELECT count(*) AS n_vocab, max(1) FROM freq
+), mx AS (
+  SELECT max(rk) AS max_rk FROM ranked
+)
+SELECT DISTINCT least(k, max_rk) AS top_k,
+       round(cum * 1.0 / t, 6) AS coverage,
+       n_vocab
+FROM (VALUES (5), (10), (20), (100)) ks(k), ranked, total, nv, mx
+WHERE rk = k OR (k >= max_rk AND rk = max_rk)
+ORDER BY top_k
+"""
+
+
 REGISTRY = {
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
+    "text_vocab_coverage": QuerySpec(text_vocab_coverage, SQL_VOCAB_COVERAGE),
     "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),
     "text_quality": QuerySpec(text_quality, SQL_QUALITY),

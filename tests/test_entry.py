@@ -118,6 +118,10 @@ def test_no_accidental_shared_oracles():
         frozenset({"streaming_session_counts", "events_session_window"}),
         frozenset({"events_tumbling_window", "streaming_tumbling_counts"}),
         frozenset({"events_sliding_window", "streaming_sliding_counts"}),
+        # deliberate: the PPJoin prefix filter is checked against the
+        # ALL-PAIRS oracle — sharing the SQL is the point (an
+        # algebraic-equivalence proof that prefix filtering is lossless)
+        frozenset({"dedup_ngram_jaccard", "dedup_prefix_filter_jaccard"}),
     }
     by_oracle = defaultdict(list)
     for n, s in REGISTRY.items():
