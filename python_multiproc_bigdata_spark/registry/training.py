@@ -30,6 +30,10 @@ from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, tabl
 from python_multiproc_bigdata_spark.registry.similarity import (
     SQL_NEARDUP_BANDED_CTE as _SQL_NEARDUP_BANDED_CTE,
 )
+from python_multiproc_bigdata_spark.operators.dedup import (
+    prefix_filter_jaccard_pairs,
+)
+from python_multiproc_bigdata_spark.registry.dedup import SQL_SHINGLES_CTE
 
 QUALITY_MIN = 0.5
 QUOTA_PER_LANG = 40
@@ -178,6 +182,84 @@ WITH keyed AS (
 )
 SELECT lang, doc_id, weight, key, rn
 FROM ranked WHERE rn <= 40
+"""
+
+
+def training_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: positives are near-dup pairs
+    (3-gram Jaccard >= 0.8, both orientations — each member anchors
+    once), negatives are 2 deterministic md5-drawn non-near-dup docs
+    per anchor — the (anchor, positive, negatives) triplet feed of
+    embedding/contrastive training (SimCSE/E5-style), with hard-random
+    negatives replayable by the oracle.
+
+    The negative draw joins anchors x corpus, anti-joins the near-dup
+    relation, and ranks by md5(anchor:doc) per anchor: the anchor set
+    is |near-dup members|-sized (small), so the fan-out is bounded by
+    anchors, not corpus^2; at larger anchor counts draw from a fixed
+    hash-bucket slice of the corpus instead of the full table."""
+    d = table(prep(spark), sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
+    pos = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("other")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("anchor"), F.col("doc_a").alias("other"))
+    )
+    anchors = pos.select("anchor").distinct()
+    dup_rel = pos.withColumnRenamed("other", "doc_id")  # (anchor, near-dup doc)
+    cand = (
+        anchors.crossJoin(d.select("doc_id"))
+        .filter(F.col("doc_id") != F.col("anchor"))
+        .join(dup_rel, ["anchor", "doc_id"], "left_anti")
+    )
+    wn = Window.partitionBy("anchor").orderBy(
+        F.md5(F.concat_ws(":", F.col("anchor"), F.col("doc_id"))), F.col("doc_id")
+    )
+    neg = (
+        cand.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= 2)
+        .select("anchor", F.col("doc_id").alias("other"))
+    )
+    return (
+        pos.withColumn("label", F.lit("pos"))
+        .unionByName(neg.withColumn("label", F.lit("neg")))
+        .orderBy("anchor", "label", "other")
+    )
+
+
+SQL_CONTRASTIVE = SQL_SHINGLES_CTE + r"""
+, inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+), p AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+), pos AS (
+  SELECT id_a AS anchor, id_b AS other FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+), anchors AS (
+  SELECT DISTINCT anchor FROM pos
+), cand AS (
+  SELECT a.anchor, d.doc_id
+  FROM anchors a, documents d
+  WHERE d.doc_id != a.anchor
+    AND NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.anchor = a.anchor AND pos.other = d.doc_id)
+), neg AS (
+  SELECT anchor, doc_id AS other FROM (
+    SELECT anchor, doc_id,
+           row_number() OVER (PARTITION BY anchor
+             ORDER BY md5(anchor::VARCHAR || ':' || doc_id::VARCHAR), doc_id) AS rk
+    FROM cand) WHERE rk <= 2
+)
+SELECT anchor, other, label FROM (
+  SELECT anchor, other, 'pos' AS label FROM pos
+  UNION ALL SELECT anchor, other, 'neg' FROM neg)
+ORDER BY anchor, label, other
 """
 
 
@@ -604,6 +686,9 @@ REGISTRY = {
     "quota_sample_per_lang": QuerySpec(quota_sample_per_lang, SQL_QUOTA_SAMPLE),
     "training_weighted_sample": QuerySpec(
         training_weighted_sample, SQL_WEIGHTED_SAMPLE
+    ),
+    "training_contrastive_pairs": QuerySpec(
+        training_contrastive_pairs, SQL_CONTRASTIVE
     ),
     "semantic_only_neardups": QuerySpec(semantic_only_neardups, SQL_SEMANTIC_ONLY),
 }
