@@ -82,6 +82,11 @@ HEADLINE = [
     "graph_triangle_copurchase",
     "dedup_prefix_filter_jaccard",
     "dedup_source_overlap",
+    "dedup_incremental_novelty",
+    "stats_ab_ttest",
+    "events_anomaly_zscore",
+    "text_vocab_coverage",
+    "training_contrastive_pairs",
     "layout_skipping_stats",
     "sim_hybrid_rrf",
 ]

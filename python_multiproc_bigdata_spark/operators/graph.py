@@ -41,7 +41,9 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     base = (1.0 - DAMPING) / n_nodes
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
-    contrib = edges.join(deg, "src")
+    # contrib (edges ⋈ deg) is read once per iteration — persist it or
+    # every round re-runs the degree groupBy AND the join
+    contrib = edges.join(deg, "src").persist()
     for _ in range(iterations):
         prev = ranks.persist()
         ranks = (
@@ -52,6 +54,7 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
         ranks.persist().count()  # materialize before dropping the previous round
         prev.unpersist()
+    contrib.unpersist()
     edges.unpersist()
     return ranks
 
