@@ -1,0 +1,91 @@
+"""Property-based checks (hypothesis) for the continuation-session
+algorithms whose correctness arguments are the subtlest: PPJoin prefix
+filtering (must be LOSSLESS vs all-pairs Jaccard for every corpus) and
+degree-oriented triangle counting (must equal the brute-force census
+for every graph). Few examples, small inputs — each example is a full
+Spark roundtrip."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+WORDS = ["w%d" % i for i in range(12)]
+
+
+@st.composite
+def tiny_corpus(draw):
+    n_docs = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(0, 12))
+        toks = [draw(st.sampled_from(WORDS)) for _ in range(n_tok)]
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=tiny_corpus())
+def test_prefix_filter_lossless_on_random_corpora(spark, corpus):
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    allp = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, 0.8).collect()
+    }
+    ppj = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(df, 4, 5).collect()
+    }
+    assert ppj == allp
+
+
+@st.composite
+def tiny_graph(draw):
+    n = draw(st.integers(3, 8))
+    possible = list(itertools.combinations(range(n), 2))
+    chosen = draw(
+        st.lists(st.sampled_from(possible), min_size=0, max_size=len(possible))
+    )
+    return chosen
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=tiny_graph())
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from collections import Counter
+
+    from python_multiproc_bigdata_spark.operators.graph import triangle_count
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    es = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {v for e in es for v in e}
+    expect: Counter = Counter()
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (
+            frozenset((a, b)) in es
+            and frozenset((b, c)) in es
+            and frozenset((a, c)) in es
+        ):
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    assert got == dict(expect)
