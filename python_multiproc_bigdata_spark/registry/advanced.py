@@ -4,7 +4,7 @@ aggregates (rows-only — approx algorithms differ per engine by design)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
@@ -142,6 +142,49 @@ FROM merged GROUP BY c_mktsegment
 """
 
 
+def cdc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change feed: each user's
+    event stream becomes versioned state rows with half-open validity
+    intervals [valid_from, valid_to) — valid_to = next version's start,
+    NULL on the current row. This is the dimension-table shape a
+    warehouse keeps so point-in-time joins (fact.ts inside the
+    interval) reproduce history exactly; the interval build is one
+    lead() window per user, the same bounded per-key partitioning every
+    events query here shuffles on."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("vf", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("double").alias("vf"),
+            "value",
+        )
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("vt", F.lead("vf").over(w))
+        .select(
+            "user_id",
+            "version",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.col("vf").alias("valid_from"),
+            F.col("vt").alias("valid_to"),
+            F.col("vt").isNull().alias("is_current"),
+        )
+    )
+
+
+SQL_SCD2 = """
+SELECT user_id, version, event_id, round(value, 4) AS value,
+       vf AS valid_from, vt AS valid_to, vt IS NULL AS is_current
+FROM (
+  SELECT user_id, event_id, epoch(ts) AS vf, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS version,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS vt
+  FROM events)
+"""
+
+
 def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-log compaction: treating events as a change feed keyed by
     (user_id, event_type) with event_id as the version, keep each key's
@@ -232,6 +275,7 @@ SELECT check_name, n_violations, n_rows, n_violations = 0 AS passed FROM (
 REGISTRY = {
     "cdc_upsert_customers": QuerySpec(cdc_upsert_customers, SQL_CDC_UPSERT),
     "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
+    "cdc_scd2_user_state": QuerySpec(cdc_scd2_user_state, SQL_SCD2),
     "asof_click_to_view": QuerySpec(asof_click_to_view, SQL_ASOF),
     "range_join_close_events": QuerySpec(range_join_close_events, SQL_RANGE),
     "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),

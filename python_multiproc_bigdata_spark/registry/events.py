@@ -597,6 +597,67 @@ GROUP BY user_id
 """
 
 
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value is split
+    equally across the user's click/view touchpoints in the preceding
+    hour, then credit rolls up by touch type — the marketing-analytics
+    complement of the last-touch as-of join (asof_click_to_view gives
+    100% to the nearest touch; linear shares it).
+
+    Plan: purchases x touches is a per-user interval join (equi on
+    user_id + range predicate — the range-join shape, bounded by
+    per-user activity), the per-purchase touch count is a window over
+    the join result partitioned by purchase (purchase-sized groups),
+    and the rollup is |touch types| rows. Credit rounded to 4."""
+    e = table(prep(spark), sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("double").alias("pts"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").cast("double").alias("tts"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("tu"))
+        & (F.col("tts") >= F.col("pts") - 3600.0)
+        & (F.col("tts") < F.col("pts")),
+    )
+    wn = Window.partitionBy("purchase_id")
+    credited = j.withColumn("credit", F.col("value") / F.count(F.lit(1)).over(wn))
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit"), 4).alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch(ts) AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id AS tu, event_id AS touch_id, event_type AS touch_type, epoch(ts) AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT purchase_id, touch_type, value,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM p JOIN t ON user_id = tu AND tts >= pts - 3600.0 AND tts < pts
+)
+SELECT touch_type, count(*) AS n_touches,
+       round(sum(value / n), 4) AS total_credit
+FROM j GROUP BY touch_type ORDER BY touch_type
+"""
+
+
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier events by robust-ish z-score: value standardized against
     the EVENT TYPE's own mean/stddev (types have different value
@@ -737,6 +798,9 @@ REGISTRY = {
     ),
     "events_ewma_value": QuerySpec(events_ewma_value, SQL_EWMA),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "events_linear_attribution": QuerySpec(
+        events_linear_attribution, SQL_LINEAR_ATTRIBUTION
+    ),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),
     "events_hierarchical_rollup": QuerySpec(
