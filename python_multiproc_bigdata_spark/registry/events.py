@@ -597,6 +597,62 @@ GROUP BY user_id
 """
 
 
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with explicit zero buckets —
+    the densification step trailing-window and charting queries need
+    (a RANGE frame over a sparse series silently skips empty hours;
+    downstream forecasting expects a regular grid).
+
+    The hour spine is sequence(min_hour, max_hour) exploded from a
+    1-row bounds aggregate — O(hours) rows generated ONCE, not per
+    key — cross-joined with the |event_types| dimension and
+    left-joined against the actual hourly counts. At 100 TB the spine
+    is still tiny (hours x types); the only big relation is the
+    pre-aggregated hourly counts."""
+    e = table(prep(spark), sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+SQL_GAPFILL_HOURLY = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT s.h AS hour, t.event_type, coalesce(n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly USING (h, event_type)
+"""
+
+
 def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch linear attribution: each purchase's value is split
     equally across the user's click/view touchpoints in the preceding
@@ -801,6 +857,7 @@ REGISTRY = {
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION
     ),
+    "events_gapfill_hourly": QuerySpec(events_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "events_props_variant": QuerySpec(events_props_variant, SQL_PROPS_VARIANT),
     "events_funnel_conversion": QuerySpec(events_funnel_conversion, SQL_FUNNEL_ORDERED),
     "events_hierarchical_rollup": QuerySpec(
