@@ -422,7 +422,13 @@ def prefix_filter_jaccard_pairs(
     join touches candidates x shingles, not pairs x shingles."""
     from pyspark.sql import Window
 
-    sh = word_shingles(df, id_col, text_col, n)
+    # the shingle relation feeds FIVE distinct subtrees (sizes, the
+    # frequency model, the prefix build, and both sides of the verify
+    # join) — persist it or each reference re-tokenizes and re-shingles
+    # the corpus. The cache lives as long as the returned (lazy) frame;
+    # it is the corpus's (id, sh) stream, the same relation an indexed
+    # deployment would materialize to a table once.
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy("f", "sh")
