@@ -129,12 +129,20 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     effectiveness, linear vs Z-order — the quantified-layout class)
 #   training_mix_by_lang → curation_bigram_logprob (bigram LM
 #     perplexity gate; corpus_pipeline keeps the mix stage in-window)
+#   dedup_ngram_jaccard (r03-green; the SAME all-pairs oracle now
+#     checks dedup_prefix_filter_jaccard, so the surface keeps its
+#     signal THROUGH the equivalence proof: driver-green prefix-filter
+#     == all-pairs is a two-implementations-one-oracle check)
+#   words_total_tokens (green r01+r02+r03; words keeps
+#     duplicate_occurrences + pipeline in-window) →
+#     streaming_transition_counts (the applyInPandasWithState
+#     remember-last-per-key class — no prior in-window member)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
     "words_duplicate_occurrences",
     "words_pipeline",
-    "words_total_tokens",
+    "streaming_transition_counts",
     # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
     # are the hardest never-checked members, promoted r4)
     "sim_hybrid_rrf",
@@ -156,7 +164,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
     # both multiply r03-green)
     "dedup_edit_distance_blocked",
-    "dedup_ngram_jaccard",
+    "dedup_prefix_filter_jaccard",
     "dedup_minhash_lsh",
     # similarity search (bruteforce baseline, banded multi-table LSH,
     # k-means IVF — full-hash-checked since r4 via the generated
