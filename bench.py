@@ -89,6 +89,8 @@ HEADLINE = [
     "training_contrastive_pairs",
     "layout_skipping_stats",
     "sim_hybrid_rrf",
+    "dedup_winnow_pairs",
+    "text_pmi_collocations",
 ]
 
 

@@ -465,3 +465,114 @@ def prefix_filter_jaccard_pairs(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the public
+    local document-fingerprinting algorithm): hash every char k-gram of
+    the normalized text, slide a w-gram window over the hash sequence,
+    and keep each window's minimum — guaranteeing any shared substring of
+    length >= k + w - 1 contributes at least one shared fingerprint,
+    while storing only ~2/(w+1) of the gram hashes. The distinct set of
+    window-minima per doc is the fingerprint set (position-free variant).
+
+    Generalizes the reference's whole-doc fingerprint (its exact-dup
+    primitive, v2 UniqueFilterTransformer keyed on normalized text —
+    aggregators.py:156) to SUBSTRING-level containment: shared boilerplate
+    or quoted passages surface even when the documents differ elsewhere.
+
+    Hashes are 16-hex-char md5 prefixes compared lexicographically —
+    engine-portable (same convention as MinHash above), no int casts.
+
+    Scale shape: gram explode + hashing is map-side; the only shuffle is
+    the per-doc window (partitionBy doc), whose partitions are bounded by
+    DOC LENGTH, not corpus size — the same regime as sessionization.
+    Docs shorter than k + w - 1 normalized chars (no full window) yield
+    no fingerprints by construction."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WHITESPACE_RE, " ")
+    d = (
+        df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+        .filter(F.length("norm") >= k + w - 1)
+        .select("id", "norm", (F.length("norm") - F.lit(k - 1)).alias("ng"))
+    )
+    fp = d.select(
+        "id",
+        "ng",
+        F.explode(F.sequence(F.lit(1), F.col("ng"))).alias("pos"),
+        "norm",
+    ).select(
+        "id",
+        "ng",
+        "pos",
+        F.substring(F.md5(F.expr(f"substring(norm, pos, {k})")), 1, 16).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        fp.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("ng") - (w - 1))
+        .select("id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_containment: float = 0.5,
+    max_fp_freq: int | None = 100,
+) -> DataFrame:
+    """Document pairs by winnowing-fingerprint CONTAINMENT —
+    n_shared / min(|fp_a|, |fp_b|) — the substring-overlap score
+    winnowing was designed for (plagiarism / quotation / boilerplate
+    detection): high when one doc's content largely appears inside
+    another, even if the larger doc differs elsewhere.
+
+    Pairs come from fingerprint posting lists via _posting_pairs (one
+    aggregation shuffle, no self-join); `max_fp_freq` is the same 100 TB
+    guardrail as max_shingle_freq in ngram_jaccard_pairs — a fingerprint
+    appearing in f docs emits O(f²) pairs, and corpus-hot fingerprints
+    (licence headers, navigation chrome, shared templates) carry no
+    pairwise signal. Containment is computed against the UNCAPPED
+    per-doc fingerprint count, so the cap only prunes candidate
+    generation volume, it never inflates the score."""
+    sel = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    sizes = sel.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    kept = sel
+    if max_fp_freq is not None:
+        freq = sel.groupBy("h").agg(F.count(F.lit(1)).alias("_f"))
+        kept = sel.join(freq.filter(F.col("_f") <= max_fp_freq), "h").select("id", "h")
+    shared = (
+        _posting_pairs(kept, F.xxhash64("h"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    contain = F.round(
+        F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+        )
+        .withColumn("containment", contain)
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "n_shared",
+            "containment",
+        )
+    )

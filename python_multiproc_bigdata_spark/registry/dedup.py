@@ -14,6 +14,7 @@ from python_multiproc_bigdata_spark.operators.dedup import (
     ngram_jaccard_pairs,
     prefix_filter_jaccard_pairs,
     simhash16,
+    winnow_pairs,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
@@ -394,6 +395,64 @@ ORDER BY c.doc_a, c.doc_b
 """
 
 
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint overlap (operators/dedup.py:
+    winnow_pairs): char-8-gram md5 hashes, window-4 minima, pairs sharing
+    containment >= 0.5 after the hot-fingerprint cap (f <= 100).
+    Substring-level containment detection — catches shared boilerplate /
+    quotations that whole-doc and bag-of-shingles dedup both miss.
+    Map-side gram hashing; the per-doc window shuffle is bounded by doc
+    length; pairs via one posting-list aggregation."""
+    d = table(prep(spark), sf_dir, "documents")
+    return winnow_pairs(
+        d, id_col="doc_id", text_col="text", k=8, w=4,
+        min_containment=0.5, max_fp_freq=100,
+    ).orderBy("doc_a", "doc_b")
+
+
+# Replays the identical gram hashing (md5 16-hex prefix, lexicographic
+# window min) so values match bit-for-bit.
+SQL_WINNOW_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         regexp_replace(lower(trim(text)), '[ 	
+
+]+', ' ', 'g') AS norm
+  FROM documents
+), dd AS (
+  SELECT id, norm, length(norm) - 7 AS ng FROM d WHERE length(norm) >= 11
+), g AS (
+  SELECT id, ng, unnest(range(1, ng + 1)) AS pos, norm FROM dd
+), fp AS (
+  SELECT id, ng, pos, substr(md5(substr(norm, pos, 8)), 1, 16) AS h FROM g
+), sel AS (
+  SELECT DISTINCT id, wmin AS h FROM (
+    SELECT id, ng, pos,
+           min(h) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+    FROM fp)
+  WHERE pos <= ng - 3
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sel GROUP BY id
+), freq AS (
+  SELECT h, count(*) AS f FROM sel GROUP BY h
+), kept AS (
+  SELECT s.id, s.h FROM sel s JOIN freq USING (h) WHERE f <= 100
+), pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       round(p.n_shared * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.id
+JOIN sizes sb ON p.doc_b = sb.id
+WHERE round(p.n_shared * 1.0 / least(sa.sz, sb.sz), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, SQL_EXACT),
     "dedup_edit_distance_blocked": QuerySpec(
@@ -410,6 +469,7 @@ REGISTRY = {
     "dedup_ngram_jaccard_capped": QuerySpec(
         dedup_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED
     ),
+    "dedup_winnow_pairs": QuerySpec(dedup_winnow_pairs, SQL_WINNOW_PAIRS),
     "dedup_minhash_signatures": QuerySpec(dedup_minhash_signatures, SQL_MINHASH_SIG),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": QuerySpec(dedup_simhash, SQL_SIMHASH),

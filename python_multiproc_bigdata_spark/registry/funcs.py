@@ -274,8 +274,47 @@ FROM (VALUES {_ARR_VALUES}) AS t(id, a, b)
 """
 
 
+def func_udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF surface (operators/udfs.py:char_ngrams_udtf) under
+    the driver gate: LATERAL-apply the Arrow-batched table function to a
+    bounded document slice, yielding (doc_id, pos, ngram) char trigrams.
+    Completes the UDF/UDAF/UDTF trio of the reference's callable slots
+    (SURVEY §2.7) with a value-checked row: the oracle regenerates the
+    same trigrams with substr over generated positions.
+
+    The trigram EXPLODE itself would ship as explode(sequence(...)) on
+    the fast path (JVM-side, like the tokenizers); the UDTF exists to
+    prove the generality escape hatch works end-to-end — and is why the
+    input here is a bounded slice, not the corpus."""
+    from python_multiproc_bigdata_spark.operators.udfs import char_ngrams_udtf
+
+    s = prep(spark)
+    s.udtf.register("pmb_char_ngrams", char_ngrams_udtf())
+    s.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 10
+    ).createOrReplaceTempView("_udtf_docs")
+    return s.sql(
+        """
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM _udtf_docs d, LATERAL pmb_char_ngrams(d.text) g
+        ORDER BY d.doc_id, g.pos
+        """
+    )
+
+
+SQL_UDTF_NGRAMS = r"""
+WITH pos AS (
+  SELECT doc_id, unnest(range(0, greatest(0, length(text) - 2))) AS pos, text
+  FROM documents WHERE doc_id < 10
+)
+SELECT doc_id, pos, substr(text, pos + 1, 3) AS ngram
+FROM pos ORDER BY doc_id, pos
+"""
+
+
 REGISTRY = {
     "func_array_library": QuerySpec(func_array_library, SQL_ARRAY_LIB),
+    "func_udtf_char_ngrams": QuerySpec(func_udtf_char_ngrams, SQL_UDTF_NGRAMS),
     "func_string_library": QuerySpec(func_string_library, SQL_STRING_LIB),
     "func_datetime_parts": QuerySpec(func_datetime_parts, SQL_DATETIME),
     "func_null_safe_chain": QuerySpec(func_null_safe_chain, SQL_NULL_CHAIN),

@@ -380,8 +380,83 @@ ORDER BY top_k
 """
 
 
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the classic
+    corpus-statistics step (Church & Hanks 1990) behind multi-word-token
+    discovery and phrase vocabularies for tokenizer training:
+    pmi(x,y) = ln( P(xy) / (P(x)·P(y)) ) over adjacent token bigrams,
+    reported for bigrams seen >= 5 times with pmi > 0.
+
+    Plan: bigrams come from zipping each doc's token array with its own
+    tail (slice+arrays_zip, JVM-side — adjacency never leaves the array,
+    so no positional self-join); one groupBy each for unigram and bigram
+    counts; the two total counts are 1-row broadcast fan-outs. At 100 TB
+    this is word-count-shaped: two map-side-combined aggregations over
+    the token stream, and the count tables join on the bigram's words —
+    the unigram side is vocabulary-bounded, so AQE broadcasts it."""
+    d = table(prep(spark), sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), WHITESPACE_RE), lambda x: F.length(F.trim(x)) > 0
+    )
+    td = d.select(toks.alias("toks"))
+    uni = td.select(F.explode("toks").alias("w"))
+    cx = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("nu"))
+    bg = (
+        td.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    nb = bg.agg(F.count(F.lit(1)).alias("nb"))
+    raw_pmi = F.log(
+        F.col("c_xy") * F.lit(1.0) * F.col("nu") * F.col("nu")
+        / (F.col("nb") * F.col("ca") * F.col("cb"))
+    )
+    return (
+        cxy.join(cx.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(cx.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .filter((F.col("c_xy") >= 5) & (raw_pmi > 0))
+        .select("w1", "w2", "c_xy", F.round(raw_pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
+SQL_PMI = r"""
+WITH td AS (
+  SELECT list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> length(trim(x)) > 0) AS toks
+  FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM td
+), cx AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT count(*) AS n FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+         i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS b
+  FROM td WHERE len(toks) >= 2
+), cxy AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+nb AS (SELECT count(*) AS n FROM bg)
+SELECT w1, w2, c_xy,
+       round(ln(c_xy * 1.0 * nu.n * nu.n / (nb.n * a.c * b.c)), 4) AS pmi
+FROM cxy JOIN cx a ON cxy.w1 = a.w JOIN cx b ON cxy.w2 = b.w, nu, nb
+WHERE c_xy >= 5 AND ln(c_xy * 1.0 * nu.n * nu.n / (nb.n * a.c * b.c)) > 0
+ORDER BY pmi DESC, w1, w2
+"""
+
+
 REGISTRY = {
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
+    "text_pmi_collocations": QuerySpec(text_pmi_collocations, SQL_PMI),
     "text_vocab_coverage": QuerySpec(text_vocab_coverage, SQL_VOCAB_COVERAGE),
     "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),

@@ -1,0 +1,110 @@
+"""Unit tests for the continuation-session corpus ops: MOSS winnowing
+fingerprints/pairs, PMI collocations, and the UDTF registered query."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> set[str]:
+    """Reference single-node winnowing (position-free variant): distinct
+    window minima of md5-16-hex k-gram hashes over the normalized text."""
+    import re
+
+    norm = re.sub(r"[ \t\n\r\f\x0B]+", " ", text.strip().lower())
+    if len(norm) < k + w - 1:
+        return set()
+    hs = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()[:16]
+        for i in range(len(norm) - k + 1)
+    ]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_match_reference_impl(spark):
+    docs = [
+        (1, "The quick   brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),
+        (3, "completely unrelated content about spark plans"),
+        (4, "tiny"),  # shorter than k+w-1 -> no fingerprints
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    got = {
+        (r.id, r.h)
+        for r in winnow_fingerprints(df, "id", "text", k=8, w=4).collect()
+    }
+    want = {(i, h) for i, t in docs for h in _winnow_py(t)}
+    assert got == want
+    assert not any(i == 4 for i, _ in got)
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fp(spark):
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # (here 11) contributes at least one shared fingerprint
+    shared = "identical shared passage of text"
+    docs = [(1, "prefix one " + shared), (2, shared + " suffix two")]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    fps = winnow_fingerprints(df, "id", "text").collect()
+    a = {r.h for r in fps if r.id == 1}
+    b = {r.h for r in fps if r.id == 2}
+    assert a & b
+
+
+def test_winnow_pairs_containment_and_cap(spark):
+    base = "a long enough document body that produces many fingerprints"
+    docs = [(1, base), (2, base + " with a small tail"), (3, "nothing alike here at all x")]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    out = winnow_pairs(df, "id", "text", min_containment=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+    r = out[0]
+    a, b = _winnow_py(base), _winnow_py(base + " with a small tail")
+    assert r.n_shared == len(a & b)
+    assert abs(r.containment - round(len(a & b) / min(len(a), len(b)), 4)) < 1e-9
+    # cap removes every fingerprint when the corpus-frequency bound is 1
+    # on duplicated docs -> no pairs survive
+    dup = spark.createDataFrame([(1, base), (2, base)], ["id", "text"])
+    assert winnow_pairs(dup, "id", "text", max_fp_freq=0).count() == 0
+
+
+def test_pmi_collocations_hand_computed(spark, tmp_path):
+    import math
+
+    # corpus: "x y" always adjacent (5 times), "p q" never adjacent
+    rows = [(i, "x y filler%d p" % i, "en", "s", 1) for i in range(5)]
+    rows += [(10, "q p other words q", "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from python_multiproc_bigdata_spark.registry.text import text_pmi_collocations
+
+    out = {(r.w1, r.w2): (r.c_xy, r.pmi) for r in text_pmi_collocations(spark, str(tmp_path)).collect()}
+    assert ("x", "y") in out
+    c_xy, pmi = out[("x", "y")]
+    assert c_xy == 5
+    nu = sum(len(t.split()) for _, t, *_ in rows)
+    nb = sum(len(t.split()) - 1 for _, t, *_ in rows)
+    cx = cy = 5  # x and y each appear 5 times
+    assert abs(pmi - round(math.log(c_xy * nu * nu / (nb * cx * cy)), 4)) < 1e-9
+    assert ("p", "q") not in out  # never adjacent
+
+
+def test_udtf_char_ngrams_registered_query(spark):
+    from python_multiproc_bigdata_spark.registry.funcs import func_udtf_char_ngrams
+
+    out = func_udtf_char_ngrams(spark, "/root/testdata/sf0.001").collect()
+    assert out, "bounded slice should yield trigrams"
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.ngram))
+    for doc, grams in by_doc.items():
+        poss = [p for p, _ in grams]
+        assert poss == list(range(len(poss)))  # dense 0..n-3
+        assert all(len(g) == 3 for _, g in grams)
