@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "dedup_winnow_pairs",
     "text_pmi_collocations",
+    "text_bpe_merges",
 ]
 
 

@@ -454,9 +454,85 @@ ORDER BY pmi DESC, w1, w2
 """
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the corpus (operators/bpe.py:
+    bpe_train_merges) — the tokenizer-training step of the LLM data
+    pipeline. One corpus-scale word-count shuffle; every iteration after
+    runs on the vocabulary relation (corpus-size-independent) with an
+    O(1)-row argmax collect per merge, k-means-loop style. The result
+    relation is O(n_merges) scalars, so building it driver-side is the
+    same bounded pattern as the trained-centroid literals."""
+    from python_multiproc_bigdata_spark.operators.bpe import bpe_train_merges
+
+    d = table(prep(spark), sf_dir, "documents")
+    merges = bpe_train_merges(d, "text", n_merges=10, lowercase=True)
+    return spark.createDataFrame(
+        merges, schema="merge_rank int, left_sym string, right_sym string, pair_freq long"
+    )
+
+
+def make_bpe_oracle() -> str:
+    """Generate the text_bpe_merges oracle by replaying BPE training in
+    an INDEPENDENT single-node Python implementation (dict/Counter, no
+    Spark) over the same parquet, then embedding the learned merge table
+    as a VALUES literal — the same generated-oracle pattern as the
+    k-means centroid literals (registry/similarity.py)."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    for (t,) in rows:
+        for w in re.split("[ \t\n\r\f\x0b]+", t):
+            if w.strip():
+                wf[w] += 1
+    syms = {w: tuple(w) for w in wf}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, 11):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, c))
+        for w, s in syms.items():
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({r}, {q(a)}, {q(b)}, {c})" for r, a, b, c in merges
+    )
+    return (
+        "SELECT merge_rank, left_sym, right_sym, pair_freq\n"
+        f"FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_freq)\n"
+        "ORDER BY merge_rank"
+    )
+
+
 REGISTRY = {
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
     "text_pmi_collocations": QuerySpec(text_pmi_collocations, SQL_PMI),
+    "text_bpe_merges": QuerySpec(text_bpe_merges, make_bpe_oracle),
     "text_vocab_coverage": QuerySpec(text_vocab_coverage, SQL_VOCAB_COVERAGE),
     "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),

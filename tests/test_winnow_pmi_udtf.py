@@ -108,3 +108,30 @@ def test_udtf_char_ngrams_registered_query(spark):
         poss = [p for p, _ in grams]
         assert poss == list(range(len(poss)))  # dense 0..n-3
         assert all(len(g) == 3 for _, g in grams)
+
+
+def test_bpe_merges_hand_computed(spark):
+    from python_multiproc_bigdata_spark.operators.bpe import (
+        apply_merge,
+        bpe_train_merges,
+    )
+
+    # corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(text,)], ["text"])
+    merges = bpe_train_merges(df, "text", n_merges=4)
+    # pair counts round 1: (l,o)=7 (e,s)=9 (s,t)=9 (w,e)=2+... -> compute:
+    # es: newest 6 + widest 3 = 9; st: 9; lo: 7; best tie (e,s) vs (s,t):
+    # 9 each -> ('e','s') < ('s','t') lexicographic -> (e,s) first
+    assert merges[0][1:] == ("e", "s", 9)
+    # after merging 'es': (es,t)=9 wins round 2
+    assert merges[1][1:] == ("es", "t", 9)
+    # round 3: (l,o)=7
+    assert merges[2][1:] == ("l", "o", 7)
+    # round 4: n-e=6, e-w=6, w-est=6, lo-w=7 -> (lo,w)=7
+    assert merges[3][1:] == ("lo", "w", 7)
+
+    # greedy non-overlapping scan: 'aaa' with (a,a) -> ['aa','a']
+    d2 = spark.createDataFrame([(["a", "a", "a"],)], ["syms"])
+    out = d2.select(apply_merge("syms", "a", "a").alias("m")).collect()[0].m
+    assert out == ["aa", "a"]
