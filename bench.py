@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "text_pmi_collocations",
     "text_bpe_merges",
+    "sim_pca_project",
 ]
 
 

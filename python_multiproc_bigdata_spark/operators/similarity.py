@@ -1257,3 +1257,92 @@ def topk_sq8(
         )
     )
     return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
+
+
+def pca_core(x, n_components: int = 8):
+    """Shared NumPy PCA used by BOTH the Spark-side trainer
+    (train_pca_driver) and the DuckDB oracle generator
+    (registry/similarity.py:make_pca_oracle) — one implementation, so
+    the two trainings are bit-identical by construction (the kmeans_core
+    discipline). `x` is the (n, d) unit-vector sample sorted by vec_id.
+
+    Mean-center, covariance eigendecomposition (np.linalg.eigh —
+    symmetric, ascending eigenvalues), top `n_components` by descending
+    eigenvalue; each component's sign is fixed so its
+    largest-|coefficient| entry is positive (eigenvector sign is
+    otherwise arbitrary). Returns (mu: [d], comps: [n_components][d])."""
+    import numpy as np
+
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = (xc.T @ xc) / len(x)
+    _, v = np.linalg.eigh(cov)
+    comps = []
+    for i in range(1, n_components + 1):
+        c = v[:, -i]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(t) for t in c])
+    return [float(t) for t in mu], comps
+
+
+def pca_mudots(mu: list[float], comps: list[list[float]]) -> list[float]:
+    """mu·v_k per component, as ONE shared sequential Python fold so the
+    Spark query and the oracle generator embed the identical double."""
+    return [sum(m * c for m, c in zip(mu, comp)) for comp in comps]
+
+
+def train_pca_driver(
+    corpus: DataFrame, n_components: int = 8, sample_size: int = 4096
+):
+    """PCA trained driver-side on the same bounded deterministic
+    md5-hash unit-vector sample as the k-means / PQ quantizers
+    (collect_unit_sample): the principal subspace needs O(sample × d)
+    data, never the corpus — a 2 MB collect at 100 TB as at 1 GB — and
+    training is one d×d eigendecomposition (64×64 here), zero Spark
+    jobs. The full-corpus work (projection) stays distributed."""
+    x = collect_unit_sample(corpus, sample_size)
+    return pca_core(x, n_components)
+
+
+def project_pca(
+    corpus: DataFrame,
+    mu: list[float],
+    comps: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Distributed projection onto the trained principal components —
+    LONG format (vec_id, pc_id, value): value = u·v_k − mu·v_k over the
+    unit-normalized embedding, rounded to 4.
+
+    The components ship as a BROADCAST 8-row table and the dot product
+    runs on two array COLUMNS via zip_with/aggregate — not as 8×64
+    literal expression trees, which is the planning-time trap the
+    k-means assignment already measured (16 s → 4 s when switched to a
+    broadcast join). Long format also avoids a pivot shuffle; consumers
+    needing wide columns pivot the 8-row-per-vec result themselves."""
+    spark = corpus.sparkSession
+    mud = pca_mudots(mu, comps)
+    ctab = spark.createDataFrame(
+        [(k + 1, comps[k], float(mud[k])) for k in range(len(comps))],
+        schema="pc_id int, comp array<double>, mudot double",
+    )
+    norm = corpus.select(
+        id_col,
+        l2_norm(emb_col).alias("_n"),
+        F.col(emb_col).alias("_e"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("_n") > 0,
+            F.transform("_e", lambda x: x.cast("double") / F.col("_n")),
+        )
+        .otherwise(F.transform("_e", lambda x: x.cast("double")))
+        .alias("u"),
+    )
+    return norm.join(F.broadcast(ctab)).select(
+        id_col,
+        "pc_id",
+        F.round(dot("u", "comp") - F.col("mudot"), 4).alias("value"),
+    )

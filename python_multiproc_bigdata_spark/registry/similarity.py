@@ -1046,6 +1046,72 @@ SELECT query_id, neighbor_id, rrf, rk FROM (
 """
 
 
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus — train an
+    8-component principal subspace on the deterministic md5 unit-vector
+    sample (operators/similarity.py:train_pca_driver, driver-side NumPy,
+    O(sample) collect at any corpus size), then project every
+    unit-normalized embedding distributively via a broadcast components
+    table (project_pca). Training is iterative linear algebra (not
+    SQL-expressible) but deterministic, so the oracle generator retrains
+    the bit-identical subspace from parquet and embeds it as literals —
+    the kmeans/PQ generated-oracle pattern."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        project_pca,
+        train_pca_driver,
+    )
+
+    emb = table(prep(spark), sf_dir, "embeddings")
+    mu, comps = train_pca_driver(emb, n_components=8, sample_size=4096)
+    return project_pca(emb, mu, comps)
+
+
+SQL_PCA_TEMPLATE = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), comps(pc_id, comp, mudot) AS (
+  VALUES {comp_values}
+)
+SELECT cn.vec_id, comps.pc_id,
+       round(list_dot_product(u, comp) - mudot, 4) AS value
+FROM cn, comps
+"""
+
+_PCA_LITERAL_CACHE: dict[str, str] = {}
+
+
+def _pca_values_literal() -> str:
+    """Trained (pc_id, component, mu·v) VALUES literal — retrains from
+    the correctness-gate parquet via the SHARED pca_core over the SHARED
+    md5 unit sample, so Spark-trained and oracle-replayed subspaces are
+    bit-identical. Cached per sf_dir."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pca_core,
+        pca_mudots,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir not in _PCA_LITERAL_CACHE:
+        x = _unit_sample_from_parquet(f"{sf_dir}/embeddings.parquet", 4096)
+        mu, comps = pca_core(x, 8)
+        mud = pca_mudots(mu, comps)
+        _PCA_LITERAL_CACHE[sf_dir] = ",\n          ".join(
+            f"({k + 1}, [{', '.join(repr(v) for v in comps[k])}]::DOUBLE[], {mud[k]!r})"
+            for k in range(len(comps))
+        )
+    return _PCA_LITERAL_CACHE[sf_dir]
+
+
+def make_pca_oracle() -> str:
+    return SQL_PCA_TEMPLATE.format(comp_values=_pca_values_literal())
+
+
 REGISTRY = {
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_hybrid_rrf": QuerySpec(sim_hybrid_rrf, SQL_HYBRID_RRF),
@@ -1058,5 +1124,6 @@ REGISTRY = {
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),
     "sim_topk_ivf_kmeans": QuerySpec(sim_topk_ivf_kmeans, make_ivf_kmeans_oracle),
+    "sim_pca_project": QuerySpec(sim_pca_project, make_pca_oracle),
     "sim_neardup_cosine": QuerySpec(sim_neardup_cosine, SQL_NEARDUP),
 }

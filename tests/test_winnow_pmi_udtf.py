@@ -135,3 +135,42 @@ def test_bpe_merges_hand_computed(spark):
     d2 = spark.createDataFrame([(["a", "a", "a"],)], ["syms"])
     out = d2.select(apply_merge("syms", "a", "a").alias("m")).collect()[0].m
     assert out == ["aa", "a"]
+
+
+def test_pca_core_and_project(spark):
+    import numpy as np
+
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pca_core,
+        pca_mudots,
+        project_pca,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant variance along a known direction
+    base = rng.randn(200, 4) * np.array([5.0, 1.0, 0.2, 0.05])
+    x = base / np.linalg.norm(base, axis=1, keepdims=True)
+    mu, comps = pca_core(x, n_components=3)
+    c = np.array(comps)
+    # orthonormal, sign-fixed, variance-ordered
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    for comp in c:
+        assert comp[int(np.argmax(np.abs(comp)))] > 0
+    xc = x - np.array(mu)
+    var = [(xc @ comp).var() for comp in c]
+    assert var[0] >= var[1] >= var[2]
+
+    # distributed projection == numpy projection (rounded)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x[:20])],
+        schema="vec_id long, embedding array<double>",
+    )
+    out = {
+        (r.vec_id, r.pc_id): r.value
+        for r in project_pca(df, mu, comps).collect()
+    }
+    mud = pca_mudots(mu, comps)
+    for i in range(20):
+        for k in range(3):
+            want = round(float(x[i] @ c[k]) - mud[k], 4)
+            assert abs(out[(i, k + 1)] - want) <= 1e-4
