@@ -490,36 +490,72 @@ def winnow_fingerprints(
     Hashes are 16-hex-char md5 prefixes compared lexicographically —
     engine-portable (same convention as MinHash above), no int casts.
 
-    Scale shape: gram explode + hashing is map-side; the only shuffle is
-    the per-doc window (partitionBy doc), whose partitions are bounded by
-    DOC LENGTH, not corpus size — the same regime as sessionization.
-    Docs shorter than k + w - 1 normalized chars (no full window) yield
-    no fingerprints by construction."""
+    Scale shape: ENTIRELY map-side. The gram-hash sequence is built as an
+    array column per doc and the window minima are array ops over it
+    (array_min over w-wide slices) — no per-doc window shuffle at all;
+    the first exchange in a winnowing pipeline is whatever the CALLER
+    does with the fingerprints (here: the posting-list aggregation).
+    The hash array is projected to a named column before the window-min
+    transform indexes it — inlining it would re-evaluate the whole
+    sequence per window (the measured O(n²) HOF trap, see module notes).
+    Per-doc work is O(len·w) with w=4. Docs shorter than k + w - 1
+    normalized chars (no full window) yield no fingerprints by
+    construction."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WHITESPACE_RE, " ")
+    # The gram-hash stage is CPU-heavy (len(norm) md5 calls per doc) on a
+    # byte-light input — a small parquet reads as ONE partition and the
+    # whole corpus hashes on one core (measured 10.6 s → 3.4 s at sf0.1
+    # with the pin). Same discipline as _posting_pairs: repartition to
+    # defaultParallelism so the input-split count never serializes a
+    # compute-bound map stage.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     d = (
         df.select(F.col(id_col).alias("id"), norm.alias("norm"))
         .filter(F.length("norm") >= k + w - 1)
+        .repartition(nparts)
         .select("id", "norm", (F.length("norm") - F.lit(k - 1)).alias("ng"))
     )
-    fp = d.select(
+    # greatest() guards keep the sequence/slice expressions total even
+    # for rows the length filter removes: Catalyst does NOT guarantee a
+    # Filter shields a Project's expressions from short rows (operator
+    # reordering / eager local-relation evaluation), so an unguarded
+    # sequence(1, ng-3) would go descending through 0 and crash slice.
+    hashed = d.select(
         "id",
-        "ng",
-        F.explode(F.sequence(F.lit(1), F.col("ng"))).alias("pos"),
-        "norm",
-    ).select(
-        "id",
-        "ng",
-        "pos",
-        F.substring(F.md5(F.expr(f"substring(norm, pos, {k})")), 1, 16).alias("h"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("ng"), F.lit(1))),
+            lambda pos: F.substring(F.md5(F.substring("norm", pos, k)), 1, 16),
+        ).alias("hs"),
     )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    # The window bound derives from size(hs), NOT the ng column: with hs
+    # referenced only once, CollapseProject would inline the whole md5
+    # transform into every window's slice — re-evaluating the full hash
+    # array per window, the O(n²) HOF trap (measured: minutes instead of
+    # seconds at sf0.01). The second reference makes the alias
+    # non-inlinable, so hs materializes once per row.
+    sel = hashed.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))
+                ),
+                lambda i: F.array_min(F.slice("hs", i, w)),
+            )
+        ).alias("fps"),
+    )
+    # explode_OUTER, not explode: InferFiltersFromGenerate would add a
+    # size(fps) > 0 pre-filter for a plain explode and push it below the
+    # projections with the ALIASES SUBSTITUTED BACK IN — re-running the
+    # full O(n·w·len) fingerprint expression a second time per row inside
+    # the Filter (observed: the optimized plan's Filter carried the
+    # doubly-inlined md5 transform; same minutes-not-seconds blowup).
+    # Surviving docs always have >= 1 fingerprint, so the null-drop
+    # filter on the GENERATED column is a no-op that can't be pushed
+    # below the Generate.
     return (
-        fp.withColumn("wmin", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("ng") - (w - 1))
-        .select("id", F.col("wmin").alias("h"))
-        .distinct()
+        sel.select("id", F.explode_outer("fps").alias("h"))
+        .filter(F.col("h").isNotNull())
     )
 
 
@@ -546,7 +582,11 @@ def winnow_pairs(
     pairwise signal. Containment is computed against the UNCAPPED
     per-doc fingerprint count, so the cap only prunes candidate
     generation volume, it never inflates the score."""
-    sel = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # the fingerprint relation feeds THREE subtrees (per-doc sizes, the
+    # corpus frequency cap, and the posting-pair generation) — persist it
+    # or each reference re-hashes every gram of the corpus (the
+    # prefix-filter family's shingle-relation discipline).
+    sel = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist()
     sizes = sel.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     kept = sel
     if max_fp_freq is not None:

@@ -137,10 +137,31 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     duplicate_occurrences + pipeline in-window) →
 #     streaming_transition_counts (the applyInPandasWithState
 #     remember-last-per-key class — no prior in-window member)
+#
+# Second-continuation swaps (6 new capability CLASSES from this
+# session get the hard driver signal; every demotion is r03-green and
+# keeps in-window family siblings):
+#   words_duplicate_occurrences (r03-green; words keeps words_pipeline)
+#     → dedup_winnow_pairs (MOSS winnowing substring containment)
+#   text_quality (r03-green; text keeps lang_id + profile_documents)
+#     → text_pmi_collocations (PMI collocation mining)
+#   streaming_click_view_join (r03-green; streaming keeps
+#     session_counts + dedup_watermark + cdc_merge + transition_counts)
+#     → text_bpe_merges (distributed BPE tokenizer training with
+#     independent-replay oracle)
+#   sim_topk_bruteforce (green r01+r02+r03; sim keeps knn, sq8_ivf, pq,
+#     lsh_banded, ivf_kmeans, hybrid_rrf) → sim_pca_project (PCA
+#     reduction, generated subspace-literal oracle)
+#   udaf_median_acctbal (r03-green; advanced keeps cdc_upsert, asof,
+#     range_join, dq_check) → func_udtf_char_ngrams (Python UDTF
+#     surface — no prior in-window member)
+#   dedup_minhash_lsh (green r01+r02+r03; dedup keeps edit_distance +
+#     prefix_filter + components) → events_linear_trend (grouped OLS
+#     regression via exact-integer algebraic sums)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
-    "words_duplicate_occurrences",
+    "dedup_winnow_pairs",
     "words_pipeline",
     "streaming_transition_counts",
     # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
@@ -154,22 +175,22 @@ CHECKED_FIRST: tuple[str, ...] = (
     "events_trailing_1h",
     "events_retention_cohorts",
     "streaming_session_counts",
-    "streaming_click_view_join",
+    "text_bpe_merges",
     "streaming_dedup_watermark",
     "streaming_cdc_merge",
     # text analysis + profiling
     "profile_documents",
-    "text_quality",
+    "text_pmi_collocations",
     "text_lang_id",
     # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
     # both multiply r03-green)
     "dedup_edit_distance_blocked",
     "dedup_prefix_filter_jaccard",
-    "dedup_minhash_lsh",
+    "events_linear_trend",
     # similarity search (bruteforce baseline, banded multi-table LSH,
     # k-means IVF — full-hash-checked since r4 via the generated
     # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
-    "sim_topk_bruteforce",
+    "sim_pca_project",
     "sim_knn_classify",
     "sim_topk_sq8_ivf",
     "sim_topk_pq",
@@ -184,7 +205,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "cdc_upsert_customers",
     "asof_click_to_view",
     "range_join_close_events",
-    "udaf_median_acctbal",
+    "func_udtf_char_ngrams",
     "dq_check_orders",
     # multimodal plumbing
     "multimodal_features",

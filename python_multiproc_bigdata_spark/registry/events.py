@@ -841,6 +841,78 @@ FROM counted
 """
 
 
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS linear trend of hourly event volume — the
+    grouped-regression primitive behind growth/decay monitoring, fit the
+    scalable way: slope and intercept from the five ALGEBRAIC sums
+    (n, Σx, Σy, Σxy, Σx²) so the whole fit is two map-side-combined
+    groupBys, no per-group matrix solve and no data movement beyond a
+    |types·hours|-row relation.
+
+    x is the hour index REBASED to each type's first active hour: the
+    sums then stay exact 64-bit integers (x ≤ corpus-hours, y = counts;
+    every product < 2⁵³), so slope/intercept are a single exact-integer
+    expression divided at the end — bit-identical on any engine.
+    Intercept is the fitted volume at the type's first hour. Types with
+    a single active hour (undefined slope) are dropped."""
+    e = table(prep(spark), sf_dir, "events")
+    cnt = (
+        e.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    mn = cnt.groupBy("event_type").agg(F.min("hr").alias("mn"))
+    xy = cnt.join(F.broadcast(mn), "event_type").select(
+        "event_type", (F.col("hr") - F.col("mn")).alias("x"), "y"
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return (
+        sums.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LINEAR_TREND = """
+WITH cnt AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr, count(*) AS y
+  FROM events GROUP BY 1, 2
+), mn AS (
+  SELECT event_type, min(hr) AS mn FROM cnt GROUP BY 1
+), xy AS (
+  SELECT cnt.event_type, cnt.hr - mn.mn AS x, y
+  FROM cnt JOIN mn USING (event_type)
+), sums AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n AS n_hours,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) * 1.0 / n, 4) AS intercept
+FROM sums
+WHERE n >= 2 AND (n * sxx - sx * sx) != 0
+ORDER BY event_type
+"""
+
+
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_transition_matrix": QuerySpec(
@@ -870,6 +942,7 @@ REGISTRY = {
     "events_sliding_window": QuerySpec(events_sliding_window, SQL_SLIDING),
     "events_sessionize": QuerySpec(events_sessionize, SQL_SESSIONIZE),
     "events_session_window": QuerySpec(events_session_window, SQL_SESSION_WINDOW),
+    "events_linear_trend": QuerySpec(events_linear_trend, SQL_LINEAR_TREND),
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
     "events_daily_active_users": QuerySpec(events_daily_active_users, SQL_DAU),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, SQL_RETENTION),
