@@ -269,3 +269,34 @@ def test_ewma_single_python_stage(spark):
     plan = plan_of(REGISTRY["events_ewma_value"].fn(spark, SF_DIR))
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_winnow_fingerprints_map_only_no_inlined_hash(spark):
+    from python_multiproc_bigdata_spark.operators.dedup import winnow_fingerprints
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = optimized_of(winnow_fingerprints(d, "doc_id", "text"))
+    # extraction is map-only: no window shuffle, no aggregation
+    assert "Window" not in plan
+    # the md5 gram transform must appear exactly ONCE in the optimized
+    # plan: a second occurrence means CollapseProject inlined it into the
+    # window slices or InferFiltersFromGenerate cloned it into a pushed
+    # filter — both are measured O(n²) blowups (SCALE.md)
+    assert plan.count("md5(") == 1
+
+
+def test_pca_projection_broadcasts_components(spark):
+    df = REGISTRY["sim_pca_project"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # components ship broadcast; the corpus side never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pmi_unigram_side_broadcasts(spark):
+    df = REGISTRY["text_pmi_collocations"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # bigram/unigram count joins resolve to broadcasts at this SF (the
+    # unigram side is vocabulary-bounded); totals are 1-row fan-outs
+    assert "CartesianProduct" not in plan
