@@ -93,6 +93,8 @@ HEADLINE = [
     "text_pmi_collocations",
     "text_bpe_merges",
     "sim_pca_project",
+    "sim_jl_project",
+    "events_linear_trend",
 ]
 
 

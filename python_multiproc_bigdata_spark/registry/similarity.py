@@ -1046,6 +1046,62 @@ SELECT query_id, neighbor_id, rrf, rk FROM (
 """
 
 
+def sim_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to 8 dims — the
+    training-FREE reduction that preserves pairwise distances within
+    1±ε (Achlioptas ±1 signs / √m). The sign matrix derives from md5
+    ("jl-<k>-<j>" high-bit of the first hex digit), so BOTH engines
+    rebuild the identical matrix from scratch: nothing is trained,
+    nothing is embedded — the whole query is pure SQL on each side.
+
+    Same scale shape as PCA projection: an 8-row broadcast components
+    table (built by a range cross-product, no literals), dot products on
+    array columns JVM-side. At 100 TB this is the cheap first-cut
+    reduction before IVF/PQ indexing; PCA is the data-aware upgrade."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    dims, m = 64, 8
+    ks = spark.range(m).select((F.col("id") + 1).cast("int").alias("pc_id"))
+    sign = lambda k, j: F.when(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit("jl-"), k.cast("string"), F.lit("-"), j.cast("string"))),
+            1,
+            1,
+        ).isin(*list("89abcdef")),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    ctab = ks.select(
+        "pc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda j: sign(F.col("pc_id"), j) / F.lit(float(m) ** 0.5),
+        ).alias("comp"),
+    )
+    from python_multiproc_bigdata_spark.functions.vectors import dot
+
+    return emb.join(F.broadcast(ctab)).select(
+        "vec_id",
+        "pc_id",
+        F.round(dot("embedding", "comp"), 4).alias("value"),
+    )
+
+
+SQL_JL_PROJECT = """
+WITH ks AS (
+  SELECT unnest(range(1, 9))::INT AS pc_id
+), comps AS (
+  SELECT pc_id,
+         list_transform(range(0, 64),
+           j -> (CASE WHEN substr(md5('jl-' || pc_id || '-' || j), 1, 1)
+                           IN ('8','9','a','b','c','d','e','f')
+                      THEN 1.0 ELSE -1.0 END) / sqrt(8)) AS comp
+  FROM ks
+)
+SELECT e.vec_id, c.pc_id,
+       round(list_dot_product(e.embedding::DOUBLE[], c.comp), 4) AS value
+FROM embeddings e, comps c
+"""
+
+
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus — train an
     8-component principal subspace on the deterministic md5 unit-vector
@@ -1125,5 +1181,6 @@ REGISTRY = {
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),
     "sim_topk_ivf_kmeans": QuerySpec(sim_topk_ivf_kmeans, make_ivf_kmeans_oracle),
     "sim_pca_project": QuerySpec(sim_pca_project, make_pca_oracle),
+    "sim_jl_project": QuerySpec(sim_jl_project, SQL_JL_PROJECT),
     "sim_neardup_cosine": QuerySpec(sim_neardup_cosine, SQL_NEARDUP),
 }

@@ -43,7 +43,7 @@ def test_checked_window_is_curated():
     must_be_checked = {
         "semantic_only_neardups",
         "asof_click_to_view", "range_join_close_events",
-        "udaf_median_acctbal", "multimodal_features",
+        "multimodal_features",
         "func_arabic_tokenize",
         "sim_topk_ivf_kmeans",
         "decontaminate_train_eval", "dedup_components_canonical",
@@ -52,7 +52,7 @@ def test_checked_window_is_curated():
         "streaming_session_counts",
         # round-3 promotions (swap log in registry/__init__.py)
         "sim_knn_classify", "dq_check_orders",
-        "calendar_month_order_counts", "streaming_click_view_join",
+        "calendar_month_order_counts",
         # round-4 promotions: never-driver-checked tail + the composed
         # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
         # their surfaces now carry through sim_topk_ivf_kmeans /
@@ -79,6 +79,14 @@ def test_checked_window_is_curated():
         "graph_triangle_copurchase", "sim_hybrid_rrf",
         "events_ewma_value", "layout_skipping_stats",
         "curation_bigram_logprob",
+        # second-continuation promotions (6 new capability classes;
+        # demoted words_duplicate_occurrences / text_quality /
+        # streaming_click_view_join / sim_topk_bruteforce /
+        # udaf_median_acctbal / dedup_minhash_lsh are all r03-green with
+        # in-window family siblings — swap log in registry/__init__.py)
+        "dedup_winnow_pairs", "text_pmi_collocations",
+        "text_bpe_merges", "sim_pca_project",
+        "func_udtf_char_ngrams", "events_linear_trend",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
