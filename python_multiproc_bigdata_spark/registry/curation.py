@@ -340,13 +340,21 @@ def curation_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     eight decimals is 1e8× the noise floor, far finer than the
     signal)."""
     li = table(prep(spark), sf_dir, "lineitem")
+    # integer node keys through the loop (p<k> -> 2k, s<k> -> 2k+1):
+    # three join+agg rounds shuffle the edge relation, and 8-byte longs
+    # hash/compare/ship ~3x lighter than "p123"-style strings (the same
+    # bytes-through-the-shuffle doctrine as the xxhash64 posting keys);
+    # labels are re-attached AFTER the loop on the |nodes|-sized result.
     fwd = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     out = pagerank(edges, iterations=3)
-    res = out.select("node", F.round("rank", 8).alias("rank")).orderBy("node")
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("p"), F.expr("node DIV 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) DIV 2")))
+    res = out.select(label.alias("node"), F.round("rank", 8).alias("rank")).orderBy("node")
     # break the lineage into the persisted loop state before handing the
     # frame out, then release the cache (operator contract)
     rows = res.localCheckpoint(eager=True)
@@ -365,7 +373,7 @@ _PR_ITER = """
 
 SQL_PAGERANK = f"""
 WITH fwd AS (
-  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
 ), edges AS (
   SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
 ), deg AS (
@@ -378,7 +386,10 @@ WITH fwd AS (
 ), r2 AS ({_PR_ITER.format(prev="r1")}
 ), r3 AS ({_PR_ITER.format(prev="r2")}
 )
-SELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || (node // 2)
+            ELSE 's' || ((node - 1) // 2) END AS node,
+       round(rank, 8) AS rank
+FROM r3 ORDER BY 1
 """
 
 
