@@ -382,13 +382,35 @@ def kmeans_l2_core(x, k: int, max_iter: int):
     return cents
 
 
+_UNIT_SAMPLE_SPARK_CACHE: dict = {}
+
+
 def collect_unit_sample(corpus: DataFrame, sample_size: int = 4096):
     """The deterministic md5-lowest unit-vector sample every driver-side
-    quantizer trainer uses (spherical k-means, PQ codebooks): one bounded
-    collect of O(sample_size × dims), ordered by vec_id for stable
-    init. Engine-portable by construction — the oracle generators replay
-    the identical sample from parquet via hashlib md5."""
+    quantizer trainer uses (spherical k-means, PQ codebooks, PCA): one
+    bounded collect of O(sample_size × dims), ordered by vec_id for
+    stable init. Engine-portable by construction — the oracle generators
+    replay the identical sample from parquet via hashlib md5.
+
+    Session-cached by the corpus plan's semanticHash: the sample is a
+    pure deterministic function of the input relation, and quantizer
+    TRAINING is a build step, not a per-query step (FAISS never retrains
+    per search) — without the cache every registered quantizer query
+    paid a redundant ~0.9 s sample-collect job per run (two for IVF+PQ).
+    semanticHash keys on the resolved plan, so a filtered/different
+    corpus never aliases a cached sample."""
     import numpy as np
+
+    key = None
+    try:
+        key = (
+            corpus._jdf.queryExecution().optimizedPlan().semanticHash(),
+            sample_size,
+        )
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        key = None
+    if key is not None and key in _UNIT_SAMPLE_SPARK_CACHE:
+        return _UNIT_SAMPLE_SPARK_CACHE[key]
 
     norm = (
         corpus.select("vec_id", "embedding", l2_norm("embedding").alias("_n"))
@@ -406,7 +428,10 @@ def collect_unit_sample(corpus: DataFrame, sample_size: int = 4096):
         # driver-side on the bounded sample (one Spark sort, not two)
     )
     pdf = pdf.sort_values("vec_id")
-    return np.asarray([list(e) for e in pdf["e"]], dtype=np.float64)
+    x = np.asarray([list(e) for e in pdf["e"]], dtype=np.float64)
+    if key is not None:
+        _UNIT_SAMPLE_SPARK_CACHE[key] = x
+    return x
 
 
 def train_spherical_kmeans_driver(
