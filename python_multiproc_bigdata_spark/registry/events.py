@@ -913,6 +913,55 @@ ORDER BY event_type
 """
 
 
+def events_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-type aggregate
+    (count/sum/min/max over the first 80% of events by hash) is
+    refreshed by MERGING the delta batch's partial aggregate — union of
+    two partial-agg relations + one re-aggregation — instead of
+    rescanning history. avg derives from sum/count at the end (never
+    re-averaged). The oracle aggregates the FULL table directly, so the
+    checked claim is the merge-equals-recompute equivalence itself —
+    the invariant every continuous-aggregate refresh at 100 TB rests on
+    (the delta path reads |delta| + |state|, not |history|)."""
+    e = table(prep(spark), sf_dir, "events")
+    part = F.md5(F.col("event_id").cast("string")) < "c"  # ~75% base slice
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = agg(e.filter(part))       # the standing materialized state
+    delta = agg(e.filter(~part))     # the newly-arrived batch's partials
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.round(F.sum("sv") / F.sum("n"), 4).alias("avg_value"),
+        )
+    )
+    return merged.orderBy("event_type")
+
+
+# full-table recompute: the equivalence oracle for the merge path
+SQL_INCREMENTAL_MERGE = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_transition_matrix": QuerySpec(
@@ -943,6 +992,7 @@ REGISTRY = {
     "events_sessionize": QuerySpec(events_sessionize, SQL_SESSIONIZE),
     "events_session_window": QuerySpec(events_session_window, SQL_SESSION_WINDOW),
     "events_linear_trend": QuerySpec(events_linear_trend, SQL_LINEAR_TREND),
+    "events_incremental_merge": QuerySpec(events_incremental_merge, SQL_INCREMENTAL_MERGE),
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
     "events_daily_active_users": QuerySpec(events_daily_active_users, SQL_DAU),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, SQL_RETENTION),
