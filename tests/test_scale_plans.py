@@ -274,7 +274,10 @@ def test_ewma_single_python_stage(spark):
 def test_winnow_fingerprints_map_only_no_inlined_hash(spark):
     from python_multiproc_bigdata_spark.operators.dedup import winnow_fingerprints
 
-    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the extra filter makes this subtree distinct from any fingerprint
+    # relation another test persisted — a cache hit would replace the
+    # whole subtree with InMemoryRelation and blind the md5-count pin
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id % 2 = 0")
     plan = optimized_of(winnow_fingerprints(d, "doc_id", "text"))
     # extraction is map-only: no window shuffle, no aggregation
     assert "Window" not in plan
