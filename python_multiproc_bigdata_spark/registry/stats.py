@@ -485,6 +485,83 @@ FROM a JOIN b USING (event_type)
 """
 
 
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two deterministic
+    md5-halves of the event stream — the standard ML-ops check that a
+    new data slice still follows the reference distribution (PSI < 0.1
+    stable, > 0.25 action). Fixed-width value buckets (10 x 50 over the
+    known 0–500 value domain), ONE scan: per-bucket counts for both
+    slices come from a single groupBy with conditional sums (word-count
+    shaped); totals are 1-row broadcast fan-outs; proportions clamp at
+    1e-6 so an empty bucket contributes a finite penalty. Per-bucket
+    rows with the PSI contribution; sum(psi_term) is the index."""
+    e = table(prep(spark), sf_dir, "events")
+    in_a = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    cnt = e.select(bucket.alias("bucket"), in_a.alias("a")).groupBy("bucket").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+    )
+    tot = cnt.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6))
+    pb = F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "na",
+            "nb",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH cnt AS (
+  SELECT least(floor(value / 50)::INT, 9) AS bucket,
+         sum(CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) < '8' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) < '8' THEN 0 ELSE 1 END) AS nb
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(na) AS ta, sum(nb) AS tb FROM cnt
+)
+SELECT bucket, na, nb,
+       round((greatest(na * 1.0 / ta, 1e-6) - greatest(nb * 1.0 / tb, 1e-6))
+             * ln(greatest(na * 1.0 / ta, 1e-6) / greatest(nb * 1.0 / tb, 1e-6)), 6) AS psi_term
+FROM cnt, tot
+ORDER BY bucket
+"""
+
+
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by hash-mod
+    (fold = md5(doc_id) first 4 hex chars mod 5 — no RNG, engines and
+    re-runs agree; the split_train_test hash-mod generalized to k
+    folds). Emits per-(fold, lang) counts — the stratification report
+    that catches a fold/language imbalance before a CV run."""
+    d = table(prep(spark), sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fold", "lang")
+    )
+
+
+SQL_KFOLD = """
+SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 5)::INT AS fold,
+       lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY fold, lang
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
@@ -501,4 +578,6 @@ REGISTRY = {
     "grouping_sets_orders": QuerySpec(grouping_sets_orders, SQL_GROUPING_SETS),
     "map_status_counts": QuerySpec(map_status_counts, SQL_MAP_COUNTS),
     "split_train_test_documents": QuerySpec(split_train_test_documents, SQL_SPLIT),
+    "split_kfold_assign": QuerySpec(split_kfold_assign, SQL_KFOLD),
+    "stats_psi_drift": QuerySpec(stats_psi_drift, SQL_PSI_DRIFT),
 }
