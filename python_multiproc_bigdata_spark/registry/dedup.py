@@ -295,6 +295,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.8)
 
 
+def dedup_minhash_lsh_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME LSH pipeline served from a MATERIALIZED bucketed
+    signature table (operators/dedup.py:materialize_signatures — the
+    'one write, N reads' deployment shape SCALE.md prescribes for
+    repeated dedup runs at 100 TB): signatures are written bucketed on
+    id, and both candidate-verification reads join them with no
+    Exchange on the signature side (plan pinned in tests/
+    test_bucketing.py). Shares the one-shot query's oracle, so the
+    driver check is a two-implementations-one-oracle equivalence proof
+    that materialization changes the PLAN, never the answer."""
+    import tempfile
+
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        lsh_pairs_from_signatures,
+        materialize_signatures,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="pmb_sig_")
+    sig = materialize_signatures(
+        d, table="pmb_sig_registry", path=f"{tmp}/sig", id_col="doc_id"
+    )
+    return lsh_pairs_from_signatures(sig, threshold=0.8)
+
+
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sig"
     for b in range(MINHASH_K // 2)
@@ -472,5 +497,8 @@ REGISTRY = {
     "dedup_winnow_pairs": QuerySpec(dedup_winnow_pairs, SQL_WINNOW_PAIRS),
     "dedup_minhash_signatures": QuerySpec(dedup_minhash_signatures, SQL_MINHASH_SIG),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_minhash_lsh_materialized": QuerySpec(
+        dedup_minhash_lsh_materialized, SQL_MINHASH_LSH
+    ),
     "dedup_simhash": QuerySpec(dedup_simhash, SQL_SIMHASH),
 }
