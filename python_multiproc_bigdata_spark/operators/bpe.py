@@ -130,7 +130,17 @@ def bpe_train_merges(
             a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
             merges.append((rank, a, b, c))
             if rank < n_merges:
-                nxt = cur.withColumn("syms", apply_merge("syms", a, b)).persist()
+                nxt = cur.withColumn("syms", apply_merge("syms", a, b))
+                # every 4th generation localCheckpoints instead of
+                # persisting: the logical plan otherwise accretes one
+                # nested F.aggregate fold per merge and analysis/
+                # optimization re-walks the whole chain each iteration —
+                # checkpointing truncates it (measured 5.2 s → below at
+                # sf0.1, and the effect compounds with n_merges)
+                if rank % 4 == 0:
+                    nxt = nxt.localCheckpoint(eager=True)
+                else:
+                    nxt = nxt.persist()
                 prev, cur = cur, nxt
     finally:
         cur.unpersist()
