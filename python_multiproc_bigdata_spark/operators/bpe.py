@@ -147,3 +147,28 @@ def bpe_train_merges(
         if prev is not None:
             prev.unpersist()
     return merges
+
+
+def bpe_symbol_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a learned merge list and return (word, n_syms): the symbol
+    count of every DISTINCT word after replaying the merges in rank
+    order. The folds run over the VOCABULARY, never the token stream —
+    the encode-side twin of the training loop's scale property (a 100 TB
+    corpus has a bounded vocab; per-token folding would redo identical
+    work millions of times). Callers join the result back onto the token
+    stream (vocab-sized build side — AQE broadcasts it).
+
+    Every 4th merge localCheckpoints to truncate the accreting fold
+    plan, matching bpe_train_merges."""
+    wf = word_frequencies(df, text_col, lowercase)
+    cur = wf.select("word", F.split("word", "").alias("syms")).repartition(8)
+    for i, (_, a, b, _c) in enumerate(sorted(merges), start=1):
+        cur = cur.withColumn("syms", apply_merge("syms", a, b))
+        if i % 4 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select("word", F.size("syms").alias("n_syms"))

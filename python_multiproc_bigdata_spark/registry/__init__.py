@@ -158,6 +158,12 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   dedup_minhash_lsh (green r01+r02+r03; dedup keeps edit_distance +
 #     prefix_filter + components) → events_linear_trend (grouped OLS
 #     regression via exact-integer algebraic sums)
+#
+# Round-5 promotion candidates (added late in r4, locally parity-green,
+# not yet windowed): sim_jl_project, events_incremental_merge,
+# stats_psi_drift, split_kfold_assign, dedup_minhash_lsh_materialized
+# (would also return the minhash surface's driver signal through the
+# shared-oracle equivalence).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",

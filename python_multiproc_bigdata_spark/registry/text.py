@@ -476,48 +476,15 @@ def make_bpe_oracle() -> str:
     an INDEPENDENT single-node Python implementation (dict/Counter, no
     Spark) over the same parquet, then embedding the learned merge table
     as a VALUES literal — the same generated-oracle pattern as the
-    k-means centroid literals (registry/similarity.py)."""
+    k-means centroid literals (registry/similarity.py). Shares
+    _bpe_replay with the encode-stats oracle."""
     import os
-    import re
-    from collections import Counter
-
-    import duckdb
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    rows = duckdb.sql(
-        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
-    ).fetchall()
-    wf: Counter = Counter()
-    for (t,) in rows:
-        for w in re.split("[ \t\n\r\f\x0b]+", t):
-            if w.strip():
-                wf[w] += 1
-    syms = {w: tuple(w) for w in wf}
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, 11):
-        pc: Counter = Counter()
-        for w, f in wf.items():
-            s = syms[w]
-            for i in range(len(s) - 1):
-                pc[(s[i], s[i + 1])] += f
-        if not pc:
-            break
-        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        merges.append((rank, a, b, c))
-        for w, s in syms.items():
-            out: list[str] = []
-            i = 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            syms[w] = tuple(out)
+    merges, _, _ = _bpe_replay(sf_dir)
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
 
     values = ",\n".join(
         f"({r}, {q(a)}, {q(b)}, {c})" for r, a, b, c in merges
@@ -529,10 +496,110 @@ def make_bpe_oracle() -> str:
     )
 
 
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE side (train's consumer): learn the 10 merges, replay
+    them over the DISTINCT vocabulary (operators/bpe.py:
+    bpe_symbol_counts — fold work is vocab-bounded, never per-token),
+    then join the per-word symbol counts back onto the token stream
+    (vocab-sized build side, AQE-broadcast) and roll up per language:
+    token count, post-merge symbol count, and mean symbols/token — the
+    fertility metric tokenizer teams actually track per language. The
+    oracle replays training AND encoding in the independent single-node
+    Python implementation and embeds the 5-row result."""
+    from python_multiproc_bigdata_spark.operators.bpe import (
+        bpe_symbol_counts,
+        bpe_train_merges,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    merges = bpe_train_merges(d, "text", n_merges=10, lowercase=True)
+    counts = bpe_symbol_counts(d, merges, "text", lowercase=True)
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("word")
+    ).filter(F.length(F.trim("word")) > 0)
+    return (
+        toks.join(counts, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.round(F.sum("n_syms") / F.count(F.lit(1)), 4).alias("syms_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_replay(sf_dir: str):
+    """Shared independent single-node BPE replay (training + per-word
+    symbol counts) for the generated oracles."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT lang, lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    per_lang_tokens: list[tuple[str, str]] = []
+    for lang, t in rows:
+        for w in re.split("[ \t\n\r\f\x0b]+", t):
+            if w.strip():
+                wf[w] += 1
+                per_lang_tokens.append((lang, w))
+    syms = {w: tuple(w) for w in wf}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, 11):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            sq = syms[w]
+            for i in range(len(sq) - 1):
+                pc[(sq[i], sq[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, c))
+        for w, sq in syms.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sq):
+                if i + 1 < len(sq) and sq[i] == a and sq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges, syms, per_lang_tokens
+
+
+def make_bpe_encode_oracle() -> str:
+    import os
+    from collections import defaultdict
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _, syms, per_lang_tokens = _bpe_replay(sf_dir)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for lang, w in per_lang_tokens:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(syms[w])
+    values = ",\n".join(
+        f"('{lang}', {n}, {s}, {round(s / n, 4)})"
+        for lang, (n, s) in sorted(agg.items())
+    )
+    return (
+        "SELECT lang, n_tokens, n_symbols, syms_per_token\n"
+        f"FROM (VALUES {values}) AS t(lang, n_tokens, n_symbols, syms_per_token)\n"
+        "ORDER BY lang"
+    )
+
+
 REGISTRY = {
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
     "text_pmi_collocations": QuerySpec(text_pmi_collocations, SQL_PMI),
     "text_bpe_merges": QuerySpec(text_bpe_merges, make_bpe_oracle),
+    "text_bpe_encode_stats": QuerySpec(text_bpe_encode_stats, make_bpe_encode_oracle),
     "text_vocab_coverage": QuerySpec(text_vocab_coverage, SQL_VOCAB_COVERAGE),
     "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),

@@ -130,6 +130,10 @@ def test_no_accidental_shared_oracles():
         # ALL-PAIRS oracle — sharing the SQL is the point (an
         # algebraic-equivalence proof that prefix filtering is lossless)
         frozenset({"dedup_ngram_jaccard", "dedup_prefix_filter_jaccard"}),
+        # deliberate: the materialized-signature LSH serves the SAME
+        # answer from a bucketed table — sharing the one-shot oracle IS
+        # the materialization-changes-the-plan-not-the-answer proof
+        frozenset({"dedup_minhash_lsh", "dedup_minhash_lsh_materialized"}),
     }
     by_oracle = defaultdict(list)
     for n, s in REGISTRY.items():

@@ -174,3 +174,21 @@ def test_pca_core_and_project(spark):
         for k in range(3):
             want = round(float(x[i] @ c[k]) - mud[k], 4)
             assert abs(out[(i, k + 1)] - want) <= 1e-4
+
+
+def test_bpe_encode_stats_hand_computed(spark, tmp_path):
+    from python_multiproc_bigdata_spark.registry.text import text_bpe_encode_stats
+
+    # two langs; "aaaa" words compress under (a,a) merges
+    rows = [(0, "aaaa aaaa bb", "en", "s", 1), (1, "aaaa cc", "de", "s", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in text_bpe_encode_stats(spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "de"}
+    # merges learned (10 rounds on this tiny corpus): (a,a)->aa first
+    # (freq 6), then (aa,aa)->aaaa (freq 3), then pairs of remaining
+    # words -> each "aaaa" ends as ONE symbol; "bb"->1, "cc"->1
+    en = out["en"]
+    assert en.n_tokens == 3 and en.n_symbols == 3
+    de = out["de"]
+    assert de.n_tokens == 2 and de.n_symbols == 2
