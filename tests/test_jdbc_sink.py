@@ -34,3 +34,31 @@ def test_jdbc_sink_roundtrip(spark):
     assert back.agg(F.sum("id")).collect()[0][0] == 499500
     # load-balanced write: numPartitions governs writer parallelism (L7)
     assert back.select("k").distinct().count() == 7
+
+
+def test_jdbc_partitioned_parallel_read(spark):
+    """The scale-side JDBC READ shape: partitionColumn/lowerBound/
+    upperBound/numPartitions splits the table into N range-predicate
+    queries that execute in parallel — the only way a JDBC source feeds
+    a large cluster without funneling through one connection."""
+    shutil.rmtree("/tmp/spark_graft_derby_read", ignore_errors=True)
+    url = "jdbc:derby:/tmp/spark_graft_derby_read;create=true"
+    df = spark.range(0, 10000).select("id", (F.col("id") * 2).alias("v"))
+    jdbc_sink(url, "t_part", num_partitions=2, mode="overwrite", properties=DERBY_PROPS)(df)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_part")
+        .option("driver", DERBY_PROPS["driver"])
+        .option("partitionColumn", "id")
+        .option("lowerBound", 0)
+        .option("upperBound", 10000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 8  # range-split parallel scan
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10000))
+    # predicate pushdown reaches the JDBC source
+    plan = back.filter(F.col("id") < 100)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(id,100)" in plan
