@@ -82,6 +82,58 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def udaf_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE pandas GROUPED_AGG UDAF surface (Series -> scalar,
+    registrable in SQL and usable over windows) — distinct from the
+    applyInPandas general reducer above: per-priority 10%-trimmed mean
+    of order totals, an aggregate with no built-in. The fold is exact
+    (math.fsum) so the oracle's position-trimmed AVG replays it to
+    within the rounding guard."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed_mean(v):
+        s = v.sort_values().to_numpy()
+        k = len(s) // 10
+        kept = s[k : len(s) - k] if len(s) > 2 * k else s
+        return float(math.fsum(kept) / len(kept))
+
+    # this module uses `from __future__ import annotations`, which turns
+    # hints into strings the UDAF type-inferencer can't resolve — attach
+    # REAL type objects so pandas_udf infers GROUPED_AGG (Series→scalar)
+    _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = pandas_udf(_trimmed_mean, "double")
+
+    o = table(prep(spark), sf_dir, "orders")
+    # grouped-agg pandas UDFs can't share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a separate
+    # aggregation joined back on the tiny group key
+    tm = o.groupBy("o_orderpriority").agg(
+        F.round(trimmed_mean("o_totalprice"), 4).alias("trimmed_mean")
+    )
+    cn = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return tm.join(cn, "o_orderpriority").orderBy("o_orderpriority")
+
+
+SQL_UDAF_TRIMMED = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       round(avg(o_totalprice), 4) AS trimmed_mean,
+       max(n) AS n_orders
+FROM r
+WHERE rk > n // 10 AND rk <= n - n // 10
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (priority, status) — all 4 grouping sets."""
     o = table(prep(spark), sf_dir, "orders")
@@ -279,6 +331,7 @@ REGISTRY = {
     "asof_click_to_view": QuerySpec(asof_click_to_view, SQL_ASOF),
     "range_join_close_events": QuerySpec(range_join_close_events, SQL_RANGE),
     "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),
+    "udaf_trimmed_mean_price": QuerySpec(udaf_trimmed_mean_price, SQL_UDAF_TRIMMED),
     "cube_orders": QuerySpec(cube_orders, SQL_CUBE),
     "approx_distinct_stats": QuerySpec(approx_distinct_stats, None),
     "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
