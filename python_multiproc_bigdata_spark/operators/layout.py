@@ -200,3 +200,91 @@ def bloom_pruned_join(
             else:
                 spark.conf.set(k, prev)
     return out
+
+
+def with_hilbert_value(
+    df: DataFrame, cols: Sequence[str], out_col: str = "h"
+) -> DataFrame:
+    """Attach a Hilbert-curve index over two 16-bit-normalized integral
+    columns — the locality-preserving upgrade over Z-order (Morton):
+    Hilbert has no long diagonal jumps, so value-range blocks over it
+    are tighter per clustered column (measured in layout_skipping_hilbert).
+
+    Classic xy2d (Wikipedia's public-domain formulation), unrolled into
+    16 column projections of pure integer bit math — everything stays in
+    whole-stage codegen, and the identical arithmetic replays in SQL
+    (hilbert_sql_ctes). Per-iteration state (x, y, d) is re-projected to
+    named columns; x/y are referenced several times per step, which
+    keeps CollapseProject from inlining the chain."""
+    if len(cols) != 2:
+        raise ValueError(f"hilbert needs exactly 2 columns, got {list(cols)}")
+    cx, cy = cols
+    bounds = df.agg(
+        F.min(cx).alias("_xmin"),
+        F.max(cx).alias("_xmax"),
+        F.min(cy).alias("_ymin"),
+        F.max(cy).alias("_ymax"),
+    )
+    nx = normalize_16bit(F.col(cx), F.col("_xmin"), F.col("_xmax"))
+    ny = normalize_16bit(F.col(cy), F.col("_ymin"), F.col("_ymax"))
+    base = list(df.columns)
+    cur = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            *base,
+            nx.alias("_hx"),
+            ny.alias("_hy"),
+            F.lit(0).cast("long").alias("_hd"),
+        )
+    )
+    for i in range(15, -1, -1):
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+        d2 = F.col("_hd") + F.shiftleft((F.lit(3) * rx).bitwiseXOR(ry), 2 * i)
+        # rot: when ry==0, reflect (if rx==1) then swap x/y
+        nx2 = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(65535) - F.col("_hy")).otherwise(F.col("_hy")),
+        ).otherwise(F.col("_hx"))
+        ny2 = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(65535) - F.col("_hx")).otherwise(F.col("_hx")),
+        ).otherwise(F.col("_hy"))
+        cur = cur.select(
+            *base, nx2.alias("_hx"), ny2.alias("_hy"), d2.alias("_hd")
+        )
+    return cur.select(*base, F.col("_hd").alias(out_col))
+
+
+def hilbert_sql_ctes(
+    source_cte: str, nx_expr: str, ny_expr: str, keep: str
+) -> str:
+    """DuckDB twin of with_hilbert_value: a chain of 16 CTEs applying
+    the identical per-bit rotation/accumulation, starting from
+    `source_cte` (which must expose `keep` columns plus the normalized
+    nx/ny expressions). Returns SQL text defining CTEs h16..h0; the
+    final relation h0 has (keep..., hd)."""
+    out = [
+        f"h16 AS (SELECT {keep}, {nx_expr} AS hx, {ny_expr} AS hy,"
+        f" 0::BIGINT AS hd FROM {source_cte})"
+    ]
+    prev = "h16"
+    for i in range(15, -1, -1):
+        rx = f"((hx >> {i}) & 1)"
+        ry = f"((hy >> {i}) & 1)"
+        d2 = f"(hd + (xor(3 * {rx}, {ry})::BIGINT << {2 * i}))"
+        nx2 = (
+            f"(CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN 65535 - hy"
+            f" ELSE hy END ELSE hx END)"
+        )
+        ny2 = (
+            f"(CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN 65535 - hx"
+            f" ELSE hx END ELSE hy END)"
+        )
+        name = f"h{i}"
+        out.append(
+            f"{name} AS (SELECT {keep}, {nx2} AS hx, {ny2} AS hy,"
+            f" {d2} AS hd FROM {prev})"
+        )
+        prev = name
+    return ",\n".join(out)
