@@ -874,10 +874,19 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    # r² = cov²/(varx·vary): the exact-bigint factors exceed 2^63 when
+    # squared, so each converts to double FIRST (exact — all < 2^53)
+    # and the ratio is computed in double on both engines identically
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r2 = F.when(
+        deny != 0, F.round((num * num) / (den.cast("double") * deny.cast("double")), 6)
+    )
     return (
         sums.filter((F.col("n") >= 2) & (den != 0))
         .select(
@@ -885,6 +894,7 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_hours"),
             F.round(slope, 6).alias("slope"),
             F.round(intercept, 4).alias("intercept"),
+            r2.alias("r2"),
         )
         .orderBy("event_type")
     )
@@ -901,12 +911,16 @@ WITH cnt AS (
   FROM cnt JOIN mn USING (event_type)
 ), sums AS (
   SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
   FROM xy GROUP BY 1
 )
 SELECT event_type, n AS n_hours,
        round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
-       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) * 1.0 / n, 4) AS intercept
+       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) * 1.0 / n, 4) AS intercept,
+       CASE WHEN (n * syy - sy * sy) != 0 THEN
+         round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+               / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+       END AS r2
 FROM sums
 WHERE n >= 2 AND (n * sxx - sx * sx) != 0
 ORDER BY event_type

@@ -29,3 +29,4 @@ def test_linear_trend_exact_fit_and_degenerate_drop(spark, tmp_path):
     assert a.n_hours == 5
     assert abs(a.slope - 3.0) < 1e-9
     assert abs(a.intercept - 2.0) < 1e-9
+    assert abs(a.r2 - 1.0) < 1e-9  # perfect linear fit
