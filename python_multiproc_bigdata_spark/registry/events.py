@@ -976,6 +976,55 @@ ORDER BY event_type
 """
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging by median/MAD — the heavy-tail-safe twin
+    of events_anomaly_zscore (mean/stddev are themselves dragged by the
+    outliers they're meant to find; median and median-absolute-deviation
+    are 50%-breakdown robust). Two grouped EXACT medians (Spark's
+    median == DuckDB's interpolating median) with the per-type constants
+    broadcast back map-side; emits the top-50 events by |v - med| / MAD
+    (the 'robust z', rounded to 4).
+
+    Scale: each median is one groupBy over |types| groups; the flagging
+    pass is map-side. Exactness note: interpolating median of an
+    even-count group is the mean of two order statistics — identical
+    arithmetic both engines."""
+    e = table(prep(spark), sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "user_id", "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"), "med",
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    rz = F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select("event_id", "event_type", "user_id", "value", rz.alias("robust_z"))
+        .orderBy(F.desc("robust_z"), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.event_id, e.user_id, e.value,
+         abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.user_id, d.value,
+       round(abs(d.value - d.med) / m.mad, 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0
+ORDER BY robust_z DESC, event_id ASC
+LIMIT 50
+"""
+
+
 REGISTRY = {
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_transition_matrix": QuerySpec(
@@ -1007,6 +1056,7 @@ REGISTRY = {
     "events_session_window": QuerySpec(events_session_window, SQL_SESSION_WINDOW),
     "events_linear_trend": QuerySpec(events_linear_trend, SQL_LINEAR_TREND),
     "events_incremental_merge": QuerySpec(events_incremental_merge, SQL_INCREMENTAL_MERGE),
+    "events_mad_outliers": QuerySpec(events_mad_outliers, SQL_MAD_OUTLIERS),
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),
     "events_daily_active_users": QuerySpec(events_daily_active_users, SQL_DAU),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, SQL_RETENTION),
