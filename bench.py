@@ -95,6 +95,11 @@ HEADLINE = [
     "sim_pca_project",
     "sim_jl_project",
     "events_linear_trend",
+    "events_incremental_merge",
+    "events_mad_outliers",
+    "stats_psi_drift",
+    "split_kfold_assign",
+    "udaf_trimmed_mean_price",
 ]
 
 
