@@ -141,3 +141,15 @@ def test_no_accidental_shared_oracles():
             by_oracle[s.oracle.strip()].append(n)
     shared = {frozenset(v) for v in by_oracle.values() if len(v) > 1}
     assert shared <= allowed, f"unexpected shared oracles: {shared - allowed}"
+
+
+def test_rows_only_queries_are_the_documented_exceptions():
+    """Every registry query must carry an oracle unless it's one of the
+    documented sketch-based exceptions (HLL values are engine-specific;
+    the driver's weaker rows-only check is intentional there). A new
+    oracle-less query should be a deliberate decision, not a missed
+    field."""
+    from python_multiproc_bigdata_spark.registry import REGISTRY
+
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert rows_only == {"approx_distinct_stats", "stats_hll_users_per_type"}
