@@ -7,6 +7,7 @@ the same engine semantics, unbounded-ready."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -294,10 +295,60 @@ FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
 """
 
 
+def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered-funnel stage distribution from the event STREAM
+    (streaming/windows.py:funnel_stage_stateful — first view / first
+    click strictly after / first purchase strictly after, stitched
+    across micro-batches through per-user state), rolled up to
+    (stage, n_users) after the memory sink. Batch twin: the same
+    first-after chain the batch funnel uses, graded per user into the
+    stage it reached — the oracle below."""
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        funnel_stage_stateful,
+    )
+
+    ev = stream_events(prep(spark), sf_dir)
+    staged = run_to_memory(funnel_stage_stateful(ev), mode="update")
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+SQL_STREAM_FUNNEL_STAGES = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+), u AS (SELECT DISTINCT user_id FROM events)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       count(*) AS n_users
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY = {
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
     "streaming_transition_counts": QuerySpec(
         streaming_transition_counts, SQL_STREAM_TRANSITIONS
+    ),
+    "streaming_funnel_stages": QuerySpec(
+        streaming_funnel_stages, SQL_STREAM_FUNNEL_STAGES
     ),
     "streaming_session_counts": QuerySpec(streaming_session_counts, SQL_STREAM_SESSION),
     "streaming_dedup_watermark": QuerySpec(streaming_dedup_watermark, SQL_STREAM_DEDUP),

