@@ -408,6 +408,25 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def fold_funnel_stage(pdf, tv: float, tc: float, tp: float):
+    """The pure per-batch fold of funnel_stage_stateful: sort one user's
+    batch slice by (ts, event_id) and advance the (t_view, t_click,
+    t_purchase) epoch state (-1 = unset) under the strict first-after
+    rule. Module-level so the cross-batch stitching contract is
+    unit-testable without a streaming harness (the stitch_transitions
+    discipline)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for et, ts in zip(pdf["event_type"], pdf["ts"]):
+        t = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+        if et == "view" and tv < 0:
+            tv = t
+        elif et == "click" and tv >= 0 and t > tv and tc < 0:
+            tc = t
+        elif et == "purchase" and tc >= 0 and t > tc and tp < 0:
+            tp = t
+    return tv, tc, tp
+
+
 def funnel_stage_stateful(events: DataFrame) -> DataFrame:
     """Streaming ordered-funnel tracker — per user, state carries the
     first view, the first click STRICTLY AFTER it, and the first
@@ -432,15 +451,7 @@ def funnel_stage_stateful(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         tv, tc, tp = state.get if state.exists else (-1.0, -1.0, -1.0)
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for et, ts in zip(pdf["event_type"], pdf["ts"]):
-                t = ts.timestamp()
-                if et == "view" and tv < 0:
-                    tv = t
-                elif et == "click" and tv >= 0 and t > tv and tc < 0:
-                    tc = t
-                elif et == "purchase" and tc >= 0 and t > tc and tp < 0:
-                    tp = t
+            tv, tc, tp = fold_funnel_stage(pdf, tv, tc, tp)
         state.update((tv, tc, tp))
         stage = 3 if tp >= 0 else 2 if tc >= 0 else 1 if tv >= 0 else 0
         yield pd.DataFrame([(key[0], stage)], columns=["user_id", "stage"])

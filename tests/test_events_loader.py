@@ -216,3 +216,27 @@ def test_streaming_transitions_stitch_across_batches(spark):
     # the click->purchase transition crosses the batch boundary
     assert last == "purchase"
     assert counts == {"view>click": 1, "click>purchase": 1}
+
+
+def test_streaming_funnel_stitches_across_batches(spark):
+    """A click arriving one batch after its view (and a purchase another
+    batch later) must still advance the funnel via the remembered
+    per-user stage state; out-of-order WITHIN a batch must be sorted;
+    and a click BEFORE the first view must not count."""
+    import pandas as pd
+
+    from python_multiproc_bigdata_spark.streaming.windows import (
+        fold_funnel_stage,
+    )
+
+    b1 = pd.DataFrame(
+        {"ts": [5.0, 2.0], "event_id": [2, 1], "event_type": ["view", "click"]}
+    )  # the click at t=2 precedes the first view at t=5 -> ignored
+    tv, tc, tp = fold_funnel_stage(b1, -1.0, -1.0, -1.0)
+    assert (tv, tc, tp) == (5.0, -1.0, -1.0)
+    b2 = pd.DataFrame({"ts": [7.0], "event_id": [3], "event_type": ["click"]})
+    tv, tc, tp = fold_funnel_stage(b2, tv, tc, tp)
+    assert (tv, tc) == (5.0, 7.0)
+    b3 = pd.DataFrame({"ts": [9.0], "event_id": [4], "event_type": ["purchase"]})
+    tv, tc, tp = fold_funnel_stage(b3, tv, tc, tp)
+    assert tp == 9.0
