@@ -163,7 +163,11 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # not yet windowed): sim_jl_project, events_incremental_merge,
 # stats_psi_drift, split_kfold_assign, dedup_minhash_lsh_materialized
 # (would also return the minhash surface's driver signal through the
-# shared-oracle equivalence).
+# shared-oracle equivalence), text_bpe_encode_stats (BPE encode side),
+# udaf_trimmed_mean_price (the GROUPED_AGG pandas-UDAF surface),
+# layout_skipping_hilbert (Hilbert vs Morton equal-row-block verdict),
+# events_mad_outliers (robust median/MAD), events_linear_trend r2, and
+# streaming_funnel_stages (stateful streaming funnel).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
