@@ -562,6 +562,67 @@ ORDER BY fold, lang
 """
 
 
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between event type and a
+    deterministic user cohort (md5-parity of user_id) — the categorical
+    counterpart of the Welch t-test / PSI drift checks: does event-type
+    mix differ by cohort? One contingency groupBy (|types|×2 cells),
+    margins via two tiny re-aggregations broadcast back, then
+    chi2 = Σ (obs − exp)²/exp over the cells. The statistic is reported
+    with its degrees of freedom; p-value lookup needs the chi-square CDF
+    (no SQL-portable closed form) and belongs to the caller's stats lib.
+    Everything after the one scan is cell-count-sized."""
+    e = table(prep(spark), sf_dir, "events")
+    cohort = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    cells = e.select("event_type", cohort.alias("cohort")).groupBy(
+        "event_type", "cohort"
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    row_m = cells.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    col_m = cells.groupBy("cohort").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("row_n") * F.col("col_n") / F.col("n")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    joined = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "cohort")
+        .crossJoin(F.broadcast(tot))
+    )
+    nr = row_m.agg(F.count(F.lit(1)).alias("nr"))
+    nc = col_m.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        joined.agg(F.round(F.sum(contrib), 6).alias("chi2"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2", ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof")
+        )
+    )
+
+
+SQL_CHI_SQUARE = """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+              THEN 'a' ELSE 'b' END AS cohort,
+         count(*) AS obs
+  FROM events GROUP BY 1, 2
+), row_m AS (SELECT event_type, sum(obs) AS row_n FROM cells GROUP BY 1),
+col_m AS (SELECT cohort, sum(obs) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(obs) AS n FROM cells),
+nr AS (SELECT count(*) AS nr FROM row_m),
+nc AS (SELECT count(*) AS nc FROM col_m)
+SELECT round(sum((obs - row_n * col_n * 1.0 / n)
+              * (obs - row_n * col_n * 1.0 / n)
+              / (row_n * col_n * 1.0 / n)), 6) AS chi2,
+       max((nr - 1) * (nc - 1)) AS dof
+FROM cells
+JOIN row_m USING (event_type)
+JOIN col_m USING (cohort), tot, nr, nc
+"""
+
+
 REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
@@ -580,4 +641,5 @@ REGISTRY = {
     "split_train_test_documents": QuerySpec(split_train_test_documents, SQL_SPLIT),
     "split_kfold_assign": QuerySpec(split_kfold_assign, SQL_KFOLD),
     "stats_psi_drift": QuerySpec(stats_psi_drift, SQL_PSI_DRIFT),
+    "stats_chi_square_independence": QuerySpec(stats_chi_square_independence, SQL_CHI_SQUARE),
 }
