@@ -1025,7 +1025,102 @@ LIMIT 50
 """
 
 
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per event_type — the classic interval
+    sweep-line, built WITHOUT a single-timeline sort.
+
+    Shape: (1) sessionize per (user, type) (lag+cumsum islands, the
+    events_sessionize pattern), (2) each session [start, end] emits
+    (+1 at start, -1 at end) deltas, (3) running sum of deltas ordered
+    by (t, delta DESC) — +1 before -1 at ties, so a session ending
+    exactly when another starts counts as overlap (closed intervals) —
+    (4) max per type.
+
+    The naive form sorts each type's WHOLE timeline in one window
+    partition — a 100 TB scale-killer for a hot type. Here the running
+    sum is two-phase, the with_global_index split (transforms.py:119):
+    deltas bucket by day, rows running-sum WITHIN (type, day) in
+    parallel, and day-level offsets come from a window over the tiny
+    (type × day) aggregate, joined back via AQE-broadcast. Peak values
+    at ties are order-invariant: within a (t, d) tie block the running
+    values are {base+d, ..., base+k·d} regardless of row order, so
+    max() is deterministic even though intermediate rows aren't.
+
+    Reference scope: generalizes the reference's per-key counting
+    (v2/core/transformers.py ReduceItemTransformer) to overlapping
+    intervals."""
+    e = table(prep(spark), sf_dir, "events")
+    uw = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(uw)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(uw.rowsBetween(Window.unboundedPreceding, 0))
+    iv = (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "event_type", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    ).withColumn("day", F.date_trunc("day", "t"))
+    # phase 1: parallel within-day running sums + per-day totals
+    wl = Window.partitionBy("event_type", "day").orderBy(
+        F.col("t").asc(), F.col("d").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = deltas.withColumn("run", F.sum("d").over(wl))
+    # phase 2: offsets over the tiny (type, day) aggregate
+    day_tot = deltas.groupBy("event_type", "day").agg(F.sum("d").alias("dt"))
+    wo = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_tot.withColumn(
+        "off", F.coalesce(F.sum("dt").over(wo), F.lit(0))
+    ).select("event_type", "day", "off")
+    conc = local.join(offsets, ["event_type", "day"]).withColumn(
+        "c", F.col("off") + F.col("run")
+    )
+    return (
+        conc.groupBy("event_type")
+        .agg(F.max("c").cast("bigint").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+# flat single-window sweep: the exactness oracle for the two-phase split
+SQL_MAX_CONCURRENCY = """
+WITH gaps AS (
+  SELECT user_id, event_type, ts, event_id,
+         epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+), sess AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+), iv AS (
+  SELECT event_type, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, event_type, sid
+), deltas AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+), run AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t ASC, d DESC
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY = {
+    "events_max_concurrency": QuerySpec(events_max_concurrency, SQL_MAX_CONCURRENCY),
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_transition_matrix": QuerySpec(
         events_transition_matrix, SQL_TRANSITION_MATRIX

@@ -43,3 +43,73 @@ def test_profile_documents_counts(spark):
     assert prof["doc_id"].n_distinct == n  # primary key
     assert prof["lang"].n_distinct == d.select("lang").distinct().count()
     assert all(p.n_nulls == 0 for p in prof.values())
+
+
+def test_max_concurrency_two_phase_matches_flat_sweep(spark, tmp_path):
+    """The day-bucketed two-phase prefix sum must equal a naive
+    single-window sweep, including a peak that straddles midnight
+    (sessions opened on day 1 still count toward day 2's running sum
+    via the carried offset) and a closed-interval tie (one session
+    ending exactly when another starts overlaps it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_max_concurrency,
+    )
+
+    rows = []
+    eid = 0
+    # user u: one session of 20-min-spaced events from day1 23:0u to
+    # day2 01:0u — all 12 overlap at midnight, so peak=12 and the
+    # running sum must carry across the day bucket via the offset
+    for u in range(12):
+        for hh, mm in [(23, 0), (23, 20), (23, 40), (24, 0), (24, 20),
+                       (24, 40), (25, 0)]:
+            eid += 1
+            day = 1 + hh // 24
+            rows.append((
+                eid, f"2024-01-{day:02d} {hh % 24:02d}:{mm + u:02d}:00",
+                u, "click", 1.0, "{}",
+            ))
+    # closed-interval tie: u=100 ends exactly when u=101 starts
+    eid += 1
+    rows.append((eid, "2024-01-05 10:00:00", 100, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-05 10:20:00", 100, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-05 10:20:00", 101, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tmp_path / "conc"
+    df.write.parquet(str(d / "events.parquet"))
+
+    got = {r.event_type: r.max_concurrent
+           for r in events_max_concurrency(spark, str(d)).collect()}
+    assert got["click"] == 12
+    assert got["view"] == 2
+
+    # flat single-window sweep over the same sessions
+    uw = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(uw)
+    sid = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+        uw.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = (
+        df.withColumn("sid", sid)
+        .groupBy("user_id", "event_type", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("dd")
+    ).unionByName(iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("dd")))
+    wf = Window.partitionBy("event_type").orderBy(
+        F.col("t").asc(), F.col("dd").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    flat = (
+        deltas.withColumn("c", F.sum("dd").over(wf))
+        .groupBy("event_type")
+        .agg(F.max("c").alias("mc"))
+    )
+    assert {r.event_type: r.mc for r in flat.collect()} == got
