@@ -451,7 +451,118 @@ GROUP BY node
 """
 
 
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-order brand sets:
+    support / confidence / lift for brand pairs, the frequent-itemset
+    (Apriori k=2) step recommender and assortment pipelines start from.
+
+    Scale shape: ONE basket shuffle. lineitem joins the broadcast part
+    dim, collect_set builds each order's brand basket (TPC-H baskets
+    are <=7 lines; brand space is 25, so baskets stay tiny), and the
+    unordered pairs expand MAP-SIDE from the sorted array via nested
+    transform+slice — no lineitem self-join shuffle, unlike the
+    triangle census above which needs the raw pair multiset. Brand
+    totals and the order count are re-derived from the same baskets
+    and broadcast back; all divisions are double-cast identically to
+    the oracle. `_bs` is referenced via size() in the pair expression
+    so CollapseProject cannot inline the collect_set into the lambda
+    (the O(n^2) re-eval trap — see SCALE.md).
+
+    Reference scope: extends the reference's per-key counting to
+    co-occurrence statistics; same public Apriori semantics as
+    pyspark.ml.fpm.FPGrowth's first level, kept in plain DataFrame ops
+    so the DuckDB twin can replay it exactly."""
+    s = prep(spark)
+    li = table(s, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(s, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("_bs"))
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(_bs, (x, i) ->
+          transform(slice(_bs, i + 2, greatest(size(_bs) - i - 1, 1)),
+                    y -> struct(x AS brand_a, y AS brand_b))))
+        """
+    )
+    pairs = (
+        baskets.select(F.explode_outer(pair_expr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 5)
+    )
+    singles = (
+        baskets.select(F.explode("_bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("bo"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pd_ = F.col("pair_orders").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("brand").alias("brand_a"),
+                                       F.col("bo").alias("oa"))), "brand_a")
+        .join(
+            F.broadcast(singles.select(F.col("brand").alias("brand_b"),
+                                       F.col("bo").alias("ob"))), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(pd_ / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(pd_ / F.col("oa").cast("double"), 6).alias("confidence"),
+            F.round(
+                pd_ * F.col("n_orders").cast("double")
+                / (F.col("oa").cast("double") * F.col("ob").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# independent formulation: distinct + self-join (no basket arrays)
+SQL_BASKET_RULES = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS pair_orders
+  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), singles AS (
+  SELECT brand, count(*) AS bo FROM items GROUP BY brand
+), tot AS (
+  SELECT count(DISTINCT okey) AS n_orders FROM items
+)
+SELECT brand_a, brand_b, pair_orders,
+       round(CAST(pair_orders AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS support,
+       round(CAST(pair_orders AS DOUBLE) / CAST(sa.bo AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(pair_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(sa.bo AS DOUBLE) * CAST(sb.bo AS DOUBLE)), 4) AS lift
+FROM pairs
+JOIN singles sa ON sa.brand = brand_a
+JOIN singles sb ON sb.brand = brand_b
+CROSS JOIN tot
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
 REGISTRY = {
+    "basket_association_rules": QuerySpec(
+        basket_association_rules, SQL_BASKET_RULES
+    ),
     "curation_pagerank_quality": QuerySpec(curation_pagerank_quality, SQL_PAGERANK),
     "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
     "curation_repetition_signals": QuerySpec(

@@ -310,3 +310,36 @@ def test_triangle_count_k4_square_and_chain(spark):
     edges = spark.createDataFrame(k4 + square + chain + dupes, ["src", "dst"])
     got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_basket_rules_planted_cooccurrence(spark, tmp_path):
+    """Brands X and Y are planted to ALWAYS co-occur (20 orders), brand
+    Z appears in every order (so pairing with Z is uninformative).
+    Expect: confidence(X->Y)=1, lift(X,Y)=n/20 (= 2 with n=40), and the
+    Z pairs pinned at lift 1.0 (independence)."""
+    from python_multiproc_bigdata_spark.registry.curation import (
+        basket_association_rules,
+    )
+
+    parts = [(1, "X"), (2, "Y"), (3, "Z"), (4, "W")]
+    lines = []
+    for o in range(1, 21):          # X+Y+Z orders
+        lines += [(o, 1), (o, 2), (o, 3)]
+    for o in range(21, 41):         # W+Z orders
+        lines += [(o, 4), (o, 3)]
+    spark.createDataFrame(parts, ["p_partkey", "p_brand"]).write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame(lines, ["l_orderkey", "l_partkey"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = {(r.brand_a, r.brand_b): r
+            for r in basket_association_rules(spark, str(tmp_path)).collect()}
+    xy = rows[("X", "Y")]
+    assert xy.pair_orders == 20
+    assert xy.support == 0.5
+    assert xy.confidence == 1.0
+    assert xy.lift == 2.0
+    assert rows[("X", "Z")].lift == 1.0      # Z is in every order
+    assert rows[("W", "Z")].confidence == 1.0
+    assert ("X", "W") not in rows            # never co-occur
