@@ -43,6 +43,82 @@ ASOF LEFT JOIN (
 """
 
 
+def asof_click_to_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the EARLIEST same-or-later view
+    by the same user (time-to-conversion attribution — the mirror of
+    asof_click_to_view). Same one-shuffle union+window plan, scanned
+    descending."""
+    e = table(prep(spark), sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        clicks, views, on="ts", by="user_id",
+        right_payload=["view_event_id"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof.view_event_id").alias("next_view_event_id"),
+    )
+
+
+SQL_ASOF_FWD = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id,
+       (SELECT v.view_event_id FROM v
+         WHERE v.user_id = c.user_id AND v.ts >= c.ts
+         ORDER BY v.ts ASC LIMIT 1) AS next_view_event_id
+FROM c
+"""
+
+
+def asof_click_to_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each click, the view by the same user
+    closest in time in EITHER direction (ties → the earlier view, pandas'
+    merge_asof tie rule). Distances are compared in exact integer
+    microseconds (unix_micros) — doubles near epoch magnitude can't
+    resolve 1 µs, so a double-based distance would flake the tie-break."""
+    e = table(prep(spark), sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        clicks, views, on="ts_us", by="user_id",
+        right_payload=["view_event_id"], direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof.view_event_id").alias("nearest_view_event_id"),
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH c AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE event_type = 'click'),
+     v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  max(event_id) AS view_event_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id,
+       (SELECT v.view_event_id FROM v
+         WHERE v.user_id = c.user_id
+         ORDER BY abs(v.ts_us - c.ts_us) ASC, (v.ts_us > c.ts_us) ASC
+         LIMIT 1) AS nearest_view_event_id
+FROM c
+"""
+
+
 def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of events by the same user within 120 s of each other
     (0 < later − earlier ≤ 120). Bucketized equi-join, exact filter."""
@@ -329,6 +405,8 @@ REGISTRY = {
     "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
     "cdc_scd2_user_state": QuerySpec(cdc_scd2_user_state, SQL_SCD2),
     "asof_click_to_view": QuerySpec(asof_click_to_view, SQL_ASOF),
+    "asof_click_to_next_view": QuerySpec(asof_click_to_next_view, SQL_ASOF_FWD),
+    "asof_click_to_nearest_view": QuerySpec(asof_click_to_nearest_view, SQL_ASOF_NEAREST),
     "range_join_close_events": QuerySpec(range_join_close_events, SQL_RANGE),
     "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),
     "udaf_trimmed_mean_price": QuerySpec(udaf_trimmed_mean_price, SQL_UDAF_TRIMMED),

@@ -24,6 +24,41 @@ def test_asof_join_backward_with_exact_match(spark):
     assert got == {1: "a", 2: "b", 3: None, 4: None}
 
 
+def test_asof_join_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "u", 12), (5, "v", 10)],
+        ["id", "user", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u", 10, "a"), ("u", 15, "b"), ("w", 1, "z")],
+        ["user", "t", "tag"],
+    )
+    fwd = asof_join(
+        left, right, on="t", by="user", right_payload=["tag"], direction="forward"
+    )
+    got = {r.id: (r.asof.tag if r.asof else None) for r in fwd.collect()}
+    # id1 t=10: exact fwd match 'a'; id2 t=20: nothing ≥ 20 → null;
+    # id3 t=5: earliest ≥ 5 is 'a'; id4 t=12: 'b'; id5 user v: null
+    assert got == {1: "a", 2: None, 3: "a", 4: "b", 5: None}
+
+    near = asof_join(
+        left, right, on="t", by="user", right_payload=["tag"], direction="nearest"
+    )
+    got = {r.id: (r.asof.tag if r.asof else None) for r in near.collect()}
+    # id2 t=20: only backward exists → 'b'; id3 t=5: only forward → 'a';
+    # id4 t=12: dist 2 back ('a') vs 3 fwd ('b') → 'a'
+    assert got == {1: "a", 2: "b", 3: "a", 4: "a", 5: None}
+
+    # equidistant (12: dist 2 to both 10/'a' and 14/'c') → backward wins
+    # (pandas merge_asof tie rule)
+    tie = asof_join(
+        spark.createDataFrame([(9, "u", 12)], ["id", "user", "t"]),
+        spark.createDataFrame([("u", 10, "a"), ("u", 14, "c")], ["user", "t", "tag"]),
+        on="t", by="user", right_payload=["tag"], direction="nearest",
+    )
+    assert tie.collect()[0].asof.tag == "a"
+
+
 def test_range_join_bucketed_boundaries(spark):
     left = spark.createDataFrame(
         [(1, "u", 0.0), (2, "u", 100.0)], ["id_a", "user", "t"]
