@@ -152,7 +152,14 @@ def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives are removed by the exact join, so the oracle is the
     plain join SQL. At sf0.01 the prune passes ~20% of lineitem; at
     100 TB this pre-exchange kill is the difference between shuffling
-    600 GB and shuffling 120 GB."""
+    600 GB and shuffling 120 GB.
+
+    Deliberate sibling of bloom_filtered_join (registry/layout.py:72),
+    which gets the same prune from Spark's own InjectRuntimeFilter rule:
+    that form depends on optimizer confs and its cost model firing (and
+    silently vanishes if a later transformation re-optimizes — see
+    bloom_pruned_join's caveat); this one is a plain composable operator
+    with the filter guaranteed in the plan wherever it's placed."""
     o = table(prep(spark), sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
