@@ -166,8 +166,12 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # shared-oracle equivalence), text_bpe_encode_stats (BPE encode side),
 # udaf_trimmed_mean_price (the GROUPED_AGG pandas-UDAF surface),
 # layout_skipping_hilbert (Hilbert vs Morton equal-row-block verdict),
-# events_mad_outliers (robust median/MAD), events_linear_trend r2, and
-# streaming_funnel_stages (stateful streaming funnel).
+# events_mad_outliers (robust median/MAD), events_linear_trend r2,
+# streaming_funnel_stages (stateful streaming funnel),
+# asof_click_to_next_view / asof_click_to_nearest_view (forward/nearest
+# as-of directions; backward keeps the in-window signal), and
+# bloom_pruned_urgent_revenue (operator-form bitmap prune; the
+# conf-driven form is in-window as bloom_filtered_join).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
