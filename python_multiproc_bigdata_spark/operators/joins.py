@@ -90,6 +90,52 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(*out_cols)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_a: str,
+    end_a: str,
+    start_b: str,
+    end_b: str,
+    width: float,
+) -> DataFrame:
+    """Pairs (l, r) whose closed intervals [start_a, end_a] and
+    [start_b, end_b] overlap (greatest(starts) ≤ least(ends)) — the
+    interval-interval generalization of range_join_bucketed's
+    point-to-point gap join.
+
+    Bucketized: each interval explodes to the ``width``-buckets it
+    covers, pairs meet by bucket equi-join (hash, not nested-loop), an
+    exact predicate keeps true overlaps, and each pair survives ONLY in
+    the bucket containing greatest(start_a, start_b) — the standard
+    dedup rule that makes the bucketed join emit every overlapping pair
+    exactly once. Pick ``width`` near the typical interval length: the
+    explode factor is len/width + 1 per row, while too-wide buckets
+    inflate the per-bucket candidate cross product.
+
+    Intervals must be numeric with start ≤ end (a reversed interval is
+    clamped to empty rather than crashing sequence()). All four column
+    names must be distinct; other columns must not collide.
+    """
+    def buckets(s: str, e: str):
+        lo = F.floor(F.col(s) / width)
+        # total even on bad rows: Catalyst may evaluate project
+        # expressions on rows a later Filter drops, and sequence(hi, lo)
+        # with hi > lo goes DESCENDING instead of failing
+        hi = F.greatest(F.floor(F.col(e) / width), lo)
+        return F.explode(F.sequence(lo, hi))
+
+    la = left.withColumn("_bucket", buckets(start_a, end_a))
+    rb = right.withColumn("_bucket", buckets(start_b, end_b))
+    ov_start = F.greatest(F.col(start_a), F.col(start_b))
+    return (
+        la.join(rb, "_bucket")
+        .filter(ov_start <= F.least(F.col(end_a), F.col(end_b)))
+        .filter(F.floor(ov_start / width) == F.col("_bucket"))
+        .drop("_bucket")
+    )
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -1088,6 +1088,80 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair of DIFFERENT users whose sessions overlap in time
+    (closed intervals; a session ending exactly when another starts
+    counts) with the overlap length — co-presence analysis, the
+    interval-INTERVAL join events_max_concurrency's sweep line only
+    counts and range_join_close_events's point-gap join can't express.
+
+    Shape: sessionize (lag+cumsum islands) → session intervals → the
+    bucketized interval_overlap_join (operators/joins.py): intervals
+    explode to their 1-hour buckets, pairs meet by bucket EQUI-join, and
+    each pair survives only in the bucket holding the later start — no
+    nested-loop inequality join anywhere, so the plan is hash-join
+    shaped at any scale. Width 3600 s ≈ the typical session length
+    (30-min gap rule), keeping the explode factor ~2."""
+    from python_multiproc_bigdata_spark.operators.joins import interval_overlap_join
+
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsd = F.col("ts").cast("double")
+    gap = tsd - F.lag(tsd).over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sess = (
+        e.withColumn("tsd", tsd)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("tsd").alias("s"), F.max("tsd").alias("e"))
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"), F.col("sid").cast("bigint").alias("sess_a"),
+        F.col("s").alias("start_a"), F.col("e").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"), F.col("sid").cast("bigint").alias("sess_b"),
+        F.col("s").alias("start_b"), F.col("e").alias("end_b"),
+    )
+    out = interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b", width=3600.0
+    )
+    return out.filter(F.col("user_a") < F.col("user_b")).select(
+        "user_a", "sess_a", "user_b", "sess_b",
+        F.round(
+            F.least("end_a", "end_b") - F.greatest("start_a", "start_b"), 6
+        ).alias("overlap_sec"),
+    )
+
+
+SQL_SESSIONS_OVERLAP = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), tagged AS (
+  SELECT user_id, epoch(ts) AS tsd,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+), sess AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS sid,
+         min(tsd) AS s, max(tsd) AS e
+  FROM tagged GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, a.sid AS sess_a,
+       b.user_id AS user_b, b.sid AS sess_b,
+       round(least(a.e, b.e) - greatest(a.s, b.s), 6) AS overlap_sec
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id
+ AND greatest(a.s, b.s) <= least(a.e, b.e)
+"""
+
+
 # flat single-window sweep: the exactness oracle for the two-phase split
 SQL_MAX_CONCURRENCY = """
 WITH gaps AS (
@@ -1121,6 +1195,7 @@ FROM run GROUP BY event_type ORDER BY event_type
 
 REGISTRY = {
     "events_max_concurrency": QuerySpec(events_max_concurrency, SQL_MAX_CONCURRENCY),
+    "sessions_overlap_pairs": QuerySpec(sessions_overlap_pairs, SQL_SESSIONS_OVERLAP),
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
     "events_transition_matrix": QuerySpec(
         events_transition_matrix, SQL_TRANSITION_MATRIX

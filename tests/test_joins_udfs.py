@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
+from python_multiproc_bigdata_spark.operators.joins import (
+    asof_join,
+    interval_overlap_join,
+    range_join_bucketed,
+)
 from python_multiproc_bigdata_spark.operators.udfs import median_by_group
 
 
@@ -57,6 +61,24 @@ def test_asof_join_forward_and_nearest(spark):
         on="t", by="user", right_payload=["tag"], direction="nearest",
     )
     assert tie.collect()[0].asof.tag == "a"
+
+
+def test_interval_overlap_join_dedup_and_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0, 25.0), (2, 100.0, 100.0), (3, 200.0, 210.0)],
+        ["ida", "start_a", "end_a"],
+    )
+    right = spark.createDataFrame(
+        # overlaps id1 across 3 buckets (width 10) — must emit ONCE;
+        # touches id2 exactly at a point; disjoint from id3
+        [(10, 5.0, 30.0), (11, 100.0, 100.0), (12, 211.0, 220.0)],
+        ["idb", "start_b", "end_b"],
+    )
+    out = interval_overlap_join(
+        left, right, "start_a", "end_a", "start_b", "end_b", width=10.0
+    )
+    pairs = sorted((r.ida, r.idb) for r in out.collect())
+    assert pairs == [(1, 10), (2, 11)]  # exactly once each, touch counts
 
 
 def test_range_join_bucketed_boundaries(spark):
