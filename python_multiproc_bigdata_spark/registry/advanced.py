@@ -391,6 +391,46 @@ WHERE rn = 1
 """
 
 
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) snapshot reconstruction from a change
+    log: per-user state as of 2024-03-01, treating events as an
+    upsert/delete feed — 'error' is a tombstone (user absent from the
+    snapshot unless a later in-range change resurrects them), anything
+    else upserts the user's state. The missing third of the CDC surface:
+    upsert (cdc_upsert_customers), compaction (cdc_latest_per_key), and
+    now AS OF T reconstruction — what Delta/Iceberg time travel computes,
+    expressed on a raw log without a table format.
+
+    Plan: pushed-down ts<=T filter → one per-key window (latest change
+    wins) → tombstone filter. At 100 TB, partition the log by day so the
+    as-of filter prunes partitions, and compact periodically so the
+    window reads checkpoints + a tail, not all history."""
+    e = table(prep(spark), sf_dir, "events")
+    t0 = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.filter(F.col("ts") <= t0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            "event_id",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+SQL_CDC_SNAPSHOT = """
+SELECT user_id, event_type AS last_event_type, event_id, round(value, 4) AS value
+FROM (SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-03-01 00:00:00')
+WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted GROUP BY count per event_type
     (operators/skew.py:salted_count_per_key, salt_buckets=16) — the
@@ -454,6 +494,7 @@ SELECT check_name, n_violations, n_rows, n_violations = 0 AS passed FROM (
 REGISTRY = {
     "cdc_upsert_customers": QuerySpec(cdc_upsert_customers, SQL_CDC_UPSERT),
     "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
+    "cdc_snapshot_asof": QuerySpec(cdc_snapshot_asof, SQL_CDC_SNAPSHOT),
     "cdc_scd2_user_state": QuerySpec(cdc_scd2_user_state, SQL_SCD2),
     "asof_click_to_view": QuerySpec(asof_click_to_view, SQL_ASOF),
     "asof_click_to_next_view": QuerySpec(asof_click_to_next_view, SQL_ASOF_FWD),
