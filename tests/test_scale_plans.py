@@ -303,3 +303,21 @@ def test_pmi_unigram_side_broadcasts(spark):
     # bigram/unigram count joins resolve to broadcasts at this SF (the
     # unigram side is vocabulary-bounded); totals are 1-row fan-outs
     assert "CartesianProduct" not in plan
+
+
+def test_nearest_asof_single_window_exchange(spark):
+    # backward+forward carried payloads must share ONE hash exchange
+    # (two sorts over the same partitioning) — a second window shuffle
+    # would double the dominant cost of the as-of at scale
+    plan = plan_of(REGISTRY["asof_click_to_nearest_view"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 2
+    # exchanges: one for the window pair + one for the views pre-agg
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_interval_overlap_is_hash_join(spark):
+    # overlap pairs meet by bucket EQUI-join; the inequality predicate
+    # is a post-join filter, never a nested-loop join strategy
+    plan = plan_of(REGISTRY["sessions_overlap_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
