@@ -100,6 +100,10 @@ HEADLINE = [
     "stats_psi_drift",
     "split_kfold_assign",
     "udaf_trimmed_mean_price",
+    "asof_click_to_nearest_view",
+    "bloom_pruned_urgent_revenue",
+    "sessions_overlap_pairs",
+    "cdc_snapshot_asof",
 ]
 
 
