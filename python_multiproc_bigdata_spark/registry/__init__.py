@@ -159,19 +159,34 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     prefix_filter + components) → events_linear_trend (grouped OLS
 #     regression via exact-integer algebraic sums)
 #
-# Round-5 promotion candidates (added late in r4, locally parity-green,
-# not yet windowed): sim_jl_project, events_incremental_merge,
-# stats_psi_drift, split_kfold_assign, dedup_minhash_lsh_materialized
-# (would also return the minhash surface's driver signal through the
-# shared-oracle equivalence), text_bpe_encode_stats (BPE encode side),
-# udaf_trimmed_mean_price (the GROUPED_AGG pandas-UDAF surface),
-# layout_skipping_hilbert (Hilbert vs Morton equal-row-block verdict),
-# events_mad_outliers (robust median/MAD), events_linear_trend r2,
-# streaming_funnel_stages (stateful streaming funnel),
-# asof_click_to_next_view / asof_click_to_nearest_view (forward/nearest
-# as-of directions; backward keeps the in-window signal), and
-# bloom_pruned_urgent_revenue (operator-form bitmap prune; the
-# conf-driven form is in-window as bloom_filtered_join).
+# End-of-round-4 rotation (8 never-driver-checked capability classes
+# earn r4 rows; every demotion is r03-green on record — see
+# CORRECTNESS_r03.json — and keeps in-window family siblings):
+#   profile_documents (text keeps lang_id + pmi + bpe_merges) →
+#     streaming_funnel_stages (stateful streaming ordered funnel)
+#   sim_knn_classify (sim keeps pca, sq8_ivf, pq, lsh_banded,
+#     ivf_kmeans, hybrid_rrf) → udaf_trimmed_mean_price (the true
+#     GROUPED_AGG pandas-UDAF surface)
+#   training_pack_chunks (packing keeps pack_greedy) →
+#     layout_skipping_hilbert (Hilbert vs Morton skipping verdict)
+#   decontaminate_train_eval (curation keeps bigram_logprob +
+#     pagerank_quality + components) → dedup_minhash_lsh_materialized
+#     (returns the minhash signal through the shared-oracle equivalence)
+#   asof_click_to_view → asof_click_to_nearest_view (nearest exercises
+#     the backward AND forward window paths in one query)
+#   range_join_close_events → sessions_overlap_pairs (the
+#     interval-interval generalization of the point-gap range join)
+#   cdc_upsert_customers (cdc keeps streaming_cdc_merge) →
+#     cdc_snapshot_asof (point-in-time reconstruction w/ tombstones)
+#   semantic_only_neardups (banded path keeps sim_topk_lsh_banded) →
+#     bloom_pruned_urgent_revenue (operator-form bitmap prune; the
+#     conf-driven sibling bloom_filtered_join stays in-window)
+#
+# Round-5 promotion candidates (locally parity-green, not yet
+# windowed): sim_jl_project, events_incremental_merge, stats_psi_drift,
+# split_kfold_assign, text_bpe_encode_stats, events_mad_outliers,
+# asof_click_to_next_view, events_max_concurrency, stats_assoc_rules,
+# and stats_chi_square.
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
@@ -193,7 +208,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "streaming_dedup_watermark",
     "streaming_cdc_merge",
     # text analysis + profiling
-    "profile_documents",
+    "streaming_funnel_stages",
     "text_pmi_collocations",
     "text_lang_id",
     # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
@@ -205,7 +220,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # k-means IVF — full-hash-checked since r4 via the generated
     # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
     "sim_pca_project",
-    "sim_knn_classify",
+    "udaf_trimmed_mean_price",
     "sim_topk_sq8_ivf",
     "sim_topk_pq",
     "sim_topk_lsh_banded",
@@ -216,9 +231,9 @@ CHECKED_FIRST: tuple[str, ...] = (
     "func_arabic_tokenize",
     "func_datetime_parts",
     # advanced: CDC, as-of, range join, UDAF, cube, approx profile
-    "cdc_upsert_customers",
-    "asof_click_to_view",
-    "range_join_close_events",
+    "cdc_snapshot_asof",
+    "asof_click_to_nearest_view",
+    "sessions_overlap_pairs",
     "func_udtf_char_ngrams",
     "dq_check_orders",
     # multimodal plumbing
@@ -235,17 +250,17 @@ CHECKED_FIRST: tuple[str, ...] = (
     "bloom_filtered_join",
     "training_corpus_pipeline",
     "events_funnel_conversion",
-    "semantic_only_neardups",
+    "bloom_pruned_urgent_revenue",
     # sequence packing (training-batch construction: concat-then-chunk
     # prefix-sum + first-fit-sequential applyInPandas fold with a
     # recursive-CTE oracle replaying the identical fold)
-    "training_pack_chunks",
+    "layout_skipping_hilbert",
     "training_pack_greedy",
     # corpus curation (PageRank quality prior, decontamination,
     # dup-cluster canonicalization; repetition signals demoted r4 —
     # r03-green)
     "curation_pagerank_quality",
-    "decontaminate_train_eval",
+    "dedup_minhash_lsh_materialized",
     "dedup_components_canonical",
 )
 
