@@ -41,17 +41,15 @@ def test_checked_window_is_curated():
     assert len(CHECKED_FIRST) == 50
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
-        "semantic_only_neardups",
-        "asof_click_to_view", "range_join_close_events",
         "multimodal_features",
         "func_arabic_tokenize",
         "sim_topk_ivf_kmeans",
-        "decontaminate_train_eval", "dedup_components_canonical",
-        "training_corpus_pipeline", "training_pack_chunks",
+        "dedup_components_canonical",
+        "training_corpus_pipeline",
         "training_pack_greedy", "sim_topk_lsh_banded",
         "streaming_session_counts",
         # round-3 promotions (swap log in registry/__init__.py)
-        "sim_knn_classify", "dq_check_orders",
+        "dq_check_orders",
         "calendar_month_order_counts",
         # round-4 promotions: never-driver-checked tail + the composed
         # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
@@ -87,6 +85,17 @@ def test_checked_window_is_curated():
         "dedup_winnow_pairs", "text_pmi_collocations",
         "text_bpe_merges", "sim_pca_project",
         "func_udtf_char_ngrams", "events_linear_trend",
+        # end-of-round-4 promotions (8 never-checked capability classes;
+        # demoted profile_documents / sim_knn_classify /
+        # training_pack_chunks / decontaminate_train_eval /
+        # asof_click_to_view / range_join_close_events /
+        # cdc_upsert_customers / semantic_only_neardups are all
+        # r03-green with in-window family siblings — swap log in
+        # registry/__init__.py)
+        "streaming_funnel_stages", "udaf_trimmed_mean_price",
+        "layout_skipping_hilbert", "dedup_minhash_lsh_materialized",
+        "sessions_overlap_pairs", "cdc_snapshot_asof",
+        "asof_click_to_nearest_view", "bloom_pruned_urgent_revenue",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
