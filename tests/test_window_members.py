@@ -113,3 +113,37 @@ def test_max_concurrency_two_phase_matches_flat_sweep(spark, tmp_path):
         .agg(F.max("c").alias("mc"))
     )
     assert {r.event_type: r.mc for r in flat.collect()} == got
+
+
+def test_cdc_snapshot_tombstone_and_resurrection(spark):
+    # the registered query inlines the window+filter; replay its
+    # semantics on a hand-built change log: latest change <= T wins,
+    # a latest-'error' tombstone deletes the key, a post-tombstone
+    # in-range change resurrects it, and changes after T are invisible
+    from pyspark.sql import Window
+
+    log = spark.createDataFrame(
+        [
+            # user 1: upsert then tombstone before T -> absent
+            (1, 10, "view", 1.0),
+            (1, 11, "error", 0.0),
+            # user 2: tombstone then resurrection before T -> present
+            (2, 20, "error", 0.0),
+            (2, 21, "purchase", 5.0),
+            # user 3: state before T, update AFTER T -> old state wins
+            (3, 30, "click", 7.0),
+            (3, 99, "purchase", 9.0),
+            # user 4: only activity after T -> absent
+            (4, 98, "view", 1.0),
+        ],
+        ["user_id", "ts", "event_type", "value"],
+    )
+    T = 50
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    snap = (
+        log.filter(F.col("ts") <= T)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("event_type") != "error"))
+    )
+    got = {r.user_id: (r.event_type, r.value) for r in snap.collect()}
+    assert got == {2: ("purchase", 5.0), 3: ("click", 7.0)}
