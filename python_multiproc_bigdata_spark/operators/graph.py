@@ -62,6 +62,12 @@ def pagerank(
         )
         if i < iterations and i % materialize_every == 0:
             ranks = ranks.localCheckpoint(eager=True)  # lineage truncation
+    # Materialize the final state WHILE contrib/edges are still cached —
+    # otherwise (for iterations < materialize_every) no action ever ran
+    # under the caches and the caller's first job would recompute the
+    # whole chain uncached. The eager checkpoint also hands callers a
+    # lineage-free frame, so repeated actions on the result are free.
+    ranks = ranks.localCheckpoint(eager=True)
     contrib.unpersist()
     edges.unpersist()
     return ranks

@@ -398,7 +398,15 @@ def collect_unit_sample(corpus: DataFrame, sample_size: int = 4096):
     per search) — without the cache every registered quantizer query
     paid a redundant ~0.9 s sample-collect job per run (two for IVF+PQ).
     semanticHash keys on the resolved plan, so a filtered/different
-    corpus never aliases a cached sample."""
+    corpus never aliases a cached sample.
+
+    Caveats: semanticHash is plan-STRUCTURAL, not content-based — if the
+    parquet at the same path is rewritten within a session, the cached
+    sample goes stale (the oracle, which retrains from current file
+    contents, would then disagree); restart the session or clear
+    _UNIT_SAMPLE_SPARK_CACHE after rewriting inputs. The cached array is
+    returned read-only (writeable=False) so a mutating caller cannot
+    poison later consumers."""
     import numpy as np
 
     key = None
@@ -429,6 +437,7 @@ def collect_unit_sample(corpus: DataFrame, sample_size: int = 4096):
     )
     pdf = pdf.sort_values("vec_id")
     x = np.asarray([list(e) for e in pdf["e"]], dtype=np.float64)
+    x.flags.writeable = False  # shared across callers — guard against mutation
     if key is not None:
         _UNIT_SAMPLE_SPARK_CACHE[key] = x
     return x

@@ -440,9 +440,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINNOW_PAIRS = r"""
 WITH d AS (
   SELECT doc_id AS id,
-         regexp_replace(lower(trim(text)), '[ 	
-
-]+', ' ', 'g') AS norm
+         regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g') AS norm
   FROM documents
 ), dd AS (
   SELECT id, norm, length(norm) - 7 AS ng FROM d WHERE length(norm) >= 11

@@ -929,7 +929,7 @@ ORDER BY event_type
 
 def events_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a materialized per-type aggregate
-    (count/sum/min/max over the first 80% of events by hash) is
+    (count/sum/min/max over the first ~75% of events by hash) is
     refreshed by MERGING the delta batch's partial aggregate — union of
     two partial-agg relations + one re-aggregation — instead of
     rescanning history. avg derives from sum/count at the end (never
