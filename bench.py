@@ -106,6 +106,11 @@ HEADLINE = [
     "cdc_snapshot_asof",
 ]
 
+# Queries whose CONFIG deliberately changed this round for quality (not a
+# perf regression): bench_compare.py classifies their deltas separately so
+# round-over-round diffs distinguish regressions from tradeoffs.
+CONFIG_CHANGED: set[str] = set()
+
 
 def run_one(spark, name: str, repeats: int = 3) -> dict:
     """Steady-state timing: median (and min) of `repeats` full
@@ -128,7 +133,13 @@ def run_one(spark, name: str, repeats: int = 3) -> dict:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="pmb-spark-bench")
+    # Console progress bars write \r-frames to stdout that land in the
+    # driver's tail capture; keep the tail clean so the final JSON line
+    # is the last thing on the stream.
+    spark = get_spark(
+        app_name="pmb-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in REGISTRY]
@@ -153,16 +164,36 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to an in-repo artifact: at 73 queries the
+    # single JSON line outgrew the driver's ~2 KB tail-capture buffer
+    # (BENCH_r04 `parsed: null`, 13 timings truncated away), so stdout
+    # carries ONLY a compact aggregate line — printed last and alone —
+    # and BENCH_FULL.json keeps the round-over-round comparison data.
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_min": mins,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "config_changed": sorted(CONFIG_CHANGED & set(timings)),
     }
     if errors:
-        out["errors"] = errors
+        full["errors"] = errors
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {"_full": "BENCH_FULL.json"},
+    }
+    sys.stdout.flush()
     print(json.dumps(out))
 
 

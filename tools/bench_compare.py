@@ -1,44 +1,73 @@
 """Diff two bench artifacts: per-query timings side-by-side with deltas,
-flagging moves beyond a noise threshold (default 20%). Works with both
-the old min-of-2 format (flat seconds) and the r4+ median format.
+three-way classified as faster / slower / config-changed (a deliberate
+quality tradeoff recorded in the artifact's `config_changed` list — e.g.
+r4's ivf_kmeans 8->128-list recall bump — is NOT a regression and is
+reported separately). Works with the old min-of-2 format (flat seconds),
+the r4 median format, and the r5+ compact format whose `queries` map is
+the `{"_full": "BENCH_FULL.json"}` pointer (resolved relative to the
+artifact's directory).
 
-Usage: python tools/bench_compare.py BENCH_r03.json BENCH_r04.json [pct]
+Usage: python tools/bench_compare.py BENCH_r04.json BENCH_FULL.json [pct]
 """
 
 from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
 
-def timings(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
         doc = json.load(f)
-    parsed = doc.get("parsed", doc)
-    return parsed.get("queries", {})
+    parsed = doc.get("parsed") or doc
+    queries = parsed.get("queries", {})
+    if "_full" in queries:  # r5+ compact line: follow the pointer
+        full_path = Path(path).resolve().parent / queries["_full"]
+        with open(full_path) as f:
+            parsed = json.load(f)
+        queries = parsed.get("queries", {})
+    return queries, set(parsed.get("config_changed", []))
 
 
 def main() -> int:
     a_path, b_path = sys.argv[1], sys.argv[2]
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
-    a, b = timings(a_path), timings(b_path)
+    a, cc_a = load(a_path)
+    b, cc_b = load(b_path)
+    config_changed = cc_a | cc_b
     shared = sorted(set(a) & set(b))
-    flagged = 0
+    faster, slower, tradeoff = [], [], []
     print(f"{'query':36s} {'old':>8s} {'new':>8s} {'delta':>8s}")
     for q in shared:
         if a[q] <= 0:
             continue
         pct = (b[q] - a[q]) / a[q] * 100
-        mark = " <-- " if abs(pct) >= thresh else ""
-        if mark:
-            flagged += 1
+        mark = ""
+        if q in config_changed:
+            mark = " [config-changed]"
+            if abs(pct) >= thresh:
+                tradeoff.append(q)
+        elif pct <= -thresh:
+            mark = " <-- faster"
+            faster.append(q)
+        elif pct >= thresh:
+            mark = " <-- SLOWER"
+            slower.append(q)
         print(f"{q:36s} {a[q]:8.3f} {b[q]:8.3f} {pct:+7.1f}%{mark}")
     only_a = sorted(set(a) - set(b))
     only_b = sorted(set(b) - set(a))
     ta, tb = sum(a[q] for q in shared), sum(b[q] for q in shared)
     if ta > 0:
         print(f"\nshared total: {ta:.1f}s -> {tb:.1f}s "
-              f"({(tb - ta) / ta * 100:+.1f}%), {flagged} queries moved >={thresh:.0f}%")
+              f"({(tb - ta) / ta * 100:+.1f}%)")
+        print(f"moved >={thresh:.0f}%: {len(faster)} faster, "
+              f"{len(slower)} slower (regressions), "
+              f"{len(tradeoff)} config-changed (deliberate tradeoffs)")
+        if slower:
+            print(f"regressions: {', '.join(slower)}")
+        if tradeoff:
+            print(f"tradeoffs: {', '.join(tradeoff)}")
     else:
         print("\nno overlapping timed queries between the two artifacts")
     if only_a:
