@@ -191,7 +191,8 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "queries": {"_full": "BENCH_FULL.json"},
+        "queries": {},  # full per-query map: BENCH_FULL.json (in-repo)
+        "queries_full_artifact": "BENCH_FULL.json",
     }
     sys.stdout.flush()
     print(json.dumps(out))

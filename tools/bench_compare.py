@@ -22,8 +22,11 @@ def load(path: str) -> tuple[dict[str, float], set[str]]:
         doc = json.load(f)
     parsed = doc.get("parsed") or doc
     queries = parsed.get("queries", {})
-    if "_full" in queries:  # r5+ compact line: follow the pointer
-        full_path = Path(path).resolve().parent / queries["_full"]
+    pointer = parsed.get("queries_full_artifact") or queries.get("_full")
+    if pointer and not any(
+        isinstance(v, (int, float)) for v in queries.values()
+    ):  # r5+ compact line: follow the pointer to the full map
+        full_path = Path(path).resolve().parent / pointer
         with open(full_path) as f:
             parsed = json.load(f)
         queries = parsed.get("queries", {})
