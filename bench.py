@@ -109,7 +109,15 @@ HEADLINE = [
 # Queries whose CONFIG deliberately changed this round for quality (not a
 # perf regression): bench_compare.py classifies their deltas separately so
 # round-over-round diffs distinguish regressions from tradeoffs.
-CONFIG_CHANGED: set[str] = set()
+CONFIG_CHANGED: set[str] = {
+    # r5: IVF_KMEANS_CFG moved 128 lists/nprobe 32 -> 192/24 — the
+    # latency-recall knee from the r5 sweep (SCALE.md): recall@3 0.95
+    # held at a 12.5% scan fraction (was 25%), ~11% faster at sf0.1.
+    # All three share the config, so all three timings shift together.
+    "sim_topk_ivf_kmeans",
+    "sim_topk_sq8_ivf",
+    "sim_topk_ivfpq",
+}
 
 
 def run_one(spark, name: str, repeats: int = 3) -> dict:

@@ -225,11 +225,14 @@ SELECT id_a, id_b, score FROM verified WHERE score >= 0.4
 
 # One config shared by the registered Spark query AND the generated
 # DuckDB oracle — change it in one place and both sides follow.
-# 128 lists / nprobe 32 from the r4 sweep: at the SAME 25% scan
-# fraction, recall@3 at sf0.1 is 0.97 vs 0.85 (64/16) vs 0.59 (16/4) —
-# finer lists dominate well past the √corpus rule on this data, and at
-# 0.97 the k-means IVF beats the banded-LSH path (0.94) at equal cost.
-IVF_KMEANS_CFG = dict(k=3, nprobe=32, n_lists=128, max_iter=3, train_sample=4096)
+# 192 lists / nprobe 24 from the r5 latency-recall sweep (SCALE.md):
+# holds recall@3 = 0.95 at sf0.1 while cutting the scan fraction from
+# 25% to 12.5% and sf0.1 latency by ~11% vs r4's 128/32 (recall 0.97).
+# 64/32 was the sf0.1 latency winner (2.1 s, recall 0.953) but scans
+# 50% of the corpus — at 100 TB scan fraction IS the cost, so the
+# registered point is the lowest-scan config holding the 0.95 floor.
+# Composed tiers inherit it: sq8_ivf 0.95, ivfpq 0.85→0.90 at sf0.1.
+IVF_KMEANS_CFG = dict(k=3, nprobe=24, n_lists=192, max_iter=3, train_sample=4096)
 
 
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,9 +246,9 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured by tools/recall_report.py and pinned in
     tests/test_recall_floors.py.
 
-    Config: see IVF_KMEANS_CFG — 128 lists / nprobe 32, chosen by the
-    r4 sweep (recall@3 0.97 at a 25% scan fraction at sf0.1; finer
-    lists at fixed scan keep winning on this data). Training degrades
+    Config: see IVF_KMEANS_CFG — 192 lists / nprobe 24, the r5
+    latency-recall knee (recall@3 0.95 at a 12.5% scan fraction at
+    sf0.1; the full pareto is in SCALE.md). Training degrades
     gracefully to corpus-many lists if the corpus is ever smaller than
     n_lists (kmeans_core inits from the available sample)."""
     emb = table(prep(spark), sf_dir, "embeddings")
@@ -767,7 +770,7 @@ def make_pq_oracle() -> str:
 
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composed (operators/similarity.py:topk_ivfpq): k-means
-    lists prune rows (IVF_KMEANS_CFG: 128 lists / nprobe 32 = 25% scan),
+    lists prune rows (IVF_KMEANS_CFG: 192 lists / nprobe 24 = 12.5% scan),
     PQ codes cut candidate bytes 32× (PQ_CFG: 8 sub × 64 codes), exact
     re-rank on the top-50 restores accuracy — the full FAISS serving
     recipe as one declarative plan, with BOTH trained literal sets

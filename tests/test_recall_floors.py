@@ -4,16 +4,17 @@ fails here loudly instead of silently shipping worse recall.
 
 Measured at build time (sf0.001 / sf0.1):
   ivf_kmeans nprobe=2/8 lists   : 0.61 / 0.50   (floor 0.45)
-  ivf_kmeans nprobe=32/128 lists: 0.95 / 0.97   (floor 0.90; the
-    registered config from the r4 sweep — finer lists at a fixed 25%
-    scan fraction dominate: 16/4 0.59, 64/16 0.85, 128/32 0.97)
-  sq8_ivf composed (same cfg)   : 0.95 / 0.97   (floor 0.90)
+  ivf_kmeans nprobe=24/192 lists: 0.92 / 0.95   (floor 0.90; the
+    registered config from the r5 latency-recall sweep — lowest scan
+    fraction (12.5%) holding recall >= 0.95 at sf0.1; pareto in
+    SCALE.md: 128/32 = 0.97 at 25% scan, 64/32 = 0.953 at 50% scan)
+  sq8_ivf composed (same cfg)   : 0.92 / 0.95   (floor 0.90)
   ivf_minid  nprobe=2           : 0.21 / 0.17   (kmeans must beat it)
   banded near-dup pair recall   : 62/66 / 878/920  (floor 0.90)
   banded LSH top-k recall@3     : 0.93 / 0.94   (floor 0.85)
   PQ 8sub×64codes rerank=50     : 0.92 / 0.77   (floor 0.85 at test SF;
     code count is the knob — 256 codes reaches 0.93 at sf0.1)
-  IVF+PQ composed (same cfgs)   : 0.95 / 0.85   (floor 0.85; beats PQ
+  IVF+PQ composed (same cfgs)   : 0.92 / 0.90   (floor 0.85; beats PQ
     alone — pruning cleans the approx pool before the rerank cut)
 
 Floors sit below the measured values because k-means assignment can flip
@@ -51,10 +52,10 @@ def test_ivf_kmeans_recall_floor_and_beats_label_lists(spark):
     r_minid = recall_at_k(topk_ivf(q, emb, k=3, nprobe=2), exact)
     assert r_kmeans >= 0.45, r_kmeans
     assert r_kmeans > r_minid, (r_kmeans, r_minid)
-    # the registered config (IVF_KMEANS_CFG, 128 lists / nprobe 32 —
-    # the r4 sweep winner): measured 0.95 @ sf0.001, 0.97 @ sf0.1 at a
-    # 25% scan fraction; floor 0.9 budgets assignment near-tie flips
-    r_fine = recall_at_k(topk_ivf_kmeans(q, emb, k=3, nprobe=32, n_lists=128, max_iter=3), exact)
+    # the registered config (IVF_KMEANS_CFG, 192 lists / nprobe 24 —
+    # the r5 sweep knee): measured 0.923 @ sf0.001, 0.95 @ sf0.1 at a
+    # 12.5% scan fraction; floor 0.9 budgets assignment near-tie flips
+    r_fine = recall_at_k(topk_ivf_kmeans(q, emb, k=3, nprobe=24, n_lists=192, max_iter=3), exact)
     assert r_fine >= 0.9, r_fine
     assert r_fine > r_kmeans, (r_fine, r_kmeans)
 
@@ -104,15 +105,21 @@ def test_sq8_ivf_composed_recall_floor(spark):
     """The composed SQ8-over-IVF plan at the registered config must not
     lose recall vs plain kmeans-IVF (rerank=10 re-scores exactly, so
     quantization only costs recall if a true top-3 misses the top-10
-    quantized cut — measured: it doesn't; 0.95 @ sf0.001, 0.97 @ sf0.1,
+    quantized cut — measured: it doesn't; 0.92 @ sf0.001, 0.95 @ sf0.1,
     identical to the unquantized IVF path)."""
     from python_multiproc_bigdata_spark.operators.similarity import topk_sq8_ivf
+    from python_multiproc_bigdata_spark.registry.similarity import IVF_KMEANS_CFG
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 100)
     exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    c = IVF_KMEANS_CFG
     r = recall_at_k(
-        topk_sq8_ivf(q, emb, k=3, nprobe=32, n_lists=128, max_iter=3, rerank=10), exact
+        topk_sq8_ivf(
+            q, emb, k=3, nprobe=c["nprobe"], n_lists=c["n_lists"],
+            max_iter=c["max_iter"], rerank=10,
+        ),
+        exact,
     )
     assert r >= 0.9, r
 
@@ -139,8 +146,9 @@ def test_pq_recall_floor(spark):
 
 
 def test_ivfpq_recall_floor(spark):
-    """IVF+PQ at the registered configs (128 lists/nprobe 32 + 8 sub x
-    64 codes, rerank=50): measured 0.95 @ sf0.001 / 0.85 @ sf0.1 --
+    """IVF+PQ at the registered configs (IVF_KMEANS_CFG lists/nprobe +
+    8 sub x 64 codes, rerank=50): measured 0.92 @ sf0.001 / 0.90 @
+    sf0.1 (at 192/24) --
     HIGHER than PQ alone (0.77 at sf0.1): list pruning removes
     out-of-list junk from the approx candidate pool before the rerank
     cut, so the top-50 holds more true neighbors. Floor 0.85."""
@@ -150,14 +158,18 @@ def test_ivfpq_recall_floor(spark):
         train_pq_codebooks_driver,
         train_spherical_kmeans_driver,
     )
+    from python_multiproc_bigdata_spark.registry.similarity import IVF_KMEANS_CFG
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 100)
     exact = _topk_sets(topk_bruteforce(q, emb, k=3))
-    cents = train_spherical_kmeans_driver(emb, n_lists=128, max_iter=3)
+    c = IVF_KMEANS_CFG
+    cents = train_spherical_kmeans_driver(emb, n_lists=c["n_lists"], max_iter=c["max_iter"])
     books = train_pq_codebooks_driver(emb, n_sub=8, n_codes=64, max_iter=3)
     r = recall_at_k(
-        topk_ivfpq(q, emb, cents, books, pq_book_sq(books), k=3, nprobe=32, rerank=50),
+        topk_ivfpq(
+            q, emb, cents, books, pq_book_sq(books), k=3, nprobe=c["nprobe"], rerank=50
+        ),
         exact,
     )
     assert r >= 0.85, r

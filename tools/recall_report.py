@@ -38,6 +38,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     topk_sq8,
     topk_sq8_ivf,
 )
+from python_multiproc_bigdata_spark.registry.similarity import IVF_KMEANS_CFG
 from python_multiproc_bigdata_spark.session import get_spark
 
 N_QUERIES = 100
@@ -78,10 +79,11 @@ def _ivfpq(queries, emb):
         train_spherical_kmeans_driver,
     )
 
-    cents = train_spherical_kmeans_driver(emb, n_lists=128, max_iter=3)
+    c = IVF_KMEANS_CFG
+    cents = train_spherical_kmeans_driver(emb, n_lists=c["n_lists"], max_iter=c["max_iter"])
     books = train_pq_codebooks_driver(emb, n_sub=8, n_codes=64, max_iter=3)
     return topk_ivfpq(
-        queries, emb, cents, books, pq_book_sq(books), k=K, nprobe=32, rerank=50
+        queries, emb, cents, books, pq_book_sq(books), k=K, nprobe=c["nprobe"], rerank=50
     )
 
 
@@ -124,15 +126,25 @@ def main() -> None:
         "ivf_kmeans_16lists_nprobe8": round(
             recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=8, n_lists=16), exact), 4
         ),
-        # r4 finding: at a FIXED scan fraction (nprobe/n_lists = 25%),
-        # finer lists keep winning well past the √corpus rule on this
-        # data — 16/4: 0.59, 64/16: 0.85, 128/32: 0.97 at sf0.1 — so the
-        # registered config is 128/32 (IVF_KMEANS_CFG)
+        # r5 latency-recall sweep (SCALE.md): registered config is
+        # IVF_KMEANS_CFG = 192/24 — lowest scan fraction (12.5%) that
+        # holds recall >= 0.95 at sf0.1 (128/32 = 0.97 at 25% scan;
+        # 64/32 = 0.953 but at a 50% scan — wrong at 100 TB)
         "ivf_kmeans_64lists_nprobe16": round(
             recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=16, n_lists=64), exact), 4
         ),
         "ivf_kmeans_128lists_nprobe32": round(
             recall_at_k(topk_ivf_kmeans(queries, emb, k=K, nprobe=32, n_lists=128), exact), 4
+        ),
+        "ivf_kmeans_registered": round(
+            recall_at_k(
+                topk_ivf_kmeans(
+                    queries, emb, k=K,
+                    nprobe=IVF_KMEANS_CFG["nprobe"],
+                    n_lists=IVF_KMEANS_CFG["n_lists"],
+                ),
+                exact,
+            ), 4
         ),
         # int8 quantize + rerank=10: measures what 4x bandwidth compression
         # costs in ranking fidelity (expected ~1.0 — rerank re-scores exact)
@@ -141,7 +153,14 @@ def main() -> None:
         ),
         # the composed scale plan at the registered config
         "sq8_ivf_registered": round(
-            recall_at_k(topk_sq8_ivf(queries, emb, k=K, nprobe=32, n_lists=128), exact), 4
+            recall_at_k(
+                topk_sq8_ivf(
+                    queries, emb, k=K,
+                    nprobe=IVF_KMEANS_CFG["nprobe"],
+                    n_lists=IVF_KMEANS_CFG["n_lists"],
+                ),
+                exact,
+            ), 4
         ),
         # PQ (8 sub × codes, rerank=50): code count is THE recall knob —
         # 16: 0.56, 64: 0.77 (registered), 256: 0.93 at sf0.1; uniform
