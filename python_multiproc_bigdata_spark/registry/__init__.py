@@ -215,6 +215,10 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   (slot from streaming) → basket_association_rules (support/
 #     confidence/lift mining), stats_chi_square_independence
 #     (contingency-table test)
+#   func_datetime_parts (r4-green; funcs family keeps arabic_tokenize
+#     + udtf_char_ngrams in-window) → multimodal_decode_ppm (NEW r5:
+#     the REAL image-decode path — struct-parsing P6 decoder checked
+#     value-level against an arithmetic-replay oracle)
 #
 # Round-6 promotion candidates (locally parity-green, never windowed):
 # sim_jl_project, events_incremental_merge, stats_psi_drift,
@@ -251,7 +255,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "zorder_lineitem_layout",
     # Arabic tokenizer parity (SURVEY §6 risk #1) + datetime parts
     "func_arabic_tokenize",
-    "func_datetime_parts",
     # advanced: CDC, as-of, range join, UDAF, cube, approx profile
     "asof_click_to_nearest_view",
     "sessions_overlap_pairs",
@@ -297,6 +300,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_frame_sample",
     "basket_association_rules",
     "stats_chi_square_independence",
+    "multimodal_decode_ppm",
 )
 
 _missing = [n for n in CHECKED_FIRST if n not in _ALL]

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from python_multiproc_bigdata_spark.operators.multimodal import (
     FRAME_BYTES,
     attach_binary,
+    attach_ppm,
+    decode_ppm_features,
     extract_features,
     sample_frames,
 )
@@ -56,7 +58,46 @@ FROM chunks
 """
 
 
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over a binary column: synthesize P6 PPM bytes
+    per document (deterministic header + comment + arithmetic raster,
+    operators/multimodal.py:synth_ppm), then PARSE them back with the
+    real struct decoder (decode_ppm: magic, comment-skipping header
+    tokenizer, raster validation, numpy channel sums) in a second
+    mapInPandas stage that sees only opaque bytes. The oracle replays
+    the raster arithmetic — (doc_id·31 + i·7) mod 256 over unnested
+    pixel indices — in pure SQL, so the decoder's output is value-checked
+    end-to-end. Integer channel SUMS, not float means: bit-exact parity."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_ppm_features(attach_ppm(d))
+
+
+# Replays synth_ppm's arithmetic: w = 4 + doc_id%5, h = 3 + doc_id%4,
+# raster byte i = (doc_id*31 + i*7) % 256, channel = i % 3. DuckDB sums
+# promote to HUGEINT — cast back to BIGINT to match Spark's LongType.
+SQL_DECODE_PPM = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(3 * w * h)) AS i FROM dims
+), v AS (
+  SELECT doc_id, w, h, i % 3 AS ch, (doc_id * 31 + i * 7) % 256 AS v FROM px
+)
+SELECT doc_id,
+       w AS width,
+       h AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       w * h AS n_pixels,
+       CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+FROM v
+GROUP BY doc_id, w, h
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, SQL_FRAME_SAMPLE),
+    "multimodal_decode_ppm": QuerySpec(multimodal_decode_ppm, SQL_DECODE_PPM),
 }

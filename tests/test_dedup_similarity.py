@@ -543,3 +543,46 @@ def test_incremental_novelty_exact_arm(spark, tmp_path):
     assert got[10] == "exact_dup"
     assert got[11] == "near_dup"
     assert got[12] == "novel"
+
+
+def test_ppm_decode_real_parser(spark):
+    """The REAL decode path (r5): decode_ppm must parse bytes it did not
+    synthesize — a hand-written P6 with multi-digit dims, a comment, and
+    known channel sums — and reject malformed payloads loudly."""
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_ppm,
+        decode_ppm,
+        decode_ppm_features,
+        synth_ppm,
+    )
+
+    # hand-written 2x2 image: pixels (R,G,B) = (10,20,30) (40,50,60)
+    # (70,80,90) (100,110,120); comment between dims and maxval
+    raw = b"P6\n2 2\n# a comment\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    )
+    assert decode_ppm(raw) == (2, 2, 255, 4, 220, 260, 300)
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 12)
+    with _pytest.raises(ValueError, match="truncated raster"):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 11)
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+    # synth → decode roundtrip agrees with direct arithmetic
+    for doc_id in (0, 3, 17):
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        got = decode_ppm(synth_ppm(doc_id))
+        exp = [0, 0, 0]
+        for i in range(3 * w * h):
+            exp[i % 3] += (doc_id * 31 + i * 7) % 256
+        assert got == (w, h, 255, w * h, *exp)
+
+    # distributed shape: two mapInPandas stages, decoder sees only bytes
+    df = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+    rows = {r.doc_id: r for r in decode_ppm_features(attach_ppm(df)).collect()}
+    assert rows[9].width == 4 + 9 % 5 and rows[9].height == 3 + 9 % 4
+    assert rows[1].n_pixels == rows[1].width * rows[1].height
