@@ -118,6 +118,34 @@ def cassandra_sink(keyspace: str, table: str, mode: str = "append") -> Sink:
     return _write
 
 
+def batchedstore_sink(path: str, buffer_size: int = 500, mode: str = "overwrite") -> Sink:
+    """L6's SPI-proven twin: the reference Cassandra loader's contract —
+    lazy connect, `buffer_size`-bounded batch execution, residual flush,
+    driver-side finalize (reference cassandra.py:11-112) — implemented
+    as a REGISTERED Spark 4 Python Data Source (sources/pydatasource.py)
+    rather than a construction-only stub. The live-Cassandra gap remains
+    (no server in this image; cassandra_sink above carries the jar-gated
+    real path); what this proves is the engine's custom-connector SPI:
+    write → two-phase commit → partition-parallel read-back."""
+
+    def _write(df: DataFrame) -> None:
+        from python_multiproc_bigdata_spark.sources.pydatasource import (
+            BatchedStoreDataSource,
+        )
+
+        spark = df.sparkSession
+        spark.dataSource.register(BatchedStoreDataSource)
+        (
+            df.write.format("batchedstore")
+            .option("path", path)
+            .option("buffer_size", str(buffer_size))
+            .mode(mode)
+            .save()
+        )
+
+    return _write
+
+
 def multi_sink(*sinks: Sink) -> Sink:
     """L8 fan-out: every row to every sink (reference replicates items to
     all loader queues, pipline.py:127-135). Caller should persist first —

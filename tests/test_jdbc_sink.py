@@ -62,3 +62,44 @@ def test_jdbc_partitioned_parallel_read(spark):
     # predicate pushdown reaches the JDBC source
     plan = back.filter(F.col("id") < 100)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan(id,100)" in plan
+
+
+def test_batchedstore_python_datasource_roundtrip(spark, tmp_path):
+    """L6 SPI proof (r5): the batchedstore Python Data Source — lazy
+    connect, buffer_size-bounded batch files, two-phase commit manifest,
+    partition-parallel read-back — roundtrips values, batches correctly,
+    and ignores uncommitted staging garbage."""
+    import json
+    import os
+
+    from python_multiproc_bigdata_spark.sinks import batchedstore_sink
+    from python_multiproc_bigdata_spark.sources.pydatasource import (
+        MANIFEST,
+        BatchedStoreDataSource,
+    )
+
+    path = str(tmp_path / "store")
+    rows = [(i, f"name-{i}", float(i) / 4) for i in range(57)]
+    df = spark.createDataFrame(rows, ["id", "name", "score"]).repartition(4)
+    batchedstore_sink(path, buffer_size=10)(df)
+
+    # manifest exists and names only committed batch files
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest["files"], "no batch files committed"
+    # buffer_size=10 over 4 partitions of 57 rows → every batch ≤ 10 rows
+    for name in manifest["files"]:
+        with open(os.path.join(path, name)) as f:
+            assert sum(1 for _ in f) <= 10
+
+    # uncommitted garbage in the directory must be invisible to the read
+    with open(os.path.join(path, "batch-orphan.jsonl"), "w") as f:
+        f.write(json.dumps([999, "ghost", 0.0]) + "\n")
+
+    spark.dataSource.register(BatchedStoreDataSource)
+    back = spark.read.format("batchedstore").option("path", path).load()
+    assert back.schema.simpleString() == df.schema.simpleString()
+    got = sorted((r.id, r.name, r.score) for r in back.collect())
+    assert got == sorted(rows)
+    # parallel read: one partition per committed batch file
+    assert back.rdd.getNumPartitions() == len(manifest["files"])
