@@ -559,7 +559,94 @@ LIMIT 20
 """
 
 
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymization gate (operators/curation.py:redact_pii) given a
+    corpus-wide value check: the harness corpus contains no digits, so
+    the query first INJECTS deterministic PII — an email for doc_id%7,
+    a phone for %11, a dotted-quad IP for %13, all pure string
+    arithmetic a SQL oracle replays — then runs the real redaction
+    chain. Output = per-doc counts + md5 of the redacted text, so the
+    oracle pins the exact spans every regex matched (a residual '@' or
+    digit run anywhere flips the hash). Map-only, no shuffle; the
+    patterns live in the Java-regex ∩ RE2 common dialect."""
+    from python_multiproc_bigdata_spark.operators.curation import redact_pii
+
+    d = table(prep(spark), sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(injected, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# Replays the injection arithmetic, then the IDENTICAL count + redact
+# chain (email -> ipv4 -> phone, same order as PII_PATTERNS) with the
+# 'g' flag (Spark's regexp_replace is global by default; DuckDB's isn't).
+SQL_PII_REDACT = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.1'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\+?[0-9][0-9() \-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+           '\+?[0-9][0-9() \-]{6,}[0-9]', '<PHONE>', 'g')
+       ) AS redacted_md5
+FROM injected
+"""
+
+
+
 REGISTRY = {
+    "curation_pii_redact": QuerySpec(curation_pii_redact, SQL_PII_REDACT),
     "basket_association_rules": QuerySpec(
         basket_association_rules, SQL_BASKET_RULES
     ),

@@ -87,6 +87,105 @@ SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2
 """
 
 
+def eval_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation metrics at scale: per-class precision / recall /
+    F1 of the lang-id heuristic against the gold `lang` column — the
+    classifier-eval rollup every labeling pipeline needs before trusting
+    a model's output as a filter. Plan: one small groupBy builds the
+    confusion matrix, two aggregations over that TINY relation derive
+    per-class tp / support / predicted-count, and a full-outer join
+    covers classes that appear only as gold or only as prediction.
+    Everything after the first groupBy operates on ≤ |classes|² rows —
+    free at any corpus scale. Exact integer counts; ratios rounded to 4
+    (the repo-wide float posture)."""
+    from python_multiproc_bigdata_spark.functions.text import with_language_id
+
+    d = table(prep(spark), sf_dir, "documents")
+    cm = (
+        with_language_id(d, "text")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gold = cm.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("n_gold"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("lang"), F.col("n")).otherwise(F.lit(0))
+        ).alias("tp"),
+    )
+    pred = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    j = gold.join(pred, "cls", "full_outer").select(
+        "cls",
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return j.select(
+        "cls",
+        "tp",
+        "n_gold",
+        "n_pred",
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(f1, 4).alias("f1"),
+    )
+
+
+# Extends SQL_LANG_ID's prediction CTE with the confusion-matrix →
+# per-class metric derivation (identical unrounded ratios, then round 4).
+SQL_EVAL_LANGID_F1 = r"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(toks, x -> x IN ('der','die','das','und','zu'))) AS de_hits,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to')))   AS en_hits,
+         len(list_filter(toks, x -> x IN ('el','la','de','y','los')))    AS es_hits,
+         len(list_filter(toks, x -> x IN ('le','la','de','et','les')))   AS fr_hits
+  FROM (SELECT lang,
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS toks
+        FROM documents)
+), pred AS (
+  SELECT lang,
+         CASE WHEN de_hits = 0 AND en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+              WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+              WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN es_hits >= fr_hits THEN 'es'
+              ELSE 'fr' END AS predicted
+  FROM scored
+), cm AS (
+  SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+), gold AS (
+  SELECT lang AS cls,
+         CAST(sum(n) AS BIGINT) AS n_gold,
+         CAST(sum(CASE WHEN predicted = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM cm GROUP BY 1
+), prd AS (
+  SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+), joined AS (
+  SELECT coalesce(g.cls, p.cls) AS cls,
+         coalesce(g.tp, 0) AS tp,
+         coalesce(g.n_gold, 0) AS n_gold,
+         coalesce(p.n_pred, 0) AS n_pred
+  FROM gold g FULL OUTER JOIN prd p ON g.cls = p.cls
+)
+SELECT cls, tp, n_gold, n_pred,
+       round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END, 4) AS precision,
+       round(CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0 END, 4) AS recall,
+       round(CASE WHEN n_pred > 0 AND n_gold > 0 AND (tp * 1.0 / n_pred + tp * 1.0 / n_gold) > 0
+             THEN 2 * (tp * 1.0 / n_pred) * (tp * 1.0 / n_gold)
+                  / (tp * 1.0 / n_pred + tp * 1.0 / n_gold)
+             ELSE 0 END, 4) AS f1
+FROM joined
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per doc, validated against the
     table's own n_chars column."""
@@ -605,6 +704,7 @@ REGISTRY = {
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, SQL_TFIDF),
     "text_quality": QuerySpec(text_quality, SQL_QUALITY),
     "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),
+    "eval_langid_f1": QuerySpec(eval_langid_f1, SQL_EVAL_LANGID_F1),
     "text_token_count": QuerySpec(text_token_count, SQL_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(text_fingerprint, SQL_FINGERPRINT),
 }

@@ -343,3 +343,16 @@ def test_basket_rules_planted_cooccurrence(spark, tmp_path):
     assert rows[("X", "Z")].lift == 1.0      # Z is in every order
     assert rows[("W", "Z")].confidence == 1.0
     assert ("X", "W") not in rows            # never co-occur
+
+
+def test_pii_redact_registered_query_injects_and_scrubs(spark):
+    """The registered corpus-wide PII query: injection hits the expected
+    doc_id residues and the redacted text retains no raw PII."""
+    from python_multiproc_bigdata_spark.registry.curation import curation_pii_redact
+    from tests.conftest import SF_DIR
+
+    rows = {r.doc_id: r for r in curation_pii_redact(spark, SF_DIR).collect()}
+    for doc_id, r in rows.items():
+        assert r.n_email == (1 if doc_id % 7 == 0 else 0), doc_id
+        assert r.n_ipv4 == (1 if doc_id % 13 == 0 else 0), doc_id
+        assert r.n_phone == (1 if doc_id % 11 == 0 else 0), doc_id

@@ -195,3 +195,24 @@ def test_ab_ttest_detects_planted_shift(spark, tmp_path):
     assert abs(got["null_effect"].t_stat) < 2
     for r in got.values():
         assert min(r.n_a, r.n_b) - 1 <= r.welch_df <= r.n_a + r.n_b - 2
+
+
+def test_eval_langid_f1_invariants(spark):
+    """Eval-metrics rollup: tp bounded by both supports, metrics in
+    [0,1], F1 harmonic-mean consistency, and totals reconcile (sum of
+    gold supports == sum of predicted counts == corpus size)."""
+    from python_multiproc_bigdata_spark.registry.text import eval_langid_f1
+    from tests.conftest import SF_DIR
+
+    rows = eval_langid_f1(spark, SF_DIR).collect()
+    assert rows, "no classes"
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_gold for r in rows) == n_docs
+    assert sum(r.n_pred for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.tp <= min(r.n_gold, r.n_pred) or (r.n_gold == 0 or r.n_pred == 0)
+        for m in (r.precision, r.recall, r.f1):
+            assert 0.0 <= m <= 1.0
+        if r.precision + r.recall > 0:
+            expected = 2 * r.precision * r.recall / (r.precision + r.recall)
+            assert abs(r.f1 - expected) < 5e-3
