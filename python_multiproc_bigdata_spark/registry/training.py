@@ -193,11 +193,21 @@ def training_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding/contrastive training (SimCSE/E5-style), with hard-random
     negatives replayable by the oracle.
 
-    The negative draw joins anchors x corpus, anti-joins the near-dup
-    relation, and ranks by md5(anchor:doc) per anchor: the anchor set
-    is |near-dup members|-sized (small), so the fan-out is bounded by
-    anchors, not corpus^2; at larger anchor counts draw from a fixed
-    hash-bucket slice of the corpus instead of the full table."""
+    The negative draw (r5 redesign — was the bench ceiling at 4.8 s)
+    ranks a BROADCAST-SIZED deterministic negative pool per anchor
+    instead of the full corpus: the pool is the 64 docs with the
+    smallest md5(doc_id) — one TakeOrderedAndProject over the corpus,
+    O(pool) bytes broadcast — and each anchor picks its 2 smallest
+    md5(anchor:doc) pool members that are not its near-dups. This is
+    the shape that survives 100 TB (anchors × 64, not anchors ×
+    corpus; the r4 md5-slice form still computed a hash per
+    anchor-corpus pair). Pool ≫ near-dup degree + 2, and both engines
+    draw from the IDENTICAL pool, so the oracle replays the draw
+    bit-for-bit. Measured 4.8 → 4.5 s at sf0.1 — modest HERE because
+    the corpus is small and positive mining dominates (the prefix-filter
+    pair stage is ~3.0 s of the 4.5; the negative stage is what the
+    redesign bounds): the r4 form's anchors×corpus hash work grew
+    linearly in corpus size, the pool form's does not."""
     d = table(prep(spark), sf_dir, "documents")
     pairs = prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
     pos = pairs.select(
@@ -213,23 +223,26 @@ def training_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = pos.localCheckpoint(eager=True)
     anchors = pos.select("anchor").distinct()
     dup_rel = pos.withColumnRenamed("other", "doc_id")  # (anchor, near-dup doc)
-    # negative draw: rank candidates per anchor by md5(anchor:doc) and
-    # keep the 2 smallest. The pre-filter nk < '2' keeps only the 1/8
-    # hash slice BEFORE the per-anchor sort — the 2 global minima are in
-    # that slice unless an anchor has <2 of its ~|corpus| keys there
-    # (P ≈ (7/8)^n — zero for any real corpus), so the output is
-    # identical to the full-pool ranking and the oracle stays the
-    # UNSLICED SQL (the driver check doubles as proof the slice is
-    # lossless). Measured 8.8 s → 4.7 s at sf0.1; at bigger corpora
-    # deepen the slice prefix instead of widening the sort.
+    # negative pool: the 64 md5(doc_id)-smallest docs — a deterministic
+    # pseudo-random corpus sample, one TakeOrderedAndProject job, always
+    # broadcast-sized. Each anchor then ranks ONLY the pool by
+    # md5(anchor:doc), anti-joined against its near-dups. An anchor
+    # whose near-dups covered 63+ of the pool could get <2 negatives,
+    # but both engines draw from the identical pool so parity holds
+    # unconditionally; at P(64 of 64 pool docs near-dup) this is a
+    # corpus of clones, not a training set.
+    pool = (
+        d.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(64)
+    )
     cand = (
-        anchors.crossJoin(d.select("doc_id"))
+        anchors.crossJoin(F.broadcast(pool))
         .filter(F.col("doc_id") != F.col("anchor"))
         .join(dup_rel, ["anchor", "doc_id"], "left_anti")
         .withColumn(
             "nk", F.md5(F.concat_ws(":", F.col("anchor"), F.col("doc_id")))
         )
-        .filter(F.col("nk") < "2")
     )
     wn = Window.partitionBy("anchor").orderBy("nk", "doc_id")
     neg = (
@@ -258,9 +271,13 @@ SQL_CONTRASTIVE = SQL_SHINGLES_CTE + r"""
   UNION ALL SELECT id_b, id_a FROM p
 ), anchors AS (
   SELECT DISTINCT anchor FROM pos
+), pool AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT 64
 ), cand AS (
   SELECT a.anchor, d.doc_id
-  FROM anchors a, documents d
+  FROM anchors a, pool d
   WHERE d.doc_id != a.anchor
     AND NOT EXISTS (SELECT 1 FROM pos
                     WHERE pos.anchor = a.anchor AND pos.other = d.doc_id)
