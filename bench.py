@@ -104,6 +104,10 @@ HEADLINE = [
     "bloom_pruned_urgent_revenue",
     "sessions_overlap_pairs",
     "cdc_snapshot_asof",
+    # round-5 additions: real PPM decode, PII redaction gate, eval metrics
+    "multimodal_decode_ppm",
+    "curation_pii_redact",
+    "eval_langid_f1",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a
@@ -117,6 +121,9 @@ CONFIG_CHANGED: set[str] = {
     "sim_topk_ivf_kmeans",
     "sim_topk_sq8_ivf",
     "sim_topk_ivfpq",
+    # r5: negative draw redesigned from anchors×corpus md5-slice to a
+    # broadcast-sized deterministic pool (different negatives by design)
+    "training_contrastive_pairs",
 }
 
 
