@@ -23,6 +23,10 @@ from python_multiproc_bigdata_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Full per-query artifact (stdout carries only the compact aggregate
+# line — see main()); module-level so tests can redirect it to a tmp dir.
+BENCH_FULL_PATH = Path(__file__).resolve().parent / "BENCH_FULL.json"
+
 HEADLINE = [
     "words_pipeline",
     "words_total_tokens",
@@ -196,8 +200,7 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    full_path.write_text(json.dumps(full, indent=1) + "\n")
+    BENCH_FULL_PATH.write_text(json.dumps(full, indent=1) + "\n")
 
     out = {
         "metric": "headline_queries_total",
