@@ -373,27 +373,37 @@ SELECT query_id, neighbor_id, score, rk FROM (
 _CENTROID_LITERAL_CACHE: dict[str, str] = {}
 
 
-def _centroid_values_literal() -> str:
+def _centroid_values_literal(
+    n_lists: int | None = None,
+    max_iter: int | None = None,
+    sample_size: int | None = None,
+) -> str:
     """Trained-centroid VALUES literal for the correctness-gate scale
-    factor, shared by every generated IVF oracle. Cached per sf_dir —
+    factor, shared by every generated IVF oracle (defaults =
+    IVF_KMEANS_CFG; pass explicit values for other quantizer configs,
+    e.g. the cluster-profile rollup). Cached per (sf_dir, config) —
     training is 4096×64 NumPy, but the parquet read shouldn't repeat per
     oracle_sql() call."""
     import os
 
+    cfg = IVF_KMEANS_CFG
+    n_lists = cfg["n_lists"] if n_lists is None else n_lists
+    max_iter = cfg["max_iter"] if max_iter is None else max_iter
+    sample_size = cfg["train_sample"] if sample_size is None else sample_size
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    if sf_dir not in _CENTROID_LITERAL_CACHE:
-        cfg = IVF_KMEANS_CFG
+    key = (sf_dir, n_lists, max_iter, sample_size)
+    if key not in _CENTROID_LITERAL_CACHE:
         cents = _train_centroids_from_parquet(
             f"{sf_dir}/embeddings.parquet",
-            n_lists=cfg["n_lists"],
-            max_iter=cfg["max_iter"],
-            sample_size=cfg["train_sample"],
+            n_lists=n_lists,
+            max_iter=max_iter,
+            sample_size=sample_size,
         )
-        _CENTROID_LITERAL_CACHE[sf_dir] = ",\n          ".join(
+        _CENTROID_LITERAL_CACHE[key] = ",\n          ".join(
             f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
             for i, c in enumerate(cents)
         )
-    return _CENTROID_LITERAL_CACHE[sf_dir]
+    return _CENTROID_LITERAL_CACHE[key]
 
 
 def make_ivf_kmeans_oracle() -> str:
@@ -1171,7 +1181,116 @@ def make_pca_oracle() -> str:
     return SQL_PCA_TEMPLATE.format(comp_values=_pca_values_literal())
 
 
+CLUSTER_PROFILE_CFG = dict(n_lists=16, max_iter=3, train_sample=4096)
+
+
+def sim_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cartography: assign every embedding to its nearest
+    spherical-k-means centroid (16 coarse clusters — profiling wants a
+    handful of buckets, not IVF's serving granularity) and roll up what
+    lives in each: doc count, dominant language (+ its count), mean doc
+    length. The per-cluster view every curation loop uses to decide
+    which semantic regions to up/down-sample. Plan: broadcast-join
+    argmax assignment (the IVF building block, operators/similarity.py:
+    _assign_clusters), one join to documents on vec_id = doc_id, two
+    bounded groupBys over |clusters|-sized keys — at 100 TB the
+    assignment is the only corpus-scale pass and it is map-side.
+    Deterministic trainer → the oracle retrains identical centroids and
+    replays assignment + rollup from literals (same pattern as
+    make_ivf_kmeans_oracle)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        _assign_clusters,
+        _centroid_table,
+        _corpus_with_unit,
+        train_spherical_kmeans_driver,
+    )
+
+    from pyspark.sql import Window
+
+    spark = prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cfg = CLUSTER_PROFILE_CFG
+    cents = train_spherical_kmeans_driver(
+        emb,
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    _, cnormed = _corpus_with_unit(emb)
+    assign = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    j = assign.join(docs, assign.vec_id == docs.doc_id).select(
+        "cid", "lang", "n_chars"
+    )
+    lang_counts = j.groupBy("cid", "lang").agg(F.count(F.lit(1)).alias("ln"))
+    wl = Window.partitionBy("cid").orderBy(F.desc("ln"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") == 1)
+        .select(
+            "cid",
+            F.col("lang").alias("top_lang"),
+            F.col("ln").alias("top_lang_n"),
+        )
+    )
+    stats = j.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    return stats.join(top_lang, "cid")
+
+
+SQL_CLUSTER_PROFILE_TEMPLATE = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents(cid, c) AS (
+  VALUES {centroid_values}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), j AS (
+  SELECT a.cid, d.lang, d.n_chars
+  FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+), lc AS (
+  SELECT cid, lang, CAST(count(*) AS BIGINT) AS ln FROM j GROUP BY 1, 2
+), tl AS (
+  SELECT cid, lang AS top_lang, ln AS top_lang_n FROM (
+    SELECT cid, lang, ln,
+           row_number() OVER (PARTITION BY cid ORDER BY ln DESC, lang ASC) AS r
+    FROM lc) WHERE r = 1
+), st AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(n_chars), 4) AS mean_chars
+  FROM j GROUP BY 1
+)
+SELECT st.cid, st.n_docs, st.mean_chars, tl.top_lang, tl.top_lang_n
+FROM st JOIN tl ON st.cid = tl.cid
+"""
+
+
+def make_cluster_profile_oracle() -> str:
+    """Generated oracle: retrain the 16 profiling centroids
+    deterministically from the parquet and replay assignment + rollup."""
+    cfg = CLUSTER_PROFILE_CFG
+    return SQL_CLUSTER_PROFILE_TEMPLATE.format(
+        centroid_values=_centroid_values_literal(
+            n_lists=cfg["n_lists"],
+            max_iter=cfg["max_iter"],
+            sample_size=cfg["train_sample"],
+        )
+    )
+
+
 REGISTRY = {
+    "sim_cluster_profile": QuerySpec(sim_cluster_profile, make_cluster_profile_oracle),
     "sim_topk_bruteforce": QuerySpec(sim_topk_bruteforce, SQL_TOPK),
     "sim_hybrid_rrf": QuerySpec(sim_hybrid_rrf, SQL_HYBRID_RRF),
     "sim_topk_pq": QuerySpec(sim_topk_pq, make_pq_oracle),

@@ -186,6 +186,64 @@ FROM joined
 """
 
 
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional quality signal: per-doc Shannon entropy (bits)
+    over lowercased whitespace tokens, plus type-token ratio — the
+    Gopher-family repetition gates catch copies of ONE phrase, entropy
+    catches low-diversity text generally (a doc of 5 tokens uniformly
+    repeated scores log2(5) regardless of which tokens). Identity used:
+    H = log2(n) − (Σ c·log2 c)/n over per-token counts c — one
+    explode + two groupBys, word-count shaped, no window. Rounded to 4
+    (repo float posture: Σ c·log2 c is an order-dependent double sum)."""
+    d = table(prep(spark), sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), WHITESPACE_RE),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.log2("n_tokens") - F.col("_clogc") / F.col("n_tokens"), 4
+            ).alias("entropy_bits"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+        )
+    )
+
+
+SQL_TOKEN_ENTROPY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+           x -> length(x) > 0)) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits,
+       round(count(*) * 1.0 / sum(c), 4) AS ttr
+FROM counts
+GROUP BY doc_id
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per doc, validated against the
     table's own n_chars column."""
@@ -705,6 +763,7 @@ REGISTRY = {
     "text_quality": QuerySpec(text_quality, SQL_QUALITY),
     "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),
     "eval_langid_f1": QuerySpec(eval_langid_f1, SQL_EVAL_LANGID_F1),
+    "text_token_entropy": QuerySpec(text_token_entropy, SQL_TOKEN_ENTROPY),
     "text_token_count": QuerySpec(text_token_count, SQL_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(text_fingerprint, SQL_FINGERPRINT),
 }

@@ -216,3 +216,19 @@ def test_eval_langid_f1_invariants(spark):
         if r.precision + r.recall > 0:
             expected = 2 * r.precision * r.recall / (r.precision + r.recall)
             assert abs(r.f1 - expected) < 5e-3
+
+
+def test_token_entropy_bounds(spark):
+    """H in [0, log2(n_types)]; uniform-unique doc hits the max; TTR in
+    (0, 1]."""
+    import math
+
+    from python_multiproc_bigdata_spark.registry.text import text_token_entropy
+    from tests.conftest import SF_DIR
+
+    rows = text_token_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= round(math.log2(r.n_types), 4) + 1e-9
+        assert 0 < r.ttr <= 1.0
+        assert r.n_types <= r.n_tokens
