@@ -41,13 +41,11 @@ def test_checked_window_is_curated():
     assert len(CHECKED_FIRST) == 50
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
-        "multimodal_features",
         "func_arabic_tokenize",
         "sim_topk_ivf_kmeans",
         "dedup_components_canonical",
         "training_corpus_pipeline",
         "training_pack_greedy", "sim_topk_lsh_banded",
-        "streaming_session_counts",
         # round-3 promotions (swap log in registry/__init__.py)
         "dq_check_orders",
         "calendar_month_order_counts",
@@ -55,12 +53,8 @@ def test_checked_window_is_curated():
         # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
         # their surfaces now carry through sim_topk_ivf_kmeans /
         # sim_topk_sq8_ivf, both full-hash-checked)
-        "sim_topk_sq8_ivf", "sim_topk_pq",
-        "q8_market_share", "q17_small_quantity_revenue",
-        "q21_suppliers_kept_waiting", "streaming_cdc_merge",
-        "streaming_dedup_watermark", "events_retention_cohorts",
-        "events_trailing_1h", "cube_orders", "stats_price_quartiles_ntile",
-        "func_datetime_parts",
+        "sim_topk_sq8_ivf", 
+        "cube_orders", 
         # late-round-4 promotions (new capability classes; demoted
         # sim_neardup_cosine / quota_sample_per_lang /
         # curation_repetition_signals / training_temperature_mix /
@@ -74,7 +68,7 @@ def test_checked_window_is_curated():
         # events_sessionize / stats_lineitem_moments /
         # training_mix_by_lang are all multiply-driver-green with
         # in-window family siblings — swap log in registry/__init__.py)
-        "graph_triangle_copurchase", "sim_hybrid_rrf",
+        "graph_triangle_copurchase", 
         "events_ewma_value", "layout_skipping_stats",
         "curation_bigram_logprob",
         # second-continuation promotions (6 new capability classes;
@@ -84,7 +78,7 @@ def test_checked_window_is_curated():
         # in-window family siblings — swap log in registry/__init__.py)
         "dedup_winnow_pairs", "text_pmi_collocations",
         "text_bpe_merges", "sim_pca_project",
-        "func_udtf_char_ngrams", "events_linear_trend",
+        "func_udtf_char_ngrams", 
         # end-of-round-4 promotions (8 never-checked capability classes;
         # demoted profile_documents / sim_knn_classify /
         # training_pack_chunks / decontaminate_train_eval /
@@ -94,8 +88,19 @@ def test_checked_window_is_curated():
         # registry/__init__.py)
         "streaming_funnel_stages", "udaf_trimmed_mean_price",
         "layout_skipping_hilbert", "dedup_minhash_lsh_materialized",
-        "sessions_overlap_pairs", "cdc_snapshot_asof",
+        "sessions_overlap_pairs", 
         "asof_click_to_nearest_view", "bloom_pruned_urgent_revenue",
+        # round-5 promotions (16 never-driver-checked queries + the new
+        # real-decode class; demotions are all r4-green with in-window
+        # family siblings — swap log in registry/__init__.py)
+        "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
+        "q20_potential_promotion", "sim_topk_ivfpq",
+        "training_contrastive_pairs", "cdc_scd2_user_state",
+        "events_session_window", "events_gapfill_hourly",
+        "skew_salted_event_counts", "streaming_words_doc_frequency",
+        "text_bm25_topk", "multimodal_frame_sample",
+        "basket_association_rules", "stats_chi_square_independence",
+        "multimodal_decode_ppm",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
