@@ -89,3 +89,30 @@ def test_triangle_count_matches_bruteforce(spark, edges):
             expect[b] += 1
             expect[c] += 1
     assert got == dict(expect)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=13),
+    maxval=st.integers(min_value=1, max_value=255),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    comment=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_ppm_decoder_roundtrip_property(w, h, maxval, seed, comment):
+    """decode_ppm inverts an independently-constructed encoder for any
+    dims/maxval/raster — not just synth_ppm's fixed layout — and its
+    channel sums equal a reference computation."""
+    from python_multiproc_bigdata_spark.operators.multimodal import decode_ppm
+
+    n = 3 * w * h
+    raster = bytes((seed * 2654435761 + i * 40503) % (maxval + 1) for i in range(n))
+    header = b"P6\n"
+    if comment:
+        header += b"# c%d\n" % (seed % 100)
+    header += b"%d %d\n%d\n" % (w, h, maxval)
+    got = decode_ppm(header + raster)
+    sums = [0, 0, 0]
+    for i, b in enumerate(raster):
+        sums[i % 3] += b
+    assert got == (w, h, maxval, w * h, sums[0], sums[1], sums[2])
