@@ -623,7 +623,62 @@ JOIN col_m USING (cohort), tot, nr, nc
 """
 
 
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: k-anonymity over a quasi-identifier tuple —
+    (lang, source, length decile) on documents — reporting, per
+    equivalence class below the k=5 floor, its size and share of the
+    corpus. Releasing rows whose quasi-identifier combination is rare
+    re-identifies individuals; this is the audit every training-data
+    release runs before publishing metadata. Plan: one groupBy over the
+    quasi-id tuple (the only corpus-scale pass), a 1-row total joined
+    by crossJoin broadcast — at 100 TB the class table is
+    |distinct quasi-ids|-sized, tiny. The length decile uses
+    width_bucket-style integer math (n_chars / 100), not ntile, so no
+    global sort and the oracle replays it exactly."""
+    d = table(prep(spark), sf_dir, "documents")
+    classes = (
+        d.select(
+            "lang",
+            "source",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        classes.crossJoin(F.broadcast(total))
+        .filter(F.col("class_size") < 5)
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "class_size",
+            F.round(F.col("class_size") / F.col("n_total"), 6).alias("at_risk_share"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH classes AS (
+  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM documents
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+)
+SELECT lang, source, len_bucket, class_size,
+       round(class_size * 1.0 / n_total, 6) AS at_risk_share
+FROM classes CROSS JOIN tot
+WHERE class_size < 5
+ORDER BY lang, source, len_bucket
+"""
+
+
 REGISTRY = {
+    "privacy_k_anonymity": QuerySpec(privacy_k_anonymity, SQL_K_ANONYMITY),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),
