@@ -112,6 +112,11 @@ HEADLINE = [
     "multimodal_decode_ppm",
     "curation_pii_redact",
     "eval_langid_f1",
+    # late-r5 additions: privacy audit, Gopher gate, cross-corpus
+    # duplicated-ngram fraction
+    "privacy_k_anonymity",
+    "curation_gopher_gate",
+    "curation_dup_ngram_fraction",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -115,9 +115,32 @@ def repetition_signals(
     )
 
 
+def ngram_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, grams) with grams = the DISTINCT word n-gram array per row —
+    map-side only (same HOF discipline as word_shingles). The array form
+    lets callers take size() without paying an explode+shuffle."""
+    toks_expr = F.filter(
+        F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0
+    )
+    t = df.select(F.col(id_col).alias("id"), toks_expr.alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return t.select("id", F.array_distinct(grams).alias("grams"))
+
+
 def ngram_set(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram relation (id, gram) — decontamination's unit
-    of evidence. Map-side only (same HOF discipline as word_shingles)."""
+    of evidence. Map-side only. NOT expressed over ngram_arrays: the
+    explode must sit in the same select as the array construction, or
+    CollapseProject + InferFiltersFromGenerate clone the whole gram
+    expression into an inferred filter (measured 1 -> ~15 split() copies
+    in the optimized plan)."""
     toks_expr = F.filter(
         F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0
     )
@@ -534,4 +557,127 @@ def bigram_logprob_score(
             ),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
+    )
+
+
+def duplicated_ngram_counts(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-n-gram counters (the
+    RefinedWeb / Gopher "fraction of n-grams in duplicated n-grams"
+    filter, counted over DISTINCT grams): for each doc, how many of its
+    distinct word n-grams also appear in at least one OTHER document.
+    Complements repetition_signals (intra-doc repeats) and
+    boilerplate_ngrams (corpus-global top grams) — this is the per-doc
+    score the gate actually thresholds on. Integer outputs (n_grams,
+    n_dup_grams); the ratio is the caller's division, keeping the
+    oracle hash-exact.
+
+    Scale design: per-doc totals are size(grams) on the map-side array
+    — NO explode and no id-keyed shuffle for that half. The exploded
+    gram relation is generated twice (doc-frequency aggregate + the
+    semi-join left side), a deliberate recompute-over-cache choice: at
+    corpus scale the gram relation doesn't fit memory, regeneration is
+    a map-side scan, and both consumers partial-aggregate so hot
+    boilerplate grams collapse before the gram-keyed shuffles. Docs
+    shorter than n words report (0, 0) via the left join, not a
+    dropped row."""
+    arrays = ngram_arrays(df, id_col, text_col, n)
+    totals = arrays.select("id", F.size("grams").alias("n_grams"))
+    # explode_outer + isNotNull, NOT explode: plain explode gets an
+    # inferred size()>0 filter with the whole gram expression cloned in
+    # (InferFiltersFromGenerate), re-tokenizing every row twice.
+    grams = arrays.select("id", F.explode_outer("grams").alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+        .select("gram")
+    )
+    dups = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        totals.join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_alpha_word_frac: float = 0.80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, App. A — public
+    thresholds as defaults): per-doc boolean columns for each rule plus
+    the conjunctive keep flag.
+
+      ok_word_count      min_words <= n_words <= max_words
+      ok_mean_word_len   mean word length in [min, max] chars
+      ok_alpha_words     >= 80% of words contain an alphabetic char
+      ok_stopwords       >= 2 distinct Gopher stopwords present
+      keep               AND of the above
+
+    Pure column math over one tokenize — map-only, no shuffle, no UDF;
+    the gate runs at scan speed and composes with the duplicated-ngram
+    and repetition thresholds downstream. The token array is referenced
+    via size()+aggregate on the SAME alias (CollapseProject trap: a
+    once-referenced array inlines and re-evaluates per element). Mean
+    word length compares via cross-multiplication (total_chars vs
+    bound * n_words) so the oracle never divides — integer compares
+    are hash-exact."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WHITESPACE_RE), lambda w: F.length(w) > 0
+    )
+    t = df.select(F.col(id_col).alias(id_col), toks.alias("_toks"))
+    nw = F.size("_toks")
+    total_chars = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter("_toks", lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct("_toks"), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    return t.select(
+        id_col,
+        nw.alias("n_words"),
+        (nw.between(min_words, max_words)).alias("ok_word_count"),
+        (
+            (total_chars >= F.lit(min_mean_word_len) * nw)
+            & (total_chars <= F.lit(max_mean_word_len) * nw)
+        ).alias("ok_mean_word_len"),
+        (n_alpha * 100 >= F.lit(int(min_alpha_word_frac * 100)) * nw).alias(
+            "ok_alpha_words"
+        ),
+        (n_stop >= min_stopwords).alias("ok_stopwords"),
+    ).select(
+        id_col,
+        "n_words",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_alpha_words",
+        "ok_stopwords",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stopwords")
+        ).alias("keep"),
     )

@@ -13,6 +13,8 @@ from python_multiproc_bigdata_spark.operators.curation import (
     connected_components,
     decontaminate_overlap,
     decontamination_fraction,
+    duplicated_ngram_counts,
+    gopher_quality_gate,
     repetition_signals,
 )
 from python_multiproc_bigdata_spark.operators.dedup import minhash_lsh_pairs
@@ -645,7 +647,86 @@ FROM injected
 
 
 
+def curation_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-corpus duplicated 5-gram counters (the RefinedWeb /
+    Gopher duplicated-n-gram filter's input): of each document's
+    distinct word 5-grams, how many occur in >= 2 documents. Integers
+    only — the thresholding ratio is the caller's division."""
+    d = table(prep(spark), sf_dir, "documents")
+    return duplicated_ngram_counts(d, n=5).orderBy("doc_id")
+
+
+SQL_DUP_NGRAM = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> length(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 5 THEN list_transform(range(len(t) - 4),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+           ELSE [] END)) AS gram
+  FROM base
+), dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_grams FROM grams GROUP BY doc_id
+), dup AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_dup_grams
+  FROM grams JOIN dupg USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(tot.n_grams, 0) AS n_grams,
+       coalesce(dup.n_dup_grams, 0) AS n_dup_grams
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN dup USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def curation_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate (Rae et al. 2021 App. A, public
+    default thresholds): per-doc rule booleans + conjunctive keep.
+    Map-only column math — the gate runs at scan speed."""
+    d = table(prep(spark), sf_dir, "documents")
+    return gopher_quality_gate(d).orderBy("doc_id")
+
+
+SQL_GOPHER_GATE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS BIGINT) AS total_chars,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the','be','to','of','and','that','have','with'])) AS INT) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_words,
+       (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+       (total_chars >= 3.0 * n_words AND total_chars <= 10.0 * n_words) AS ok_mean_word_len,
+       (n_alpha * 100 >= 80 * n_words) AS ok_alpha_words,
+       (n_stop >= 2) AS ok_stopwords,
+       ((n_words BETWEEN 50 AND 100000)
+        AND total_chars >= 3.0 * n_words AND total_chars <= 10.0 * n_words
+        AND n_alpha * 100 >= 80 * n_words
+        AND n_stop >= 2) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 REGISTRY = {
+    "curation_dup_ngram_fraction": QuerySpec(
+        curation_dup_ngram_fraction, SQL_DUP_NGRAM
+    ),
+    "curation_gopher_gate": QuerySpec(curation_gopher_gate, SQL_GOPHER_GATE),
     "curation_pii_redact": QuerySpec(curation_pii_redact, SQL_PII_REDACT),
     "basket_association_rules": QuerySpec(
         basket_association_rules, SQL_BASKET_RULES

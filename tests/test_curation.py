@@ -356,3 +356,67 @@ def test_pii_redact_registered_query_injects_and_scrubs(spark):
         assert r.n_email == (1 if doc_id % 7 == 0 else 0), doc_id
         assert r.n_ipv4 == (1 if doc_id % 13 == 0 else 0), doc_id
         assert r.n_phone == (1 if doc_id % 11 == 0 else 0), doc_id
+
+
+def test_duplicated_ngram_counts_cross_doc(spark):
+    # docs 1 and 2 share the trigram "a b c"; doc 3 shares nothing;
+    # doc 4 is too short for any trigram (must report 0,0 not vanish)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: "a b c", "b c d"
+            (2, "z a b c"),      # grams: "z a b", "a b c"
+            (3, "p q r s"),      # grams: "p q r", "q r s"
+            (4, "x y"),          # no trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    from python_multiproc_bigdata_spark.operators.curation import (
+        duplicated_ngram_counts,
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in duplicated_ngram_counts(df, n=3).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0), 4: (0, 0)}
+
+
+def test_duplicated_ngram_counts_distinct_grams_within_doc(spark):
+    # the same gram repeated INSIDE one doc counts once (distinct-gram
+    # semantics) and does not make the gram "duplicated" corpus-wide
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    from python_multiproc_bigdata_spark.operators.curation import (
+        duplicated_ngram_counts,
+    )
+    [r] = duplicated_ngram_counts(df, n=3).collect()
+    assert (r.n_grams, r.n_dup_grams) == (2, 0)  # "a b a", "b a b"
+
+
+def test_gopher_gate_rules(spark):
+    from python_multiproc_bigdata_spark.operators.curation import (
+        gopher_quality_gate,
+    )
+    df = spark.createDataFrame(
+        [
+            # 6 words, mean len ok, all alpha, 2 stopwords -> keep
+            (1, "the cat sat with some dog"),
+            # word count below min -> rejected on that rule only
+            (2, "the dog ran with joy"),
+            # stopword rule fails (no gopher stopwords)
+            (3, "cat dog bird fish mouse tree"),
+            # mean word length too short (single chars)
+            (4, "a b c d e f"),
+            # alpha fraction fails: >20% pure-digit words
+            (5, "the 111 222 333 dog with"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_gate(df, min_words=6, min_stopwords=2).collect()
+    }
+    assert rows[1].keep
+    assert not rows[2].ok_word_count and rows[2].ok_stopwords
+    assert not rows[3].ok_stopwords and rows[3].ok_word_count
+    assert not rows[4].ok_mean_word_len
+    assert not rows[5].ok_alpha_words and rows[5].ok_stopwords
+    assert not rows[2].keep and not rows[3].keep and not rows[4].keep and not rows[5].keep
