@@ -321,3 +321,24 @@ def test_interval_overlap_is_hash_join(spark):
     plan = plan_of(REGISTRY["sessions_overlap_pairs"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_gate_single_tokenize_no_shuffle(spark):
+    df = REGISTRY["curation_gopher_gate"].fn(spark, SF_DIR)
+    opt = optimized_of(df)
+    # the token array is built ONCE (CollapseProject would clone the
+    # split into every rule column if the alias inlined)
+    assert opt.count("split(") == 1
+    # map-only gate: the only exchange is the output orderBy's range part
+    assert plan_of(df).count("Exchange hashpartitioning") == 0
+
+
+def test_dup_ngram_totals_map_only(spark):
+    df = REGISTRY["curation_dup_ngram_fraction"].fn(spark, SF_DIR)
+    opt = optimized_of(df)
+    # gram generation appears exactly 3x: map-only size() totals + the
+    # two exploded-relation consumers (doc-freq agg, semi-join side).
+    # InferFiltersFromGenerate regression would push this to ~15+.
+    assert opt.count("split(") == 3
+    # the semi-join stays a semi-join (no row blowup shapes)
+    assert "LeftSemi" in opt
