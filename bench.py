@@ -117,6 +117,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "curation_gopher_gate",
     "curation_dup_ngram_fraction",
+    "training_shard_manifest",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -226,8 +226,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # asof_click_to_next_view, events_max_concurrency, split_leakage_safe,
 # dedup_source_overlap, events_top_session_paths, stats_ab_ttest,
 # and the late-r5 additions privacy_k_anonymity, curation_gopher_gate,
-# curation_dup_ngram_fraction (each a new capability class: privacy
-# audit, Gopher document gate, cross-corpus duplicated-ngram counters).
+# curation_dup_ngram_fraction, training_shard_manifest (each a new
+# capability class: privacy audit, Gopher document gate, cross-corpus
+# duplicated-ngram counters, output-shard write planning).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",

@@ -700,7 +700,74 @@ FROM r GROUP BY source
 """
 
 
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard planning manifest: assign every document to one of
+    16 shards by hash-mod (shard = md5(doc_id) first 4 hex chars mod
+    16 — deterministic, so re-runs and both engines agree) and report
+    per-shard doc/char/token totals plus each shard's share of the
+    corpus in basis points. This is the writer-planning step before a
+    100 TB export: hash sharding balances shards WITHOUT a global sort
+    or range-partition sampling pass, and the manifest is what the
+    downstream loader validates against (doc counts per file).
+
+    Plan: one scan, map-side token count (size of the split array — no
+    explode), one 16-row groupBy, corpus total joined back by broadcast
+    crossJoin. Everything after the scan is |shards|-sized."""
+    d = table(prep(spark), sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16
+    ).cast("int")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"[ \t\n\r\f\x0B]+"), lambda w: F.length(w) > 0)
+    )
+    per_shard = (
+        d.select(shard.alias("shard"), "n_chars", n_tokens.alias("_nt"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_shard.agg(F.sum("n_docs").alias("_total"))
+    return (
+        per_shard.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_docs") * 10000 / F.col("_total")).cast("bigint").alias("share_bp"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_SHARD_MANIFEST = r"""
+WITH assigned AS (
+  SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 16)::INT AS shard,
+         n_chars,
+         len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+             x -> length(x) > 0)) AS nt
+  FROM documents
+), per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY shard
+), tot AS (SELECT sum(n_docs) AS total FROM per_shard)
+SELECT shard, n_docs, n_chars, n_tokens,
+       CAST(n_docs * 10000 // total AS BIGINT) AS share_bp
+FROM per_shard CROSS JOIN tot
+ORDER BY shard
+"""
+
+
 REGISTRY = {
+    "training_shard_manifest": QuerySpec(
+        training_shard_manifest, SQL_SHARD_MANIFEST
+    ),
     "training_mix_by_lang": QuerySpec(training_mix_by_lang, SQL_TRAINING_MIX),
     "training_length_batches": QuerySpec(
         training_length_batches, SQL_LENGTH_BATCHES
