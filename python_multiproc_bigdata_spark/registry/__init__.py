@@ -228,7 +228,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # and the late-r5 additions privacy_k_anonymity, curation_gopher_gate,
 # curation_dup_ngram_fraction, training_shard_manifest (each a new
 # capability class: privacy audit, Gopher document gate, cross-corpus
-# duplicated-ngram counters, output-shard write planning).
+# duplicated-ngram counters, output-shard write planning), plus
+# streaming_topk_serving (foreachBatch vector serving with the shared
+# generated centroid-literal oracle — full hash check).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+from python_multiproc_bigdata_spark.registry.similarity import make_ivf_kmeans_oracle
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
     stream_stream_click_view_join,
@@ -342,7 +343,79 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def streaming_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector serving: query embeddings arrive as a stream
+    (two micro-batches via maxFilesPerTrigger=1) and each batch is
+    served IVF top-k against the STATIC corpus inside foreachBatch —
+    the online-serving shape of sim_topk_ivf_kmeans. Per-query top-k is
+    batch-partition-invariant (each query's result depends only on that
+    query and the corpus), and centroid training is deterministic, so
+    the union of per-batch results equals the one-shot batch answer and
+    the SAME generated centroid-literal oracle checks this query at
+    full value level — a streaming query with a hash-exact oracle.
+
+    Scale: the static side would be the materialized IVF index
+    (build_ivf_index) with centroids broadcast once per batch; each
+    micro-batch costs O(|batch| × nprobe/n_lists × corpus-scan), the
+    same serving math as the batch tier."""
+    import os
+    import tempfile
+
+    from python_multiproc_bigdata_spark.operators.similarity import topk_ivf_kmeans
+    from python_multiproc_bigdata_spark.registry.similarity import (
+        IVF_KMEANS_CFG,
+        N_QUERIES,
+    )
+
+    spark = prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    root = tempfile.mkdtemp(prefix="spark_graft_serve_")
+    qdir = os.path.join(root, "queries")
+    odir = os.path.join(root, "out")
+    # two single-file appends -> maxFilesPerTrigger=1 yields two real
+    # micro-batches, so the test exercises multi-batch serving
+    for m in (0, 1):
+        qs.filter(F.col("vec_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(qdir)
+    cfg = IVF_KMEANS_CFG
+
+    def serve(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        topk_ivf_kmeans(
+            batch_df,
+            emb,
+            k=cfg["k"],
+            nprobe=cfg["nprobe"],
+            n_lists=cfg["n_lists"],
+            max_iter=cfg["max_iter"],
+            train_sample=cfg["train_sample"],
+        ).write.mode("append").parquet(odir)
+
+    q = (
+        spark.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(qdir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return spark.read.parquet(odir)
+
+
 REGISTRY = {
+    # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
+    # per-query top-k is micro-batch-invariant, so the streamed union
+    # must equal the one-shot batch answer value-for-value
+    "streaming_topk_serving": QuerySpec(
+        streaming_topk_serving, make_ivf_kmeans_oracle
+    ),
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
     "streaming_transition_counts": QuerySpec(
         streaming_transition_counts, SQL_STREAM_TRANSITIONS
