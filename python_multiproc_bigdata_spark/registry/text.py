@@ -752,7 +752,174 @@ def make_bpe_encode_oracle() -> str:
     )
 
 
+UNIGRAM_CFG = dict(max_piece_len=4, seed_size=200, vocab_size=80, em_iters=3)
+# bounded-by-construction collect: the trainer sees at most this many
+# (word, freq) rows, cut deterministically by (freq DESC, word ASC) —
+# at web scale the tail words beyond the cut still get segmented by the
+# single-char floor, they just don't vote in the EM
+UNIGRAM_MAX_VOCAB_ROWS = 4096
+
+
+def _unigram_word_counts_spark(spark: SparkSession, sf_dir: str):
+    from python_multiproc_bigdata_spark.operators.bpe import word_frequencies
+
+    d = table(prep(spark), sf_dir, "documents")
+    wf = (
+        word_frequencies(d, "text", lowercase=True)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(UNIGRAM_MAX_VOCAB_ROWS)
+    )
+    return [(r["word"], int(r["freq"])) for r in wf.collect()]
+
+
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece, Kudo 2018) tokenizer vocabulary —
+    BPE's sibling subword trainer (operators/unigram.py). ONE
+    corpus-scale shuffle (the word-frequency groupBy), then hard-EM
+    Viterbi training driver-side over the bounded top-4096 word-count
+    table (same O(vocab)-not-O(data) discipline as bpe_train_merges and
+    the k-means centroid trainer). Output: the final 80-piece vocabulary
+    with integer occurrence counts and 6-rounded log-probs. The oracle
+    generator re-derives word counts INDEPENDENTLY with DuckDB and runs
+    the same deterministic trainer, so any divergence in the distributed
+    aggregation changes the embedded literals and fails the hash."""
+    from python_multiproc_bigdata_spark.operators.unigram import unigram_train
+
+    vocab = unigram_train(
+        sorted(_unigram_word_counts_spark(spark, sf_dir)), **UNIGRAM_CFG
+    )
+    return spark.createDataFrame(
+        vocab, schema="piece_rank int, piece string, piece_count long, logprob double"
+    )
+
+
+def _unigram_replay(sf_dir: str):
+    """Word counts re-derived independently of Spark (DuckDB scan +
+    Python split — same independence as _bpe_replay), then the shared
+    deterministic trainer."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from python_multiproc_bigdata_spark.operators.unigram import (
+        unigram_train,
+        word_piece_counts,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT lang, lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    per_lang_tokens: list[tuple[str, str]] = []
+    for lang, t in rows:
+        for w in re.split("[ \t\n\r\f\x0b]+", t):
+            if w.strip():
+                wf[w] += 1
+                per_lang_tokens.append((lang, w))
+    top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:UNIGRAM_MAX_VOCAB_ROWS]
+    vocab = unigram_train(sorted(top), **UNIGRAM_CFG)
+    pieces = word_piece_counts(
+        [w for w, _ in top], vocab, UNIGRAM_CFG["max_piece_len"]
+    )
+    return vocab, pieces, per_lang_tokens
+
+
+def make_unigram_vocab_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    vocab, _, _ = _unigram_replay(sf_dir)
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({r}, {q(p)}, {c}, {lp!r})" for r, p, c, lp in vocab
+    )
+    return (
+        # DuckDB types bare float literals in VALUES as DECIMAL — cast
+        # back to DOUBLE so the value hash matches Spark's double column
+        "SELECT piece_rank, piece, piece_count, CAST(logprob AS DOUBLE) AS logprob\n"
+        f"FROM (VALUES {values}) AS t(piece_rank, piece, piece_count, logprob)\n"
+        "ORDER BY piece_rank"
+    )
+
+
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE side: segment the bounded vocabulary under the
+    trained pieces (Viterbi over the VOCAB, never per-token — the same
+    encode-scale property as bpe_symbol_counts), broadcast the per-word
+    piece counts back onto the token stream, and roll up per-language
+    fertility (pieces per token) — the metric tokenizer teams compare
+    across languages. At web scale the per-word map stays vocab-sized;
+    out-of-vocab tail words would be segmented in a mapInPandas pass
+    with the piece log-probs broadcast."""
+    from python_multiproc_bigdata_spark.operators.unigram import (
+        unigram_train,
+        word_piece_counts,
+    )
+
+    wc = _unigram_word_counts_spark(spark, sf_dir)
+    vocab = unigram_train(sorted(wc), **UNIGRAM_CFG)
+    pieces = word_piece_counts([w for w, _ in wc], vocab, UNIGRAM_CFG["max_piece_len"])
+    counts_df = spark.createDataFrame(
+        sorted(pieces.items()), schema="word string, n_pieces int"
+    )
+    d = table(prep(spark), sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("word")
+    ).filter(F.length(F.trim("word")) > 0)
+    return (
+        toks.join(F.broadcast(counts_df), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 4).alias(
+                "pieces_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def make_unigram_fertility_oracle() -> str:
+    """End-to-end SQL twin: the word→n_pieces map (trained + segmented in
+    the independent replay) joins the corpus token stream IN SQL, so the
+    distributed join + rollup is checked by DuckDB itself, not by
+    embedded aggregates."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _, pieces, _ = _unigram_replay(sf_dir)
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    values = ",\n".join(f"({q(w)}, {n})" for w, n in sorted(pieces.items()))
+    return rf"""
+WITH map(word, n_pieces) AS (VALUES {values}),
+tok AS (
+  SELECT lang, unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+           x -> length(trim(x)) > 0)) AS word
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       round(sum(n_pieces) * 1.0 / count(*), 4) AS pieces_per_token
+FROM tok JOIN map USING (word)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 REGISTRY = {
+    "text_unigram_vocab": QuerySpec(text_unigram_vocab, make_unigram_vocab_oracle),
+    "text_unigram_fertility": QuerySpec(
+        text_unigram_fertility, make_unigram_fertility_oracle
+    ),
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
     "text_pmi_collocations": QuerySpec(text_pmi_collocations, SQL_PMI),
     "text_bpe_merges": QuerySpec(text_bpe_merges, make_bpe_oracle),
