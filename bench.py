@@ -118,6 +118,9 @@ HEADLINE = [
     "curation_gopher_gate",
     "curation_dup_ngram_fraction",
     "training_shard_manifest",
+    "eval_dedup_pr",
+    "text_unigram_vocab",
+    "text_unigram_fertility",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

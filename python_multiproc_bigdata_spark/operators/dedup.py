@@ -256,6 +256,42 @@ def materialize_signatures(
     return spark.table(table)
 
 
+def _banded_candidates(sig: DataFrame) -> DataFrame:
+    """Banding stage of MinHash-LSH: (id_a, id_b) candidate pairs from
+    the 4×2 band bucket join over a (id, h0..h7) signature relation —
+    shared by lsh_pairs_from_signatures (which verifies them) and
+    lsh_candidate_pairs (which exposes them raw for the recall eval)."""
+    band_arr = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), f"h{2 * b}", f"h{2 * b + 1}")
+            for b in range(MINHASH_K // 2)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_arr).alias("key"))
+    # keyed repartition = dropDuplicates' distribution in one exchange,
+    # with pinned parallelism for the array_intersect verification stage
+    # (AQE would size it by the two-longs-per-row candidate bytes; the
+    # work is per-pair set intersection — see _posting_pairs docstring)
+    nparts = sig.sparkSession.sparkContext.defaultParallelism
+    return (
+        _posting_pairs(bands, F.col("key"))
+        .repartition(nparts, F.col("id_a"), F.col("id_b"))
+        .dropDuplicates()
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Raw banded MinHash-LSH candidate pairs BEFORE exact verification
+    (doc_a, doc_b) — the relation whose precision/recall the
+    eval_dedup_pr query measures against exact-Jaccard ground truth."""
+    cand = _banded_candidates(_signature_relation(df, id_col, text_col, n))
+    return cand.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
 def lsh_pairs_from_signatures(sig: DataFrame, threshold: float = 0.8) -> DataFrame:
     """MinHash-LSH banding + exact verification over a (id, shs, h0..h7)
     signature relation — THE single implementation behind both
@@ -269,23 +305,7 @@ def lsh_pairs_from_signatures(sig: DataFrame, threshold: float = 0.8) -> DataFra
     is a bucketed table (materialize_signatures), the two verification
     reads join on its bucket key with no Exchange on the signature side
     (plan asserted in tests/test_bucketing.py)."""
-    band_arr = F.array(
-        *[
-            F.concat_ws("|", F.lit(str(b)), f"h{2 * b}", f"h{2 * b + 1}")
-            for b in range(MINHASH_K // 2)
-        ]
-    )
-    bands = sig.select("id", F.explode(band_arr).alias("key"))
-    # keyed repartition = dropDuplicates' distribution in one exchange,
-    # with pinned parallelism for the array_intersect verification stage
-    # (AQE would size it by the two-longs-per-row candidate bytes; the
-    # work is per-pair set intersection — see _posting_pairs docstring)
-    nparts = sig.sparkSession.sparkContext.defaultParallelism
-    cand = (
-        _posting_pairs(bands, F.col("key"))
-        .repartition(nparts, F.col("id_a"), F.col("id_b"))
-        .dropDuplicates()
-    )
+    cand = _banded_candidates(sig)
     siga = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     sigb = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
