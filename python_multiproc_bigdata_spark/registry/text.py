@@ -915,7 +915,86 @@ ORDER BY lang
 """
 
 
+def eval_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-selection eval: per-language fertility of the two
+    trained subword tokenizers side by side — BPE (10 merges) vs
+    unigram-LM (80 pieces) — with the winner (lower symbols/token,
+    tie → 'tie'). This is the comparison a tokenizer team runs before
+    freezing a vocab; both towers are the already-registered encode
+    paths, joined on language (a |langs|-row join, trivial at any
+    scale; the corpus-scale work is the two token-stream joins the
+    towers already do)."""
+    bpe = text_bpe_encode_stats(spark, sf_dir).select(
+        "lang", F.col("syms_per_token").alias("bpe_spt")
+    )
+    uni = text_unigram_fertility(spark, sf_dir).select(
+        "lang", F.col("pieces_per_token").alias("unigram_spt")
+    )
+    return (
+        bpe.join(uni, "lang")
+        .select(
+            "lang",
+            "bpe_spt",
+            "unigram_spt",
+            F.when(F.col("bpe_spt") < F.col("unigram_spt"), F.lit("bpe"))
+            .when(F.col("unigram_spt") < F.col("bpe_spt"), F.lit("unigram"))
+            .otherwise(F.lit("tie"))
+            .alias("winner"),
+        )
+        .orderBy("lang")
+    )
+
+
+def make_tokenizer_compare_oracle() -> str:
+    """Compose both independent replays: BPE per-lang fertility from
+    _bpe_replay, unigram per-lang fertility recomputed IN SQL from the
+    replayed word→n_pieces map joined to the corpus token stream."""
+    import os
+    from collections import defaultdict
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _, syms, per_lang_tokens = _bpe_replay(sf_dir)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for lang, w in per_lang_tokens:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(syms[w])
+    bpe_values = ",\n".join(
+        f"('{lang}', {round(s / n, 4)!r})" for lang, (n, s) in sorted(agg.items())
+    )
+    _, pieces, _ = _unigram_replay(sf_dir)
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    map_values = ",\n".join(f"({q(w)}, {n})" for w, n in sorted(pieces.items()))
+    return rf"""
+WITH bpe(lang, bpe_spt) AS (VALUES {bpe_values}),
+map(word, n_pieces) AS (VALUES {map_values}),
+tok AS (
+  SELECT lang, unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+           x -> length(trim(x)) > 0)) AS word
+  FROM documents
+),
+uni AS (
+  SELECT lang, round(sum(n_pieces) * 1.0 / count(*), 4) AS unigram_spt
+  FROM tok JOIN map USING (word) GROUP BY lang
+)
+SELECT lang, CAST(bpe_spt AS DOUBLE) AS bpe_spt,
+       CAST(unigram_spt AS DOUBLE) AS unigram_spt,
+       CASE WHEN bpe_spt < unigram_spt THEN 'bpe'
+            WHEN unigram_spt < bpe_spt THEN 'unigram'
+            ELSE 'tie' END AS winner
+FROM bpe JOIN uni USING (lang)
+ORDER BY lang
+"""
+
+
 REGISTRY = {
+    "eval_tokenizer_compare": QuerySpec(
+        eval_tokenizer_compare, make_tokenizer_compare_oracle
+    ),
     "text_unigram_vocab": QuerySpec(text_unigram_vocab, make_unigram_vocab_oracle),
     "text_unigram_fertility": QuerySpec(
         text_unigram_fertility, make_unigram_fertility_oracle
