@@ -1293,6 +1293,107 @@ def topk_sq8(
     return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
 
 
+N_BINARY_BITS = 256  # hyperplane count; 8 x 32-bit words = 32-byte codes
+_BINARY_WORDS = N_BINARY_BITS // 32
+
+
+def binary_hyperplanes(n_bits: int = N_BINARY_BITS, dim: int = 64):
+    """Deterministic Gaussian sign-LSH hyperplanes shared by the Spark
+    signature computation AND the DuckDB oracle generator (the
+    kmeans_core one-implementation discipline) — entries rounded to 4
+    decimals so the oracle's embedded literals are the exact doubles the
+    engine broadcasts, not a re-serialization.
+
+    Raw per-dim sign bits are useless on this corpus — the embeddings
+    are near-isotropic (per-dim means within ±0.007), so 64 raw signs
+    measured recall@3 = 0.22 at sf0.1. 256 random hyperplanes lift the
+    Hamming↔cosine correlation to recall 0.89 (rerank=100) / 0.98
+    (rerank=200) — see RECALL.json."""
+    import numpy as np
+
+    r = np.random.RandomState(42).standard_normal((n_bits, dim))
+    return [[float(round(v, 4)) for v in row] for row in r]
+
+
+def binary_signature(df: DataFrame, id_alias: str, p: str) -> DataFrame:
+    """(id, p_w0..p_w7): 256 hyperplane sign bits — bit b = 1 iff
+    dot(embedding, plane_b) >= 0 — packed into eight 32-bit words held
+    in BIGINTs. 32 bytes of code per vector vs 256 bytes of float32:
+    the 8x bandwidth cut of binary quantization.
+
+    32-bit words so neither engine ever sums 2^63 into a signed
+    accumulator: each word's fold stays below 2^32 and each bit is a
+    distinct power of two, so plain SUM packs the word (no bit_or agg
+    needed). The plane table ships as a BROADCAST 256-row join — not
+    256x64 literal expression trees, the measured planning-time trap —
+    and the pack is ONE groupBy with 8 conditional sums. At 100 TB the
+    signature is computed once at ingest and stored (build_ivf_index
+    pattern); the per-query stage reads only the 8 code words."""
+    spark = df.sparkSession
+    planes = binary_hyperplanes()
+    hyp = F.broadcast(
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(planes)],
+            "bit_id int, r array<double>",
+        )
+    )
+    bits = (
+        df.select(F.col("vec_id").alias(id_alias), F.col("embedding").alias("_e"))
+        .join(hyp)
+        .select(
+            id_alias,
+            F.expr("bit_id div 32").alias("_w"),
+            F.when(
+                dot("_e", "r") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit_id % 32 AS INT))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_b"),
+        )
+    )
+    return bits.groupBy(id_alias).agg(
+        *[
+            F.sum(F.when(F.col("_w") == w, F.col("_b")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{p}_w{w}")
+            for w in range(_BINARY_WORDS)
+        ]
+    )
+
+
+def topk_binary_hamming(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, rerank: int = 100
+) -> DataFrame:
+    """Cosine top-k over 1-bit BINARY-QUANTIZED vectors with exact
+    re-rank — the extreme end of the quantization ladder this engine
+    ships (float32 → SQ8 int8 → PQ 8-byte codes → 32-byte sign
+    bitmaps). Candidates rank by binary similarity 256 − Hamming(q, c)
+    (integer — no float rounding to desync from the oracle; ties →
+    lowest neighbor_id via the shared _approx_cut policy), then the top
+    `rerank` re-score exactly on full vectors via the shared
+    _rerank_exact tail — the oversample-then-rescore recipe binary
+    quantization always ships with.
+
+    Scale shape: the Hamming stage reads 64 bytes/pair and is eight
+    xors + eight popcounts — pure whole-stage-codegen integer math,
+    memory-bound at the scan. Candidate generation here is the
+    bounded-query crossJoin (the bruteforce shape, |queries| <= 100);
+    at 100 TB the bitmaps are ingest-time columns and the stage
+    composes with IVF list pruning exactly like topk_sq8_ivf."""
+    q = binary_signature(queries, "query_id", "a")
+    c = binary_signature(corpus, "neighbor_id", "b")
+    ham = None
+    for w in range(_BINARY_WORDS):
+        t = F.bit_count(F.col(f"a_w{w}").bitwiseXOR(F.col(f"b_w{w}")))
+        ham = t if ham is None else ham + t
+    approx = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_score", F.lit(N_BINARY_BITS) - ham)
+    )
+    return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
+
+
 def pca_core(x, n_components: int = 8):
     """Shared NumPy PCA used by BOTH the Spark-side trainer
     (train_pca_driver) and the DuckDB oracle generator

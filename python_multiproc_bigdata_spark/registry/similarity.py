@@ -8,7 +8,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.similarity import (
+    binary_hyperplanes,
     knn_classify,
+    topk_binary_hamming,
     topk_sq8,
     topk_sq8_ivf,
     neardup_pairs_banded,
@@ -511,6 +513,87 @@ SELECT query_id, neighbor_id, score, rk FROM (
                             ORDER BY score DESC, neighbor_id ASC) AS rk
   FROM exact) WHERE rk <= 3
 """.format(n_queries=N_QUERIES)
+
+
+BINARY_RERANK = 100  # oversample-then-rescore pool; recall 0.89 @ sf0.1
+
+
+def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-quantized top-k with exact re-rank
+    (operators/similarity.py:topk_binary_hamming) — the extreme tier of
+    the quantization ladder (float32 → SQ8 → PQ → 256-bit sign bitmap):
+    32 bytes of code per vector, candidate ranking by integer Hamming
+    similarity over 256 deterministic Gaussian hyperplane signs (no
+    float rounding anywhere in stage 1), exact cosine re-rank on the
+    top 100. The generated oracle embeds the identical hyperplanes (one
+    shared binary_hyperplanes() source) and replays the packing, the
+    Hamming ranking, and the re-rank value-exact."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_binary_hamming(queries, emb, k=3, rerank=BINARY_RERANK)
+
+
+def make_binary_oracle() -> str:
+    """DuckDB twin of operators/similarity.py:topk_binary_hamming
+    (rerank=100, k=3): the hyperplanes come from the SAME
+    binary_hyperplanes() call the engine broadcasts (4-decimal doubles,
+    so the embedded literals ARE the engine's values), the packing is
+    the same 8x32-bit conditional-sum (DuckDB `//`/`%` mirror Spark's
+    `div`/`%` on non-negative bit_ids), and the ranking/re-rank tail is
+    SQL_TOPK_SQ8's."""
+    planes = binary_hyperplanes()
+    plane_values = ",\n".join(
+        f"({i}, {row!r}::DOUBLE[])" for i, row in enumerate(planes)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), hyp(bit_id, r) AS (VALUES {plane_values}),
+bits AS (
+  SELECT vec_id, bit_id // 32 AS w,
+         CASE WHEN list_dot_product(e, r) >= 0
+              THEN CAST(1 AS BIGINT) << (bit_id % 32)
+              ELSE CAST(0 AS BIGINT) END AS b
+  FROM emb CROSS JOIN hyp
+), sig AS (
+  SELECT vec_id,
+         {", ".join(
+             f"CAST(sum(CASE WHEN w = {w} THEN b ELSE 0 END) AS BIGINT) AS w{w}"
+             for w in range(8)
+         )}
+  FROM bits GROUP BY vec_id
+), approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         256 - ({" + ".join(
+             f"CAST(bit_count(xor(q.w{w}, c.w{w})) AS INTEGER)" for w in range(8)
+         )})
+           AS approx_score
+  FROM sig q JOIN sig c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_score DESC, neighbor_id ASC) AS ark
+    FROM approx) WHERE ark <= {BINARY_RERANK}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qa.e, qa.e)) > 0
+                     AND sqrt(list_dot_product(qb.e, qb.e)) > 0
+               THEN list_dot_product(qa.e, qb.e)
+                    / (sqrt(list_dot_product(qa.e, qa.e))
+                       * sqrt(list_dot_product(qb.e, qb.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN emb qa ON qa.vec_id = c.query_id
+  JOIN emb qb ON qb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM exact) WHERE rk <= 3
+"""
 
 
 SQ8_IVF_RERANK = 10
@@ -1297,6 +1380,7 @@ REGISTRY = {
     "sim_topk_ivfpq": QuerySpec(sim_topk_ivfpq, make_ivfpq_oracle),
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
+    "sim_topk_binary": QuerySpec(sim_topk_binary, make_binary_oracle),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),

@@ -173,3 +173,42 @@ def test_ivfpq_recall_floor(spark):
         exact,
     )
     assert r >= 0.85, r
+
+
+def test_binary_hamming_recall_floor(spark):
+    """256-bit hyperplane binary quantization at the registered config
+    (rerank=100): measured 0.97 @ sf0.001 / 0.89 @ sf0.1. Raw per-dim
+    sign bits measured 0.22 at sf0.1 on this near-isotropic corpus —
+    the hyperplane redesign is what makes the tier usable (sweep in
+    RECALL.json). Floor 0.90 at the test SF (sf0.001)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_binary_hamming,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 100)
+    exact = _topk_sets(topk_bruteforce(q, emb, k=3))
+    r = recall_at_k(topk_binary_hamming(q, emb, k=3, rerank=100), exact)
+    assert r >= 0.90, r
+
+
+def test_binary_hamming_exhaustive_rerank_is_exact(spark):
+    """With rerank covering the whole corpus the binary path must equal
+    the exact brute-force ranking — quantization only orders the
+    CANDIDATE stage; the re-rank tail is exact (the topk_sq8 law)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_binary_hamming,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    a = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in topk_bruteforce(q, emb, k=3).collect()
+    }
+    b = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in topk_binary_hamming(q, emb, k=3, rerank=n).collect()
+    }
+    assert a == b

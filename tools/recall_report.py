@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from python_multiproc_bigdata_spark.operators.similarity import (
     neardup_pairs_banded,
     neardup_pairs_cosine,
+    topk_binary_hamming,
     topk_bruteforce,
     topk_ivf,
     topk_ivf_kmeans,
@@ -38,7 +39,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     topk_sq8,
     topk_sq8_ivf,
 )
-from python_multiproc_bigdata_spark.registry.similarity import IVF_KMEANS_CFG
+from python_multiproc_bigdata_spark.registry.similarity import BINARY_RERANK, IVF_KMEANS_CFG
 from python_multiproc_bigdata_spark.session import get_spark
 
 N_QUERIES = 100
@@ -170,6 +171,22 @@ def main() -> None:
         # IVF+PQ at the registered configs: beats PQ alone (list pruning
         # cleans the approx candidate pool before the rerank cut)
         "ivfpq_registered": round(recall_at_k(_ivfpq(queries, emb), exact), 4),
+        # 256-bit hyperplane binary quantization (32-byte codes, 8x
+        # compression): rerank size is THE knob — raw per-dim signs
+        # measured 0.22 at sf0.1 (near-isotropic corpus; that design was
+        # rejected), hyperplanes at rerank 50/100/200 = 0.79/0.89/0.98
+        "binary_rerank50": round(
+            recall_at_k(topk_binary_hamming(queries, emb, k=K, rerank=50), exact), 4
+        ),
+        "binary_registered_rerank100": round(
+            recall_at_k(
+                topk_binary_hamming(queries, emb, k=K, rerank=BINARY_RERANK), exact
+            ),
+            4,
+        ),
+        "binary_rerank200": round(
+            recall_at_k(topk_binary_hamming(queries, emb, k=K, rerank=200), exact), 4
+        ),
     }
 
     # reduced-space recall: rank by cosine in the 8-dim PCA / JL space,
