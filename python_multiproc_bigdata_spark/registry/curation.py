@@ -17,6 +17,10 @@ from python_multiproc_bigdata_spark.operators.curation import (
     gopher_quality_gate,
     repetition_signals,
 )
+from python_multiproc_bigdata_spark.operators.classifier import (
+    score_quality_lr,
+    train_quality_lr_driver,
+)
 from python_multiproc_bigdata_spark.operators.dedup import minhash_lsh_pairs
 from python_multiproc_bigdata_spark.operators.graph import pagerank
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -722,7 +726,84 @@ ORDER BY doc_id
 """
 
 
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained model-based quality gate (operators/classifier.py) — the
+    fastText/CCNet-style stage after the heuristic gates: logistic
+    regression over 64 hashed token buckets, trained driver-side on a
+    bounded `ORDER BY md5(doc_id) LIMIT 256` sample against the weak
+    heuristic label, applied to the full corpus as one explode + one
+    64-row broadcast join + one groupBy. The generated oracle RETRAINS
+    from the same parquet through the same shared Python core
+    (train_from_rows — the kmeans_core discipline), embeds the
+    bit-identical weights, and replays the scoring in SQL."""
+    docs = table(prep(spark), sf_dir, "documents")
+    w, b = train_quality_lr_driver(docs)
+    return score_quality_lr(docs, w, b)
+
+
+def make_quality_classifier_oracle() -> str:
+    """Retrain via the SHARED core from the same parquet (duckdb read in
+    the identical md5 sample order), embed weights/bias as literals,
+    replay feature hashing (strpos hex arithmetic), scoring, weak label,
+    and both rounded-threshold predictions."""
+    import os
+
+    import duckdb
+
+    from python_multiproc_bigdata_spark.operators.classifier import (
+        N_BUCKETS,
+        SAMPLE_N,
+        STOPWORD_RATIO_MIN,
+        STOPWORDS,
+        train_from_rows,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"""SELECT doc_id, text
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {SAMPLE_N}"""
+    ).fetchall()
+    w, b = train_from_rows([(int(d), t) for d, t in rows])
+    weight_values = ",\n".join(f"({i}, {wi!r})" for i, wi in enumerate(w))
+    return rf"""
+WITH wt(bucket, w) AS (VALUES {weight_values}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, token,
+         CAST((16 * (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+              % {N_BUCKETS} AS INTEGER) AS bucket
+  FROM tok
+), agg AS (
+  SELECT bk.doc_id, count(*) AS n_tokens, sum(wt.w) AS sw,
+         sum(CASE WHEN token IN {STOPWORDS!r} THEN 1 ELSE 0 END) AS nstop
+  FROM bucketed bk JOIN wt USING (bucket)
+  GROUP BY bk.doc_id
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         round(1.0 / (1.0 + exp(-({b!r} + COALESCE(a.sw / a.n_tokens, 0.0)))), 4)
+           AS score,
+         COALESCE(CAST(a.nstop AS DOUBLE) / a.n_tokens, 0.0)
+           >= {STOPWORD_RATIO_MIN} AS weak
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, score, (score >= 0.5) AS pred, weak,
+       ((score >= 0.5) = weak) AS agree
+FROM scored
+ORDER BY doc_id
+"""
+
+
 REGISTRY = {
+    "curation_quality_classifier": QuerySpec(
+        curation_quality_classifier, make_quality_classifier_oracle
+    ),
     "curation_dup_ngram_fraction": QuerySpec(
         curation_dup_ngram_fraction, SQL_DUP_NGRAM
     ),

@@ -420,3 +420,40 @@ def test_gopher_gate_rules(spark):
     assert not rows[4].ok_mean_word_len
     assert not rows[5].ok_alpha_words and rows[5].ok_stopwords
     assert not rows[2].keep and not rows[3].keep and not rows[4].keep and not rows[5].keep
+
+
+def test_quality_classifier_learns_above_baseline(spark):
+    """The trained LR gate must beat the majority-class baseline on the
+    FULL corpus (not just its training sample) — measured 0.94 @ sf0.01
+    / 0.92 @ sf0.1 vs 0.52/0.53 baseline; floor 0.80/0.65 budgets
+    sample drift at other SFs. Guards the capability actually being a
+    classifier: a length-feature design that scored == baseline was
+    rejected (operators/classifier.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.classifier import (
+        score_quality_lr,
+        train_quality_lr_driver,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w, b = train_quality_lr_driver(docs)
+    out = score_quality_lr(docs, w, b)
+    r = out.agg(
+        F.avg(F.col("agree").cast("double")).alias("acc"),
+        F.avg(F.col("weak").cast("double")).alias("pos"),
+    ).collect()[0]
+    baseline = max(r.pos, 1.0 - r.pos)
+    assert r.acc >= 0.80, (r.acc, baseline)
+    assert r.acc > baseline + 0.05, (r.acc, baseline)
+
+
+def test_quality_classifier_trainer_is_deterministic(spark):
+    """Two trainings from the same frame must produce bit-identical
+    weights (the generated-oracle contract depends on it)."""
+    from python_multiproc_bigdata_spark.operators.classifier import (
+        train_quality_lr_driver,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert train_quality_lr_driver(docs) == train_quality_lr_driver(docs)
