@@ -1394,6 +1394,106 @@ def topk_binary_hamming(
     return _rerank_exact(_approx_cut(approx, rerank), queries, corpus, k)
 
 
+def mmr_diversify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank — the serving-side
+    selection every retrieval stack runs after ANN: from each query's
+    top-`pool` cosine candidates, greedily pick `k` maximizing
+    mmr = λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s), so near-duplicate
+    neighbors don't crowd the result list.
+
+    PURE-RELATIONAL greedy: the selection loop is k−1 chained
+    small-frame steps (each an argmax window over ≤ pool rows/query), no
+    Python in the loop — mirrored step-for-step by a k-stage CTE oracle.
+    All comparisons happen on 4dp-ROUNDED scores (rel from the shared
+    _score, pair sims rounded identically, the mmr combination rounded
+    again) with ties → lowest neighbor_id, so both engines walk the
+    identical greedy path.
+
+    Scale shape: the expensive part is candidate generation (any ANN
+    tier); this stage touches pool rows + pool² pair sims per query —
+    constant in corpus size. The pair-sim relation is persisted because
+    every step joins it."""
+    cand = topk_bruteforce(queries, corpus, k=pool).select(
+        "query_id", "neighbor_id", F.col("score").alias("rel")
+    )
+    cemb = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
+    ce = cand.join(cemb, "neighbor_id").select(
+        "query_id", "neighbor_id", "rel", "c_emb", "c_norm"
+    )
+    a = ce.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("c_emb").alias("a_emb"),
+        F.col("c_norm").alias("a_norm"),
+    )
+    b_ = ce.select(
+        "query_id",
+        F.col("neighbor_id").alias("b"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("c_norm").alias("b_norm"),
+    )
+    pairsim = (
+        a.join(b_, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            _score(dot("a_emb", "b_emb"), F.col("a_norm"), F.col("b_norm")).alias(
+                "ps"
+            ),
+        )
+        .persist()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    selected = (
+        cand.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "neighbor_id", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    for step in range(2, k + 1):
+        # anti-join out already-selected candidates, fan each remaining
+        # candidate out to the selected set, look up the pair sim, and
+        # take penalty = max pair-sim to ANY selected
+        rem = (
+            cand.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(
+                selected.select("query_id", F.col("neighbor_id").alias("b")),
+                "query_id",
+            )
+            .join(
+                pairsim.withColumnRenamed("a", "neighbor_id"),
+                ["query_id", "neighbor_id", "b"],
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("ps").alias("pen"))
+            .withColumn(
+                "mmr",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("pen"), 4),
+            )
+        )
+        wn = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("neighbor_id"))
+        pick = (
+            rem.withColumn("_r", F.row_number().over(wn))
+            .filter(F.col("_r") == 1)
+            .select("query_id", "neighbor_id", "rel", F.lit(step).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("query_id", "neighbor_id", "rel", "mmr_rank").orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
 def pca_core(x, n_components: int = 8):
     """Shared NumPy PCA used by BOTH the Spark-side trainer
     (train_pca_driver) and the DuckDB oracle generator

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from python_multiproc_bigdata_spark.operators.similarity import (
     binary_hyperplanes,
     knn_classify,
+    mmr_diversify,
     topk_binary_hamming,
     topk_sq8,
     topk_sq8_ivf,
@@ -513,6 +514,98 @@ SELECT query_id, neighbor_id, score, rk FROM (
                             ORDER BY score DESC, neighbor_id ASC) AS rk
   FROM exact) WHERE rk <= 3
 """.format(n_queries=N_QUERIES)
+
+
+MMR_K = 5
+MMR_POOL = 20
+MMR_LAM = 0.7
+
+
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.py:mmr_diversify) —
+    serving-side selection after ANN: greedy k=5 from each query's
+    top-20 cosine pool, λ=0.7. Pure-relational greedy (k−1 chained
+    argmax-window steps, no Python), replayed step-for-step by the
+    k-stage CTE oracle below; every compared quantity is rounded to 4dp
+    on both engines with ties → lowest neighbor_id, so the greedy paths
+    are identical."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return mmr_diversify(queries, emb, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
+
+
+def _mmr_oracle_sql(k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAM) -> str:
+    """k-stage greedy CTE chain. The (1−λ) literal is emitted as
+    repr(1.0 − lam) so DuckDB parses the EXACT double Spark computes
+    (1.0 − 0.7 = 0.30000000000000004, not 0.3)."""
+    one_minus = 1.0 - lam
+    steps = []
+    for step in range(2, k + 1):
+        prev = f"selu{step - 1}"
+        steps.append(f"""sel{step} AS (
+  SELECT query_id, neighbor_id, rel, {step} AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, neighbor_id ASC) AS r
+    FROM (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             round({lam!r} * c.rel - {one_minus!r} * max(p.ps), 4) AS mmr
+      FROM cand c
+      JOIN {prev} s ON s.query_id = c.query_id
+      JOIN ps p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+                AND p.b = s.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.query_id = c.query_id
+                          AND x.neighbor_id = c.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    )
+  ) WHERE r = 1
+), selu{step} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM sel{step}
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN q.nrm > 0 AND c.nrm > 0
+               THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+               ELSE 0.0 END, 4) AS rel
+  FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk <= {pool}
+), ps AS (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         round(CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+               THEN list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm)
+               ELSE 0.0 END, 4) AS ps
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id
+              AND c1.neighbor_id != c2.neighbor_id
+  JOIN emb ea ON ea.vec_id = c1.neighbor_id
+  JOIN emb eb ON eb.vec_id = c2.neighbor_id
+), sel1 AS (
+  SELECT query_id, neighbor_id, rel, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id ASC) AS r
+    FROM cand) WHERE r = 1
+), selu1 AS (SELECT * FROM sel1),
+{chain}
+SELECT query_id, neighbor_id, rel, mmr_rank FROM selu{k}
+ORDER BY query_id, mmr_rank
+"""
+
+
+SQL_MMR_DIVERSIFY = _mmr_oracle_sql()
 
 
 BINARY_RERANK = 100  # oversample-then-rescore pool; recall 0.89 @ sf0.1
@@ -1381,6 +1474,7 @@ REGISTRY = {
     "sim_knn_classify": QuerySpec(sim_knn_classify, SQL_KNN_CLASSIFY),
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
     "sim_topk_binary": QuerySpec(sim_topk_binary, make_binary_oracle),
+    "sim_mmr_diversify": QuerySpec(sim_mmr_diversify, SQL_MMR_DIVERSIFY),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),

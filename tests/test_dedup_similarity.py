@@ -586,3 +586,45 @@ def test_ppm_decode_real_parser(spark):
     rows = {r.doc_id: r for r in decode_ppm_features(attach_ppm(df)).collect()}
     assert rows[9].width == 4 + 9 % 5 and rows[9].height == 3 + 9 % 4
     assert rows[1].n_pixels == rows[1].width * rows[1].height
+
+
+def test_mmr_rank1_is_top1_and_reduces_redundancy(spark):
+    """Greedy MMR must (a) keep the single most-relevant neighbor as
+    rank 1, and (b) not select a MORE mutually-similar set than plain
+    top-k (the whole point of the diversity penalty)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        mmr_diversify,
+        topk_bruteforce,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    top = topk_bruteforce(q, emb, k=5)
+    mmr = mmr_diversify(q, emb, k=5, pool=20, lam=0.7)
+    top1 = {r.query_id: r.neighbor_id for r in top.collect() if r.rk == 1}
+    mmr1 = {r.query_id: r.neighbor_id for r in mmr.collect() if r.mmr_rank == 1}
+    assert top1 == mmr1
+
+    import numpy as np
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def set_redundancy(sel: dict[int, list[int]]) -> float:
+        tot = n = 0
+        for ids in sel.values():
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    va, vb = vecs[a], vecs[b]
+                    tot += float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                    n += 1
+        return tot / n
+
+    def collect_sets(df, rank_col):
+        out: dict[int, list[int]] = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, []).append(r.neighbor_id)
+        return out
+
+    red_top = set_redundancy(collect_sets(top, "rk"))
+    red_mmr = set_redundancy(collect_sets(mmr, "mmr_rank"))
+    assert red_mmr <= red_top + 1e-9, (red_mmr, red_top)
