@@ -636,3 +636,67 @@ def winnow_pairs(
             "containment",
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame, cents: list[list[float]], threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic
+    deduplication — cluster the corpus with spherical k-means, then
+    WITHIN each cluster drop every vector that has a lower-id neighbor
+    with cosine >= threshold (keep-first rule; no connected components
+    needed — the survivor set is exactly the ids with no smaller
+    near-duplicate, deterministic and order-free).
+
+    Returns (vec_id, cid, kept). The cluster pass is what makes this
+    scale: candidate pairs exist only within a cluster, so pair work is
+    sum(c_i^2) not n^2 — at 100 TB n_lists grows with the corpus
+    (n_lists ∝ √n, the IVF sizing rule) to keep cluster sizes bounded.
+    Cross-cluster near-dups are deliberately out of scope (the SemDeDup
+    approximation; the boundary loss is the banded-LSH path's job).
+    Plan: broadcast-centroid argmax assignment (the IVF building block)
+    + one within-cluster self-join + one distinct + one left_anti —
+    assignment is the only corpus-scale pass and it is map-side."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        _assign_clusters,
+        _centroid_table,
+        _corpus_with_unit,
+        _score,
+        _with_norm,
+        dot,
+    )
+
+    spark = corpus.sparkSession
+    _, cnormed = _corpus_with_unit(corpus)
+    assign = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    withv = assign.join(_with_norm(corpus, "vec_id", "emb", "nrm"), "vec_id")
+    a = withv.select(
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = withv.select(
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .withColumn(
+            "cs", _score(dot("a_emb", "b_emb"), F.col("a_nrm"), F.col("b_nrm"))
+        )
+        .filter(F.col("cs") >= threshold)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    kept_flag = assign.join(
+        dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cid",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )
+    return kept_flag.orderBy("vec_id")

@@ -14,6 +14,7 @@ from python_multiproc_bigdata_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     prefix_filter_jaccard_pairs,
+    semantic_dedup,
     simhash16,
     winnow_pairs,
 )
@@ -541,7 +542,83 @@ FROM nt CROSS JOIN nc CROSS JOIN hit
 """.format(sig_cols=_SIG_COLS, bands_sql=_BANDS_SQL)
 
 
+SEMDEDUP_CFG = dict(n_lists=16, max_iter=3, train_sample=4096, threshold=0.4)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — embedding-space semantic deduplication
+    (operators/dedup.py:semantic_dedup): spherical-k-means clusters
+    bound the pair search, keep-first within cluster at cosine >= 0.4
+    (the sim_neardup threshold, so the two dedup views agree on what
+    'near' means). Deterministic trainer → the oracle retrains the
+    identical 16 centroids (shared _centroid_values_literal) and
+    replays assignment, within-cluster pair scoring, and the
+    keep-first rule."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        train_spherical_kmeans_driver,
+    )
+
+    spark = prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cfg = SEMDEDUP_CFG
+    cents = train_spherical_kmeans_driver(
+        emb,
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    return semantic_dedup(emb, cents, threshold=cfg["threshold"])
+
+
+def make_semantic_dedup_oracle() -> str:
+    """Centroid-literal assignment (the make_ivf_kmeans_oracle CTEs) +
+    within-cluster lower-id pair check."""
+    from python_multiproc_bigdata_spark.registry.similarity import (
+        _centroid_values_literal,
+    )
+
+    cfg = SEMDEDUP_CFG
+    centroid_values = _centroid_values_literal(
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), cents(cid, c) AS (
+  VALUES {centroid_values}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM emb
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), withv AS (
+  SELECT a.vec_id, a.cid, e.e, e.nrm
+  FROM assign a JOIN emb e ON e.vec_id = a.vec_id
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM withv a JOIN withv b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+              THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+              ELSE 0.0 END, 4) >= {cfg["threshold"]!r}
+)
+SELECT s.vec_id, s.cid, (d.vec_id IS NULL) AS kept
+FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+ORDER BY s.vec_id
+"""
+
+
 REGISTRY = {
+    "dedup_semantic": QuerySpec(dedup_semantic, make_semantic_dedup_oracle),
     "eval_dedup_pr": QuerySpec(eval_dedup_pr, SQL_EVAL_DEDUP_PR),
     "dedup_exact": QuerySpec(dedup_exact, SQL_EXACT),
     "dedup_edit_distance_blocked": QuerySpec(

@@ -628,3 +628,31 @@ def test_mmr_rank1_is_top1_and_reduces_redundancy(spark):
     red_top = set_redundancy(collect_sets(top, "rk"))
     red_mmr = set_redundancy(collect_sets(mmr, "mmr_rank"))
     assert red_mmr <= red_top + 1e-9, (red_mmr, red_top)
+
+
+def test_semantic_dedup_keep_first_invariant(spark):
+    """Within a cluster, any near-dup pair (cosine >= threshold) must
+    have its HIGHER id dropped; the lowest vec_id in the corpus can
+    never be dropped; kept+dropped partitions the corpus."""
+    from python_multiproc_bigdata_spark.operators.dedup import semantic_dedup
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        neardup_pairs_cosine,
+        train_spherical_kmeans_driver,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_spherical_kmeans_driver(emb, n_lists=16, max_iter=3)
+    out = semantic_dedup(emb, cents, threshold=0.4).collect()
+    cid = {r.vec_id: r.cid for r in out}
+    kept = {r.vec_id: r.kept for r in out}
+    assert len(out) == emb.count()
+    assert kept[min(kept)] is True
+    pairs = neardup_pairs_cosine(emb, 0.4).collect()
+    same_cluster = [
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in pairs
+        if cid[r.id_a] == cid[r.id_b]
+    ]
+    assert same_cluster, "fixture should contain same-cluster near-dups"
+    for lo, hi in same_cluster:
+        assert kept[hi] is False, (lo, hi)
