@@ -677,7 +677,81 @@ ORDER BY lang, source, len_bucket
 """
 
 
+def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, ε=1,
+    sensitivity=1) over the (lang, source) marginal of documents — the
+    noised datasheet a corpus release publishes instead of exact
+    counts. The noise here is SEEDED (md5 of the group key → uniform in
+    (−1/2, 1/2) → inverse-CDF Laplace −(1/ε)·sgn(u)·ln(1−2|u|)) so the
+    release is reproducible and oracle-checkable; a production ε-DP
+    release must draw FRESH randomness per publication — the docstring
+    states this honestly; the MECHANISM arithmetic is what this query
+    pins.
+
+    The uniform comes from the first 12 md5 hex digits of
+    md5(lang || '|' || source) as a BIGINT via digit-wise strpos
+    arithmetic (exact integers — the same portable-hash trick as the
+    classifier's feature hash; no CONV()); concat is the
+    NULL-propagating form on both engines, so a null quasi-id nulls the
+    noise identically.
+    Plan: one groupBy over the marginal, then pure column math — at
+    100 TB the released relation is |langs|×|sources| rows."""
+    d = table(prep(spark), sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("true_n"))
+    digits = [
+        (
+            F.expr(
+                f"CAST(instr('0123456789abcdef', substring(md5(concat(lang, '|', source)), {i + 1}, 1)) - 1 AS BIGINT)"
+            )
+            * F.lit(16 ** (11 - i)).cast("long")
+        )
+        for i in range(12)
+    ]
+    u_int = digits[0]
+    for t in digits[1:]:
+        u_int = u_int + t
+    u = (u_int.cast("double") / F.lit(float(16**12))) - F.lit(0.5)
+    absu = F.abs(u)
+    noise = -F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * absu)
+    return (
+        counts.select(
+            "lang",
+            "source",
+            "true_n",
+            F.round(F.col("true_n") + noise, 4).alias("noised_n"),
+            F.lit(1.0).alias("epsilon"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _dp_sql() -> str:
+    digit_terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5(lang || '|' || source), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (11 - i)})"
+        for i in range(12)
+    )
+    return f"""
+WITH counts AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS true_n
+  FROM documents GROUP BY 1, 2
+), noised AS (
+  SELECT lang, source, true_n,
+         (CAST({digit_terms} AS DOUBLE) / {float(16**12)!r}) - 0.5 AS u
+  FROM counts
+)
+SELECT lang, source, true_n,
+       round(true_n + (-sign(u) * ln(1.0 - 2.0 * abs(u))), 4) AS noised_n,
+       1.0 AS epsilon
+FROM noised
+ORDER BY lang, source
+"""
+
+
+SQL_DP_NOISED = _dp_sql()
+
+
 REGISTRY = {
+    "privacy_dp_noised_counts": QuerySpec(privacy_dp_noised_counts, SQL_DP_NOISED),
     "privacy_k_anonymity": QuerySpec(privacy_k_anonymity, SQL_K_ANONYMITY),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),

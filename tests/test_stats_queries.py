@@ -232,3 +232,23 @@ def test_token_entropy_bounds(spark):
         assert 0.0 <= r.entropy_bits <= round(math.log2(r.n_types), 4) + 1e-9
         assert 0 < r.ttr <= 1.0
         assert r.n_types <= r.n_tokens
+
+
+def test_dp_noised_counts_mechanism(spark):
+    """Seeded-Laplace release: deterministic across runs, noise actually
+    applied (some groups move), and calibrated — for ε=1 the Laplace
+    scale is 1, so |noise| stays well under ~15 (P(|X|>15) = e^-15) and
+    the median |noise| sits near ln(2) ≈ 0.69."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        privacy_dp_noised_counts,
+    )
+
+    a = privacy_dp_noised_counts(spark, "/root/testdata/sf0.001").collect()
+    b = privacy_dp_noised_counts(spark, "/root/testdata/sf0.001").collect()
+    assert a == b
+    noises = [abs(r.noised_n - r.true_n) for r in a]
+    assert any(n > 0.01 for n in noises)
+    assert max(noises) < 15.0, max(noises)
+    noises.sort()
+    med = noises[len(noises) // 2]
+    assert 0.05 < med < 3.0, med
