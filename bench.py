@@ -121,6 +121,14 @@ HEADLINE = [
     "eval_dedup_pr",
     "text_unigram_vocab",
     "text_unigram_fertility",
+    # continuation-session additions: binary-quantized ANN, trained
+    # classifier gate, MMR serving selection, semantic dedup, DP release
+    "sim_topk_binary",
+    "curation_quality_classifier",
+    "sim_mmr_diversify",
+    "dedup_semantic",
+    "privacy_dp_noised_counts",
+    "eval_tokenizer_compare",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -231,6 +231,27 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # duplicated-ngram counters, output-shard write planning), plus
 # streaming_topk_serving (foreachBatch vector serving with the shared
 # generated centroid-literal oracle — full hash check).
+# Late-r5 rotation (continuation session): six NEW capability classes
+# built this session enter the window for first-time driver checks;
+# each demotion is r04-green on record with in-window family siblings:
+#   events_ewma_value (r04-green; events keeps session_window,
+#     gapfill_hourly, funnel_conversion) -> sim_topk_binary (NEW:
+#     1-bit binary-quantized ANN tier, generated hyperplane oracle)
+#   text_pmi_collocations (r04-green; text keeps bpe_merges, bm25_topk)
+#     -> curation_quality_classifier (NEW: trained hashed-BoW LR gate,
+#     oracle retrains via shared core)
+#   dedup_edit_distance_blocked (r04-green; dedup keeps prefix_filter,
+#     winnow, minhash_materialized, components) -> dedup_semantic
+#     (NEW: SemDeDup cluster-bounded embedding dedup)
+#   sim_pca_project (r04-green; sim keeps sq8_ivf, lsh_banded,
+#     ivf_kmeans, ivfpq) -> sim_mmr_diversify (NEW: pure-relational
+#     greedy MMR with k-stage CTE oracle)
+#   calendar_month_order_counts (r04-green; stats keeps
+#     layout_skipping_stats, cube_orders) -> privacy_dp_noised_counts
+#     (NEW: seeded-Laplace DP release)
+#   udaf_trimmed_mean_price (r04-green; advanced keeps
+#     func_udtf_char_ngrams, asof_click_to_nearest_view, dq_check_orders)
+#     -> eval_tokenizer_compare (NEW: BPE-vs-unigram fertility verdict)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
@@ -240,20 +261,20 @@ CHECKED_FIRST: tuple[str, ...] = (
     # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
     # are the hardest never-checked members, promoted r4)
     # events: sessionization, retention, trailing RANGE frame
-    "events_ewma_value",
+    "sim_topk_binary",
     "text_bpe_merges",
     # text analysis + profiling
     "streaming_funnel_stages",
-    "text_pmi_collocations",
+    "curation_quality_classifier",
     # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
     # both multiply r03-green)
-    "dedup_edit_distance_blocked",
+    "dedup_semantic",
     "dedup_prefix_filter_jaccard",
     # similarity search (bruteforce baseline, banded multi-table LSH,
     # k-means IVF — full-hash-checked since r4 via the generated
     # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
-    "sim_pca_project",
-    "udaf_trimmed_mean_price",
+    "sim_mmr_diversify",
+    "eval_tokenizer_compare",
     "sim_topk_sq8_ivf",
     "sim_topk_lsh_banded",
     "sim_topk_ivf_kmeans",
@@ -270,7 +291,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # stats panel
     "layout_skipping_stats",
     "cube_orders",
-    "calendar_month_order_counts",
+    "privacy_dp_noised_counts",
     # training-mix compositions (training_corpus_pipeline is the
     # end-to-end capstone: quality → dedup → decontaminate → quota)
     # + late-r4 promotions: runtime bloom pruning, funnel analytics
