@@ -1337,8 +1337,13 @@ def binary_signature(df: DataFrame, id_alias: str, p: str) -> DataFrame:
             "bit_id int, r array<double>",
         )
     )
+    # byte-light / CPU-heavy stage (|rows| x 256 HOF dot folds): pin the
+    # parallelism — a single-file parquet reads as 1-2 partitions and
+    # AQE coalesces by bytes, not CPU (the winnow/ngram-jaccard lesson;
+    # measured 5.5 s -> 2.8 s median at sf0.1 for the full binary query)
     bits = (
         df.select(F.col("vec_id").alias(id_alias), F.col("embedding").alias("_e"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .join(hyp)
         .select(
             id_alias,
@@ -1417,10 +1422,22 @@ def mmr_diversify(
 
     Scale shape: the expensive part is candidate generation (any ANN
     tier); this stage touches pool rows + pool² pair sims per query —
-    constant in corpus size. The pair-sim relation is persisted because
-    every step joins it."""
-    cand = topk_bruteforce(queries, corpus, k=pool).select(
-        "query_id", "neighbor_id", F.col("score").alias("rel")
+    constant in corpus size. BOTH small relations are materialized once
+    and coalesced to 1 partition (they are ≤ |queries|·pool² rows):
+    `cand` via an eager localCheckpoint — every greedy step references
+    it twice, and unpersisted the |corpus|×|queries| candidate crossJoin
+    replayed per step (measured 15.4 s → 5.5 s total at sf0.1) —
+    `pairsim` via persist; each step's pick is also localCheckpointed so
+    step N+1's job starts from N's tiny result, not the whole chained
+    plan. Steady-state split: ~2.9 s candidate+pairsim (corpus-scale,
+    the part an ANN tier replaces), ~2.6 s greedy loop (k−1 tiny jobs —
+    CONSTANT in corpus size; a pairsim-first broadcast reorder was
+    tried and measured SLOWER, 7.6 s, per-step broadcast builds)."""
+    cand = (
+        topk_bruteforce(queries, corpus, k=pool)
+        .select("query_id", "neighbor_id", F.col("score").alias("rel"))
+        .coalesce(1)  # <= |queries|*pool rows — one partition, one task/step
+        .localCheckpoint(eager=True)
     )
     cemb = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
     ce = cand.join(cemb, "neighbor_id").select(
@@ -1449,6 +1466,7 @@ def mmr_diversify(
                 "ps"
             ),
         )
+        .coalesce(1)
         .persist()
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
@@ -1488,7 +1506,9 @@ def mmr_diversify(
             .filter(F.col("_r") == 1)
             .select("query_id", "neighbor_id", "rel", F.lit(step).alias("mmr_rank"))
         )
-        selected = selected.unionByName(pick)
+        selected = (
+            selected.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
+        )
     return selected.select("query_id", "neighbor_id", "rel", "mmr_rank").orderBy(
         "query_id", "mmr_rank"
     )

@@ -342,3 +342,50 @@ def test_dup_ngram_totals_map_only(spark):
     assert opt.count("split(") == 3
     # the semi-join stays a semi-join (no row blowup shapes)
     assert "LeftSemi" in opt
+
+
+def test_binary_hamming_hyperplanes_broadcast_not_literal(spark):
+    """The 256-row hyperplane table must ship as a BroadcastExchange
+    (the measured planning-time trap: 256x64 literal trees cost seconds
+    to plan), and the Hamming stage must stay integer column math —
+    no Python stage anywhere."""
+    df = REGISTRY["sim_topk_binary"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "bit_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_scan_is_jvm_only(spark):
+    """Classifier scoring must be pure column math: the 256-weight model
+    joins as a broadcast, the scan carries only (doc_id, text), and no
+    Python evaluator appears (training is driver-side, NOT in the
+    plan)."""
+    df = REGISTRY["curation_quality_classifier"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "struct<doc_id:bigint,text:string>" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mmr_no_cartesian_and_rank1_topk(spark):
+    """The greedy steps must join candidates to pair-sims by key — never
+    a cartesian over the pool — and only the bounded candidate stage may
+    plan the bruteforce crossJoin (one per pairsim/cand tower)."""
+    df = REGISTRY["sim_mmr_diversify"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark):
+    """SemDeDup's pair stage must be the cid equi-join (cluster-bounded
+    pair work), with the centroid assignment as a broadcast — the only
+    allowed product is the |corpus| x n_lists assignment crossJoin."""
+    df = REGISTRY["dedup_semantic"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the within-cluster self-join is an equi-join on cid
+    assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan or (
+        "BroadcastHashJoin [cid" in plan
+    )
