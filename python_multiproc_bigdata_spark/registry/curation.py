@@ -5,7 +5,7 @@ cluster canonicalization. DuckDB oracles reproduce every value exactly
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.curation import (
@@ -800,7 +800,124 @@ ORDER BY doc_id
 """
 
 
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source datasheet a corpus release publishes (Datasheets
+    for Datasets / Dolma-style): doc and token counts, language-mix
+    entropy, quality-gate pass rate (the classifier's stopword-ratio
+    rule, so the datasheet and the trained gate agree on 'quality'),
+    and exact-duplicate rate. ALL per-document signals are map-side
+    column math (size/filter over the split token array — no explode),
+    followed by two bounded groupBys (|sources| and |sources|×|langs|
+    keys); the output is |sources| rows at any corpus scale."""
+    from python_multiproc_bigdata_spark.functions.text import (
+        WHITESPACE_RE,
+        doc_fingerprint,
+    )
+    from python_multiproc_bigdata_spark.operators.classifier import (
+        STOPWORD_RATIO_MIN,
+        STOPWORDS,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), WHITESPACE_RE), lambda x: F.length(x) > 0
+    )
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n_tok") > 0)
+                    & (
+                        F.col("n_stop").cast("double") / F.col("n_tok")
+                        >= STOPWORD_RATIO_MIN
+                    ),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("quality_pass_rate"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("exact_dup_rate"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ent = (
+        lang_counts.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("source"))
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log(F.col("c") / F.col("n"))
+                ),
+                4,
+            ).alias("lang_entropy")
+        )
+    )
+    return base.join(ent, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "quality_pass_rate",
+        "exact_dup_rate",
+        "lang_entropy",
+    ).orderBy("source")
+
+
+SQL_DATASHEET = r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                         x -> length(x) > 0)) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                         x -> length(x) > 0 AND x IN ('the', 'a'))) AS n_stop,
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp
+  FROM documents
+), base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         round(avg(n_tok), 4) AS avg_tokens,
+         round(avg(CASE WHEN n_tok > 0
+                         AND CAST(n_stop AS DOUBLE) / n_tok >= 0.06
+                        THEN 1.0 ELSE 0.0 END), 4) AS quality_pass_rate,
+         round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 4)
+           AS exact_dup_rate
+  FROM per_doc GROUP BY source
+), lc AS (
+  SELECT source, lang, count(*) AS c FROM per_doc GROUP BY 1, 2
+), ent AS (
+  SELECT source,
+         round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS lang_entropy
+  FROM (SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS n FROM lc)
+  GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.avg_tokens,
+       b.quality_pass_rate, b.exact_dup_rate, e.lang_entropy
+FROM base b JOIN ent e USING (source)
+ORDER BY b.source
+"""
+
+
 REGISTRY = {
+    "corpus_datasheet": QuerySpec(corpus_datasheet, SQL_DATASHEET),
     "curation_quality_classifier": QuerySpec(
         curation_quality_classifier, make_quality_classifier_oracle
     ),

@@ -457,3 +457,27 @@ def test_quality_classifier_trainer_is_deterministic(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert train_quality_lr_driver(docs) == train_quality_lr_driver(docs)
+
+
+def test_corpus_datasheet_invariants(spark):
+    """Entropy bounded by ln(#langs in the source), rates in [0,1],
+    token totals consistent with doc counts."""
+    import math
+
+    from python_multiproc_bigdata_spark.registry.curation import corpus_datasheet
+
+    rows = corpus_datasheet(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    langs_per_source = {
+        r.source: r.nl
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("lang").alias("nl"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.quality_pass_rate <= 1.0
+        assert 0.0 <= r.exact_dup_rate <= 1.0
+        assert -1e-9 <= r.lang_entropy <= math.log(langs_per_source[r.source]) + 1e-6
+        assert r.total_tokens >= r.n_docs  # every fixture doc has tokens
+        assert abs(r.avg_tokens - r.total_tokens / r.n_docs) < 0.01
