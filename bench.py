@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_semantic",
     "privacy_dp_noised_counts",
     "eval_tokenizer_compare",
+    "corpus_datasheet",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

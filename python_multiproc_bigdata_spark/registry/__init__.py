@@ -252,6 +252,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   udaf_trimmed_mean_price (r04-green; advanced keeps
 #     func_udtf_char_ngrams, asof_click_to_nearest_view, dq_check_orders)
 #     -> eval_tokenizer_compare (NEW: BPE-vs-unigram fertility verdict)
+#   layout_skipping_stats (r04-green; layout keeps zorder_lineitem_layout
+#     + layout_skipping_hilbert) -> corpus_datasheet (NEW: per-source
+#     release datasheet rollup)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
@@ -289,7 +292,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "dq_check_orders",
     # multimodal plumbing
     # stats panel
-    "layout_skipping_stats",
+    "corpus_datasheet",
     "cube_orders",
     "privacy_dp_noised_counts",
     # training-mix compositions (training_corpus_pipeline is the
