@@ -409,12 +409,78 @@ def streaming_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(odir)
 
 
+def streaming_classifier_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model serving in Structured Streaming: documents arrive
+    as a stream (two micro-batches via maxFilesPerTrigger=1) and each
+    batch is scored by the quality classifier inside foreachBatch — the
+    online form of curation_quality_classifier. The model is trained
+    ONCE on the static corpus before the stream starts (the offline-
+    train / online-score split every serving stack uses); per-doc score
+    depends only on that doc and the broadcast weights, so the streamed
+    union equals the one-shot batch answer and the SAME generated
+    retraining oracle checks this query hash-exact.
+
+    Scale: weights are 256 doubles broadcast once per batch; each
+    micro-batch costs O(|batch| tokens) map-side work — the streaming
+    twin inherits the batch plan's whole-stage-codegen scoring."""
+    import os
+    import tempfile
+
+    from python_multiproc_bigdata_spark.operators.classifier import (
+        score_quality_lr,
+        train_quality_lr_driver,
+    )
+
+    spark = prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    w, b = train_quality_lr_driver(docs)
+    root = tempfile.mkdtemp(prefix="spark_graft_clf_serve_")
+    ddir = os.path.join(root, "docs")
+    odir = os.path.join(root, "out")
+    for m in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(ddir)
+
+    def serve(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        score_quality_lr(batch_df, w, b).write.mode("append").parquet(odir)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ddir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return spark.read.parquet(odir).orderBy("doc_id")
+
+
+def _classifier_serving_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.curation import (
+        make_quality_classifier_oracle,
+    )
+
+    return make_quality_classifier_oracle()
+
+
 REGISTRY = {
     # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
     # per-query top-k is micro-batch-invariant, so the streamed union
     # must equal the one-shot batch answer value-for-value
     "streaming_topk_serving": QuerySpec(
         streaming_topk_serving, make_ivf_kmeans_oracle
+    ),
+    # same generated retraining oracle as curation_quality_classifier:
+    # per-doc scores are micro-batch-invariant
+    "streaming_classifier_serving": QuerySpec(
+        streaming_classifier_serving, _classifier_serving_oracle
     ),
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
     "streaming_transition_counts": QuerySpec(
