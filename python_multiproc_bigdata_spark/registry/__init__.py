@@ -225,6 +225,12 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # split_kfold_assign, text_bpe_encode_stats, events_mad_outliers,
 # asof_click_to_next_view, events_max_concurrency, split_leakage_safe,
 # dedup_source_overlap, events_top_session_paths, stats_ab_ttest,
+# streaming_classifier_serving (offline-train/online-score foreachBatch
+# twin of the in-window curation_quality_classifier, shares its
+# generated retraining oracle), layout_skipping_stats +
+# events_ewma_value + text_pmi_collocations + dedup_edit_distance_blocked
+# + sim_pca_project + calendar_month_order_counts +
+# udaf_trimmed_mean_price (all multiply driver-green, demoted late-r5),
 # and the late-r5 additions privacy_k_anonymity, curation_gopher_gate,
 # curation_dup_ngram_fraction, training_shard_manifest (each a new
 # capability class: privacy audit, Gopher document gate, cross-corpus
