@@ -389,3 +389,58 @@ def test_semantic_dedup_pairs_only_within_cluster(spark):
     assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan or (
         "BroadcastHashJoin [cid" in plan
     )
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Live evidence that AQE's runtime skew-join split actually fires
+    (session.py enables it; salting in operators/skew.py is the
+    pre-shuffle alternative): a 90%-hot key sort-merge joined under
+    lowered thresholds must show `SortMergeJoin(skew=true)` and a
+    `skewed` AQEShuffleRead in the FINAL adaptive plan. Gotchas this
+    test encodes: the final plan only exists on the EXECUTED frame's
+    own queryExecution (a noop write runs a separate one); a post-join
+    filter would push below the join and drain the skew, so the probe
+    aggregates instead; and the downstream agg means the split adds a
+    shuffle, so forceOptimizeSkewedJoin must be on. Configs are
+    try/finally-restored (the nanosAsLong discipline)."""
+    conf = spark.conf
+    keys = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2"),
+        ("spark.sql.adaptive.forceOptimizeSkewedJoin", "true"),
+    ]
+    saved = {}
+    for k, _ in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            saved[k] = None
+    try:
+        for k, v in keys:
+            conf.set(k, v)
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        assert len(j.collect()) == 97
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in final, final[:2000]
+        assert "skewed" in final  # the AQEShuffleRead split marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
