@@ -689,6 +689,65 @@ SELECT query_id, neighbor_id, score, rk FROM (
 """
 
 
+def eval_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked ANN quality: recall@3 of the binary-quantized tier
+    against the exact brute-force top-3, as ONE driver-gated row
+    (n_queries, n_hits, recall) — RECALL.json's headline number for this
+    tier promoted from a tool measurement to a value-checked query. The
+    oracle replays BOTH towers (the binary chain via the shared
+    hyperplane literals, the exact chain via the cosine CTE) and the
+    same intersection arithmetic."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = topk_bruteforce(queries, emb, k=3).select("query_id", "neighbor_id")
+    binary = topk_binary_hamming(queries, emb, k=3, rerank=BINARY_RERANK).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(binary, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.crossJoin(hits).select(
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_3"),
+    )
+
+
+def make_binary_recall_oracle() -> str:
+    """Both towers as CTEs: the generated binary oracle nests verbatim
+    (DuckDB allows WITH inside a CTE subquery), the exact tower is the
+    k=3 cosine chain."""
+    binary_sql = make_binary_oracle()
+    return f"""
+WITH bin AS (
+{binary_sql}
+), emb2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN q.nrm > 0 AND c.nrm > 0
+                   THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                   ELSE 0.0 END, 4) AS score
+      FROM emb2 q JOIN emb2 c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES})) WHERE rk <= 3
+), hits AS (
+  SELECT count(*) AS n_hits
+  FROM ex JOIN bin USING (query_id, neighbor_id)
+), tot AS (SELECT count(*) AS n_exact FROM ex)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / n_exact, 4) AS recall_at_3
+FROM tot CROSS JOIN hits
+"""
+
+
 SQ8_IVF_RERANK = 10
 
 
@@ -1475,6 +1534,7 @@ REGISTRY = {
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
     "sim_topk_binary": QuerySpec(sim_topk_binary, make_binary_oracle),
     "sim_mmr_diversify": QuerySpec(sim_mmr_diversify, SQL_MMR_DIVERSIFY),
+    "eval_binary_recall": QuerySpec(eval_binary_recall, make_binary_recall_oracle),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
