@@ -916,8 +916,95 @@ ORDER BY b.source
 """
 
 
+def training_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (one excess-loss round): score
+    every source by its token-weighted bigram-LM cross entropy, compute
+    each source's EXCESS loss over the corpus mean, and reweight
+    w_s ∝ share_s · exp(excess_s) — harder-than-average domains get
+    upsampled, the published DoReMi direction (T=1). Composes the
+    existing per-doc LM relation (curation_bigram_logprob), so the
+    scoring tower stays independently oracle-checked; everything after
+    it is a |sources|-row rollup.
+
+    Determinism: source entropy is the n-weighted mean of the per-doc
+    4dp-ROUNDED xents, itself rounded to 4dp, and the excess/weight
+    arithmetic runs on those rounded values on both engines — the
+    only cross-engine float risk left is exp()'s last ulp, absorbed by
+    the final 4dp round."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    perdoc = bigram_logprob_score(d)
+    j = perdoc.join(d.select("doc_id", "source"), "doc_id")
+    src = j.groupBy("source").agg(
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("xent2_nats") * F.col("n_bigrams")) / F.sum("n_bigrams"),
+            4,
+        ).alias("xent_nats"),
+    )
+    tot = src.agg(
+        F.sum("n_bigrams").alias("_tn"),
+        F.round(
+            F.sum(F.col("xent_nats") * F.col("n_bigrams")) / F.sum("n_bigrams"),
+            4,
+        ).alias("_mean_x"),
+    )
+    w = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_bigrams") / F.col("_tn"))
+        .withColumn("excess_nats", F.round(F.col("xent_nats") - F.col("_mean_x"), 4))
+        .withColumn("_raw", F.col("share") * F.exp(F.col("excess_nats")))
+    )
+    wsum = w.agg(F.sum("_raw").alias("_ws"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_bigrams",
+            "xent_nats",
+            "excess_nats",
+            F.round(F.col("_raw") / F.col("_ws"), 4).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_REWEIGHT = (
+    "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n)"
+    + r"""
+, src AS (
+  SELECT d.source, CAST(sum(p.n_bigrams) AS BIGINT) AS n_bigrams,
+         round(sum(p.xent2_nats * p.n_bigrams) / sum(p.n_bigrams), 4)
+           AS xent_nats
+  FROM perdoc p JOIN documents d USING (doc_id)
+  GROUP BY d.source
+), tot AS (
+  SELECT sum(n_bigrams) AS tn,
+         round(sum(xent_nats * n_bigrams) / sum(n_bigrams), 4) AS mean_x
+  FROM src
+), w AS (
+  SELECT s.source, s.n_bigrams, s.xent_nats,
+         round(s.xent_nats - t.mean_x, 4) AS excess_nats,
+         (s.n_bigrams * 1.0 / t.tn) * exp(round(s.xent_nats - t.mean_x, 4))
+           AS raw
+  FROM src s CROSS JOIN tot t
+)
+SELECT source, n_bigrams, xent_nats, excess_nats,
+       round(raw / (SELECT sum(raw) FROM w), 4) AS weight
+FROM w
+ORDER BY source
+"""
+)
+
+
 REGISTRY = {
     "corpus_datasheet": QuerySpec(corpus_datasheet, SQL_DATASHEET),
+    "training_domain_reweight": QuerySpec(
+        training_domain_reweight, SQL_DOMAIN_REWEIGHT
+    ),
     "curation_quality_classifier": QuerySpec(
         curation_quality_classifier, make_quality_classifier_oracle
     ),

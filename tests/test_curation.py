@@ -481,3 +481,20 @@ def test_corpus_datasheet_invariants(spark):
         assert -1e-9 <= r.lang_entropy <= math.log(langs_per_source[r.source]) + 1e-6
         assert r.total_tokens >= r.n_docs  # every fixture doc has tokens
         assert abs(r.avg_tokens - r.total_tokens / r.n_docs) < 0.01
+
+
+def test_domain_reweight_direction_and_normalization(spark):
+    """DoReMi direction: weights sum to ~1, and the highest-excess
+    source gets weight ABOVE its raw share (upsampled) while the
+    lowest-excess source goes below its share."""
+    from python_multiproc_bigdata_spark.registry.curation import (
+        training_domain_reweight,
+    )
+
+    rows = training_domain_reweight(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 0.01
+    tot = sum(r.n_bigrams for r in rows)
+    hardest = max(rows, key=lambda r: r.excess_nats)
+    easiest = min(rows, key=lambda r: r.excess_nats)
+    assert hardest.weight > hardest.n_bigrams / tot
+    assert easiest.weight < easiest.n_bigrams / tot
