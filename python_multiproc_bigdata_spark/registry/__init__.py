@@ -261,6 +261,16 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   layout_skipping_stats (r04-green; layout keeps zorder_lineitem_layout
 #     + layout_skipping_hilbert) -> corpus_datasheet (NEW: per-source
 #     release datasheet rollup)
+#   bloom_pruned_urgent_revenue (r04-green; bloom_filtered_join stays)
+#     -> eval_ivf_recall (NEW: the registered IVF config's recall@k vs
+#     exact, driver-gated — guards the flagship serving tier)
+#   events_funnel_conversion (r04-green; events keeps session_window,
+#     gapfill_hourly + streaming_funnel_stages is the funnel sibling)
+#     -> training_domain_reweight (NEW: DoReMi excess-loss reweighting)
+#   dedup_minhash_lsh_materialized (r04-green; dedup keeps
+#     prefix_filter, winnow, components, semantic) ->
+#     streaming_classifier_serving (NEW: foreachBatch offline-train/
+#     online-score, shares the classifier's retraining oracle)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
@@ -307,8 +317,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     "curation_bigram_logprob",
     "bloom_filtered_join",
     "training_corpus_pipeline",
-    "events_funnel_conversion",
-    "bloom_pruned_urgent_revenue",
+    "training_domain_reweight",
+    "eval_ivf_recall",
     # sequence packing (training-batch construction: concat-then-chunk
     # prefix-sum + first-fit-sequential applyInPandas fold with a
     # recursive-CTE oracle replaying the identical fold)
@@ -318,7 +328,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # dup-cluster canonicalization; repetition signals demoted r4 —
     # r03-green)
     "curation_pagerank_quality",
-    "dedup_minhash_lsh_materialized",
+    "streaming_classifier_serving",
     "dedup_components_canonical",
     # round-5 promotions (see rotation log above)
     "q7_volume_shipping",
