@@ -750,7 +750,243 @@ ORDER BY lang, source
 SQL_DP_NOISED = _dp_sql()
 
 
+CMS_ROWS = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def stats_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters with an EXACT oracle — the
+    mergeable-sketch class done deterministically: 4 md5-derived hash
+    rows × 256 buckets (the distributive-aggregate shape — each
+    executor's partial sketch merges by cell-wise SUM, exactly like a
+    partial count), then the true top-20 tokens' estimates read back as
+    min over rows, with the CMS ≥-truth guarantee surfaced as a column.
+    Unlike RNG-seeded sketch libraries, md5 hashing makes the whole
+    sketch bit-replayable in SQL, so the driver gate value-checks a
+    SKETCH — complementing the rows-only approx_count_distinct entries.
+
+    Plan: one token explode feeding (a) the exact counts groupBy and
+    (b) the 4×-amplified sketch groupBy onto a 1024-cell relation; the
+    readback joins 20×4 rows. At 100 TB the sketch build is the only
+    corpus-scale pass and it partial-aggregates map-side."""
+    from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
+
+    d = table(prep(spark), sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("token")
+    ).filter(F.length("token") > 0)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    wtop = Window.orderBy(F.desc("true_n"), F.asc("token"))
+    top = (
+        exact.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= CMS_TOPK)
+        .select("token", "true_n", "rk")
+    )
+    rows = toks.select(
+        "token", F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r")
+    )
+    d1 = F.expr(
+        "instr('0123456789abcdef', substring(md5(concat('cms', r, '|', token)), 1, 1)) - 1"
+    )
+    d2 = F.expr(
+        "instr('0123456789abcdef', substring(md5(concat('cms', r, '|', token)), 2, 1)) - 1"
+    )
+    cms = (
+        rows.select("r", ((F.lit(16) * d1 + d2) % CMS_WIDTH).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    probe = top.select(
+        "token",
+        "true_n",
+        "rk",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r"),
+    ).select(
+        "token",
+        "true_n",
+        "rk",
+        "r",
+        ((F.lit(16) * d1 + d2) % CMS_WIDTH).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("token", "true_n", "rk")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_n")).alias("is_overestimate"),
+    ).orderBy(F.asc("rk"))
+
+
+SQL_COUNTMIN = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                x -> length(x) > 0)) AS token
+  FROM documents
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_n FROM toks GROUP BY token
+), top AS (
+  SELECT token, true_n, rk FROM (
+    SELECT token, true_n,
+           row_number() OVER (ORDER BY true_n DESC, token ASC) AS rk
+    FROM exact) WHERE rk <= 20
+), amp AS (
+  SELECT token, r FROM toks CROSS JOIN range(4) t(r)
+), cms AS (
+  SELECT r,
+         (16 * (strpos('0123456789abcdef',
+                       substr(md5('cms' || r || '|' || token), 1, 1)) - 1)
+          + (strpos('0123456789abcdef',
+                    substr(md5('cms' || r || '|' || token), 2, 1)) - 1)) % 256
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM amp GROUP BY 1, 2
+), probe AS (
+  SELECT t.token, t.true_n, t.rk, r.r,
+         (16 * (strpos('0123456789abcdef',
+                       substr(md5('cms' || r.r || '|' || t.token), 1, 1)) - 1)
+          + (strpos('0123456789abcdef',
+                    substr(md5('cms' || r.r || '|' || t.token), 2, 1)) - 1)) % 256
+           AS bucket
+  FROM top t CROSS JOIN range(4) r(r)
+)
+SELECT p.token, p.true_n, min(c.cell) AS cms_est,
+       min(c.cell) >= p.true_n AS is_overestimate
+FROM probe p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.token, p.true_n, p.rk
+ORDER BY p.rk ASC
+"""
+
+
+HLL_P = 8  # 256 buckets; standard error ~1.04/sqrt(256) = 6.5%
+
+
+def stats_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog implemented PORTABLY in column math with an exact
+    oracle — upgrading the sketch class from rows-only
+    (approx_count_distinct, whose JVM-internal xxhash the oracle cannot
+    replay) to value-checked: bucket = first 2 md5 hex digits (p=8),
+    rho = leading-zero count of the next 48 bits + 1 (via 49 −
+    length(bin(v)), the zero word pinning rho = 49), registers = per-
+    bucket MAX(rho) (distributive — partial-aggregates map-side like
+    any max), raw estimate = α·m²/Σ2^(−M_j) with empty buckets
+    contributing 2^0 (no small-range correction — RAW HLL, identically
+    replayed on both engines). Emits the estimate next to the exact
+    distinct count and the relative error; the 6.5%-σ bound is pinned
+    in tests."""
+    from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
+
+    d = table(prep(spark), sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("token"))
+        .filter(F.length("token") > 0)
+        .select("token")
+        .distinct()  # HLL state depends only on the distinct hash set
+    )
+    h = F.md5(F.col("token"))
+    digits = [
+        F.expr(
+            f"CAST(instr('0123456789abcdef', substring(md5(token), {i + 1}, 1)) - 1 AS BIGINT)"
+        )
+        for i in range(14)
+    ]
+    bucket = (digits[0] * 16 + digits[1]).cast("int")
+    v = None
+    for i in range(2, 14):
+        t = digits[i] * F.lit(16 ** (13 - i)).cast("long")
+        v = t if v is None else v + t
+    rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v)))
+    regs = (
+        toks.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    filled = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    exact = toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    _ = h  # md5 is inlined digit-wise above (portable strpos arithmetic)
+    raw = F.lit(alpha * m * m) / (
+        F.col("_s") + (F.lit(m) - F.col("_nb")) * F.lit(1.0)
+    )
+    empties = F.lit(m) - F.col("_nb")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (empties > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empties),
+    ).otherwise(raw)
+    return (
+        filled.crossJoin(exact)
+        .select(
+            "exact_distinct",
+            F.round(corrected, 1).alias("hll_estimate"),
+        )
+        .select(
+            "exact_distinct",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+SQL_HLL_PORTABLE = rf"""
+WITH toks AS (
+  SELECT DISTINCT unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+           x -> length(x) > 0)) AS token
+  FROM documents
+), hashed AS (
+  SELECT token,
+         CAST((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
+              AS INTEGER) AS bucket,
+         CAST({" + ".join(
+             f"(strpos('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1)"
+             f" * {16 ** (13 - i)}"
+             for i in range(2, 14)
+         )} AS BIGINT) AS v
+  FROM toks
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS m
+  FROM hashed GROUP BY bucket
+), agg AS (
+  SELECT sum(power(2.0, -m)) AS s, count(*) AS nb FROM regs
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM toks
+)
+SELECT exact_distinct,
+       round(est, 1) AS hll_estimate,
+       round(abs(round(est, 1) - exact_distinct) / exact_distinct, 4)
+         AS rel_error
+FROM (
+  SELECT exact_distinct,
+         CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+              THEN 256.0 * ln(256.0 / (256 - nb))
+              ELSE raw END AS est
+  FROM (
+    SELECT exact_distinct, nb,
+           CAST({0.7213 / (1.0 + 1.079 / 256)!r} AS DOUBLE) * 256 * 256
+             / (s + (256 - nb) * 1.0) AS raw
+    FROM agg CROSS JOIN ex))
+"""
+
+
 REGISTRY = {
+    "stats_hll_portable": QuerySpec(stats_hll_portable, SQL_HLL_PORTABLE),
+    "stats_countmin_heavy_hitters": QuerySpec(
+        stats_countmin_heavy_hitters, SQL_COUNTMIN
+    ),
     "privacy_dp_noised_counts": QuerySpec(privacy_dp_noised_counts, SQL_DP_NOISED),
     "privacy_k_anonymity": QuerySpec(privacy_k_anonymity, SQL_K_ANONYMITY),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),

@@ -252,3 +252,28 @@ def test_dp_noised_counts_mechanism(spark):
     noises.sort()
     med = noises[len(noises) // 2]
     assert 0.05 < med < 3.0, med
+
+
+def test_countmin_never_underestimates_and_is_tight(spark):
+    """The CMS >= truth guarantee must hold on every probed token, and
+    with 4x256 cells vs a ~10k-token stream the top-20 estimates should
+    be within 3x of truth (collision load factor ~40/256 per row)."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        stats_countmin_heavy_hitters,
+    )
+
+    rows = stats_countmin_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.is_overestimate and r.cms_est >= r.true_n
+        assert r.cms_est <= 3 * r.true_n, (r.token, r.true_n, r.cms_est)
+
+
+def test_hll_portable_error_within_bound(spark):
+    """Raw HLL at p=8 has sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma.
+    Also sanity: the estimate is positive and scales with the corpus."""
+    from python_multiproc_bigdata_spark.registry.stats import stats_hll_portable
+
+    r = stats_hll_portable(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.exact_distinct > 0 and r.hll_estimate > 0
+    assert r.rel_error <= 0.195, (r.exact_distinct, r.hll_estimate, r.rel_error)
