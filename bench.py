@@ -130,6 +130,11 @@ HEADLINE = [
     "privacy_dp_noised_counts",
     "eval_tokenizer_compare",
     "corpus_datasheet",
+    "stats_countmin_heavy_hitters",
+    "stats_hll_portable",
+    "eval_binary_recall",
+    "eval_ivf_recall",
+    "training_domain_reweight",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

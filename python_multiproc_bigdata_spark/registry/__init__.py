@@ -271,6 +271,12 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     prefix_filter, winnow, components, semantic) ->
 #     streaming_classifier_serving (NEW: foreachBatch offline-train/
 #     online-score, shares the classifier's retraining oracle)
+#   cube_orders (r04-green; the relational surface keeps grouping-sets
+#     siblings q7/q9/q15/q20/q8/q17/q21 in-window) ->
+#     stats_countmin_heavy_hitters (NEW: value-checked CMS sketch)
+#   curation_bigram_logprob (r04-green; its LM tower stays in-window
+#     INSIDE training_domain_reweight, which composes it) ->
+#     stats_hll_portable (NEW: value-checked portable HLL)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_triangle_copurchase",
@@ -309,12 +315,12 @@ CHECKED_FIRST: tuple[str, ...] = (
     # multimodal plumbing
     # stats panel
     "corpus_datasheet",
-    "cube_orders",
+    "stats_countmin_heavy_hitters",
     "privacy_dp_noised_counts",
     # training-mix compositions (training_corpus_pipeline is the
     # end-to-end capstone: quality → dedup → decontaminate → quota)
     # + late-r4 promotions: runtime bloom pruning, funnel analytics
-    "curation_bigram_logprob",
+    "stats_hll_portable",
     "bloom_filtered_join",
     "training_corpus_pipeline",
     "training_domain_reweight",
