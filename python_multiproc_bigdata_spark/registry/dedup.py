@@ -617,7 +617,133 @@ ORDER BY s.vec_id
 """
 
 
+CDC_WINDOW = 8  # rolling-window width (chars)
+CDC_ANCHOR_HEX = "0"  # anchor where md5(window) starts with this → ~1/16 rate
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): chunk
+    boundaries are set by CONTENT (positions whose 8-char window hashes
+    into the anchor class, ~1/16 of positions), not by offset — so an
+    insertion early in a document shifts only the chunk it lands in,
+    and identical passages chunk identically in every document. The
+    storage-dedup primitive under every chunk store.
+
+    Per doc: (doc_id, n_chunks, n_shared_chunks, shared_frac) where a
+    chunk is 'shared' if its md5 appears in ≥2 distinct docs. Pure
+    relational: one position explode for anchor detection (O(chars),
+    map-side), per-doc boundary array assembly (sort_array over ≤
+    chars/16 anchors), chunk hashing via a transform HOF, one
+    chunk-hash groupBy. Min/max chunk-size gating (real FastCDC) is a
+    filter at the anchor stage — omitted here to keep the oracle
+    replay 1:1. DuckDB replays every stage (1-based substr on both
+    engines)."""
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    pos = d.select(
+        "doc_id",
+        F.col("text"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - (CDC_WINDOW - 1), F.lit(1)),
+            )
+        ).alias("p"),
+    )
+    anchors = pos.filter(
+        F.substring(F.md5(F.substring(F.col("text"), F.col("p"), CDC_WINDOW)), 1, 1)
+        == CDC_ANCHOR_HEX
+    ).filter(F.col("p") > 1)
+    bounds = anchors.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("p")).alias("cuts")
+    )
+    withb = (
+        d.join(bounds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.array(F.lit(1)),
+                F.coalesce("cuts", F.array()),
+                F.array(F.length("text") + 1),
+            ).alias("b"),
+        )
+    )
+    chunks = withb.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("b") - 1),
+                lambda i: F.md5(
+                    F.substring(
+                        F.col("text"),
+                        F.element_at(F.col("b"), i),
+                        F.element_at(F.col("b"), i + 1)
+                        - F.element_at(F.col("b"), i),
+                    )
+                ),
+            )
+        ).alias("ch"),
+    )
+    docfreq = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        chunks.join(docfreq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared_chunks",
+        F.round(F.col("n_shared_chunks") / F.col("n_chunks"), 4).alias(
+            "shared_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_CDC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+), anchors AS (
+  SELECT doc_id, list_sort(list_filter(
+           list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                          p -> CASE WHEN substr(md5(substr(text, p, 8)), 1, 1) = '0'
+                                     AND p > 1
+                               THEN p ELSE NULL END),
+           x -> x IS NOT NULL)) AS cuts
+  FROM d
+), withb AS (
+  SELECT d.doc_id, d.text,
+         list_concat(list_concat([1], a.cuts), [length(d.text) + 1]) AS b
+  FROM d JOIN anchors a USING (doc_id)
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(b)),
+                i -> md5(substr(text, b[i], b[i+1] - b[i])))) AS ch
+  FROM withb
+), docfreq AS (
+  SELECT ch, count(DISTINCT doc_id) AS df FROM chunks GROUP BY ch
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       round(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS shared_frac
+FROM chunks c JOIN docfreq f USING (ch)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 REGISTRY = {
+    "dedup_cdc_chunks": QuerySpec(dedup_cdc_chunks, SQL_CDC_CHUNKS),
     "dedup_semantic": QuerySpec(dedup_semantic, make_semantic_dedup_oracle),
     "eval_dedup_pr": QuerySpec(eval_dedup_pr, SQL_EVAL_DEDUP_PR),
     "dedup_exact": QuerySpec(dedup_exact, SQL_EXACT),

@@ -656,3 +656,42 @@ def test_semantic_dedup_keep_first_invariant(spark):
     assert same_cluster, "fixture should contain same-cluster near-dups"
     for lo, hi in same_cluster:
         assert kept[hi] is False, (lo, hi)
+
+
+def test_cdc_chunks_shift_invariance():
+    """The property that makes content-defined chunking worth having:
+    prepending a byte shifts every OFFSET but almost no chunk — only
+    the prefix chunk (up to the first anchor) may change, because
+    boundaries are content-derived. Verified on the oracle's own chunk
+    arithmetic (engine parity is the driver gate's job)."""
+    import duckdb
+
+    base = duckdb.sql(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0]
+    chunk_sql = """
+    WITH d(text) AS (VALUES (?)),
+    anchors AS (
+      SELECT list_sort(list_filter(
+               list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                              p -> CASE WHEN substr(md5(substr(text, p, 8)), 1, 1) = '0'
+                                         AND p > 1
+                                   THEN p ELSE NULL END),
+               x -> x IS NOT NULL)) AS cuts, text
+      FROM d
+    )
+    SELECT unnest(list_transform(range(1, len(b)),
+                  i -> md5(substr(text, b[i], b[i+1] - b[i])))) AS ch
+    FROM (SELECT text,
+                 list_concat(list_concat([1], cuts), [length(text) + 1]) AS b
+          FROM anchors)
+    """
+    a = [r[0] for r in duckdb.sql(chunk_sql, params=[base]).fetchall()]
+    b = [r[0] for r in duckdb.sql(chunk_sql, params=["X" + base]).fetchall()]
+    assert len(a) > 3, "fixture doc too short to exercise chunking"
+    from collections import Counter
+
+    shared = sum((Counter(a) & Counter(b)).values())
+    # everything except the (changed) prefix chunk must survive the shift
+    assert shared >= len(a) - 1, (len(a), len(b), shared)
