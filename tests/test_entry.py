@@ -48,20 +48,20 @@ def test_checked_window_is_curated():
         "training_pack_greedy", "sim_topk_lsh_banded",
         # round-3 promotions (swap log in registry/__init__.py)
         "dq_check_orders",
-        "calendar_month_order_counts",
+        
         # round-4 promotions: never-driver-checked tail + the composed
         # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
         # their surfaces now carry through sim_topk_ivf_kmeans /
         # sim_topk_sq8_ivf, both full-hash-checked)
         "sim_topk_sq8_ivf", 
-        "cube_orders", 
+        
         # late-round-4 promotions (new capability classes; demoted
         # sim_neardup_cosine / quota_sample_per_lang /
         # curation_repetition_signals / training_temperature_mix /
         # dedup_exact are all multiply-driver-green with in-window
         # family siblings — swap log in registry/__init__.py)
-        "dedup_edit_distance_blocked", "zorder_lineitem_layout",
-        "bloom_filtered_join", "events_funnel_conversion",
+        "zorder_lineitem_layout",
+        "bloom_filtered_join", 
         "curation_pagerank_quality",
         # continuation-session promotions (new capability classes;
         # demoted words_first_position / q1_pricing_summary /
@@ -69,15 +69,15 @@ def test_checked_window_is_curated():
         # training_mix_by_lang are all multiply-driver-green with
         # in-window family siblings — swap log in registry/__init__.py)
         "graph_triangle_copurchase", 
-        "events_ewma_value", "layout_skipping_stats",
-        "curation_bigram_logprob",
+        
+        
         # second-continuation promotions (6 new capability classes;
         # demoted words_duplicate_occurrences / text_quality /
         # streaming_click_view_join / sim_topk_bruteforce /
         # udaf_median_acctbal / dedup_minhash_lsh are all r03-green with
         # in-window family siblings — swap log in registry/__init__.py)
-        "dedup_winnow_pairs", "text_pmi_collocations",
-        "text_bpe_merges", "sim_pca_project",
+        "dedup_winnow_pairs", 
+        "text_bpe_merges", 
         "func_udtf_char_ngrams", 
         # end-of-round-4 promotions (8 never-checked capability classes;
         # demoted profile_documents / sim_knn_classify /
@@ -86,10 +86,10 @@ def test_checked_window_is_curated():
         # cdc_upsert_customers / semantic_only_neardups are all
         # r03-green with in-window family siblings — swap log in
         # registry/__init__.py)
-        "streaming_funnel_stages", "udaf_trimmed_mean_price",
-        "layout_skipping_hilbert", "dedup_minhash_lsh_materialized",
+        "streaming_funnel_stages", 
+        "layout_skipping_hilbert", 
         "sessions_overlap_pairs", 
-        "asof_click_to_nearest_view", "bloom_pruned_urgent_revenue",
+        
         # round-5 promotions (16 never-driver-checked queries + the new
         # real-decode class; demotions are all r4-green with in-window
         # family siblings — swap log in registry/__init__.py)
@@ -101,6 +101,21 @@ def test_checked_window_is_curated():
         "text_bm25_topk", "multimodal_frame_sample",
         "basket_association_rules", "stats_chi_square_independence",
         "multimodal_decode_ppm",
+        # late-r5 continuation rotation: 12 NEW capability classes in,
+        # demotions all r04-green with in-window family siblings
+        # (cube_orders / curation_bigram_logprob / events_ewma_value /
+        # text_pmi_collocations / dedup_edit_distance_blocked /
+        # sim_pca_project / calendar_month_order_counts /
+        # udaf_trimmed_mean_price / layout_skipping_stats /
+        # bloom_pruned_urgent_revenue / events_funnel_conversion /
+        # dedup_minhash_lsh_materialized — swap log in
+        # registry/__init__.py)
+        "sim_topk_binary", "curation_quality_classifier",
+        "dedup_semantic", "sim_mmr_diversify",
+        "privacy_dp_noised_counts", "eval_tokenizer_compare",
+        "corpus_datasheet", "eval_ivf_recall",
+        "training_domain_reweight", "streaming_classifier_serving",
+        "stats_countmin_heavy_hitters", "stats_hll_portable",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
