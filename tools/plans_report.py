@@ -41,6 +41,10 @@ SHOWCASE: dict[str, str] = {
     "asof_click_to_nearest_view": "backward+forward as-of over ONE exchange — two sorts share the same hash partitioning, no second shuffle",
     "bloom_pruned_urgent_revenue": "hand-built bitmap semi-join: fact rows die at a BroadcastHashJoin probe BEFORE any fact-side exchange",
     "sessions_overlap_pairs": "interval-interval overlap as a bucket EQUI-join (hash) — no nested-loop inequality join in the plan",
+    "sim_topk_binary": "256-row hyperplane table broadcast (never literal trees); Hamming stage = 8 xor+bit_count integer ops in WholeStageCodegen; repartition pin on the CPU-heavy signature fold",
+    "curation_quality_classifier": "trained 256-weight model as a broadcast join; scan reads only (doc_id, text); zero Python stages — training happened driver-side before the plan existed",
+    "dedup_semantic": "centroid-broadcast argmax assignment; candidate pairs ONLY from the cid equi-join (cluster-bounded pair space, no cartesian)",
+    "stats_countmin_heavy_hitters": "sketch build = distributive partial-agg groupBy onto 1024 cells; probe joins a broadcast of the sketch",
 }
 
 
