@@ -277,3 +277,63 @@ def test_hll_portable_error_within_bound(spark):
     r = stats_hll_portable(spark, "/root/testdata/sf0.001").collect()[0]
     assert r.exact_distinct > 0 and r.hll_estimate > 0
     assert r.rel_error <= 0.195, (r.exact_distinct, r.hll_estimate, r.rel_error)
+
+
+def test_sketch_mergeability_cms_and_hll():
+    """The distributive property the 100 TB story claims: a sketch
+    built per partition and MERGED (CMS: cell-wise sum; HLL: register
+    max) must equal the sketch built over the whole corpus. Verified on
+    the oracle arithmetic via an even/odd doc split — engine-agnostic,
+    so it pins the ALGORITHM, not a particular shuffle."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    cms_sql = r"""
+    SELECT r,
+           (16 * (strpos('0123456789abcdef',
+                         substr(md5('cms' || r || '|' || token), 1, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                      substr(md5('cms' || r || '|' || token), 2, 1)) - 1)) % 256
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS cell
+    FROM (SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+            x -> length(x) > 0)) AS token
+          FROM documents WHERE {pred}) CROSS JOIN range(4) t(r)
+    GROUP BY 1, 2
+    """
+    full = {(r, b): c for r, b, c in con.execute(cms_sql.format(pred="true")).fetchall()}
+    even = {(r, b): c for r, b, c in con.execute(cms_sql.format(pred="doc_id % 2 = 0")).fetchall()}
+    odd = {(r, b): c for r, b, c in con.execute(cms_sql.format(pred="doc_id % 2 = 1")).fetchall()}
+    merged = dict(even)
+    for k, v in odd.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+    hll_sql = r"""
+    SELECT bucket, max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS m
+    FROM (
+      SELECT CAST((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
+                  AS INTEGER) AS bucket,
+             CAST((strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1)
+                  AS BIGINT) AS v
+      FROM (SELECT DISTINCT unnest(list_filter(
+              string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+              x -> length(x) > 0)) AS token
+            FROM documents WHERE {pred}))
+    GROUP BY bucket
+    """
+    # NOTE: truncated-v register here (1 hex digit) — merge algebra is
+    # identical regardless of register width
+    hfull = dict(con.execute(hll_sql.format(pred="true")).fetchall())
+    heven = dict(con.execute(hll_sql.format(pred="doc_id % 2 = 0")).fetchall())
+    hodd = dict(con.execute(hll_sql.format(pred="doc_id % 2 = 1")).fetchall())
+    hmerged = dict(heven)
+    for k, v in hodd.items():
+        hmerged[k] = max(hmerged.get(k, 0), v)
+    assert hmerged == hfull
