@@ -887,7 +887,6 @@ def stats_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
         .distinct()  # HLL state depends only on the distinct hash set
     )
-    h = F.md5(F.col("token"))
     digits = [
         F.expr(
             f"CAST(instr('0123456789abcdef', substring(md5(token), {i + 1}, 1)) - 1 AS BIGINT)"
@@ -912,7 +911,6 @@ def stats_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_nb"),
     )
     exact = toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
-    _ = h  # md5 is inlined digit-wise above (portable strpos arithmetic)
     raw = F.lit(alpha * m * m) / (
         F.col("_s") + (F.lit(m) - F.col("_nb")) * F.lit(1.0)
     )
