@@ -1000,7 +1000,93 @@ ORDER BY source
 )
 
 
+LINE_DEDUP_MAX_FREQ = 3  # C4's "discard lines occurring >= 3 times"
+
+
+def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style CORPUS-LEVEL line deduplication: any
+    non-blank line occurring >= 3 times across the whole corpus is
+    boilerplate (nav bars, footers, licenses) and is dropped from every
+    document; the cleaned text is re-assembled in original line order.
+    Blank/whitespace-only lines are dropped from the reconstruction too
+    (documented — they carry no content and C4 strips them).
+
+    Output: (doc_id, n_lines, n_dropped, cleaned_md5) — the md5 stands
+    in for the cleaned text so the gate hash-checks the RECONSTRUCTION
+    (order included) without shipping megabytes through the compare.
+    Plan: posexplode lines (order rides along as data), one corpus-wide
+    line-frequency groupBy (the only corpus-scale shuffle — the
+    word-count shape), order-preserving re-assembly via
+    sort_array(collect_list(struct(pos, line)))."""
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).filter(F.length(F.trim("line")) > 0)
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n_occ"))
+    marked = lines.join(freq, "line")
+    stats = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("n_occ") >= LINE_DEDUP_MAX_FREQ, 1).otherwise(0)
+        ).alias("n_dropped"),
+    )
+    kept = marked.filter(F.col("n_occ") < LINE_DEDUP_MAX_FREQ)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("cleaned")
+    )
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LINE_DEDUP = r"""
+WITH lines AS (
+  SELECT doc_id, t.pos, t.line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+       unnest(list_transform(range(1, len(ls) + 1),
+              i -> {'pos': i, 'line': ls[i]})) AS u(t)
+  WHERE length(trim(t.line)) > 0
+), freq AS (
+  SELECT line, count(*) AS n_occ FROM lines GROUP BY line
+), marked AS (
+  SELECT l.doc_id, l.pos, l.line, f.n_occ FROM lines l JOIN freq f USING (line)
+), stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN n_occ >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+  FROM marked GROUP BY doc_id
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM marked WHERE n_occ < 3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_lines, 0) AS n_lines,
+       COALESCE(s.n_dropped, 0) AS n_dropped,
+       md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+FROM documents d
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 REGISTRY = {
+    "curation_line_dedup": QuerySpec(curation_line_dedup, SQL_LINE_DEDUP),
     "corpus_datasheet": QuerySpec(corpus_datasheet, SQL_DATASHEET),
     "training_domain_reweight": QuerySpec(
         training_domain_reweight, SQL_DOMAIN_REWEIGHT

@@ -815,6 +815,77 @@ FROM tot CROSS JOIN hits
 """
 
 
+def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC tier vs exact — completes the driver-gated
+    recall family (binary / IVF / PQ): every compression tier's quality
+    number is now a value-checked row, not only a tool report."""
+    cfg = PQ_CFG
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        pq_book_sq,
+        topk_pq,
+        train_pq_codebooks_driver,
+    )
+
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    books = train_pq_codebooks_driver(
+        emb,
+        n_sub=cfg["n_sub"],
+        n_codes=cfg["n_codes"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    exact = topk_bruteforce(queries, emb, k=cfg["k"]).select(
+        "query_id", "neighbor_id"
+    )
+    pq = topk_pq(
+        queries, emb, books, pq_book_sq(books), k=cfg["k"], rerank=cfg["rerank"]
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(pq, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.crossJoin(hits).select(
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+    )
+
+
+def make_pq_recall_oracle() -> str:
+    """Nested-WITH composition of the generated codebook-literal PQ
+    oracle + the exact cosine chain (the eval_binary_recall pattern)."""
+    cfg = PQ_CFG
+    pq_sql = make_pq_oracle()
+    return f"""
+WITH pq AS (
+{pq_sql}
+), emb2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN q.nrm > 0 AND c.nrm > 0
+                   THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                   ELSE 0.0 END, 4) AS score
+      FROM emb2 q JOIN emb2 c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES})) WHERE rk <= {cfg["k"]}
+), hits AS (
+  SELECT count(*) AS n_hits
+  FROM ex JOIN pq USING (query_id, neighbor_id)
+), tot AS (SELECT count(*) AS n_exact FROM ex)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / n_exact, 4) AS recall_at_k
+FROM tot CROSS JOIN hits
+"""
+
+
 SQ8_IVF_RERANK = 10
 
 
@@ -1603,6 +1674,7 @@ REGISTRY = {
     "sim_mmr_diversify": QuerySpec(sim_mmr_diversify, SQL_MMR_DIVERSIFY),
     "eval_binary_recall": QuerySpec(eval_binary_recall, make_binary_recall_oracle),
     "eval_ivf_recall": QuerySpec(eval_ivf_recall, make_ivf_recall_oracle),
+    "eval_pq_recall": QuerySpec(eval_pq_recall, make_pq_recall_oracle),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),

@@ -498,3 +498,31 @@ def test_domain_reweight_direction_and_normalization(spark):
     easiest = min(rows, key=lambda r: r.excess_nats)
     assert hardest.weight > hardest.n_bigrams / tot
     assert easiest.weight < easiest.n_bigrams / tot
+
+
+def test_line_dedup_drops_shared_boilerplate(spark, tmp_path):
+    """Inject a boilerplate footer into 3 synthetic docs: the cleaned
+    reconstruction must drop it everywhere (n_dropped >= 1 each) while
+    unique lines survive, and a doc of ONLY boilerplate cleans to the
+    empty-string hash."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha unique one\nCOPYRIGHT FOOTER\nbeta unique"),
+            (2, "gamma unique\nCOPYRIGHT FOOTER\ndelta unique"),
+            (3, "COPYRIGHT FOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from python_multiproc_bigdata_spark.registry.curation import (
+        curation_line_dedup,
+    )
+
+    rows = {r.doc_id: r for r in curation_line_dedup(spark, str(tmp_path)).collect()}
+    assert rows[1].n_dropped == 1 and rows[2].n_dropped == 1
+    assert rows[3].n_dropped == 1 and rows[3].n_lines == 1
+    assert rows[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    expected1 = hashlib.md5("alpha unique one\nbeta unique".encode()).hexdigest()
+    assert rows[1].cleaned_md5 == expected1
