@@ -225,9 +225,11 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # split_kfold_assign, text_bpe_encode_stats, events_mad_outliers,
 # asof_click_to_next_view, events_max_concurrency, split_leakage_safe,
 # dedup_source_overlap, events_top_session_paths, stats_ab_ttest,
-# streaming_classifier_serving (offline-train/online-score foreachBatch
-# twin of the in-window curation_quality_classifier, shares its
-# generated retraining oracle), layout_skipping_stats +
+# eval_binary_recall + eval_pq_recall (nested-WITH recall evals for the
+# two tiers not yet gated; eval_ivf_recall IS in-window),
+# curation_line_dedup (C4 corpus-level line dedup with order-checked
+# reconstruction), dedup_cdc_chunks (content-defined chunking,
+# shift-invariance pinned), layout_skipping_stats +
 # events_ewma_value + text_pmi_collocations + dedup_edit_distance_blocked
 # + sim_pca_project + calendar_month_order_counts +
 # udaf_trimmed_mean_price (all multiply driver-green, demoted late-r5),

@@ -7,8 +7,10 @@ Usage: python tools/check_parity.py [query ...]   (default: all with oracles)
 
 from __future__ import annotations
 
+import json
 import math
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -44,12 +46,14 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    names = sys.argv[1:] or [n for n, s in REGISTRY.items() if s.oracle]
+    names = sys.argv[1:] or list(REGISTRY)
     spark = get_spark(app_name="parity-check", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    full_run = not sys.argv[1:]
+    record: dict[str, dict] = {}
     failures = []
     for name in names:
         spec = REGISTRY[name]
@@ -59,17 +63,20 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             if spec.oracle is None:
                 print(f"  {name}: rows-only ({len(srows)} rows) OK")
+                record[name] = {"ok": True, "rows": len(srows), "mode": "rows_only"}
                 continue
             res = con.execute(spec.resolve_oracle())
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"[:200]}
             print(f"✗ {name}: ERROR {type(e).__name__}: {e}")
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
         ok_vals = ns == nd
+        record[name] = {"ok": ok_cols and ok_vals, "rows": len(srows), "mode": "oracle"}
         if ok_cols and ok_vals:
             print(f"✓ {name}: {len(srows)} rows match")
         else:
@@ -81,6 +88,18 @@ def main() -> int:
                 diff_d = [r for r in nd if r not in set(map(tuple, ns))][:3]
                 print(f"   spark-only: {diff_s}\n   duck-only:  {diff_d}")
     print(f"\n{len(names) - len(failures)}/{len(names)} match")
+    # Persist results so the parity ledger (tools/parity_ledger.py) can
+    # prove which queries have a local value-check on record, not just a
+    # driver-round row. Subset runs MERGE into the existing artifact;
+    # a full run rewrites it wholesale.
+    out = Path(__file__).resolve().parent.parent / "PARITY_FULL.json"
+    if not full_run and out.exists():
+        merged = json.loads(out.read_text()).get("results", {})
+        merged.update(record)
+        record = merged
+    out.write_text(json.dumps(
+        {"generated_unix": int(time.time()), "sf_dir": SF_DIR,
+         "results": record}, indent=1) + "\n")
     return 1 if failures else 0
 
 
