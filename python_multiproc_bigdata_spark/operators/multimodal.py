@@ -2,12 +2,15 @@
 opaque `binary` columns with typed metadata, processed in Arrow batches
 via mapInPandas.
 
-The decode step is STUBBED — the real codec libraries (PIL/librosa/ffmpeg)
-are not in this container. `decode_media` raises NotImplementedError;
-`fake_decode` is the deterministic stand-in (md5-derived dimensions) used
-by tests and the oracle-checked query. Everything around the stub — the
-binary schema, batch iteration, UDF signature, output schema — is real
-and is exactly what a production decoder would slot into.
+Two REAL decode paths need no codec library and are value-checked
+end-to-end: PPM (P6) images (`decode_ppm`) and RIFF/WAVE PCM16 audio
+(`decode_wav`) — both pure struct parsing. Only true codec formats
+(JPEG/PNG/MP3/video) remain STUBBED: `decode_media` raises
+NotImplementedError; `fake_decode` is the deterministic stand-in
+(md5-derived dimensions) used by the generic-plumbing queries.
+Everything around the stub — the binary schema, batch iteration, UDF
+signature, output schema — is real and is exactly what a production
+decoder would slot into.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row pickle);
 payload bytes never hit the driver. Partitioning is inherited from the
@@ -256,6 +259,147 @@ def attach_ppm(df: DataFrame) -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
     return df.select("doc_id").mapInPandas(batches, schema)
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+WAV_RATE = 8000
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE bytes for a doc: PCM16, 1–2 channels and
+    20–32 frames from doc_id, plus a LIST chunk of doc_id-dependent (often
+    odd) size BEFORE fmt — so the decoder's chunk walker and RIFF odd-size
+    pad rule are exercised on every row. Interleaved sample i =
+    ((doc_id·37 + i·11) mod 4001) − 2000 — integer arithmetic a SQL
+    oracle replays exactly (registry/multimodal.py:SQL_DECODE_WAV)."""
+    import struct
+
+    n_channels = 1 + doc_id % 2
+    n_frames = 20 + doc_id % 13
+    n_samples = n_channels * n_frames
+    pcm = struct.pack(
+        f"<{n_samples}h",
+        *(((doc_id * 37 + i * 11) % 4001) - 2000 for i in range(n_samples)),
+    )
+    note = f"doc {doc_id}".encode()
+    list_chunk = b"LIST" + struct.pack("<I", len(note)) + note
+    if len(note) % 2:
+        list_chunk += b"\x00"  # RIFF pads odd-sized chunks to even offsets
+    block_align = n_channels * 2
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, WAV_RATE, WAV_RATE * block_align, block_align, 16
+    )
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + list_chunk + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL RIFF/WAVE decoder — magic checks, chunk walk honoring the
+    odd-size pad byte, fmt parse (PCM16 only), data length validation —
+    returning (sample_rate, n_channels, n_frames, duration_ms,
+    sum_samples, sum_abs, peak). Integer sums (not float RMS) so engine
+    parity is bit-exact. Sample math is numpy, not a Python loop."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic {payload[:4]!r})")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size != len(payload) - 8:
+        raise ValueError(f"RIFF size {riff_size} != {len(payload) - 8}")
+    pos, n = 12, len(payload)
+    fmt_info: tuple[int, int] | None = None
+    pcm: bytes | None = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, n_channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+            if block_align != n_channels * 2:
+                raise ValueError(f"block_align {block_align} != {n_channels * 2}")
+            fmt_info = (rate, n_channels)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # odd chunks are padded to even offsets
+    if fmt_info is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    rate, n_channels = fmt_info
+    if len(pcm) % (n_channels * 2):
+        raise ValueError(f"truncated PCM data: {len(pcm)} bytes")
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    n_frames = len(samples) // n_channels
+    return (
+        rate,
+        n_channels,
+        n_frames,
+        n_frames * 1000 // rate,
+        int(samples.sum()),
+        int(np.abs(samples).sum()),
+        int(np.abs(samples).max(initial=0)),
+    )
+
+
+def attach_wav(df: DataFrame) -> DataFrame:
+    """Synthesize the binary WAV payload column (doc_id → media) in Arrow
+    batches — the audio twin of attach_ppm."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """Decode a binary WAV column via mapInPandas (Arrow batches): 1 row
+    → 1 row of integer audio stats — the audio sibling of
+    decode_ppm_features, completing the real-decode pair (image + audio).
+    NotImplementedError now remains only for true codec formats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_wav(bytes(p)) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "duration_ms": [d[3] for d in decoded],
+                    "sum_samples": [d[4] for d in decoded],
+                    "sum_abs": [d[5] for d in decoded],
+                    "peak": [d[6] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, WAV_SCHEMA)
 
 
 def decode_ppm_features(df: DataFrame) -> DataFrame:

@@ -7,9 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from python_multiproc_bigdata_spark.operators.multimodal import (
     FRAME_BYTES,
+    WAV_RATE,
     attach_binary,
     attach_ppm,
+    attach_wav,
     decode_ppm_features,
+    decode_wav_features,
     extract_features,
     sample_frames,
 )
@@ -96,8 +99,52 @@ GROUP BY doc_id, w, h
 """
 
 
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over a binary column — the PPM decoder's RIFF
+    sibling: synthesize WAVE bytes per document (deterministic LIST +
+    fmt + data chunks, PCM16 interleaved samples, operators/
+    multimodal.py:synth_wav), then PARSE them back with the real chunk
+    walker (decode_wav: magic + RIFF size checks, odd-chunk pad rule,
+    fmt validation, numpy int16 stats) in a second mapInPandas stage
+    that sees only opaque bytes. The oracle replays the sample
+    arithmetic — ((doc_id·37 + i·11) mod 4001) − 2000 over unnested
+    sample indices — in pure SQL. Integer sums/peaks, not float RMS:
+    bit-exact parity."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_wav_features(attach_wav(d))
+
+
+# Replays synth_wav's arithmetic: n_channels = 1 + doc_id%2, n_frames =
+# 20 + doc_id%13, interleaved sample i = ((doc_id*37 + i*11) % 4001) - 2000.
+# DuckDB sums promote to HUGEINT — cast back to BIGINT to match LongType.
+SQL_DECODE_WAV = f"""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 2 AS n_channels, 20 + doc_id % 13 AS n_frames
+  FROM documents
+), idx AS (
+  SELECT doc_id, n_channels, n_frames, unnest(range(n_channels * n_frames)) AS i
+  FROM dims
+), s AS (
+  SELECT doc_id, n_channels, n_frames,
+         (doc_id * 37 + i * 11) % 4001 - 2000 AS v
+  FROM idx
+)
+SELECT doc_id,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       n_channels,
+       n_frames,
+       n_frames * 1000 // {WAV_RATE} AS duration_ms,
+       CAST(sum(v) AS BIGINT) AS sum_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM s
+GROUP BY doc_id, n_channels, n_frames
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "multimodal_decode_ppm": QuerySpec(multimodal_decode_ppm, SQL_DECODE_PPM),
+    "multimodal_decode_wav": QuerySpec(multimodal_decode_wav, SQL_DECODE_WAV),
 }

@@ -116,3 +116,66 @@ def test_ppm_decoder_roundtrip_property(w, h, maxval, seed, comment):
     for i, b in enumerate(raster):
         sums[i % 3] += b
     assert got == (w, h, maxval, w * h, sums[0], sums[1], sums[2])
+
+
+@given(
+    n_channels=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    n_frames=st.integers(min_value=0, max_value=200),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_decoder_against_stdlib_encoder(n_channels, rate, n_frames, seed):
+    """decode_wav inverts Python's OWN stdlib `wave` encoder — a fully
+    independent RIFF writer, not synth_wav — for any channel count, rate,
+    and seeded int16 samples; stats equal a reference computation."""
+    import io
+    import struct
+    import wave
+
+    from python_multiproc_bigdata_spark.operators.multimodal import decode_wav
+
+    n = n_channels * n_frames
+    samples = [((seed * 2654435761 + i * 40503) % 65536) - 32768 for i in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    got = decode_wav(buf.getvalue())
+    assert got == (
+        rate,
+        n_channels,
+        n_frames,
+        n_frames * 1000 // rate,
+        sum(samples),
+        sum(abs(s) for s in samples),
+        max((abs(s) for s in samples), default=0),
+    )
+
+
+def test_wav_decoder_rejects_malformed():
+    """Error paths: bad magic, wrong RIFF size, truncated PCM."""
+    import struct
+
+    import pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav,
+    )
+
+    good = synth_wav(5)  # doc 5: odd-sized LIST note exercises the pad rule
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + good[4:])
+    bad_size = good[:4] + struct.pack("<I", 7) + good[8:]
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(bad_size)
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(good[:-3])
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", 3) + b"abc\x00"  # 3 bytes: not a frame multiple
+    body = b"WAVE" + fmt + data
+    with pytest.raises(ValueError, match="truncated PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
