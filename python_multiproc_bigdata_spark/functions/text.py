@@ -161,3 +161,59 @@ def language_id_from_tokens(toks: Column) -> Column:
     return F.when(best.isNull(), F.lit("und")).otherwise(
         F.array_min(winners)["lang"]
     )
+
+
+def sliding_chunks(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+):
+    """RAG-style sliding-window chunking: split each document into
+    overlapping `chunk_tokens`-token windows every `stride` tokens
+    (overlap = chunk_tokens - stride), keyed by chunk index and start
+    offset. Emits the chunk digest (md5 of the space-joined slice), not
+    the text, so the output stays narrow; a real pipeline would carry
+    the slice itself into an embedding stage.
+
+    Chunk count is 1 + ceil(max(n - chunk_tokens, 0) / stride) — every
+    document yields at least one chunk (possibly short or empty), and
+    the final chunk always reaches the last token.
+
+    Scale: map-only (tokenize → sequence → explode → slice), no shuffle;
+    ~n/stride output rows per document. `_toks` is referenced twice
+    (size + slice) so CollapseProject cannot inline the tokenizer into
+    the per-chunk slice (the measured O(n²) trap — SCALE.md). Integer
+    ceil-division on both engines: no float in the chunk-count path.
+    """
+    from pyspark.sql import functions as F
+
+    d = (
+        df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.col(text_col), WHITESPACE_RE), lambda x: F.length(x) > 0
+            ).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks").cast("long"))
+        .withColumn(
+            "_nc",
+            F.expr(
+                f"1 + (greatest(_n - {chunk_tokens}, 0) + {stride - 1}) div {stride}"
+            ),
+        )
+    )
+    d = d.withColumn("_ci", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)))
+    start = F.col("_ci") * stride
+    return d.select(
+        F.col(id_col),
+        F.col("_ci").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - start).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(
+            F.array_join(F.slice("_toks", start + 1, chunk_tokens), " ")
+        ).alias("chunk_digest"),
+    )

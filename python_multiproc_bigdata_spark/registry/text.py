@@ -12,6 +12,7 @@ from python_multiproc_bigdata_spark.functions.text import (
     doc_fingerprint,
     language_id,
     quality_score,
+    sliding_chunks,
     token_count_bpeish,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -991,7 +992,44 @@ ORDER BY lang
 """
 
 
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 32-token chunks every 24 tokens
+    (8-token overlap), each keyed by (doc_id, chunk_idx, start_tok) with
+    the md5 digest of its space-joined token slice — the window
+    construction an embedding/retrieval stage consumes at 100 TB.
+    Map-only: tokenize → integer chunk count → sequence-explode → slice;
+    no shuffle anywhere in the plan."""
+    d = table(prep(spark), sf_dir, "documents")
+    return sliding_chunks(d, "text", "doc_id", chunk_tokens=32, stride=24)
+
+
+# Integer ceil-div (// with the +23 bias) mirrors Spark's `div` exactly;
+# list_slice is 1-based inclusive like Spark's slice; md5('') for empty
+# docs matches on both engines.
+SQL_CHUNK_SLIDING = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), dims AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS nc
+  FROM base
+), ch AS (
+  SELECT doc_id, toks, n, unnest(range(nc)) AS ci FROM dims
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - ci * 24) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_digest
+FROM ch
+"""
+
+
 REGISTRY = {
+    "text_chunk_sliding": QuerySpec(text_chunk_sliding, SQL_CHUNK_SLIDING),
     "eval_tokenizer_compare": QuerySpec(
         eval_tokenizer_compare, make_tokenizer_compare_oracle
     ),

@@ -293,3 +293,33 @@ def test_orc_sink_source_roundtrip(spark, tmp_path):
         (f.name, f.dataType) for f in df.schema
     ]
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sliding_chunks_semantics(spark):
+    """Window construction invariants on hand-sized docs: chunk count,
+    overlap, final chunk reaching the last token, empty-doc behavior."""
+    import hashlib
+
+    from python_multiproc_bigdata_spark.functions.text import sliding_chunks
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(50))),  # 2 chunks: [0,32) [24,50)
+        (2, " ".join(f"t{i}" for i in range(32))),  # exactly one full chunk
+        (3, "a b c"),                               # one short chunk
+        (4, ""),                                    # one empty chunk
+        (5, " ".join(f"t{i}" for i in range(57))),  # boundary: 1+ceil(25/24)=3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in sliding_chunks(df, chunk_tokens=32, stride=24).collect()
+    }
+    per_doc = {d: sorted(ci for (dd, ci) in rows if dd == d) for d in (1, 2, 3, 4, 5)}
+    assert per_doc == {1: [0, 1], 2: [0], 3: [0], 4: [0], 5: [0, 1, 2]}
+    r = rows[(1, 1)]
+    assert (r.start_tok, r.n_chunk_tokens) == (24, 26)  # reaches token 49
+    expect = hashlib.md5(" ".join(f"t{i}" for i in range(24, 50)).encode()).hexdigest()
+    assert r.chunk_digest == expect
+    assert rows[(4, 0)].n_chunk_tokens == 0
+    assert rows[(4, 0)].chunk_digest == hashlib.md5(b"").hexdigest()
+    assert rows[(5, 2)].start_tok == 48 and rows[(5, 2)].n_chunk_tokens == 9

@@ -444,3 +444,13 @@ def test_aqe_skew_join_split_fires(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_chunk_sliding_single_tokenize_no_shuffle(spark):
+    df = REGISTRY["text_chunk_sliding"].fn(spark, SF_DIR)
+    opt = optimized_of(df)
+    # tokenizer built ONCE — CollapseProject would clone the split into
+    # the per-chunk slice if `_toks` were single-referenced
+    assert opt.count("split(") == 1
+    # map-only chunking: tokenize → sequence-explode → slice, no exchange
+    assert plan_of(df).count("Exchange") == 0
