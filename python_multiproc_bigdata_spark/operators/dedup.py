@@ -700,3 +700,75 @@ def semantic_dedup(
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
     )
     return kept_flag.orderBy("vec_id")
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup at window granularity (the Spark-shaped
+    answer to suffix-array substring dedup à la Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): fingerprint every
+    `window_tokens`-token window, keep windows whose fingerprint appears
+    in ≥2 DISTINCT documents, and merge runs of consecutive duplicated
+    positions into maximal spans per document — the spans a trainer would
+    cut before packing.
+
+    Output: (doc_id, span_start, n_windows, span_len_tokens) where the
+    span covers tokens [span_start, span_start + span_len_tokens).
+
+    Scale (100 TB): windowing is map-only (tokenize once, sequence-explode
+    positions, slice+md5 per window). Cross-doc detection is ONE groupBy
+    on the fingerprint with algebraic min/max(doc) — no distinct-count
+    state — followed by a semi-join that AQE can broadcast when the dup
+    set is small. The island merge shuffles only FLAGGED positions (dup
+    mass, not corpus mass) partitioned by doc. A true suffix array would
+    need a global sort of every suffix; this is the bounded-window
+    approximation that parallelizes with no global order.
+
+    Totality guards: sequence upper bound is greatest(n-W, 0) (sequence
+    args must be total even under a later filter — Catalyst may evaluate
+    project expressions on rows a Filter would drop), then positions
+    beyond n-W are filtered.
+    """
+    from pyspark.sql import Window
+
+    W = window_tokens
+    d = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), WHITESPACE_RE), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    pos = (
+        d.withColumn(
+            "_p",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.greatest(F.col("_n") - W, F.lit(0).cast("long"))
+                )
+            ),
+        )
+        .where(F.col("_p") <= F.col("_n") - W)
+        .select(
+            F.col(id_col),
+            F.col("_p"),
+            F.md5(F.array_join(F.slice("_toks", F.col("_p") + 1, W), " ")).alias("_fp"),
+        )
+    )
+    dup_fps = (
+        pos.groupBy("_fp")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("_fp")
+    )
+    flagged = pos.join(dup_fps, "_fp", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_p")
+    islands = flagged.withColumn("_g", F.col("_p") - F.row_number().over(w))
+    return islands.groupBy(id_col, "_g").agg(
+        F.min("_p").alias("span_start"),
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.max("_p") - F.min("_p") + W).alias("span_len_tokens"),
+    ).drop("_g")

@@ -742,7 +742,53 @@ ORDER BY c.doc_id
 """
 
 
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. window-granular semantics):
+    maximal runs of 8-token windows whose fingerprints occur in ≥2
+    distinct documents — the spans a trainer cuts before packing. One
+    algebraic fingerprint groupBy + a semi-join of flagged positions +
+    a doc-partitioned island merge; windowing itself is map-only."""
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return duplicated_substring_spans(d, "doc_id", "text", window_tokens=8)
+
+
+SQL_SUBSTRING_SPANS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS p
+  FROM base WHERE len(toks) >= 8
+), w AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(toks, p + 1, p + 8), ' ')) AS fp
+  FROM pos
+), dup AS (
+  SELECT fp FROM w GROUP BY fp HAVING min(doc_id) <> max(doc_id)
+), flagged AS (
+  SELECT doc_id, p FROM w WHERE fp IN (SELECT fp FROM dup)
+), isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(max(p) - min(p) + 8 AS BIGINT) AS span_len_tokens
+FROM isl
+GROUP BY doc_id, g
+"""
+
+
 REGISTRY = {
+    "dedup_substring_spans": QuerySpec(dedup_substring_spans, SQL_SUBSTRING_SPANS),
     "dedup_cdc_chunks": QuerySpec(dedup_cdc_chunks, SQL_CDC_CHUNKS),
     "dedup_semantic": QuerySpec(dedup_semantic, make_semantic_dedup_oracle),
     "eval_dedup_pr": QuerySpec(eval_dedup_pr, SQL_EVAL_DEDUP_PR),

@@ -695,3 +695,31 @@ def test_cdc_chunks_shift_invariance():
     shared = sum((Counter(a) & Counter(b)).values())
     # everything except the (changed) prefix chunk must survive the shift
     assert shared >= len(a) - 1, (len(a), len(b), shared)
+
+
+def test_duplicated_substring_spans_semantics(spark):
+    """Cross-doc windows merge into maximal spans; within-doc-only
+    repeats are NOT flagged; shorter-than-window docs are ignored."""
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    docs = [
+        (1, f"{shared} alpha beta gamma"),
+        (2, f"delta {shared} epsilon"),
+        # doc 3: an 8-token phrase repeated twice WITHIN the doc only
+        (3, " ".join(f"r{i}" for i in range(8)) + " x " + " ".join(f"r{i}" for i in range(8))),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(
+        duplicated_substring_spans(df, window_tokens=8).collect(),
+        key=lambda r: (r.doc_id, r.span_start),
+    )
+    # docs 1 and 2: the 10 shared tokens give 3 consecutive dup windows
+    # (positions where the full 8-window sits inside the shared run)
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {1, 2}
+    assert (by_doc[1].span_start, by_doc[1].n_windows, by_doc[1].span_len_tokens) == (0, 3, 10)
+    assert (by_doc[2].span_start, by_doc[2].n_windows, by_doc[2].span_len_tokens) == (1, 3, 10)
