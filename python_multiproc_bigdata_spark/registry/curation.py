@@ -335,6 +335,51 @@ GROUP BY doc_id
 """
 
 
+def curation_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    terciles of the bigram-LM cross entropy (Wenzek et al., "CCNet" —
+    head = most-fluent third, the slice kept for LM pretraining).
+    Composes the independently-oracle-checked LM tower
+    (curation_bigram_logprob) with an NTILE(3) window per language;
+    ties broken by doc_id so the tercile assignment is total on both
+    engines.
+
+    Scale: the LM tower is two bounded groupBys; the NTILE needs a
+    per-language sort (one window exchange on lang — range-partitioned
+    within language at cluster scale). At 100 TB one would instead
+    broadcast sample-derived perplexity CUTOFFS (CCNet's actual recipe)
+    and bucket map-side; the exact-NTILE form here is the
+    deterministic, oracle-checkable twin of that plan."""
+    from pyspark.sql import Window
+
+    from python_multiproc_bigdata_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    perdoc = bigram_logprob_score(d)
+    j = perdoc.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("xent2_nats", "doc_id")
+    t = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "xent2_nats",
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("tier"),
+    )
+
+
+SQL_CCNET_TIERS = (
+    "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n)"
+    + r"""
+SELECT p.doc_id, d.lang, p.xent2_nats,
+       CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY p.xent2_nats, p.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM perdoc p JOIN documents d USING (doc_id)
+"""
+)
+
+
 def curation_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph quality signal: 3-iteration PageRank over the
     symmetrized part↔supplier bipartite graph (stand-in for a web-crawl
@@ -1110,6 +1155,7 @@ REGISTRY = {
     "curation_unigram_logprob": QuerySpec(
         curation_unigram_logprob, SQL_UNIGRAM_LOGPROB
     ),
+    "curation_ccnet_tiers": QuerySpec(curation_ccnet_tiers, SQL_CCNET_TIERS),
     "curation_bigram_logprob": QuerySpec(
         curation_bigram_logprob, SQL_BIGRAM_LOGPROB
     ),
