@@ -764,7 +764,48 @@ ORDER BY shard
 """
 
 
+def training_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023) of every raw
+    document against the `lang='en'` target slice — hashed-unigram
+    target/raw models, add-one smoothing, per-doc Σ ln(p_t/p_r).
+    See operators/dsir.py for the scale shape (one tokenize+hash pass,
+    256-row models, broadcast scoring join)."""
+    from python_multiproc_bigdata_spark.operators.dsir import dsir_log_weights
+
+    d = table(prep(spark), sf_dir, "documents")
+    return dsir_log_weights(d, target_lang="en")
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         (16 * (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) % 256
+           AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                                  x -> length(x) > 0)) AS w
+        FROM documents)
+), model AS (
+  SELECT bucket, count(*) AS cr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY bucket
+), tot AS (
+  SELECT sum(cr) AS tcr, sum(ct) AS tct FROM model
+), lw AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (t.tct + 256)) - ln((cr + 1.0) / (t.tcr + 256)) AS lwb
+  FROM model CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lwb), 4) AS dsir_logw
+FROM tok JOIN lw USING (bucket)
+GROUP BY doc_id
+"""
+
+
 REGISTRY = {
+    "training_dsir_weights": QuerySpec(training_dsir_weights, SQL_DSIR_WEIGHTS),
     "training_shard_manifest": QuerySpec(
         training_shard_manifest, SQL_SHARD_MANIFEST
     ),

@@ -526,3 +526,27 @@ def test_line_dedup_drops_shared_boilerplate(spark, tmp_path):
     assert rows[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
     expected1 = hashlib.md5("alpha unique one\nbeta unique".encode()).hexdigest()
     assert rows[1].cleaned_md5 == expected1
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    """DSIR sanity: English (target) documents must score a higher mean
+    importance log-weight than every non-English slice, and weights must
+    be finite for all docs."""
+    import math
+
+    from python_multiproc_bigdata_spark.operators.dsir import dsir_log_weights
+    from python_multiproc_bigdata_spark.registry.common import prep, table
+
+    d = table(prep(spark), "/root/testdata/sf0.001", "documents")
+    out = dsir_log_weights(d, target_lang="en").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    rows = out.collect()
+    assert all(math.isfinite(r.dsir_logw) for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.dsir_logw)
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (lang, means)
