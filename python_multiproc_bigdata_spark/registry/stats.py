@@ -1021,7 +1021,75 @@ FROM (
 """
 
 
+def stats_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostics — the health panel run before
+    trusting an embedding column for dedup/ANN: corpus size, dimension,
+    mean vector norm, and the EXACT average pairwise cosine of the
+    unit-normalized vectors via the moment identity
+
+        avg_{a≠b} cos(a,b) = (‖Σ v̂‖² − n) / (n(n−1))
+
+    — one pass + a 64-row rollup instead of O(n²) pairs (a near-1 value
+    means collapsed/anisotropic embeddings; near-0 means spread).
+
+    Scale: the per-dim sums are an algebraic groupBy on dim index
+    (map-side combine reduces each partition to `dim` rows before the
+    shuffle); everything after is O(dim). No pair joins anywhere."""
+    e = table(prep(spark), sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, v: a + v * v))
+    )
+    unit = e.select(F.posexplode("e").alias("i", "v"), "nrm").select(
+        "i",
+        F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm")).otherwise(F.lit(0.0)).alias("v"),
+    )
+    dims = unit.groupBy("i").agg(F.sum("v").alias("s"))
+    tot = dims.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    base = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("e")).cast("long").alias("dim"),
+        F.avg("nrm").alias("mnrm"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_vecs"),
+        "dim",
+        F.round("mnrm", 4).alias("mean_norm"),
+        F.round(
+            (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - F.lit(1.0))), 6
+        ).alias("avg_pairwise_cos"),
+    )
+
+
+SQL_EMBEDDING_ISOTROPY = """
+WITH emb AS (
+  SELECT embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), idx AS (
+  SELECT e, nrm, unnest(range(len(e))) AS i FROM emb
+), unit AS (
+  SELECT i, CASE WHEN nrm > 0 THEN e[CAST(i + 1 AS INTEGER)] / nrm ELSE 0.0 END AS v
+  FROM idx
+), dims AS (
+  SELECT i, sum(v) AS s FROM unit GROUP BY i
+), tot AS (
+  SELECT sum(s * s) AS s2 FROM dims
+), base AS (
+  SELECT count(*) AS n, CAST(max(len(e)) AS BIGINT) AS dim, avg(nrm) AS mnrm
+  FROM emb
+)
+SELECT CAST(n AS BIGINT) AS n_vecs, dim,
+       round(mnrm, 4) AS mean_norm,
+       round((t.s2 - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cos
+FROM base CROSS JOIN tot t
+"""
+
+
 REGISTRY = {
+    "stats_embedding_isotropy": QuerySpec(
+        stats_embedding_isotropy, SQL_EMBEDDING_ISOTROPY
+    ),
     "split_stratified_eval": QuerySpec(split_stratified_eval, SQL_STRATIFIED_EVAL),
     "stats_hll_portable": QuerySpec(stats_hll_portable, SQL_HLL_PORTABLE),
     "stats_countmin_heavy_hitters": QuerySpec(

@@ -337,3 +337,29 @@ def test_sketch_mergeability_cms_and_hll():
     for k, v in hodd.items():
         hmerged[k] = max(hmerged.get(k, 0), v)
     assert hmerged == hfull
+
+
+def test_embedding_isotropy_matches_bruteforce(spark):
+    """The moment identity equals the literal O(n²) average pairwise
+    cosine on a small slice, and the panel's values are sane."""
+    import numpy as np
+
+    from python_multiproc_bigdata_spark.registry.stats import (
+        stats_embedding_isotropy,
+    )
+
+    row = stats_embedding_isotropy(spark, "/root/testdata/sf0.001").collect()[0]
+    import pyarrow.parquet as pq
+
+    x = np.array(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet")["embedding"]
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    n = len(x)
+    assert (row.n_vecs, row.dim) == (n, x.shape[1])
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    g = u @ u.T
+    brute = (g.sum() - np.trace(g)) / (n * (n - 1))
+    assert abs(row.avg_pairwise_cos - brute) < 1e-4
+    assert abs(row.mean_norm - np.linalg.norm(x, axis=1).mean()) < 1e-3
