@@ -771,6 +771,88 @@ ORDER BY doc_id
 """
 
 
+def curation_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report for the Gopher rule cascade — the
+    observability table every production curation pipeline publishes
+    alongside its output (how many documents each gate dropped, in
+    order). Rules run in the fixed order word_count → mean_word_len →
+    alpha_words → stopwords; stage k's population is the survivors of
+    stages 1..k-1, so `dropped` attributes each document to the FIRST
+    rule that rejects it.
+
+    Scale: one map-only gate pass + ONE single-row aggregate of prefix-
+    conjunction counters; the 4-row report is exploded from that row —
+    no per-stage scans, no shuffle beyond the global agg."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        gopher_quality_gate,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    g = gopher_quality_gate(d)
+    ok1, ok2, ok3, ok4 = (
+        F.col("ok_word_count"),
+        F.col("ok_mean_word_len"),
+        F.col("ok_alpha_words"),
+        F.col("ok_stopwords"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(ok1.cast("long")).alias("n1"),
+        F.sum((ok1 & ok2).cast("long")).alias("n2"),
+        F.sum((ok1 & ok2 & ok3).cast("long")).alias("n3"),
+        F.sum((ok1 & ok2 & ok3 & ok4).cast("long")).alias("n4"),
+    )
+    names = ["word_count", "mean_word_len", "alpha_words", "stopwords"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("stage"),
+                F.lit(names[k]).alias("rule"),
+                F.col(f"n{k}").alias("docs_in"),
+                (F.col(f"n{k}") - F.col(f"n{k + 1}")).alias("dropped"),
+                F.col(f"n{k + 1}").alias("docs_out"),
+            )
+            for k in range(4)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select("s.*")
+
+
+SQL_FILTER_ATTRITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS BIGINT) AS total_chars,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the','be','to','of','and','that','have','with'])) AS INT) AS n_stop
+  FROM base
+), f AS (
+  SELECT (n_words BETWEEN 50 AND 100000) AS ok1,
+         (total_chars >= 3.0 * n_words AND total_chars <= 10.0 * n_words) AS ok2,
+         (n_alpha * 100 >= 80 * n_words) AS ok3,
+         (n_stop >= 2) AS ok4
+  FROM m
+), a AS (
+  SELECT count(*) AS n0,
+         CAST(sum(CASE WHEN ok1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN ok1 AND ok2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN ok1 AND ok2 AND ok3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN ok1 AND ok2 AND ok3 AND ok4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM f
+)
+SELECT 1 AS stage, 'word_count' AS rule, n0 AS docs_in, n0 - n1 AS dropped, n1 AS docs_out FROM a
+UNION ALL SELECT 2, 'mean_word_len', n1, n1 - n2, n2 FROM a
+UNION ALL SELECT 3, 'alpha_words', n2, n2 - n3, n3 FROM a
+UNION ALL SELECT 4, 'stopwords', n3, n3 - n4, n4 FROM a
+"""
+
+
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained model-based quality gate (operators/classifier.py) — the
     fastText/CCNet-style stage after the heuristic gates: logistic
@@ -1143,6 +1225,9 @@ REGISTRY = {
         curation_dup_ngram_fraction, SQL_DUP_NGRAM
     ),
     "curation_gopher_gate": QuerySpec(curation_gopher_gate, SQL_GOPHER_GATE),
+    "curation_filter_attrition": QuerySpec(
+        curation_filter_attrition, SQL_FILTER_ATTRITION
+    ),
     "curation_pii_redact": QuerySpec(curation_pii_redact, SQL_PII_REDACT),
     "basket_association_rules": QuerySpec(
         basket_association_rules, SQL_BASKET_RULES
