@@ -137,3 +137,40 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected edge list (`src`, `dst` — pass BOTH directions), fixed
+    iteration count, fully deterministic: every node starts as its own
+    label; each round it adopts its neighbors' most frequent label,
+    ties broken by the SMALLEST label. Returns (node, label) after
+    `iterations` rounds.
+
+    Determinism is what makes this oracle-checkable — classic async LPA
+    is order-dependent; the synchronous fixed-round variant with a total
+    (count DESC, label ASC) tie order has exactly one answer, which a
+    DuckDB oracle replays as `iterations` nested CTE stages.
+
+    Scale (100 TB of edges): each round is ONE join (labels ⋈ edges on
+    dst) + ONE (node, label) count groupBy + ONE row_number window on
+    node — all hash-partitioned on node keys, the join exchange reused
+    round to round (same doctrine as pagerank above). State is the
+    |nodes|-sized label relation; rounds chain lazily, no collect."""
+    from pyspark.sql import Window
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        nb = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("v"), "label"
+        )
+        cnt = nb.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+        )
+    return labels

@@ -502,6 +502,71 @@ GROUP BY node
 """
 
 
+def graph_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via 3-round
+    synchronous label propagation (operators/graph.py:label_propagation)
+    — the cluster-assignment sibling of the triangle census above: same
+    support-≥2 edge build, but the output is a (node, label) community
+    map, the grouping a curation pipeline uses to diversify or
+    cap-by-cluster. Deterministic (count DESC, label ASC tie order), so
+    the oracle replays all three rounds as nested CTE stages."""
+    from python_multiproc_bigdata_spark.operators.graph import label_propagation
+
+    li = table(prep(spark), sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        l1.join(l2, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iterations=3)
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Nested-CTE replay of the synchronous LPA recurrence — one
+    (neighbor-count, argmin-tie row_number) stage pair per round, the
+    k-stage oracle pattern from sim_mmr_diversify."""
+    parts = [
+        """WITH pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""", n{k} AS (
+  SELECT e.src AS v, l.label, count(*) AS c
+  FROM edges e JOIN l{k - 1} l ON e.dst = l.node
+  GROUP BY 1, 2
+), l{k} AS (
+  SELECT v AS node, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+    FROM n{k})
+  WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{iterations}")
+    return "".join(parts)
+
+
+SQL_LABELPROP = _lpa_oracle(3)
+
+
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over per-order brand sets:
     support / confidence / lift for brand pairs, the frequent-itemset
@@ -1234,6 +1299,7 @@ REGISTRY = {
     ),
     "curation_pagerank_quality": QuerySpec(curation_pagerank_quality, SQL_PAGERANK),
     "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
+    "graph_community_labelprop": QuerySpec(graph_community_labelprop, SQL_LABELPROP),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),

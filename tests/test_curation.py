@@ -550,3 +550,23 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     for lang, m in means.items():
         if lang != "en":
             assert means["en"] > m, (lang, means)
+
+
+def test_label_propagation_semantics(spark):
+    """Hand-checkable LPA: two cliques joined by one bridge edge form two
+    communities after 3 synchronous rounds. Hand trace: clique {1,2,3}
+    settles on label 1; clique {10,11,12} settles on label 3 — the
+    bridge node's round-1 label (min of 10's neighbors {3,11,12})
+    propagates as the second community's id, the classic sync-LPA
+    bridge-leak this fixed-round deterministic variant pins exactly."""
+    from python_multiproc_bigdata_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    und = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
