@@ -135,6 +135,17 @@ HEADLINE = [
     "eval_binary_recall",
     "eval_ivf_recall",
     "training_domain_reweight",
+    # this session's additions: real WAV decode, RAG chunking,
+    # substring-span dedup, CCNet tiers, DSIR weights, isotropy panel,
+    # attrition report, LPA communities
+    "multimodal_decode_wav",
+    "text_chunk_sliding",
+    "dedup_substring_spans",
+    "curation_ccnet_tiers",
+    "training_dsir_weights",
+    "stats_embedding_isotropy",
+    "curation_filter_attrition",
+    "graph_community_labelprop",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

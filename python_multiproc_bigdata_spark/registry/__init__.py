@@ -279,17 +279,43 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   curation_bigram_logprob (r04-green; its LM tower stays in-window
 #     INSIDE training_domain_reweight, which composes it) ->
 #     stats_hll_portable (NEW: value-checked portable HLL)
+# Third-continuation rotation (this session): 8 NEW capability classes
+# enter for first-time driver checks; every demotion is r04-green on
+# record with in-window family siblings:
+#   graph_triangle_copurchase (r04; graph keeps labelprop) ->
+#     graph_community_labelprop (NEW: deterministic sync-LPA communities)
+#   dedup_winnow_pairs (r04; dedup keeps prefix_filter, semantic,
+#     components, substring_spans) -> dedup_substring_spans (NEW:
+#     Lee-et-al window-granular exact-substring dedup)
+#   streaming_transition_counts (r04; streaming keeps funnel_stages,
+#     classifier_serving, words_doc_frequency) -> multimodal_decode_wav
+#     (NEW: real RIFF/WAVE audio decode, PPM's sibling)
+#   text_bpe_merges (r04; text keeps bm25_topk, chunk_sliding,
+#     eval_tokenizer_compare) -> text_chunk_sliding (NEW: RAG
+#     sliding-window chunking)
+#   sim_topk_sq8_ivf (r04; sim keeps lsh_banded, ivf_kmeans, ivfpq,
+#     binary, mmr) -> stats_embedding_isotropy (NEW: embedding-space
+#     diagnostics via the moment identity)
+#   training_pack_greedy (r04; training keeps corpus_pipeline,
+#     domain_reweight, contrastive_pairs, dsir_weights) ->
+#     training_dsir_weights (NEW: DSIR importance resampling)
+#   curation_pagerank_quality (r04; curation keeps quality_classifier,
+#     ccnet_tiers, filter_attrition) -> curation_ccnet_tiers (NEW:
+#     CCNet perplexity terciles)
+#   dq_check_orders (r04; advanced keeps func_udtf_char_ngrams,
+#     asof_click_to_nearest_view) -> curation_filter_attrition (NEW:
+#     cascade attrition report)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
-    "graph_triangle_copurchase",
-    "dedup_winnow_pairs",
+    "graph_community_labelprop",
+    "dedup_substring_spans",
     "words_pipeline",
-    "streaming_transition_counts",
+    "multimodal_decode_wav",
     # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
     # are the hardest never-checked members, promoted r4)
     # events: sessionization, retention, trailing RANGE frame
     "sim_topk_binary",
-    "text_bpe_merges",
+    "text_chunk_sliding",
     # text analysis + profiling
     "streaming_funnel_stages",
     "curation_quality_classifier",
@@ -302,7 +328,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
     "sim_mmr_diversify",
     "eval_tokenizer_compare",
-    "sim_topk_sq8_ivf",
+    "stats_embedding_isotropy",
     "sim_topk_lsh_banded",
     "sim_topk_ivf_kmeans",
     # layout: Z-order bit math (integer-exact oracle)
@@ -313,7 +339,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "asof_click_to_nearest_view",
     "sessions_overlap_pairs",
     "func_udtf_char_ngrams",
-    "dq_check_orders",
+    "curation_filter_attrition",
     # multimodal plumbing
     # stats panel
     "corpus_datasheet",
@@ -331,11 +357,11 @@ CHECKED_FIRST: tuple[str, ...] = (
     # prefix-sum + first-fit-sequential applyInPandas fold with a
     # recursive-CTE oracle replaying the identical fold)
     "layout_skipping_hilbert",
-    "training_pack_greedy",
+    "training_dsir_weights",
     # corpus curation (PageRank quality prior, decontamination,
     # dup-cluster canonicalization; repetition signals demoted r4 —
     # r03-green)
-    "curation_pagerank_quality",
+    "curation_ccnet_tiers",
     "streaming_classifier_serving",
     "dedup_components_canonical",
     # round-5 promotions (see rotation log above)

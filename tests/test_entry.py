@@ -45,15 +45,15 @@ def test_checked_window_is_curated():
         "sim_topk_ivf_kmeans",
         "dedup_components_canonical",
         "training_corpus_pipeline",
-        "training_pack_greedy", "sim_topk_lsh_banded",
+        "sim_topk_lsh_banded",
         # round-3 promotions (swap log in registry/__init__.py)
-        "dq_check_orders",
+        
         
         # round-4 promotions: never-driver-checked tail + the composed
         # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
         # their surfaces now carry through sim_topk_ivf_kmeans /
         # sim_topk_sq8_ivf, both full-hash-checked)
-        "sim_topk_sq8_ivf", 
+        
         
         # late-round-4 promotions (new capability classes; demoted
         # sim_neardup_cosine / quota_sample_per_lang /
@@ -62,13 +62,13 @@ def test_checked_window_is_curated():
         # family siblings — swap log in registry/__init__.py)
         "zorder_lineitem_layout",
         "bloom_filtered_join", 
-        "curation_pagerank_quality",
+        
         # continuation-session promotions (new capability classes;
         # demoted words_first_position / q1_pricing_summary /
         # events_sessionize / stats_lineitem_moments /
         # training_mix_by_lang are all multiply-driver-green with
         # in-window family siblings — swap log in registry/__init__.py)
-        "graph_triangle_copurchase", 
+        
         
         
         # second-continuation promotions (6 new capability classes;
@@ -76,8 +76,8 @@ def test_checked_window_is_curated():
         # streaming_click_view_join / sim_topk_bruteforce /
         # udaf_median_acctbal / dedup_minhash_lsh are all r03-green with
         # in-window family siblings — swap log in registry/__init__.py)
-        "dedup_winnow_pairs", 
-        "text_bpe_merges", 
+        
+        
         "func_udtf_char_ngrams", 
         # end-of-round-4 promotions (8 never-checked capability classes;
         # demoted profile_documents / sim_knn_classify /
@@ -116,6 +116,17 @@ def test_checked_window_is_curated():
         "corpus_datasheet", "eval_ivf_recall",
         "training_domain_reweight", "streaming_classifier_serving",
         "stats_countmin_heavy_hitters", "stats_hll_portable",
+        # third-continuation rotation: 8 NEW capability classes in,
+        # demotions all r04-green with in-window family siblings
+        # (graph_triangle_copurchase / dedup_winnow_pairs /
+        # streaming_transition_counts / text_bpe_merges /
+        # sim_topk_sq8_ivf / training_pack_greedy /
+        # curation_pagerank_quality / dq_check_orders — swap log in
+        # registry/__init__.py)
+        "graph_community_labelprop", "dedup_substring_spans",
+        "multimodal_decode_wav", "text_chunk_sliding",
+        "stats_embedding_isotropy", "training_dsir_weights",
+        "curation_ccnet_tiers", "curation_filter_attrition",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
