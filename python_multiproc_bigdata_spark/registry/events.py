@@ -1193,7 +1193,90 @@ FROM run GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution rollup: every purchase is attributed to the
+    FIRST and the LAST click/view touch by the same user within the 7
+    days before it; output is revenue and purchase counts per
+    (attribution model, touch type) — the classic first-touch /
+    last-touch comparison table.
+
+    Plan: a bounded interval join (purchases ⋈ touches on user within
+    [ts−7d, ts]) — the range-join class, fan-out bounded by per-user
+    7-day activity — then one row_number per direction on the joined
+    relation ((ts, event_id) total order, so ties are impossible), and
+    a |models|×|touch types|-row rollup. Purchases with no touch in
+    the window drop out of both models identically (inner join).
+
+    Scale: the interval join shuffles on user_id only; everything after
+    is proportional to the touch-attributed purchase set. Revenue sums
+    rounded 4dp on both engines."""
+    ev = table(prep(spark), sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(t, "u").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w_last = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    w_first = Window.partitionBy("p_id").orderBy(F.asc("t_ts"), F.asc("t_id"))
+    attributed = j.select(
+        "p_id",
+        "revenue",
+        "touch_type",
+        F.row_number().over(w_last).alias("rn_last"),
+        F.row_number().over(w_first).alias("rn_first"),
+    )
+    def rollup(flag_col: str, model: str) -> DataFrame:
+        return (
+            attributed.where(F.col(flag_col) == 1)
+            .groupBy("touch_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.round(F.sum("revenue"), 4).alias("revenue"),
+            )
+            .select(F.lit(model).alias("model"), "touch_type", "n_purchases", "revenue")
+        )
+
+    return rollup("rn_first", "first_touch").unionByName(rollup("rn_last", "last_touch"))
+
+
+SQL_ATTRIBUTION_TOUCH = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS u, ts AS p_ts, value AS revenue
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id AS u, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT p.p_id, p.revenue, t.touch_type,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts ASC, t.t_id ASC) AS rn_first
+  FROM p JOIN t ON p.u = t.u
+   AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+)
+SELECT 'first_touch' AS model, touch_type,
+       count(*) AS n_purchases, round(sum(revenue), 4) AS revenue
+FROM j WHERE rn_first = 1 GROUP BY touch_type
+UNION ALL
+SELECT 'last_touch', touch_type, count(*), round(sum(revenue), 4)
+FROM j WHERE rn_last = 1 GROUP BY touch_type
+"""
+
+
 REGISTRY = {
+    "events_attribution_touch": QuerySpec(
+        events_attribution_touch, SQL_ATTRIBUTION_TOUCH
+    ),
     "events_max_concurrency": QuerySpec(events_max_concurrency, SQL_MAX_CONCURRENCY),
     "sessions_overlap_pairs": QuerySpec(sessions_overlap_pairs, SQL_SESSIONS_OVERLAP),
     "events_from_json_struct": QuerySpec(events_from_json_struct, SQL_FROM_JSON),
