@@ -502,6 +502,67 @@ GROUP BY node
 """
 
 
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release corpus diff — the audit table a versioned
+    dataset publishes with each release (what was added, removed,
+    edited). Two releases are derived deterministically from one
+    snapshot by md5(doc_id) slice so both engines see identical
+    versions: ~1/16 of docs exist only in v1 (removed), ~1/16 only in
+    v2 (added), ~1/16 have edited text in v2 (changed), the rest are
+    unchanged. The diff itself is the production shape: FULL OUTER
+    JOIN of the two (doc_id, content-fingerprint) relations + a CASE —
+    one shuffle on doc_id, no text comparison (fingerprints only).
+    Output: per-doc (doc_id, status) plus the v1/v2 fingerprint
+    presence flags."""
+    d = table(prep(spark), sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    base = d.select("doc_id", "text", h.alias("h"))
+    v1 = base.where(F.col("h") != "e").select(
+        "doc_id", F.md5("text").alias("fp1")
+    )
+    v2 = base.where(F.col("h") != "d").select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("h") == "c", F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.col("fp1").isNotNull().alias("in_v1"),
+        F.col("fp2").isNotNull().alias("in_v2"),
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") == F.col("fp2"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+SQL_VERSION_DIFF = """
+WITH base AS (
+  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+), v1 AS (
+  SELECT doc_id, md5(text) AS fp1 FROM base WHERE h <> 'e'
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN h = 'c' THEN text || ' rev2' ELSE text END) AS fp2
+  FROM base WHERE h <> 'd'
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       (fp1 IS NOT NULL) AS in_v1,
+       (fp2 IS NOT NULL) AS in_v2,
+       CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 = fp2 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
 def graph_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-purchase graph via 3-round
     synchronous label propagation (operators/graph.py:label_propagation)
@@ -1300,6 +1361,7 @@ REGISTRY = {
     "curation_pagerank_quality": QuerySpec(curation_pagerank_quality, SQL_PAGERANK),
     "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
     "graph_community_labelprop": QuerySpec(graph_community_labelprop, SQL_LABELPROP),
+    "corpus_version_diff": QuerySpec(corpus_version_diff, SQL_VERSION_DIFF),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),
