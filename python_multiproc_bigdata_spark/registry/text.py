@@ -1028,7 +1028,84 @@ FROM ch
 """
 
 
+def text_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trimming at whole-turn boundaries — the chat/SFT
+    prep step that keeps the longest SUFFIX of turns fitting a token
+    budget (here turn = non-blank line, budget = 64 whitespace tokens):
+    a conversation is truncated from the front, never mid-turn. Per
+    doc: turn count, total tokens, kept turns, kept tokens.
+
+    Plan: posexplode_outer the turn array (explode_outer + null filter —
+    the InferFiltersFromGenerate guard, so the line-split is not cloned
+    into an inferred size()>0 filter), then ONE window per doc ordered
+    by turn index DESC with a running token sum; the suffix-within-
+    budget is exactly the rows whose running sum ≤ budget (monotone, so
+    contiguous by construction). One exchange on doc_id, no arrays
+    re-scanned."""
+    BUDGET = 64
+    d = table(prep(spark), sf_dir, "documents")
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    t = (
+        d.select("doc_id", F.posexplode_outer(lines).alias("idx", "line"))
+        .where(F.col("idx").isNotNull())
+        .withColumn(
+            "tc",
+            F.size(
+                F.filter(F.split("line", WHITESPACE_RE), lambda x: F.length(x) > 0)
+            ).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("runsum", F.sum("tc").over(w))
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("tc").alias("total_tokens"),
+        F.sum((F.col("runsum") <= BUDGET).cast("long")).alias("n_kept_turns"),
+        F.coalesce(
+            F.max(F.when(F.col("runsum") <= BUDGET, F.col("runsum"))), F.lit(0)
+        ).alias("kept_tokens"),
+    )
+
+
+SQL_CONTEXT_TRIM = r"""
+WITH turns AS (
+  SELECT doc_id, idx, ln
+  FROM (SELECT doc_id,
+               generate_subscripts(lines, 1) - 1 AS idx,
+               unnest(lines) AS ln
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(trim(x)) > 0) AS lines
+              FROM documents))
+), tc AS (
+  SELECT doc_id, idx,
+         CAST(len(list_filter(string_split_regex(ln, '[ \t\n\r\f\x0B]+'),
+                              x -> length(x) > 0)) AS BIGINT) AS tc
+  FROM turns
+), rs AS (
+  SELECT doc_id, tc,
+         sum(tc) OVER (PARTITION BY doc_id ORDER BY idx DESC
+                       ROWS UNBOUNDED PRECEDING) AS runsum
+  FROM tc
+)
+SELECT doc_id,
+       count(*) AS n_turns,
+       CAST(sum(tc) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN runsum <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_turns,
+       CAST(coalesce(max(CASE WHEN runsum <= 64 THEN runsum END), 0) AS BIGINT) AS kept_tokens
+FROM rs
+GROUP BY doc_id
+"""
+
+
 REGISTRY = {
+    "text_context_trim": QuerySpec(text_context_trim, SQL_CONTEXT_TRIM),
     "text_chunk_sliding": QuerySpec(text_chunk_sliding, SQL_CHUNK_SLIDING),
     "eval_tokenizer_compare": QuerySpec(
         eval_tokenizer_compare, make_tokenizer_compare_oracle
