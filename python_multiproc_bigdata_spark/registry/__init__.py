@@ -305,6 +305,13 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #   dq_check_orders (r04; advanced keeps func_udtf_char_ngrams,
 #     asof_click_to_nearest_view) -> curation_filter_attrition (NEW:
 #     cascade attrition report)
+# Fourth-continuation swap:
+#   dedup_components_canonical (r04-green) ->
+#     dedup_keep_best_per_cluster (NEW: quality-aware canonical
+#     selection — keep the LONGEST cluster member, not MIN doc_id; it
+#     composes the IDENTICAL minhash-LSH + iterative min-label
+#     components pass, so the components surface keeps a hard driver
+#     signal through the composition, plus the new argmax-ranking form)
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_community_labelprop",
@@ -363,7 +370,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # r03-green)
     "curation_ccnet_tiers",
     "streaming_classifier_serving",
-    "dedup_components_canonical",
+    "dedup_keep_best_per_cluster",
     # round-5 promotions (see rotation log above)
     "q7_volume_shipping",
     "q9_product_profit",

@@ -197,6 +197,52 @@ SELECT doc_id, component FROM comp
 """
 
 
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: instead of keeping each dup
+    cluster's MIN doc_id (dedup_components_canonical above — C4's
+    keep-first rule), keep its LONGEST member (n_chars, doc_id
+    tiebreak) — the "keep the most complete copy" policy better
+    pipelines use. One row per cluster: size, kept doc, kept length.
+
+    Deterministic by construction: the ranking key (n_chars DESC,
+    doc_id ASC) is an integer total order — no float compare at the
+    argmax boundary. Plan: the same iterative min-label components pass,
+    one join onto the (tiny, dup-rate-sized) clustered relation to
+    attach lengths, one row_number per cluster, one rollup."""
+    d = table(prep(spark), sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.8).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    j = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keep_n_chars"),
+    )
+
+
+SQL_KEEP_BEST = _LSH_PAIRS_CTE + _COMPONENTS_BODY + """
+, ranked AS (
+  SELECT c.component, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component,
+       count(*) AS n_members,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS keep_n_chars
+FROM ranked GROUP BY component
+"""
+
+
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe ~80/20 split (GroupShuffleSplit semantics): the split
     hash is taken over each doc's near-dup CLUSTER canonical id, not the
@@ -1362,6 +1408,9 @@ REGISTRY = {
     "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
     "graph_community_labelprop": QuerySpec(graph_community_labelprop, SQL_LABELPROP),
     "corpus_version_diff": QuerySpec(corpus_version_diff, SQL_VERSION_DIFF),
+    "dedup_keep_best_per_cluster": QuerySpec(
+        dedup_keep_best_per_cluster, SQL_KEEP_BEST
+    ),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),

@@ -570,3 +570,41 @@ def test_label_propagation_semantics(spark):
     )
     got = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_keep_best_per_cluster_picks_longest_member(spark):
+    """Every kept doc must be its cluster's longest member (doc_id
+    tiebreak), re-derived independently by re-running the components
+    pass and taking a driver-side argmax per component."""
+    from python_multiproc_bigdata_spark.registry.common import prep, table
+    from python_multiproc_bigdata_spark.registry.curation import (
+        dedup_keep_best_per_cluster,
+        minhash_lsh_pairs,
+    )
+    from python_multiproc_bigdata_spark.operators.curation import (
+        connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.component: r for r in dedup_keep_best_per_cluster(spark, sf).collect()}
+    assert got, "sf0.001 corpus has planted dup clusters"
+
+    d = table(prep(spark), sf, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.8).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id").collect()
+    by_comp = {}
+    for r in members:
+        by_comp.setdefault(r.component, []).append((r.n_chars, r.doc_id))
+    assert set(by_comp) == set(got)
+    for c, pairs in by_comp.items():
+        want_chars, want_doc = max(
+            pairs, key=lambda t: (t[0], -t[1])
+        )
+        assert got[c].n_members == len(pairs)
+        assert got[c].keep_doc_id == want_doc, c
+        assert got[c].keep_n_chars == want_chars, c

@@ -43,7 +43,7 @@ def test_checked_window_is_curated():
     must_be_checked = {
         "func_arabic_tokenize",
         "sim_topk_ivf_kmeans",
-        "dedup_components_canonical",
+        "dedup_keep_best_per_cluster",
         "training_corpus_pipeline",
         "sim_topk_lsh_banded",
         # round-3 promotions (swap log in registry/__init__.py)
