@@ -28,9 +28,10 @@ from python_multiproc_bigdata_spark.registry import stats as _stats
 from python_multiproc_bigdata_spark.registry import training as _training
 from python_multiproc_bigdata_spark.registry import curation as _curation
 from python_multiproc_bigdata_spark.registry import layout as _layout
+from python_multiproc_bigdata_spark.registry import recsys as _recsys
 
 _ALL: dict[str, QuerySpec] = {}
-for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advanced, _streaming, _multimodal, _stats, _training, _curation, _layout):
+for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advanced, _streaming, _multimodal, _stats, _training, _curation, _layout, _recsys):
     overlap = _ALL.keys() & mod.REGISTRY.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

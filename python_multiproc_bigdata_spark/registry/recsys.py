@@ -1,0 +1,251 @@
+"""Recommender-system queries: item-item collaborative filtering over
+TPC-H purchase behavior (the Amazon-style "customers who bought X also
+bought Y" serving tables every large-scale recsys pipeline starts from).
+
+Two capability classes beyond the association-rule mining in
+registry/curation.py (basket_association_rules mines per-ORDER pair
+support/confidence/lift): here the interaction unit is the CUSTOMER's
+whole purchase history, similarity is cosine-normalized co-occurrence,
+and the outputs are ranked serving artifacts — a per-item neighbor list
+and per-user personalized recommendations.
+
+Reference scope: extends the reference's per-key counting
+(v2 ReduceItemTransformer, reference core/transformers.py) to
+co-occurrence statistics and ranked retrieval; no reference operator is
+ported here.
+
+Parity notes: every double that reaches the hash compare is either
+round()ed identically on both engines or summed as an EXACT INTEGER
+(micro-units) first — float sums are order-dependent across engines,
+integer sums are not (same convention as events_linear_trend).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+
+
+def _interactions(s: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (custkey, brand) purchase incidence.
+
+    Scale shape: lineitem joins the broadcast part dim map-side, then
+    the one big shuffle of the family — lineitem⋈orders on orderkey
+    (bucket both on orderkey at 100 TB and this co-locates) — and the
+    distinct reshuffles on (custkey, brand), which is also the
+    partitioning every downstream per-customer stage wants."""
+    li = table(s, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(s, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pt = table(s, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+
+
+def _sims_from_interactions(inter: DataFrame) -> DataFrame:
+    """Symmetric item-item cosine relation (brand, neighbor, n_co,
+    sim_micro) with sim_micro = round(1e6 * co / sqrt(n_a * n_b)) as
+    BIGINT — the integer form downstream sums stay exact in.
+
+    The unordered pairs expand MAP-SIDE from each customer's sorted
+    brand array (25-brand space → ≤300 pairs/customer) — no
+    interactions self-join shuffle. `_bs` is referenced via size() in
+    the pair expression so CollapseProject cannot inline the
+    collect_set into the lambda (the O(n^2) re-eval trap, SCALE.md).
+    At a real item cardinality (millions of items) the pair expansion
+    gets capped per user and the co-count groupBy is the shuffle to
+    salt; the cosine math and ranking below are unchanged."""
+    cnt = inter.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    baskets = inter.groupBy("custkey").agg(
+        F.array_sort(F.collect_set("brand")).alias("_bs")
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(_bs, (x, i) ->
+          transform(slice(_bs, i + 2, greatest(size(_bs) - i - 1, 1)),
+                    y -> struct(x AS brand_a, y AS brand_b))))
+        """
+    )
+    pairs = (
+        baskets.select(F.explode_outer(pair_expr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    sym = pairs.select("brand_a", "brand_b", "n_co").union(
+        pairs.select(
+            F.col("brand_b").alias("brand_a"),
+            F.col("brand_a").alias("brand_b"),
+            "n_co",
+        )
+    )
+    ca = cnt.select(F.col("brand").alias("brand_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (
+        sym.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            F.col("brand_a").alias("brand"),
+            F.col("brand_b").alias("neighbor"),
+            "n_co",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+
+
+def _item_sims(s: SparkSession, sf_dir: str) -> DataFrame:
+    return _sims_from_interactions(_interactions(s, sf_dir))
+
+
+def recsys_item_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item neighbor serving table: for every brand, its top-3
+    most-similar brands by cosine over customer purchase vectors
+    (co-customers / sqrt(n_a * n_b)), ties broken by neighbor name.
+
+    Ranking happens on the INTEGER micro-cosine, so the order the
+    window sees is bit-identical on both engines; the exported cosine
+    is derived from that same integer (never re-divided)."""
+    sims = _item_sims(prep(spark), sf_dir)
+    w = Window.partitionBy("brand").orderBy(F.desc("sim_micro"), F.asc("neighbor"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "brand",
+            "neighbor",
+            "n_co",
+            F.round(F.col("sim_micro") / F.lit(1000000.0), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+_SIMS_CTES = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cnt AS (SELECT brand, count(*) AS n FROM inter GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_co
+  FROM inter a JOIN inter b ON a.custkey = b.custkey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+),
+sym AS (
+  SELECT brand_a, brand_b, n_co FROM pairs
+  UNION ALL
+  SELECT brand_b AS brand_a, brand_a AS brand_b, n_co FROM pairs
+),
+sims AS (
+  SELECT s.brand_a AS brand, s.brand_b AS neighbor, s.n_co,
+         CAST(round(CAST(s.n_co AS DOUBLE)
+                    / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS sim_micro
+  FROM sym s
+  JOIN cnt ca ON s.brand_a = ca.brand
+  JOIN cnt cb ON s.brand_b = cb.brand
+)
+"""
+
+
+SQL_ITEM_SIMILAR = _SIMS_CTES + """
+, ranked AS (
+  SELECT brand, neighbor, n_co, sim_micro,
+         row_number() OVER (PARTITION BY brand
+                            ORDER BY sim_micro DESC, neighbor ASC) AS rank
+  FROM sims
+)
+SELECT brand, neighbor, n_co,
+       round(sim_micro / 1000000.0, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def recsys_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized top-3 brand recommendations for a deterministic
+    1/16 customer sample (md5(custkey) < '1'): each candidate brand the
+    customer has NOT bought is scored by the SUM of its cosine
+    similarity to every brand they HAVE bought (classic item-based CF
+    scoring), ranked per customer by (score DESC, brand ASC).
+
+    Scale shape: the similarity relation is items^2-bounded (tiny here,
+    top-M-pruned at real item counts) and BROADCAST, so scoring is one
+    map-side join off the (custkey, brand)-partitioned interactions,
+    one (custkey, candidate) partial-agg shuffle, and one window — the
+    anti-join back onto the same interactions partitioning removes
+    already-owned candidates without a new exchange shape. Scores are
+    summed in exact integer micro-units (order-independent), divided
+    back to a double only at export."""
+    s = prep(spark)
+    inter = _interactions(s, sf_dir)
+    sims = _item_sims(s, sf_dir)
+    sampled = inter.filter(F.md5(F.col("custkey").cast("string")) < "1")
+    scores = (
+        sampled.join(F.broadcast(sims), "brand")
+        .groupBy("custkey", F.col("neighbor").alias("candidate"))
+        .agg(F.sum("sim_micro").alias("score_micro"))
+    )
+    owned = inter.select(
+        "custkey", F.col("brand").alias("candidate")
+    )
+    fresh = scores.join(owned, ["custkey", "candidate"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy(
+        F.desc("score_micro"), F.asc("candidate")
+    )
+    return (
+        fresh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "custkey",
+            "candidate",
+            F.round(F.col("score_micro") / F.lit(1000000.0), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+SQL_USER_RECOMMEND = _SIMS_CTES + """
+, sampled AS (
+  SELECT custkey, brand FROM inter
+  WHERE md5(CAST(custkey AS VARCHAR)) < '1'
+),
+scores AS (
+  SELECT sa.custkey, si.neighbor AS candidate,
+         sum(si.sim_micro) AS score_micro
+  FROM sampled sa JOIN sims si ON sa.brand = si.brand
+  GROUP BY sa.custkey, si.neighbor
+),
+fresh AS (
+  SELECT sc.* FROM scores sc
+  ANTI JOIN inter i
+    ON sc.custkey = i.custkey AND sc.candidate = i.brand
+),
+ranked AS (
+  SELECT custkey, candidate, score_micro,
+         row_number() OVER (PARTITION BY custkey
+                            ORDER BY score_micro DESC, candidate ASC) AS rank
+  FROM fresh
+)
+SELECT custkey, candidate,
+       round(score_micro / 1000000.0, 6) AS score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+REGISTRY = {
+    "recsys_item_similar_topk": QuerySpec(recsys_item_similar_topk, SQL_ITEM_SIMILAR),
+    "recsys_user_recommend": QuerySpec(recsys_user_recommend, SQL_USER_RECOMMEND),
+}
