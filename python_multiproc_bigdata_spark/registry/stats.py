@@ -1086,7 +1086,154 @@ FROM base CROSS JOIN tot t
 """
 
 
+# Poisson(1) inverse-CDF cutoffs as EXACT INTEGERS on the 48-bit md5
+# uniform (c_k = ceil(CDF_k * 16^12)): weight = #{k: u_int >= c_k}.
+# Pure integer compares — no float randomness ever exists, so both
+# engines agree bit-for-bit with no rounding convention at all.
+_POIS_CUTS = (
+    103548857136061,
+    207097714272122,
+    258872142840153,
+    276130285696163,
+    280444821410165,
+    281307728552966,
+)
+_N_BOOT = 64
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    price per order priority — THE resampling scheme for uncertainty at
+    100 TB scale (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): instead of materializing B resampled
+    datasets, each row independently draws a Poisson(1) multiplicity
+    per replicate, so the whole bootstrap is ONE pass with map-side
+    partial aggregation; the shuffle carries |groups| × B partial sums,
+    never data.
+
+    Determinism/parity: the replicate weight comes from the first 12
+    md5 hex digits of (orderkey, ':', b) compared against precomputed
+    INTEGER inverse-CDF cutoffs (see _POIS_CUTS) — no float randomness
+    exists on either engine. Weighted sums run in exact integer cents
+    (o_totalprice is 2-decimal by construction), so every per-replicate
+    mean is one identical double division. The CI is order-statistics
+    based: replicate means ranked (mean ASC, b ASC), rank 2 of 64 is
+    the 2.5% bound, rank 63 the 97.5% (Efron percentile method at
+    B=64). A group whose resample weight-sum hits 0 would divide by
+    zero — probability e^-n, impossible beyond toy groups.
+
+    Reference scope: beyond-reference statistics capability (the
+    reference has no uncertainty estimation); the per-key partial-sum
+    shape is the same as its ReduceItemTransformer counting."""
+    o = table(prep(spark), sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    b = F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b")
+    rows = o.select("o_orderpriority", cents.alias("cents"), "o_orderkey", b)
+    digits = [
+        (
+            F.expr(
+                "CAST(instr('0123456789abcdef', substring("
+                f"md5(concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))), {i + 1}, 1)) - 1 AS BIGINT)"
+            )
+            * F.lit(16 ** (11 - i)).cast("long")
+        )
+        for i in range(12)
+    ]
+    u_int = digits[0]
+    for t in digits[1:]:
+        u_int = u_int + t
+    rows = rows.select("o_orderpriority", "cents", "b", u_int.alias("u_int"))
+    w = None
+    for c in _POIS_CUTS:
+        term = (F.col("u_int") >= F.lit(c)).cast("bigint")
+        w = term if w is None else w + term
+    rep = (
+        rows.select("o_orderpriority", "cents", "b", w.alias("w"))
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "b",
+            F.round(
+                F.col("sum_cents").cast("double")
+                / (F.col("n_eff").cast("double") * F.lit(100.0)),
+                4,
+            ).alias("mean_b"),
+        )
+    )
+    rk = Window.partitionBy("o_orderpriority").orderBy(F.asc("mean_b"), F.asc("b"))
+    ranked = rep.withColumn("rk", F.row_number().over(rk))
+    ci = ranked.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == _N_BOOT - 1, F.col("mean_b"))).alias("ci_hi"),
+    )
+    point = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(cents).cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(100.0)),
+            4,
+        ).alias("mean_price"),
+    )
+    return point.join(ci, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "mean_price", "ci_lo", "ci_hi"
+    )
+
+
+def _bootstrap_sql() -> str:
+    digit_terms = " + ".join(
+        "(CAST(strpos('0123456789abcdef', substr("
+        f"md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (11 - i)})"
+        for i in range(12)
+    )
+    w_terms = " + ".join(
+        f"CAST(u_int >= {c} AS BIGINT)" for c in _POIS_CUTS
+    )
+    return f"""
+WITH reps AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+         o_orderkey, b
+  FROM orders, (SELECT unnest(range(0, {_N_BOOT})) AS b)
+), uints AS (
+  SELECT o_orderpriority, cents, b, ({digit_terms}) AS u_int FROM reps
+), weighted AS (
+  SELECT o_orderpriority, cents, b, ({w_terms}) AS w FROM uints
+), rep_means AS (
+  SELECT o_orderpriority, b,
+         round(CAST(sum(w * cents) AS DOUBLE)
+               / (CAST(sum(w) AS DOUBLE) * 100.0), 4) AS mean_b
+  FROM weighted GROUP BY 1, 2
+), ranked AS (
+  SELECT o_orderpriority, b, mean_b,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY mean_b ASC, b ASC) AS rk
+  FROM rep_means
+), ci AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+         max(CASE WHEN rk = {_N_BOOT - 1} THEN mean_b END) AS ci_hi
+  FROM ranked GROUP BY 1
+), point AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS mean_price
+  FROM orders GROUP BY 1
+)
+SELECT p.o_orderpriority, p.n_orders, p.mean_price, c.ci_lo, c.ci_hi
+FROM point p JOIN ci c USING (o_orderpriority)
+"""
+
+
+SQL_BOOTSTRAP_CI = _bootstrap_sql()
+
+
 REGISTRY = {
+    "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "stats_embedding_isotropy": QuerySpec(
         stats_embedding_isotropy, SQL_EMBEDDING_ISOTROPY
     ),

@@ -363,3 +363,27 @@ def test_embedding_isotropy_matches_bruteforce(spark):
     brute = (g.sum() - np.trace(g)) / (n * (n - 1))
     assert abs(row.avg_pairwise_cos - brute) < 1e-4
     assert abs(row.mean_norm - np.linalg.norm(x, axis=1).mean()) < 1e-3
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Poisson-bootstrap CI semantics at sf0.001: every group's 95% CI
+    brackets the full-data mean with positive width, and the resample
+    weights actually average ~1 (the Poisson(1) cutoffs are calibrated)."""
+    from pyspark.sql import functions as F
+    from python_multiproc_bigdata_spark.registry.stats import (
+        _N_BOOT,
+        _POIS_CUTS,
+        stats_bootstrap_ci,
+    )
+
+    rows = stats_bootstrap_ci(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.ci_lo < r.mean_price < r.ci_hi, r
+        assert r.ci_hi - r.ci_lo > 0
+
+    # cutoff calibration: E[w] == sum_k P(u >= c_k) == 1 by construction
+    d = float(16**12)
+    ew = sum(1.0 - c / d for c in _POIS_CUTS)
+    assert abs(ew - (1.0 - 6.7e-5)) < 1e-3  # 1 - tail mass beyond w=6
+    assert _N_BOOT == 64
