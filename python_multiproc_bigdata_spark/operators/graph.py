@@ -174,3 +174,41 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .select(F.col("v").alias("node"), "label")
         )
     return labels
+
+
+def bfs_levels(edges: DataFrame, source: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Single-source BFS hop distances: (node, level) for every node
+    reachable from `source` within max_hops over the UNDIRECTED graph
+    of `edges` (src, dst) unordered pairs.
+
+    `source` is a one-row (node) DataFrame so source selection stays a
+    distributed plan (no collect) — e.g. the max-degree hub.
+
+    Scale shape (100 TB of edges): each round is ONE frontier⋈edges
+    join partitioned on the node key + one distinct + one anti-join
+    against the visited set — the classic level-synchronous frontier
+    BFS every Pregel-style system runs; state is the visited relation,
+    which only grows by the frontier. Each round's frontier is
+    localCheckpoint'ed (eager) so round N+1's anti-join against the
+    cumulative visited union never replays earlier rounds (the
+    iterative-lineage doctrine of pagerank/connected_components above;
+    at real scale this is a checkpoint to cluster storage)."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    visited = source.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(d).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited

@@ -674,6 +674,76 @@ def _lpa_oracle(iterations: int = 3) -> str:
 SQL_LABELPROP = _lpa_oracle(3)
 
 
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the part co-purchase graph
+    (same support-≥2 edge build as the triangle census / LPA above):
+    (node, level) for every part within 4 hops of the graph's
+    MAX-DEGREE hub (ties broken by min partkey) — the reachability /
+    ego-network primitive graph-exploration and influence pipelines
+    start from. Source selection is itself a one-row distributed plan
+    (degree groupBy + top-1 window), not a collect, so the whole query
+    is a single lazily-composed DAG; each BFS round is frontier⋈edges +
+    distinct + anti-join vs visited (operators/graph.py:bfs_levels).
+    The oracle replays the 4 level-synchronous rounds as nested CTEs."""
+    from python_multiproc_bigdata_spark.operators.graph import bfs_levels
+
+    li = table(prep(spark), sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        l1.join(l2, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    hub = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("node"))
+        .limit(1)
+        .select("node")
+    )
+    return bfs_levels(pairs, hub, max_hops=4)
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    parts = [
+        """WITH pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), v0 AS (
+  SELECT node, 0 AS level FROM (
+    SELECT src AS node FROM edges
+    GROUP BY src ORDER BY count(*) DESC, src ASC LIMIT 1)
+), l0 AS (SELECT * FROM v0)"""
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f""", f{k} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM l{k - 1} l JOIN edges e ON l.node = e.src
+), l{k} AS (
+  SELECT f.node, {k} AS level FROM f{k} f
+  ANTI JOIN v{k - 1} v ON f.node = v.node
+), v{k} AS (SELECT * FROM v{k - 1} UNION ALL SELECT * FROM l{k})"""
+        )
+    parts.append(f"\nSELECT node, level FROM v{max_hops}")
+    return "".join(parts)
+
+
+SQL_BFS_LEVELS = _bfs_oracle(4)
+
+
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over per-order brand sets:
     support / confidence / lift for brand pairs, the frequent-itemset
@@ -1407,6 +1477,7 @@ REGISTRY = {
     "curation_pagerank_quality": QuerySpec(curation_pagerank_quality, SQL_PAGERANK),
     "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
     "graph_community_labelprop": QuerySpec(graph_community_labelprop, SQL_LABELPROP),
+    "graph_bfs_levels": QuerySpec(graph_bfs_levels, SQL_BFS_LEVELS),
     "corpus_version_diff": QuerySpec(corpus_version_diff, SQL_VERSION_DIFF),
     "dedup_keep_best_per_cluster": QuerySpec(
         dedup_keep_best_per_cluster, SQL_KEEP_BEST

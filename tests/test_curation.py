@@ -608,3 +608,19 @@ def test_keep_best_per_cluster_picks_longest_member(spark):
         assert got[c].n_members == len(pairs)
         assert got[c].keep_doc_id == want_doc, c
         assert got[c].keep_n_chars == want_chars, c
+
+
+def test_bfs_levels_chain_and_truncation(spark):
+    """Hand-traceable BFS: path 1-2-3-4-5-6 plus off-path 2-10 from
+    source 1 — levels are hop distances, max_hops truncates, edges act
+    undirected (4-5 stored reversed), unreachable 20-21 never appears,
+    and a revisit through the 3-10 shortcut does not demote node 10."""
+    from python_multiproc_bigdata_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 4), (5, 6), (2, 10), (3, 10), (20, 21)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.level for r in bfs_levels(edges, src, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
