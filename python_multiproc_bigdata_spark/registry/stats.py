@@ -1232,8 +1232,79 @@ FROM point p JOIN ci c USING (o_orderpriority)
 SQL_BOOTSTRAP_CI = _bootstrap_sql()
 
 
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing rollup: per customer, days since last order
+    (relative to the corpus max order date), order count, and lifetime
+    spend; each scored into quintiles (5 = best) and rolled up per
+    (r, f, m) cell with customer count and average spend.
+
+    Determinism/parity: every NTILE runs over a TOTAL order (metric,
+    custkey) so bucket boundaries cannot flake across engines; spend is
+    summed in exact integer cents and divided once at export. All three
+    quintiles order ASC worst-first (stalest / fewest / cheapest get
+    ntile 1), so score 5 = best on every axis.
+
+    Scale note (100 TB): the customer relation after the per-custkey
+    partial agg is |customers|-sized; the global NTILEs here are
+    single-task sorts over it — at real scale you broadcast
+    sample-derived quintile cutoffs instead (exactly the
+    curation_ccnet_tiers pattern) and score map-side; the aggregation
+    shape is unchanged."""
+    o = table(prep(spark), sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("cents"),
+    )
+    w_r = Window.orderBy(F.asc("last_date"), F.asc("custkey"))
+    w_f = Window.orderBy(F.asc("n_orders"), F.asc("custkey"))
+    w_m = Window.orderBy(F.asc("cents"), F.asc("custkey"))
+    scored = per_cust.select(
+        "custkey",
+        "cents",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0)),
+            4,
+        ).alias("avg_spend"),
+    )
+
+
+SQL_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT custkey, cents,
+         ntile(5) OVER (ORDER BY last_date ASC, custkey ASC) AS r_score,
+         ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) AS f_score,
+         ntile(5) OVER (ORDER BY cents ASC, custkey ASC) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(cents) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
+    "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
     "stats_embedding_isotropy": QuerySpec(
         stats_embedding_isotropy, SQL_EMBEDDING_ISOTROPY
     ),

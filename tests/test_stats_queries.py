@@ -387,3 +387,28 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     ew = sum(1.0 - c / d for c in _POIS_CUTS)
     assert abs(ew - (1.0 - 6.7e-5)) < 1e-3  # 1 - tail mass beyond w=6
     assert _N_BOOT == 64
+
+
+def test_rfm_segmentation_invariants(spark):
+    """RFM rollup at sf0.001: scores span 1..5 on every axis, cell
+    customer counts sum to the distinct customer count, and quintile
+    populations are balanced (sizes differ by at most 1 per axis)."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        events_rfm_segmentation,
+    )
+
+    rows = events_rfm_segmentation(spark, "/root/testdata/sf0.001").collect()
+    n_cust = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[axis]] = per.get(r[axis], 0) + r.n_customers
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1, (axis, per)
+    assert all(r.avg_spend > 0 for r in rows)
