@@ -815,6 +815,147 @@ FROM tot CROSS JOIN hits
 """
 
 
+# NDCG@10 discount weights as exact integers: W[r] = round(1e12 /
+# log2(r+1)). Graded relevance rel = 11 - truth_rank. Integer gains sum
+# exactly (order-independent across engines); the ONLY float op is the
+# final division. IDCG is a constant (every query has a full truth
+# list at corpus scale >= 11 vectors).
+_NDCG_K = 10
+_NDCG_W = tuple(round(1e12 / __import__("math").log2(r + 1)) for r in range(1, _NDCG_K + 1))
+_NDCG_IDCG = sum((_NDCG_K + 1 - r) * _NDCG_W[r - 1] for r in range(1, _NDCG_K + 1))
+_MRR_W = tuple(round(1e6 / r) for r in range(1, _NDCG_K + 1))
+
+
+def eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality of the registered IVF serving tier:
+    mean NDCG@10 and MRR@10 against the exact brute-force top-10 as
+    ground truth (relevance of the truth item at rank r is 11−r) — the
+    metrics that distinguish "found the right items" (recall, already
+    driver-gated via eval_ivf_recall) from "found them in the right
+    ORDER", which is what a retrieval serving tier is actually graded
+    on.
+
+    All gains are integer: DCG contributions are rel × W_int[rank]
+    (W_int = round(1e12/log2(rank+1)) literals shared with the oracle),
+    MRR reciprocals are round(1e6/rank) literals; sums are exact
+    BIGINTs, so mean NDCG = total_gain / (n_queries × IDCG_int) and
+    mean MRR = total_rr / (n_queries × 1e6) are each ONE identical
+    double division. Queries with no relevant candidate contribute 0 to
+    both numerators through the inner join — the mean is over ALL
+    N_QUERIES queries."""
+    cfg = IVF_KMEANS_CFG
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = topk_bruteforce(queries, emb, k=_NDCG_K).select(
+        "query_id", "neighbor_id", F.col("rk").alias("rt")
+    )
+    cand = topk_ivf_kmeans(
+        queries,
+        emb,
+        k=_NDCG_K,
+        nprobe=cfg["nprobe"],
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        train_sample=cfg["train_sample"],
+    ).select("query_id", "neighbor_id", F.col("rk").alias("rc"))
+    w_expr = "CASE rc " + " ".join(
+        f"WHEN {r} THEN CAST({_NDCG_W[r - 1]} AS BIGINT)" for r in range(1, _NDCG_K + 1)
+    ) + " END"
+    hits = cand.join(exact, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        "rc",
+        ((F.lit(_NDCG_K + 1) - F.col("rt")).cast("bigint") * F.expr(w_expr)).alias(
+            "gain"
+        ),
+    )
+    dcg = hits.agg(F.coalesce(F.sum("gain"), F.lit(0)).alias("total_gain"))
+    rr_expr = "CASE fr " + " ".join(
+        f"WHEN {r} THEN CAST({_MRR_W[r - 1]} AS BIGINT)" for r in range(1, _NDCG_K + 1)
+    ) + " END"
+    firsts = hits.groupBy("query_id").agg(F.min("rc").alias("fr"))
+    mrr = firsts.select(F.expr(rr_expr).alias("rr")).agg(
+        F.coalesce(F.sum("rr"), F.lit(0)).alias("total_rr")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        nq.crossJoin(dcg)
+        .crossJoin(mrr)
+        .select(
+            "n_queries",
+            F.round(
+                F.col("total_gain").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(float(_NDCG_IDCG))),
+                4,
+            ).alias("ndcg_at_10"),
+            F.round(
+                F.col("total_rr").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(1000000.0)),
+                4,
+            ).alias("mrr_at_10"),
+        )
+    )
+
+
+def make_ranking_ndcg_oracle() -> str:
+    """Nested-WITH composition: the generated centroid-literal IVF chain
+    at k=10 + the exact cosine chain at k=10 + the integer gain/rr
+    arithmetic with the same W literals."""
+    cfg = IVF_KMEANS_CFG
+    ivf_sql = SQL_TOPK_IVF_KMEANS_TEMPLATE.format(
+        centroid_values=_centroid_values_literal(),
+        n_queries=N_QUERIES,
+        nprobe=cfg["nprobe"],
+        k=_NDCG_K,
+    )
+    w_case = "CASE h.rc " + " ".join(
+        f"WHEN {r} THEN CAST({_NDCG_W[r - 1]} AS BIGINT)" for r in range(1, _NDCG_K + 1)
+    ) + " END"
+    rr_case = "CASE fr " + " ".join(
+        f"WHEN {r} THEN CAST({_MRR_W[r - 1]} AS BIGINT)" for r in range(1, _NDCG_K + 1)
+    ) + " END"
+    return f"""
+WITH cand AS (
+{ivf_sql}
+), emb2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), ex AS (
+  SELECT query_id, neighbor_id, rk AS rt FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN q.nrm > 0 AND c.nrm > 0
+                   THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                   ELSE 0.0 END, 4) AS score
+      FROM emb2 q JOIN emb2 c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES})) WHERE rk <= {_NDCG_K}
+), hits AS (
+  SELECT c.query_id, c.rk AS rc, e.rt
+  FROM cand c JOIN ex e USING (query_id, neighbor_id)
+), dcg AS (
+  SELECT coalesce(sum(CAST(({_NDCG_K + 1} - h.rt) AS BIGINT) * {w_case}), 0)
+         AS total_gain
+  FROM hits h
+), firsts AS (SELECT query_id, min(rc) AS fr FROM hits GROUP BY 1),
+mrr AS (
+  SELECT coalesce(sum({rr_case}), 0) AS total_rr FROM firsts
+), nq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+)
+SELECT n_queries,
+       round(CAST(total_gain AS DOUBLE)
+             / (CAST(n_queries AS DOUBLE) * {float(_NDCG_IDCG)!r}), 4)
+         AS ndcg_at_10,
+       round(CAST(total_rr AS DOUBLE)
+             / (CAST(n_queries AS DOUBLE) * 1000000.0), 4) AS mrr_at_10
+FROM nq CROSS JOIN dcg CROSS JOIN mrr
+"""
+
+
 def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the PQ/ADC tier vs exact — completes the driver-gated
     recall family (binary / IVF / PQ): every compression tier's quality
@@ -1675,6 +1816,7 @@ REGISTRY = {
     "eval_binary_recall": QuerySpec(eval_binary_recall, make_binary_recall_oracle),
     "eval_ivf_recall": QuerySpec(eval_ivf_recall, make_ivf_recall_oracle),
     "eval_pq_recall": QuerySpec(eval_pq_recall, make_pq_recall_oracle),
+    "eval_ranking_ndcg": QuerySpec(eval_ranking_ndcg, make_ranking_ndcg_oracle),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),

@@ -212,3 +212,19 @@ def test_binary_hamming_exhaustive_rerank_is_exact(spark):
         for r in topk_binary_hamming(q, emb, k=3, rerank=n).collect()
     }
     assert a == b
+
+
+def test_ranking_ndcg_floor(spark):
+    """The registered IVF tier must rank well, not just recall well:
+    mean NDCG@10 vs the exact top-10 (graded 10..1) stays above 0.8 and
+    MRR@10 above 0.9 at the test SF (measured 0.899 / 1.0 at sf0.01;
+    floors budget quantizer near-tie flips)."""
+    from python_multiproc_bigdata_spark.registry.similarity import (
+        eval_ranking_ndcg,
+    )
+
+    row = eval_ranking_ndcg(spark, SF_DIR).collect()[0]
+    assert row.n_queries == 100
+    assert row.ndcg_at_10 >= 0.8, row
+    assert row.mrr_at_10 >= 0.9, row
+    assert row.ndcg_at_10 <= 1.0 and row.mrr_at_10 <= 1.0
