@@ -306,12 +306,11 @@ def synth_wav(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
-    """REAL RIFF/WAVE decoder — magic checks, chunk walk honoring the
-    odd-size pad byte, fmt parse (PCM16 only), data length validation —
-    returning (sample_rate, n_channels, n_frames, duration_ms,
-    sum_samples, sum_abs, peak). Integer sums (not float RMS) so engine
-    parity is bit-exact. Sample math is numpy, not a Python loop."""
+def wav_samples(payload: bytes):
+    """Parse RIFF/WAVE PCM16 bytes to (sample_rate, n_channels,
+    frames×channels int64 sample matrix) — the chunk walk shared by
+    decode_wav (whole-file stats) and frame_audio_windows (short-time
+    features)."""
     import struct
 
     import numpy as np
@@ -347,6 +346,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         raise ValueError(f"truncated PCM data: {len(pcm)} bytes")
     samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
     n_frames = len(samples) // n_channels
+    return rate, n_channels, samples.reshape(n_frames, n_channels)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL RIFF/WAVE decoder — magic checks, chunk walk honoring the
+    odd-size pad byte, fmt parse (PCM16 only), data length validation —
+    returning (sample_rate, n_channels, n_frames, duration_ms,
+    sum_samples, sum_abs, peak). Integer sums (not float RMS) so engine
+    parity is bit-exact. Sample math is numpy, not a Python loop."""
+    import numpy as np
+
+    rate, n_channels, mat = wav_samples(payload)
+    samples = mat.reshape(-1)
+    n_frames = mat.shape[0]
     return (
         rate,
         n_channels,
@@ -424,3 +437,58 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, PPM_SCHEMA)
+
+
+AUDIO_FRAME_WINDOW = 8  # analysis window length in frames (per channel)
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("win", T.IntegerType()),
+        T.StructField("n_samps", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zcr", T.IntegerType()),
+    ]
+)
+
+
+def frame_audio_windows(df: DataFrame, window_frames: int = AUDIO_FRAME_WINDOW) -> DataFrame:
+    """Short-time audio analysis over a binary WAV column: decode PCM16,
+    de-interleave channels, split each channel into fixed windows of
+    `window_frames` frames, and emit per-(doc, channel, window) integer
+    features — energy (sum of squared samples) and zero-crossing count
+    (sign flips between CONSECUTIVE samples inside the window; sign of
+    0 counts as positive). This is the framing + energy + ZCR front-end
+    every speech/audio featurizer (VAD, MFCC pipelines) starts with,
+    kept in exact int64 so a SQL oracle replays it bit-for-bit.
+
+    1 row → channels × ceil(frames/window) rows via mapInPandas (Arrow
+    batches, numpy per row — no Python sample loop). Scale: same
+    doctrine as decode_wav_features — blobs stay on executors;
+    repartition upstream by a size-balanced key for giant corpora."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "channel": [], "win": [],
+                "n_samps": [], "energy": [], "zcr": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                _rate, n_ch, samples = wav_samples(bytes(payload))
+                n_frames = samples.shape[0]
+                for c in range(n_ch):
+                    ch = samples[:, c]
+                    nonneg = ch >= 0
+                    for w in range(0, n_frames, window_frames):
+                        seg = ch[w : w + window_frames]
+                        flips = nonneg[w : w + len(seg)]
+                        out["doc_id"].append(int(doc_id))
+                        out["channel"].append(c)
+                        out["win"].append(w // window_frames)
+                        out["n_samps"].append(len(seg))
+                        out["energy"].append(int((seg * seg).sum()))
+                        out["zcr"].append(int((flips[1:] != flips[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_FRAMES_SCHEMA)

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from python_multiproc_bigdata_spark.operators.multimodal import (
+    AUDIO_FRAME_WINDOW,
     FRAME_BYTES,
     WAV_RATE,
     attach_binary,
@@ -14,6 +15,7 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     decode_ppm_features,
     decode_wav_features,
     extract_features,
+    frame_audio_windows,
     sample_frames,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -142,8 +144,53 @@ GROUP BY doc_id, n_channels, n_frames
 """
 
 
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-time audio features over the decoded WAV column: per
+    (doc, channel, 8-frame window) integer energy (sum of squares) and
+    zero-crossing count — the framing/energy/ZCR front-end a VAD or
+    MFCC pipeline runs right after decode, and the 1→N explosion shape
+    (row per analysis window) that distinguishes it from
+    multimodal_decode_wav's whole-file rollup. Real chunk-walk decode
+    (operators/multimodal.py:wav_samples) in mapInPandas; the oracle
+    replays synth_wav's interleaved-sample arithmetic per (channel,
+    frame) index and the same window/sign rules in pure SQL — all
+    integers, bit-exact."""
+    d = table(prep(spark), sf_dir, "documents")
+    return frame_audio_windows(attach_wav(d))
+
+
+# Replays synth_wav: sample at interleaved index i = j*n_ch + c is
+# ((doc_id*37 + i*11) % 4001) - 2000; window = j // W; a zero crossing
+# is a sign flip ((v>=0) != (vprev>=0)) between consecutive frames of
+# the SAME channel inside one window (j % W != 0).
+SQL_AUDIO_FRAMES = f"""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 2 AS n_ch, 20 + doc_id % 13 AS n_frames
+  FROM documents
+), ch AS (
+  SELECT doc_id, n_ch, n_frames, unnest(range(n_ch)) AS c FROM dims
+), fr AS (
+  SELECT doc_id, n_ch, c, unnest(range(n_frames)) AS j FROM ch
+), v AS (
+  SELECT doc_id, c, j, j // {AUDIO_FRAME_WINDOW} AS win,
+         (doc_id * 37 + (j * n_ch + c) * 11) % 4001 - 2000 AS v,
+         CASE WHEN j % {AUDIO_FRAME_WINDOW} != 0
+              THEN (doc_id * 37 + ((j - 1) * n_ch + c) * 11) % 4001 - 2000
+         END AS vprev
+  FROM fr
+)
+SELECT doc_id, CAST(c AS INTEGER) AS channel, CAST(win AS INTEGER) AS win,
+       CAST(count(*) AS INTEGER) AS n_samps,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN vprev IS NOT NULL AND ((v >= 0) != (vprev >= 0))
+                     THEN 1 ELSE 0 END) AS INTEGER) AS zcr
+FROM v GROUP BY doc_id, c, win
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
+    "multimodal_audio_frames": QuerySpec(multimodal_audio_frames, SQL_AUDIO_FRAMES),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "multimodal_decode_ppm": QuerySpec(multimodal_decode_ppm, SQL_DECODE_PPM),
     "multimodal_decode_wav": QuerySpec(multimodal_decode_wav, SQL_DECODE_WAV),

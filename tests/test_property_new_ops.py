@@ -179,3 +179,62 @@ def test_wav_decoder_rejects_malformed():
     body = b"WAVE" + fmt + data
     with pytest.raises(ValueError, match="truncated PCM"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+@given(
+    n_channels=st.integers(min_value=1, max_value=3),
+    n_frames=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_audio_window_features_against_pure_python(n_channels, n_frames, seed):
+    """frame_audio_windows' numpy window math equals a per-sample pure
+    Python reference (stdlib-wave-encoded input, so the chunk walk is
+    exercised too): window split, energy, and the inside-window
+    sign-flip ZCR rule."""
+    import io
+    import struct
+    import wave
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        AUDIO_FRAME_WINDOW as W,
+        wav_samples,
+    )
+
+    n = n_channels * n_frames
+    samples = [((seed * 2654435761 + i * 40503) % 65536) - 32768 for i in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    _rate, n_ch, mat = wav_samples(buf.getvalue())
+    assert (n_ch, mat.shape) == (n_channels, (n_frames, n_channels))
+
+    # reference: pure-Python per channel/window fold
+    expect = {}
+    for c in range(n_channels):
+        ch = [samples[j * n_channels + c] for j in range(n_frames)]
+        for j, v in enumerate(ch):
+            key = (c, j // W)
+            e = expect.setdefault(key, [0, 0, 0])  # n, energy, zcr
+            e[0] += 1
+            e[1] += v * v
+            if j % W and ((v >= 0) != (ch[j - 1] >= 0)):
+                e[2] += 1
+
+    # the numpy path, replicated exactly as frame_audio_windows computes
+    got = {}
+    for c in range(n_channels):
+        ch = mat[:, c]
+        nonneg = ch >= 0
+        for w0 in range(0, n_frames, W):
+            seg = ch[w0 : w0 + W]
+            flips = nonneg[w0 : w0 + len(seg)]
+            got[(c, w0 // W)] = [
+                len(seg),
+                int((seg * seg).sum()),
+                int((flips[1:] != flips[:-1]).sum()),
+            ]
+    assert got == expect
