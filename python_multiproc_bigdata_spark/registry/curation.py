@@ -744,6 +744,114 @@ def _bfs_oracle(max_hops: int = 4) -> str:
 SQL_BFS_LEVELS = _bfs_oracle(4)
 
 
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for every
+    NON-adjacent pair with at least 2 common neighbors, the Jaccard
+    neighborhood overlap |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    common-neighbors predictor (Liben-Nowell & Kleinberg) a recommender
+    uses to propose missing edges. Top-50 predictions by score.
+
+    Plan: one wedge self-join of the undirected edge list on the shared
+    middle node (the same shuffle shape as the triangle census), one
+    (a, b) count groupBy, a broadcast degree attach, an anti-join
+    against the existing edges, and one global top-50 — ranked on the
+    INTEGER micro-Jaccard with (a, b) tiebreak so both engines order
+    identically. The cn >= 2 floor prunes the quadratic one-shared-
+    neighbor tail exactly like the census's support cut."""
+    li = table(prep(spark), sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        l1.join(l2, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    w1 = und.select(F.col("dst").alias("a"), F.col("src").alias("x"))
+    w2 = und.select(F.col("src").alias("x"), F.col("dst").alias("b"))
+    cn = (
+        w1.join(w2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    fresh = cn.join(
+        pairs.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    scored = (
+        fresh.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("j_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("j_micro"), F.asc("a"), F.asc("b"))
+        .limit(50)
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(F.col("j_micro") / F.lit(1000000.0), 6).alias("jaccard"),
+        )
+    )
+
+
+SQL_LINK_PREDICTION = """
+WITH pairs AS (
+  SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), und AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+), deg AS (
+  SELECT src AS node, count(*) AS deg FROM und GROUP BY 1
+), cn AS (
+  SELECT w1.dst AS a, w2.dst AS b, count(*) AS cn
+  FROM und w1 JOIN und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), fresh AS (
+  SELECT c.* FROM cn c
+  ANTI JOIN pairs p ON c.a = p.src AND c.b = p.dst
+), scored AS (
+  SELECT f.a, f.b, f.cn,
+         CAST(round(CAST(f.cn AS DOUBLE)
+                    / CAST(da.deg + db.deg - f.cn AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS j_micro
+  FROM fresh f
+  JOIN deg da ON f.a = da.node
+  JOIN deg db ON f.b = db.node
+)
+SELECT a, b, cn, round(j_micro / 1000000.0, 6) AS jaccard
+FROM scored
+ORDER BY j_micro DESC, a ASC, b ASC
+LIMIT 50
+"""
+
+
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over per-order brand sets:
     support / confidence / lift for brand pairs, the frequent-itemset
@@ -1478,6 +1586,7 @@ REGISTRY = {
     "graph_triangle_copurchase": QuerySpec(graph_triangle_copurchase, SQL_TRIANGLES),
     "graph_community_labelprop": QuerySpec(graph_community_labelprop, SQL_LABELPROP),
     "graph_bfs_levels": QuerySpec(graph_bfs_levels, SQL_BFS_LEVELS),
+    "graph_link_prediction": QuerySpec(graph_link_prediction, SQL_LINK_PREDICTION),
     "corpus_version_diff": QuerySpec(corpus_version_diff, SQL_VERSION_DIFF),
     "dedup_keep_best_per_cluster": QuerySpec(
         dedup_keep_best_per_cluster, SQL_KEEP_BEST

@@ -624,3 +624,40 @@ def test_bfs_levels_chain_and_truncation(spark):
     src = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.level for r in bfs_levels(edges, src, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
+
+
+def test_link_prediction_excludes_edges_and_scores_jaccard(spark):
+    """sf0.001 invariants: no predicted pair is an existing support-2
+    edge, every pair has >= 2 common neighbors, and the top row's
+    Jaccard matches a driver-side recomputation from the edge list."""
+    from python_multiproc_bigdata_spark.registry.curation import (
+        graph_link_prediction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = graph_link_prediction(spark, sf).collect()
+    assert rows and all(r.cn >= 2 and 0 < r.jaccard <= 1 for r in rows)
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    a = li.selectExpr("l_orderkey ok", "l_partkey src")
+    b = li.selectExpr("l_orderkey ok", "l_partkey dst")
+    edges = {
+        (r.src, r.dst)
+        for r in a.join(b, "ok")
+        .filter("src < dst")
+        .groupBy("src", "dst")
+        .count()
+        .filter("count >= 2")
+        .collect()
+    }
+    assert not ({(r.a, r.b) for r in rows} & edges)
+
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    for r in rows:
+        inter = nbrs[r.a] & nbrs[r.b]
+        union = nbrs[r.a] | nbrs[r.b]
+        assert len(inter) == r.cn, (r.a, r.b)
+        assert abs(r.jaccard - len(inter) / len(union)) < 1e-5, (r.a, r.b)
