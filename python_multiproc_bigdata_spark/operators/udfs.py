@@ -121,3 +121,56 @@ def ewma_per_key(
         f"{key} long, " + ", ".join(f"{c} long" for c in ocols) + ", rn long, ewma double"
     )
     return grouped_apply(df.select(*cols), [key], fold, schema)
+
+
+def holt_forecast_per_key(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (additive linear
+    trend) — the EWMA's forecasting sibling and, like it, an inherently
+    sequential recurrence (level and trend each depend on the full
+    prefix):
+
+        l_1 = y_1,  b_1 = 0
+        l_i = a*y_i + (1-a)*(l_{i-1} + b_{i-1})
+        b_i = B*(l_i - l_{i-1}) + (1-B)*b_{i-1}
+
+    Returns ONE row per key: (key, n_points, level, trend,
+    f1..f{horizon}) with f_h = l_n + h*b_n — the h-step-ahead linear
+    forecast. Float ops run in the exact textbook order on float64, so
+    a recursive-CTE replay reproduces the bits exactly (the
+    ewma_per_key determinism doctrine — no rounding anywhere).
+
+    Scale: series fold in parallel per key via applyInPandas; each
+    group's payload is its (order, value) history — per-entity-bounded,
+    same as every sessionization window here."""
+    one_a = 1.0 - alpha
+    one_b = 1.0 - beta
+    ocols = list(order)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols)
+        l = b = None
+        for y in pdf[value]:
+            y = float(y)
+            if l is None:
+                l, b = y, 0.0
+            else:
+                new_l = alpha * y + one_a * (l + b)
+                b = beta * (new_l - l) + one_b * b
+                l = new_l
+        row = {key: [pdf[key].iloc[0]], "n_points": [len(pdf)],
+               "level": [l], "trend": [b]}
+        for h in range(1, horizon + 1):
+            row[f"f{h}"] = [l + h * b]
+        return pd.DataFrame(row)
+
+    fcols = ", ".join(f"f{h} double" for h in range(1, horizon + 1))
+    schema = f"{key} string, n_points long, level double, trend double, {fcols}"
+    return grouped_apply(df.select(key, *ocols, value), [key], fold, schema)

@@ -796,6 +796,75 @@ SELECT user_id, event_id, rn, ewma FROM ew
 """
 
 
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume forecast via Holt double-exponential smoothing
+    (additive trend) over the hourly count series — the forecasting
+    step a capacity/traffic pipeline runs on top of the trend fit
+    (events_linear_trend gives the global OLS line; Holt adapts level
+    and trend recency-weighted and emits h-step-ahead forecasts f1–f3).
+
+    The recurrence is inherently sequential (operators/udfs.py:
+    holt_forecast_per_key, applyInPandas per type); the oracle replays
+    it with a recursive CTE in the identical float-op order, so values
+    match BIT-EXACTLY with no rounding (the events_ewma_value
+    doctrine). The series is the type's OBSERVED hourly points in hour
+    order (gaps carry no 0 rows — documented choice shared by the
+    oracle; compose events_gapfill_hourly upstream for a zero-filled
+    series)."""
+    from python_multiproc_bigdata_spark.operators.udfs import (
+        holt_forecast_per_key,
+    )
+
+    e = table(prep(spark), sf_dir, "events")
+    cnt = (
+        e.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return holt_forecast_per_key(
+        cnt, "event_type", ["hr"], "y", alpha=_HOLT_ALPHA, beta=_HOLT_BETA
+    )
+
+
+SQL_FORECAST_HOLT = f"""
+WITH RECURSIVE cnt AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr, count(*) AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cnt
+), holt AS (
+  -- every constant is CAST to DOUBLE: DuckDB types bare numeric
+  -- literals as DECIMAL, which would quantize the whole recursion
+  -- (b stuck at one decimal place) instead of float64 arithmetic
+  SELECT event_type, rn, n, CAST(y AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.n,
+         CAST({_HOLT_ALPHA!r} AS DOUBLE) * CAST(s.y AS DOUBLE)
+           + CAST({1.0 - _HOLT_ALPHA!r} AS DOUBLE) * (h.l + h.b) AS l,
+         CAST({_HOLT_BETA!r} AS DOUBLE)
+           * ((CAST({_HOLT_ALPHA!r} AS DOUBLE) * CAST(s.y AS DOUBLE)
+               + CAST({1.0 - _HOLT_ALPHA!r} AS DOUBLE) * (h.l + h.b)) - h.l)
+           + CAST({1.0 - _HOLT_BETA!r} AS DOUBLE) * h.b AS b
+  FROM seq s JOIN holt h ON s.event_type = h.event_type AND s.rn = h.rn + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points, l AS level, b AS trend,
+       l + CAST(1 AS DOUBLE) * b AS f1,
+       l + CAST(2 AS DOUBLE) * b AS f2,
+       l + CAST(3 AS DOUBLE) * b AS f3
+FROM holt WHERE rn = n
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-event transition matrix: P(next event_type | current
     event_type) per user journey — the standard clickstream path model
@@ -1290,6 +1359,7 @@ REGISTRY = {
         events_time_decayed_value, SQL_TIME_DECAYED
     ),
     "events_ewma_value": QuerySpec(events_ewma_value, SQL_EWMA),
+    "events_forecast_holt": QuerySpec(events_forecast_holt, SQL_FORECAST_HOLT),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

@@ -169,3 +169,38 @@ def test_ewma_per_key_recurrence_exact(spark):
     assert got[(1, 2)] == 0.5 * 4.0 + 0.5 * 1.0
     assert got[(1, 3)] == 0.5 * 7.0 + 0.5 * 2.5
     assert got[(2, 1)] == 10.0
+
+
+def test_holt_forecast_recurrence_exact(spark):
+    """Holt fold on a hand series reproduces the textbook recurrence
+    bit-for-bit, one row per key, and f_h == level + h*trend; a
+    single-point key degrades to (level=y, trend=0)."""
+    from python_multiproc_bigdata_spark.operators.udfs import (
+        holt_forecast_per_key,
+    )
+
+    ys = [10, 14, 9, 20, 7, 30]
+    rows = [("a", i, y) for i, y in enumerate(ys)] + [("solo", 0, 42)]
+    df = spark.createDataFrame(rows, "k string, hr long, y long")
+    got = {
+        r.k: r
+        for r in holt_forecast_per_key(
+            df, "k", ["hr"], "y", alpha=0.5, beta=0.3
+        ).collect()
+    }
+
+    l = b = None
+    for y in ys:
+        y = float(y)
+        if l is None:
+            l, b = y, 0.0
+        else:
+            nl = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            l = nl
+    a = got["a"]
+    assert (a.n_points, a.level, a.trend) == (len(ys), l, b)
+    for h in (1, 2, 3):
+        assert a[f"f{h}"] == l + h * b
+    s = got["solo"]
+    assert (s.n_points, s.level, s.trend, s.f3) == (1, 42.0, 0.0, 42.0)
