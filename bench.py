@@ -146,6 +146,22 @@ HEADLINE = [
     "stats_embedding_isotropy",
     "curation_filter_attrition",
     "graph_community_labelprop",
+    # fourth-continuation additions: CF recommender pair, Poisson
+    # bootstrap, BFS + link prediction on the co-purchase graph, graded
+    # ranking eval, short-time audio features, Holt forecasting, RFM
+    "recsys_item_similar_topk",
+    "recsys_user_recommend",
+    "stats_bootstrap_ci",
+    "graph_bfs_levels",
+    "graph_link_prediction",
+    "eval_ranking_ndcg",
+    "multimodal_audio_frames",
+    "events_forecast_holt",
+    "events_rfm_segmentation",
+    "dedup_keep_best_per_cluster",
+    "stats_gini_concentration",
+    "text_keyphrase_rake",
+    "privacy_l_diversity",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -680,11 +680,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, level) for every part within 4 hops of the graph's
     MAX-DEGREE hub (ties broken by min partkey) — the reachability /
     ego-network primitive graph-exploration and influence pipelines
-    start from. Source selection is itself a one-row distributed plan
-    (degree groupBy + top-1 window), not a collect, so the whole query
-    is a single lazily-composed DAG; each BFS round is frontier⋈edges +
-    distinct + anti-join vs visited (operators/graph.py:bfs_levels).
-    The oracle replays the 4 level-synchronous rounds as nested CTEs."""
+    start from. Source selection is a one-row distributed plan (degree
+    groupBy + top-1 window) derived INSIDE bfs_levels from the
+    materialized edge list, so the expensive support-2 pair build runs
+    exactly once; each BFS round is frontier⋈edges + distinct +
+    anti-join vs visited (operators/graph.py:bfs_levels). The oracle
+    replays the 4 level-synchronous rounds as nested CTEs."""
     from python_multiproc_bigdata_spark.operators.graph import bfs_levels
 
     li = table(prep(spark), sf_dir, "lineitem")
@@ -698,17 +699,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("src", "dst")
     )
-    und = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    hub = (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .orderBy(F.desc("deg"), F.asc("node"))
-        .limit(1)
-        .select("node")
-    )
-    return bfs_levels(pairs, hub, max_hops=4)
+    return bfs_levels(pairs, max_hops=4)
 
 
 def _bfs_oracle(max_hops: int = 4) -> str:

@@ -660,6 +660,56 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l-diversity companion to the k-anonymity audit above:
+    k-anonymity bounds re-identification, but a class whose SENSITIVE
+    attribute is homogeneous still leaks it (Machanavajjhala et al.) —
+    here quasi-id = (source, length decile), sensitive = lang; per
+    class, size and distinct-l, flagging classes below l=3. Same scale
+    shape as the k-anonymity audit: one groupBy over the quasi-id+lang
+    marginal (map-side combined), then a tiny per-class rollup —
+    distinct-l comes from counting the marginal's rows, NOT a
+    count(DISTINCT) over raw rows, so no per-class distinct state."""
+    d = table(prep(spark), sf_dir, "documents")
+    marginal = (
+        d.select(
+            "source",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "lang",
+        )
+        .groupBy("source", "len_bucket", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        marginal.groupBy("source", "len_bucket")
+        .agg(
+            F.sum("n").alias("class_size"),
+            F.count(F.lit(1)).alias("l_distinct"),
+        )
+        .select(
+            "source",
+            "len_bucket",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") >= 3).alias("diverse"),
+        )
+    )
+
+
+SQL_L_DIVERSITY = """
+WITH marginal AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT source, len_bucket,
+       CAST(sum(n) AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       count(*) >= 3 AS diverse
+FROM marginal GROUP BY 1, 2
+"""
+
+
 SQL_K_ANONYMITY = """
 WITH classes AS (
   SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
@@ -1128,6 +1178,11 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(prep(spark), sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # byte-light/CPU-heavy stage pin (SCALE.md): the 64× replicate
+    # explode + per-replicate md5 run in the SCAN's partitioning — a
+    # single parquet file would serialize ~10M hash evaluations into a
+    # few tasks (measured 20.2 s -> 2.5 s at sf0.1 with the pin)
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
     b = F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b")
     rows = o.select("o_orderpriority", cents.alias("cents"), "o_orderkey", b)
@@ -1302,9 +1357,111 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration panel over customer lifetime spend: the
+    Gini coefficient plus the top-1% / top-10% revenue shares — the
+    inequality metrics a marketplace-health or data-source-diversity
+    report leads with (for corpora: how concentrated is the token mass
+    across sources).
+
+    Exactness: spend is integer cents; the rank-weighted Gini sums
+    Σ i·xᵢ run in DECIMAL(38,0) on Spark and HUGEINT on DuckDB (a
+    BIGINT Σ i·xᵢ overflows once n·x̄·n/2 passes 9.2e18 — at ~1e7
+    customers of ~$1e4), so numerator and denominator are EXACT
+    integers and each exported ratio is one identical double division
+    (IEEE int→double conversion is deterministic on both engines).
+    Gini = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over cents ranked ASC
+    with custkey tiebreak. Top-k% cutoffs use k = ceil(n·pct) worst-case
+    integer arithmetic ((n + 99) // 100), never float thresholds.
+
+    Scale note: the global row_number is a single-task sort over the
+    |customers| relation (fine to ~1e8 rows); at 100 TB rank via a
+    distributed sort + per-partition offsets (zipWithIndex-style) or
+    quantile cutoffs — the sums are partial-aggregated either way."""
+    o = table(prep(spark), sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("custkey"))
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    dec = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s0"),
+        F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias("s1"),
+    )
+    # top-k% shares: rank DESC cutoffs k = ceil(n/100), ceil(n/10)
+    topk = ranked.crossJoin(F.broadcast(sums.select("n"))).select(
+        "cents",
+        (F.col("i") > F.col("n") - ((F.col("n") + 99) / 100).cast("long")).alias(
+            "in_top1"
+        ),
+        (F.col("i") > F.col("n") - ((F.col("n") + 9) / 10).cast("long")).alias(
+            "in_top10"
+        ),
+    )
+    shares = topk.agg(
+        F.sum(F.when(F.col("in_top1"), F.col("cents")).otherwise(F.lit(0))).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("in_top10"), F.col("cents")).otherwise(F.lit(0))).alias(
+            "c10"
+        ),
+    )
+    two = F.lit(2).cast(dec)
+    return sums.crossJoin(shares).select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (two * F.col("s1") - (F.col("n") + 1).cast(dec) * F.col("s0"))
+            .cast("double")
+            / (F.col("n").cast(dec) * F.col("s0")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("c1").cast("double") / F.col("s0").cast("double"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("c10").cast("double") / F.col("s0").cast("double"), 6).alias(
+            "top10_share"
+        ),
+    )
+
+
+SQL_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, custkey ASC) AS i
+  FROM per_cust
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cents AS HUGEINT)) AS s0,
+         sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS s1
+  FROM ranked
+), shares AS (
+  SELECT
+    sum(CASE WHEN i > n - (n + 99) // 100 THEN cents ELSE 0 END) AS c1,
+    sum(CASE WHEN i > n - (n + 9) // 10 THEN cents ELSE 0 END) AS c10
+  FROM ranked CROSS JOIN sums
+)
+SELECT n AS n_customers,
+       round(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE), 6) AS gini,
+       round(CAST(c1 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS top1_share,
+       round(CAST(c10 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS top10_share
+FROM sums CROSS JOIN shares
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
+    "stats_gini_concentration": QuerySpec(stats_gini_concentration, SQL_GINI),
     "stats_embedding_isotropy": QuerySpec(
         stats_embedding_isotropy, SQL_EMBEDDING_ISOTROPY
     ),
@@ -1315,6 +1472,7 @@ REGISTRY = {
     ),
     "privacy_dp_noised_counts": QuerySpec(privacy_dp_noised_counts, SQL_DP_NOISED),
     "privacy_k_anonymity": QuerySpec(privacy_k_anonymity, SQL_K_ANONYMITY),
+    "privacy_l_diversity": QuerySpec(privacy_l_diversity, SQL_L_DIVERSITY),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),

@@ -1104,7 +1104,177 @@ GROUP BY doc_id
 """
 
 
+# RAKE stopword delimiter set (fixed, shared with the oracle verbatim)
+RAKE_STOPWORDS = (
+    "the", "a", "of", "and", "to", "be", "that", "have", "with",
+    "in", "is", "it", "for", "on", "as",
+)
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 20
+
+
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs (capped at 4
+    words), each scored by the sum of its words' degree/frequency
+    ratios — degree(w) = Σ phrase_len over occurrences, freq(w) =
+    occurrence count, both computed over ALL candidate phrases
+    corpus-wide. Top-20 phrases by score.
+
+    Plan: one tokenize+posexplode, a per-doc running stopword count
+    (window on (doc, pos)) assigns each non-stopword its phrase id —
+    the classic split-on-delimiter-without-UDF idiom; phrase assembly
+    is one (doc, phrase_id) groupBy ordered by pos; word stats are one
+    corpus-wide groupBy of the phrase-word relation (map-side combined:
+    |vocab| rows out). Word scores are INTEGER micro-ratios
+    (round(1e6·deg/freq)) so phrase scores sum exactly — identical
+    phrase text ⇒ identical score by construction, letting the final
+    rollup group by phrase string alone. Ranking is total
+    (score_micro DESC, phrase ASC)."""
+    d = table(prep(spark), sf_dir, "documents")
+    return rake_topk(d)
+
+
+def rake_topk(d: DataFrame, topk: int = _RAKE_TOPK) -> DataFrame:
+    """RAKE core over any (doc_id, text) frame — see
+    text_keyphrase_rake for semantics and the scale shape."""
+    toks = d.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.filter(
+                F.split(F.lower(F.col("text")), WHITESPACE_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos", "w"),
+    ).filter(F.col("w").isNotNull())
+    stop = F.col("w").isin(*RAKE_STOPWORDS)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(stop.cast("int")).over(wdoc).alias("phrase_id"),
+        stop.alias("is_stop"),
+    ).filter(~F.col("is_stop"))
+    phrases = (
+        marked.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ).alias("ws")
+        )
+        .filter(F.size("ws") <= _RAKE_MAX_LEN)
+        .select(
+            "doc_id",
+            "phrase_id",
+            F.concat_ws(" ", F.col("ws")).alias("phrase"),
+            F.size("ws").alias("plen"),
+            "ws",
+        )
+    )
+    pw = phrases.select(
+        "phrase", "plen", F.explode("ws").alias("w")
+    )
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = wstats.select(
+        "w",
+        F.round(
+            F.col("deg").cast("double") / F.col("freq").cast("double") * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    pscore = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum("w_micro").alias("all_micro"),
+            F.count(F.lit(1)).alias("n_words_total"),
+        )
+    )
+    # all_micro summed every occurrence of the phrase: normalize to the
+    # per-occurrence score via the occurrence count (exact integer
+    # division is safe: all_micro = n_occ * per_occ by construction)
+    per_phrase = (
+        phrases.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .join(pscore, "phrase")
+        .select(
+            "phrase",
+            "n_occ",
+            (F.col("all_micro") / F.col("n_occ")).cast("bigint").alias("score_micro"),
+        )
+    )
+    return (
+        per_phrase.orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(topk)
+        .select(
+            "phrase",
+            "n_occ",
+            F.round(F.col("score_micro") / F.lit(1000000.0), 6).alias("score"),
+        )
+    )
+
+
+def _rake_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), pos0 AS (
+  SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM base
+), pos AS (
+  SELECT doc_id, pos, toks[pos + 1] AS w FROM pos0
+), marked AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN ({stop_list}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+         w IN ({stop_list}) AS is_stop
+  FROM pos
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM marked WHERE NOT is_stop
+  GROUP BY doc_id, phrase_id
+  HAVING count(*) <= {_RAKE_MAX_LEN}
+), pw AS (
+  SELECT m.doc_id, m.phrase_id, p.phrase, p.plen, m.w
+  FROM marked m JOIN phrases p USING (doc_id, phrase_id)
+  WHERE NOT m.is_stop
+), wscore AS (
+  SELECT w,
+         CAST(round(CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS w_micro
+  FROM pw GROUP BY w
+), pscore AS (
+  SELECT pw.phrase, sum(ws.w_micro) AS all_micro
+  FROM pw JOIN wscore ws USING (w)
+  GROUP BY pw.phrase
+), per_phrase AS (
+  SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(ANY_VALUE(s.all_micro) // count(*) AS BIGINT) AS score_micro
+  FROM phrases p JOIN pscore s USING (phrase)
+  GROUP BY p.phrase
+)
+SELECT phrase, n_occ, round(score_micro / 1000000.0, 6) AS score
+FROM per_phrase
+ORDER BY score_micro DESC, phrase ASC
+LIMIT {_RAKE_TOPK}
+"""
+
+
+SQL_KEYPHRASE_RAKE = _rake_sql()
+
+
 REGISTRY = {
+    "text_keyphrase_rake": QuerySpec(text_keyphrase_rake, SQL_KEYPHRASE_RAKE),
     "text_context_trim": QuerySpec(text_context_trim, SQL_CONTEXT_TRIM),
     "text_chunk_sliding": QuerySpec(text_chunk_sliding, SQL_CHUNK_SLIDING),
     "eval_tokenizer_compare": QuerySpec(

@@ -412,3 +412,84 @@ def test_rfm_segmentation_invariants(spark):
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) - min(per.values()) <= 1, (axis, per)
     assert all(r.avg_spend > 0 for r in rows)
+
+
+def test_rake_hand_example(spark):
+    """RAKE on a hand-traceable corpus: degree/frequency ratios and
+    phrase scores computed manually (deep 9/4=2.25, learning 6/3=2.0,
+    networks 5/2=2.5, convolutional 3/1=3.0, rate 2/1=2.0)."""
+    from python_multiproc_bigdata_spark.registry.text import rake_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep networks"),
+            (2, "deep learning and the learning rate"),
+            (3, "deep convolutional networks"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.phrase: r for r in rake_topk(docs).collect()}
+    # word ratios: deep 9/4=2.25, learning 6/3=2.0, networks 5/2=2.5,
+    # convolutional 3/1=3.0, rate 2/1=2.0
+    assert rows["deep convolutional networks"].score == 2.25 + 3.0 + 2.5
+    assert rows["deep networks"].score == 2.25 + 2.5
+    assert rows["deep learning"].score == 2.25 + 2.0
+    assert rows["deep learning"].n_occ == 2
+    assert rows["learning rate"].score == 2.0 + 2.0
+    # stopwords never appear inside phrases
+    assert all(
+        w not in {"of", "and", "the"}
+        for p in rows
+        for w in p.split()
+    )
+
+
+def test_gini_matches_independent_recomputation(spark):
+    """Spark Gini/top-share panel equals a pure-Python recomputation
+    from the same parquet (duckdb read, no Spark)."""
+    import duckdb
+
+    from python_multiproc_bigdata_spark.registry.stats import (
+        stats_gini_concentration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stats_gini_concentration(spark, sf).collect()[0]
+
+    con = duckdb.connect()
+    cents = [
+        r[0]
+        for r in con.execute(
+            "SELECT sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) "
+            f"FROM read_parquet('{sf}/orders.parquet') GROUP BY o_custkey"
+        ).fetchall()
+    ]
+    xs = sorted(cents)
+    n, s0 = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2 * s1 - (n + 1) * s0) / (n * s0)
+    k1, k10 = (n + 99) // 100, (n + 9) // 10
+    assert got.n_customers == n
+    assert got.gini == round(gini, 6)
+    assert got.top1_share == round(sum(xs[n - k1:]) / s0, 6)
+    assert got.top10_share == round(sum(xs[n - k10:]) / s0, 6)
+    assert 0 < got.gini < 1
+
+
+def test_l_diversity_consistent_with_marginal(spark):
+    """Every class's l_distinct equals the lang variety recomputed from
+    the raw marginal, and class sizes sum to the corpus size."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        privacy_l_diversity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = privacy_l_diversity(spark, sf).collect()
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r.class_size for r in rows) == d.count()
+    langs: dict[tuple, set] = {}
+    for r in d.select("source", "n_chars", "lang").collect():
+        langs.setdefault((r.source, r.n_chars // 100), set()).add(r.lang)
+    for r in rows:
+        assert r.l_distinct == len(langs[(r.source, r.len_bucket)])
+        assert r.diverse == (r.l_distinct >= 3)
