@@ -162,6 +162,8 @@ HEADLINE = [
     "stats_gini_concentration",
     "text_keyphrase_rake",
     "privacy_l_diversity",
+    "stats_benford_firstdigit",
+    "events_ltv_cohorts",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1458,10 +1458,154 @@ FROM sums CROSS JOIN shares
 """
 
 
+import math as _math
+
+# Benford P(d) = log10(1 + 1/d) as shared repr literals
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def stats_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit of order totals: the distribution of
+    first significant digits vs log10(1+1/d) — the data-quality /
+    fraud screen auditors run on financial columns (fabricated numbers
+    rarely follow Benford). One map-side digit extraction + one 9-row
+    groupBy; the first digit comes from the CENTS INTEGER's decimal
+    string (×100 shifts the decimal point, never the leading digit), so
+    no float log10 whose libm rounding could misbin at powers of ten.
+    Expected probabilities are shared repr() literals; obs_share and
+    diff are each one double division."""
+    o = table(prep(spark), sf_dir, "orders").select("o_totalprice")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    p_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)" for d in range(1, 10)
+    ) + " END"
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n_total").cast("double"), 6).alias(
+            "obs_share"
+        ),
+        F.round(F.expr(p_expr), 6).alias("benford_p"),
+        F.round(
+            F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+            - F.expr(p_expr),
+            6,
+        ).alias("diff"),
+    )
+
+
+def _benford_sql() -> str:
+    p_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)" for d in range(1, 10)
+    ) + " END"
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM digits)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_share,
+       round({p_case}, 6) AS benford_p,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - {p_case}, 6) AS diff
+FROM counts CROSS JOIN tot
+"""
+
+
+SQL_BENFORD = _benford_sql()
+
+
+def events_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves per acquisition cohort: customers
+    cohorted by first-order month, revenue accumulated by cohort age in
+    months — the monetary sibling of events_retention_cohorts (which
+    counts activity; this sums value). Per (cohort_month, age_month):
+    cohort size, that month's revenue, and the running cumulative
+    average LTV per cohort member.
+
+    Exactness: months are (year·12 + month) integers (no date-diff
+    float), revenue is integer cents, the cumulative sum is a window
+    over the tiny (cohorts × ages) relation, and avg_cum_ltv is ONE
+    double division at export. Scale: one per-customer min groupBy +
+    one broadcast join back + one (cohort, age) partial agg — the
+    events-scale passes all shuffle on custkey or collapse map-side."""
+    o = table(prep(spark), sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mon = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    om = o.select(F.col("o_custkey").alias("custkey"), mon, cents.alias("cents"))
+    first = om.groupBy("custkey").agg(F.min("mon").alias("cohort_mon"))
+    sizes = first.groupBy("cohort_mon").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = om.join(F.broadcast(first), "custkey").select(
+        "cohort_mon", (F.col("mon") - F.col("cohort_mon")).alias("age_month"), "cents"
+    )
+    per_cell = aged.groupBy("cohort_mon", "age_month").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    # avg_cum_ltv in exact integer 1e-4 dollars (floor division): the
+    # double-divide-then-round(4) form measured a 1-ulp round-boundary
+    # flake on 2 of 1845 cells — integer floor-div is boundary-free
+    return (
+        per_cell.join(F.broadcast(sizes), "cohort_mon")
+        .select(
+            "cohort_mon",
+            "age_month",
+            "n_customers",
+            F.round(F.col("rev_cents") / F.lit(100.0), 2).alias("revenue"),
+            (
+                F.expr(
+                    "(sum(rev_cents) OVER (PARTITION BY cohort_mon ORDER BY age_month"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100)"
+                    " div n_customers"
+                )
+                / F.lit(10000.0)
+            ).alias("avg_cum_ltv"),
+        )
+    )
+
+
+SQL_LTV_COHORTS = """
+WITH om AS (
+  SELECT o_custkey AS custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mon,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT custkey, min(mon) AS cohort_mon FROM om GROUP BY 1
+), sizes AS (
+  SELECT cohort_mon, CAST(count(*) AS BIGINT) AS n_customers
+  FROM first GROUP BY 1
+), per_cell AS (
+  SELECT f.cohort_mon, om.mon - f.cohort_mon AS age_month,
+         sum(om.cents) AS rev_cents
+  FROM om JOIN first f USING (custkey)
+  GROUP BY 1, 2
+)
+SELECT p.cohort_mon, p.age_month, s.n_customers,
+       round(CAST(p.rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+       CAST((sum(p.rev_cents) OVER (PARTITION BY p.cohort_mon
+                                    ORDER BY p.age_month
+                                    ROWS UNBOUNDED PRECEDING) * 100)
+            // s.n_customers AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS avg_cum_ltv
+FROM per_cell p JOIN sizes s USING (cohort_mon)
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
     "stats_gini_concentration": QuerySpec(stats_gini_concentration, SQL_GINI),
+    "stats_benford_firstdigit": QuerySpec(stats_benford_firstdigit, SQL_BENFORD),
+    "events_ltv_cohorts": QuerySpec(events_ltv_cohorts, SQL_LTV_COHORTS),
     "stats_embedding_isotropy": QuerySpec(
         stats_embedding_isotropy, SQL_EMBEDDING_ISOTROPY
     ),

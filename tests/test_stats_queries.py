@@ -493,3 +493,48 @@ def test_l_diversity_consistent_with_marginal(spark):
     for r in rows:
         assert r.l_distinct == len(langs[(r.source, r.len_bucket)])
         assert r.diverse == (r.l_distinct >= 3)
+
+
+def test_benford_shares_sum_to_one_and_skew_low(spark):
+    """First-digit audit: 9 digits, shares sum to 1, and TPC-H's
+    uniform-ish totalprice should NOT follow Benford (big positive
+    diff mass on middle digits) — the audit must be able to flag."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        stats_benford_firstdigit,
+    )
+
+    rows = stats_benford_firstdigit(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-3
+    assert any(abs(r.diff) > 0.02 for r in rows)
+
+
+def test_ltv_cohorts_cumulative_and_consistent(spark):
+    """LTV curves: cumulative average is non-decreasing in age within a
+    cohort, and the final cumulative LTV × cohort size recovers each
+    cohort's total revenue (to cent/floor precision)."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        events_ltv_cohorts,
+    )
+
+    rows = events_ltv_cohorts(spark, "/root/testdata/sf0.001").collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_mon, []).append(r)
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    total_rev = sum(r.revenue for r in rows)
+    import math
+
+    assert math.isclose(
+        total_rev,
+        sum(row.o_totalprice for row in o.select("o_totalprice").collect()),
+        rel_tol=1e-9,
+    )
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_month)
+        assert all(a.avg_cum_ltv <= b.avg_cum_ltv for a, b in zip(rs, rs[1:]))
+        last = rs[-1]
+        recovered = last.avg_cum_ltv * last.n_customers
+        cohort_rev = sum(r.revenue for r in rs)
+        assert abs(recovered - cohort_rev) <= 0.0001 * last.n_customers + 0.01
