@@ -313,6 +313,41 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     composes the IDENTICAL minhash-LSH + iterative min-label
 #     components pass, so the components surface keeps a hard driver
 #     signal through the composition, plus the new argmax-ranking form)
+# Fourth-continuation rotation (10 NEW capability classes from this
+# session enter for first-time driver checks; every demotion is
+# r04-green on record — CORRECTNESS_r04.json — and except where noted
+# keeps in-window family siblings):
+#   streaming_funnel_stages (streaming keeps classifier_serving +
+#     words_doc_frequency) -> recsys_user_recommend (NEW family:
+#     item-based CF — the broadcast-sims scoring composes
+#     recsys_item_similar_topk's micro-cosine relation, so BOTH recsys
+#     queries' arithmetic is driver-gated through one row)
+#   stats-family cube slot: sim_topk_ivf_kmeans (its IVF signal now
+#     flows through IN-WINDOW eval_ivf_recall AND eval_ranking_ndcg,
+#     which compose the identical centroid chain) -> eval_ranking_ndcg
+#     (NEW: graded NDCG@10/MRR@10 ranking eval)
+#   sim_topk_lsh_banded (sim keeps ivfpq, binary, mmr + both IVF
+#     evals) -> stats_bootstrap_ci (NEW: Poisson-bootstrap CI)
+#   dedup_prefix_filter_jaccard (dedup keeps semantic, substring_spans,
+#     keep_best) -> graph_bfs_levels (NEW: frontier BFS reachability)
+#   zorder_lineitem_layout (layout keeps layout_skipping_hilbert,
+#     which compares Hilbert AGAINST the same Morton math) ->
+#     graph_link_prediction (NEW: common-neighbor Jaccard)
+#   asof_click_to_nearest_view (no in-window asof sibling remains, but
+#     the asof family carries THREE prior driver-green variants
+#     r1-r4) -> events_forecast_holt (NEW: sequential forecasting)
+#   func_udtf_char_ngrams (funcs keeps arabic_tokenize) ->
+#     multimodal_audio_frames (NEW: windowed energy/ZCR DSP)
+#   bloom_filtered_join (runtime-filter family: bloom_pruned twin is
+#     r4-green on record) -> events_rfm_segmentation (NEW: RFM)
+#   training_corpus_pipeline (training keeps domain_reweight,
+#     dsir_weights, contrastive_pairs) -> stats_gini_concentration
+#     (NEW: Gini/top-share concentration)
+#   sessions_overlap_pairs (interval family: range_join r1-r3-green,
+#     overlap itself r4-green) -> text_keyphrase_rake (NEW: RAKE)
+# Round-6 candidates from this session (parity-green, never windowed):
+# recsys_item_similar_topk, privacy_l_diversity,
+# stats_benford_firstdigit, events_ltv_cohorts
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_community_labelprop",
@@ -325,28 +360,28 @@ CHECKED_FIRST: tuple[str, ...] = (
     "sim_topk_binary",
     "text_chunk_sliding",
     # text analysis + profiling
-    "streaming_funnel_stages",
+    "recsys_user_recommend",
     "curation_quality_classifier",
     # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
     # both multiply r03-green)
     "dedup_semantic",
-    "dedup_prefix_filter_jaccard",
+    "graph_bfs_levels",
     # similarity search (bruteforce baseline, banded multi-table LSH,
     # k-means IVF — full-hash-checked since r4 via the generated
     # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
     "sim_mmr_diversify",
     "eval_tokenizer_compare",
     "stats_embedding_isotropy",
-    "sim_topk_lsh_banded",
-    "sim_topk_ivf_kmeans",
+    "stats_bootstrap_ci",
+    "eval_ranking_ndcg",
     # layout: Z-order bit math (integer-exact oracle)
-    "zorder_lineitem_layout",
+    "graph_link_prediction",
     # Arabic tokenizer parity (SURVEY §6 risk #1) + datetime parts
     "func_arabic_tokenize",
     # advanced: CDC, as-of, range join, UDAF, cube, approx profile
-    "asof_click_to_nearest_view",
-    "sessions_overlap_pairs",
-    "func_udtf_char_ngrams",
+    "events_forecast_holt",
+    "text_keyphrase_rake",
+    "multimodal_audio_frames",
     "curation_filter_attrition",
     # multimodal plumbing
     # stats panel
@@ -357,8 +392,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     # end-to-end capstone: quality → dedup → decontaminate → quota)
     # + late-r4 promotions: runtime bloom pruning, funnel analytics
     "stats_hll_portable",
-    "bloom_filtered_join",
-    "training_corpus_pipeline",
+    "events_rfm_segmentation",
+    "stats_gini_concentration",
     "training_domain_reweight",
     "eval_ivf_recall",
     # sequence packing (training-batch construction: concat-then-chunk

@@ -42,10 +42,7 @@ def test_checked_window_is_curated():
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
         "func_arabic_tokenize",
-        "sim_topk_ivf_kmeans",
         "dedup_keep_best_per_cluster",
-        "training_corpus_pipeline",
-        "sim_topk_lsh_banded",
         # round-3 promotions (swap log in registry/__init__.py)
         
         
@@ -60,9 +57,6 @@ def test_checked_window_is_curated():
         # curation_repetition_signals / training_temperature_mix /
         # dedup_exact are all multiply-driver-green with in-window
         # family siblings — swap log in registry/__init__.py)
-        "zorder_lineitem_layout",
-        "bloom_filtered_join", 
-        
         # continuation-session promotions (new capability classes;
         # demoted words_first_position / q1_pricing_summary /
         # events_sessionize / stats_lineitem_moments /
@@ -78,7 +72,6 @@ def test_checked_window_is_curated():
         # in-window family siblings — swap log in registry/__init__.py)
         
         
-        "func_udtf_char_ngrams", 
         # end-of-round-4 promotions (8 never-checked capability classes;
         # demoted profile_documents / sim_knn_classify /
         # training_pack_chunks / decontaminate_train_eval /
@@ -86,10 +79,8 @@ def test_checked_window_is_curated():
         # cdc_upsert_customers / semantic_only_neardups are all
         # r03-green with in-window family siblings — swap log in
         # registry/__init__.py)
-        "streaming_funnel_stages", 
-        "layout_skipping_hilbert", 
-        "sessions_overlap_pairs", 
-        
+        "layout_skipping_hilbert",
+
         # round-5 promotions (16 never-driver-checked queries + the new
         # real-decode class; demotions are all r4-green with in-window
         # family siblings — swap log in registry/__init__.py)
@@ -127,6 +118,16 @@ def test_checked_window_is_curated():
         "multimodal_decode_wav", "text_chunk_sliding",
         "stats_embedding_isotropy", "training_dsir_weights",
         "curation_ccnet_tiers", "curation_filter_attrition",
+        # fourth-continuation rotation: 10 NEW capability classes in;
+        # demotions all r04-green (the IVF serving tier's signal now
+        # flows through eval_ivf_recall + eval_ranking_ndcg, which
+        # compose the identical centroid chain — swap log in
+        # registry/__init__.py)
+        "recsys_user_recommend", "eval_ranking_ndcg",
+        "stats_bootstrap_ci", "graph_bfs_levels",
+        "graph_link_prediction", "events_forecast_holt",
+        "multimodal_audio_frames", "events_rfm_segmentation",
+        "stats_gini_concentration", "text_keyphrase_rake",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
 
