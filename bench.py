@@ -164,6 +164,8 @@ HEADLINE = [
     "privacy_l_diversity",
     "stats_benford_firstdigit",
     "events_ltv_cohorts",
+    "graph_kcore",
+    "events_markov_stationary",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

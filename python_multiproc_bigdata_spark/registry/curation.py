@@ -810,6 +810,62 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=3) of the part co-purchase graph — the
+    cohesion filter that keeps only parts embedded in a dense
+    co-purchase neighborhood (operators/graph.py:kcore), the subgraph a
+    recommender trusts over one-off co-occurrences. Same support-≥2
+    edge build as the census/LPA/BFS family; the oracle replays the 3
+    peel rounds as nested CTEs."""
+    from python_multiproc_bigdata_spark.operators.graph import kcore
+
+    li = table(prep(spark), sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        l1.join(l2, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(pairs, k=3, rounds=3)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    parts = [
+        """WITH pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e0 AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", k{r} AS (
+  SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+), e{r} AS (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  SEMI JOIN k{r} ks ON e.src = ks.src
+  SEMI JOIN k{r} kd ON e.dst = kd.src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_oracle(3, 3)
+
+
 SQL_LINK_PREDICTION = """
 WITH pairs AS (
   SELECT l1.l_partkey AS src, l2.l_partkey AS dst
@@ -1578,6 +1634,7 @@ REGISTRY = {
     "graph_community_labelprop": QuerySpec(graph_community_labelprop, SQL_LABELPROP),
     "graph_bfs_levels": QuerySpec(graph_bfs_levels, SQL_BFS_LEVELS),
     "graph_link_prediction": QuerySpec(graph_link_prediction, SQL_LINK_PREDICTION),
+    "graph_kcore": QuerySpec(graph_kcore, SQL_KCORE),
     "corpus_version_diff": QuerySpec(corpus_version_diff, SQL_VERSION_DIFF),
     "dedup_keep_best_per_cluster": QuerySpec(
         dedup_keep_best_per_cluster, SQL_KEEP_BEST

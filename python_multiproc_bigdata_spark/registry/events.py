@@ -910,6 +910,113 @@ FROM counted
 """
 
 
+_MARKOV_ROUNDS = 4
+_MARKOV_SCALE = 1_000_000
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state event-type distribution: 4 fixed-point power
+    iterations of the clickstream transition matrix (the
+    events_transition_matrix relation) from a uniform start — where a
+    user journey settles if it runs long enough, the standard
+    steady-state read of a Markov behavior model.
+
+    Exactness: the iteration runs in FIXED-POINT INTEGER arithmetic —
+    P is the micro-probability matrix round(1e6·n/row_total), the mass
+    vector starts UNIFORM at 1e6 // n_types per type (total mass ≈ 1 in
+    micro units) and each round is
+    v'(j) = (Σᵢ v(i)·P_micro(i,j)) // 1e6 (floor AFTER the exact
+    integer sum). Float power iteration would hit cross-engine sum
+    order; this defined integer recurrence replays bit-for-bit as
+    nested CTEs. The tiny floor leak per round is part of the defined
+    computation (documented, not hidden). Scale: the matrix is
+    |types|² rows — broadcast; each round is one tiny join + groupBy;
+    the only corpus-scale pass is the lead() window that builds the
+    transition counts."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("cur")
+    pm = pairs.select(
+        "cur",
+        "nxt",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double")
+            * F.lit(float(_MARKOV_SCALE))
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    nodes = pm.select("cur").distinct()
+    n_types = nodes.agg(F.count(F.lit(1)).alias("nt"))
+    v = nodes.crossJoin(F.broadcast(n_types)).select(
+        F.col("cur").alias("node"),
+        F.expr(f"CAST({_MARKOV_SCALE} div nt AS BIGINT)").alias("v"),
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        v = (
+            pm.join(v, pm["cur"] == v["node"])
+            .groupBy(F.col("nxt").alias("node2"))
+            .agg(
+                F.expr(f"sum(v * p_micro) div {_MARKOV_SCALE}").alias("v")
+            )
+            .select(F.col("node2").alias("node"), "v")
+        )
+    return v.select(
+        F.col("node").alias("event_type"),
+        F.col("v").alias("stationary_micro"),
+        (F.col("v") / F.lit(float(_MARKOV_SCALE))).alias("stationary"),
+    )
+
+
+def _markov_sql() -> str:
+    s = _MARKOV_SCALE
+    parts = [
+        f"""WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), counted AS (
+  SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), pm AS (
+  SELECT cur, nxt,
+         CAST(round(CAST(n AS DOUBLE)
+                    / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE)
+                    * {float(s)!r}) AS BIGINT) AS p_micro
+  FROM counted
+), v0 AS (
+  SELECT cur AS node,
+         CAST({s} // (SELECT count(DISTINCT cur) FROM pm) AS BIGINT) AS v
+  FROM (SELECT DISTINCT cur FROM pm)
+)"""
+    ]
+    for r in range(1, _MARKOV_ROUNDS + 1):
+        parts.append(
+            f""", v{r} AS (
+  SELECT pm.nxt AS node, CAST(sum(p.v * pm.p_micro) // {s} AS BIGINT) AS v
+  FROM pm JOIN v{r - 1} p ON pm.cur = p.node
+  GROUP BY pm.nxt
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS event_type, v AS stationary_micro,
+       CAST(v AS DOUBLE) / CAST({float(s)!r} AS DOUBLE) AS stationary
+FROM v{_MARKOV_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+SQL_MARKOV_STATIONARY = _markov_sql()
+
+
 def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS linear trend of hourly event volume — the
     grouped-regression primitive behind growth/decay monitoring, fit the
@@ -1360,6 +1467,7 @@ REGISTRY = {
     ),
     "events_ewma_value": QuerySpec(events_ewma_value, SQL_EWMA),
     "events_forecast_holt": QuerySpec(events_forecast_holt, SQL_FORECAST_HOLT),
+    "events_markov_stationary": QuerySpec(events_markov_stationary, SQL_MARKOV_STATIONARY),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

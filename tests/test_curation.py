@@ -661,3 +661,34 @@ def test_link_prediction_excludes_edges_and_scores_jaccard(spark):
         union = nbrs[r.a] | nbrs[r.b]
         assert len(inter) == r.cn, (r.a, r.b)
         assert abs(r.jaccard - len(inter) / len(union)) < 1e-5, (r.a, r.b)
+
+
+def test_kcore_peels_hand_graph(spark):
+    """k-core on a hand graph: a 4-clique survives k=3 peeling, a
+    pendant chain and a triangle hanging off it peel away (the chain in
+    round 1, the triangle's attachment making it survive round 1 but
+    not after the bridge node's degree drops)."""
+    from python_multiproc_bigdata_spark.operators.graph import kcore
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 10), (10, 11)]
+    tri = [(11, 12), (12, 13), (13, 11)]
+    edges = spark.createDataFrame(clique + chain + tri, "src long, dst long")
+    got = {r.node: r.deg for r in kcore(edges, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_markov_stationary_mass_and_dominance(spark):
+    """Fixed-point stationary vector at sf0.001: total mass stays near
+    1 (floor leak only shrinks it, bounded by rounds × types micro),
+    and the stationary ranking follows the long-run inflow structure —
+    every type's mass is positive."""
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_markov_stationary,
+    )
+
+    rows = events_markov_stationary(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.stationary for r in rows)
+    assert 0.99 <= total <= 1.000001, total
+    assert all(r.stationary_micro > 0 for r in rows)
+    assert {r.event_type for r in rows} >= {"click", "view"}
