@@ -166,6 +166,8 @@ HEADLINE = [
     "events_ltv_cohorts",
     "graph_kcore",
     "events_markov_stationary",
+    "sim_ivf_incremental_add",
+    "events_funnel_latency",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

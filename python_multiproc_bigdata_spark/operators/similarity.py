@@ -1601,3 +1601,49 @@ def project_pca(
         "pc_id",
         F.round(dot("u", "comp") - F.col("mudot"), 4).alias("value"),
     )
+
+
+def topk_ivf_kmeans_incremental(
+    queries: DataFrame,
+    base: DataFrame,
+    delta: DataFrame,
+    cents: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search over an INCREMENTALLY maintained index: `base` was
+    assigned to the coarse quantizer `cents` at build time, `delta` is
+    a later ingest batch assigned with the SAME centroids — no retrain,
+    no reassignment of old rows. Because assignment is element-wise,
+    assign(base) ∪ assign(delta) ≡ assign(base ∪ delta), so serving
+    over the union is EXACTLY the one-shot index — the invariant every
+    100 TB vector store's ingest path rests on (you re-quantize rarely
+    and append daily). The registry checks this equivalence against the
+    one-shot oracle chain (two implementations, one oracle — the
+    dedup_prefix_filter_jaccard proof pattern).
+
+    Both slices run the same shared helpers as topk_ivf_kmeans /
+    build_ivf_index, so per-call and incremental semantics cannot
+    drift."""
+    spark = queries.sparkSession
+    cent_df = _centroid_table(spark, cents)
+    parts = []
+    for sl in (base, delta):
+        cvec, cnormed = _corpus_with_unit(sl)
+        a = _assign_clusters(cnormed, cent_df)
+        parts.append(cvec.join(a, "vec_id"))
+    indexed = parts[0].unionByName(parts[1]).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "c_norm",
+        F.col("cid").alias("probe_label"),
+    )
+    probed = _probe_lists(queries, cents, nprobe, label="probe_label")
+    pairs = (
+        probed.join(indexed, "probe_label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(pairs, k)

@@ -910,6 +910,101 @@ FROM counted
 """
 
 
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile of the ordered funnel: for users who
+    progressed view → click (→ purchase) under the strict-order rule of
+    events_funnel_conversion, the time between stages — count, mean,
+    median, and p90 seconds per stage. The funnel count query says HOW
+    MANY convert; this says HOW FAST — the metric a growth team
+    actually tunes against.
+
+    Exactness: latencies are INTEGER microseconds (unix_micros /
+    epoch_us — the loader already truncates nanos to micros on both
+    engines), so the mean's sum is exact and one division; median/p90
+    interpolate the same integer multiset with the same type-7 rule on
+    both engines. Scale shape = the funnel's: stage relations are
+    ≤|users| rows on the user_id partitioning."""
+    e = table(prep(spark), sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("t"))
+        .join(views, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(clicks, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    vc = views.join(clicks, "user_id").select(
+        F.lit("view_to_click").alias("stage"),
+        (F.col("t_click") - F.col("t_view")).alias("lat_us"),
+    )
+    cp = clicks.join(purchases, "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.col("t_purchase") - F.col("t_click")).alias("lat_us"),
+    )
+    return (
+        vc.unionByName(cp)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("lat_us").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_s"),
+            F.round(F.expr("percentile(lat_us, 0.5)") / F.lit(1000000.0), 6).alias(
+                "median_s"
+            ),
+            F.round(F.expr("percentile(lat_us, 0.9)") / F.lit(1000000.0), 6).alias(
+                "p90_s"
+            ),
+        )
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH views AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), clicks AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+  GROUP BY 1
+), purchases AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+  GROUP BY 1
+), lats AS (
+  SELECT 'view_to_click' AS stage, c.t_click - v.t_view AS lat_us
+  FROM views v JOIN clicks c USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase' AS stage, p.t_purchase - c.t_click AS lat_us
+  FROM clicks c JOIN purchases p USING (user_id)
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(lat_us) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_s,
+       round(quantile_cont(lat_us, 0.5) / CAST(1000000.0 AS DOUBLE), 6) AS median_s,
+       round(quantile_cont(lat_us, 0.9) / CAST(1000000.0 AS DOUBLE), 6) AS p90_s
+FROM lats GROUP BY stage
+"""
+
+
 _MARKOV_ROUNDS = 4
 _MARKOV_SCALE = 1_000_000
 
@@ -1468,6 +1563,7 @@ REGISTRY = {
     "events_ewma_value": QuerySpec(events_ewma_value, SQL_EWMA),
     "events_forecast_holt": QuerySpec(events_forecast_holt, SQL_FORECAST_HOLT),
     "events_markov_stationary": QuerySpec(events_markov_stationary, SQL_MARKOV_STATIONARY),
+    "events_funnel_latency": QuerySpec(events_funnel_latency, SQL_FUNNEL_LATENCY),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

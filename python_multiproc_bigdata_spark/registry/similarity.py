@@ -815,6 +815,41 @@ FROM tot CROSS JOIN hits
 """
 
 
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance for the registered IVF tier: the
+    corpus splits into a base build (md5(vec_id) < 'c', ~75%) and a
+    later ingest batch; the delta is assigned with the SAME trained
+    centroids and search runs over the union
+    (operators/similarity.py:topk_ivf_kmeans_incremental). The oracle
+    is the ONE-SHOT centroid-literal chain (make_ivf_kmeans_oracle), so
+    the driver-gated claim is the ingest invariant itself:
+    assign-then-union equals build-from-scratch — two implementations,
+    one oracle (the dedup_prefix_filter_jaccard proof pattern)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_ivf_kmeans_incremental,
+        train_spherical_kmeans_driver,
+    )
+
+    cfg = IVF_KMEANS_CFG
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = train_spherical_kmeans_driver(
+        emb,
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    split = F.md5(F.col("vec_id").cast("string")) < "c"
+    return topk_ivf_kmeans_incremental(
+        queries,
+        emb.filter(split),
+        emb.filter(~split),
+        cents,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+    )
+
+
 # NDCG@10 discount weights as exact integers: W[r] = round(1e12 /
 # log2(r+1)). Graded relevance rel = 11 - truth_rank. Integer gains sum
 # exactly (order-independent across engines); the ONLY float op is the
@@ -1817,6 +1852,9 @@ REGISTRY = {
     "eval_ivf_recall": QuerySpec(eval_ivf_recall, make_ivf_recall_oracle),
     "eval_pq_recall": QuerySpec(eval_pq_recall, make_pq_recall_oracle),
     "eval_ranking_ndcg": QuerySpec(eval_ranking_ndcg, make_ranking_ndcg_oracle),
+    "sim_ivf_incremental_add": QuerySpec(
+        sim_ivf_incremental_add, make_ivf_kmeans_oracle
+    ),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),

@@ -228,3 +228,31 @@ def test_ranking_ndcg_floor(spark):
     assert row.ndcg_at_10 >= 0.8, row
     assert row.mrr_at_10 >= 0.9, row
     assert row.ndcg_at_10 <= 1.0 and row.mrr_at_10 <= 1.0
+
+
+def test_ivf_incremental_equals_one_shot_any_split(spark):
+    """assign(base) ∪ assign(delta) == assign(full): the incremental
+    serving path returns the IDENTICAL top-k as the one-shot build for
+    an arbitrary split point (here 50/50 by parity of vec_id — a
+    different split than the registered query's md5 rule)."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_ivf_kmeans,
+        topk_ivf_kmeans_incremental,
+        train_spherical_kmeans_driver,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = train_spherical_kmeans_driver(emb, n_lists=8, max_iter=3, sample_size=512)
+    inc = topk_ivf_kmeans_incremental(
+        q,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cents,
+        k=3,
+        nprobe=2,
+    )
+    one = topk_ivf_kmeans(q, emb, k=3, nprobe=2, n_lists=8, max_iter=3, train_sample=512)
+    a = {(r.query_id, r.neighbor_id, r.rk) for r in inc.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rk) for r in one.collect()}
+    assert a == b and a

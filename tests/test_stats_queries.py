@@ -538,3 +538,34 @@ def test_ltv_cohorts_cumulative_and_consistent(spark):
         recovered = last.avg_cum_ltv * last.n_customers
         cohort_rev = sum(r.revenue for r in rs)
         assert abs(recovered - cohort_rev) <= 0.0001 * last.n_customers + 0.01
+
+
+def test_funnel_latency_hand_log(spark):
+    """Hand log: u1 converts view→click in 300s and click→purchase in
+    240s; u2 clicks 60s after view, never purchases; u3's click
+    precedes its view (excluded). Medians/means over {300,60} and
+    {240} exactly."""
+    from datetime import datetime as dt
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0, 0), "view"),
+        (1, dt(2024, 1, 1, 10, 5, 0), "click"),
+        (1, dt(2024, 1, 1, 10, 9, 0), "purchase"),
+        (2, dt(2024, 1, 1, 9, 0, 0), "view"),
+        (2, dt(2024, 1, 1, 9, 1, 0), "click"),
+        (3, dt(2024, 1, 1, 8, 5, 0), "click"),
+        (3, dt(2024, 1, 1, 8, 30, 0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        got = {r.stage: r for r in ev.events_funnel_latency(spark, "unused").collect()}
+    finally:
+        ev.table = orig
+    vc = got["view_to_click"]
+    assert (vc.n_users, vc.avg_s, vc.median_s) == (2, 180.0, 180.0)
+    cp = got["click_to_purchase"]
+    assert (cp.n_users, cp.avg_s, cp.median_s, cp.p90_s) == (1, 240.0, 240.0, 240.0)
