@@ -103,3 +103,61 @@ def test_batchedstore_python_datasource_roundtrip(spark, tmp_path):
     assert got == sorted(rows)
     # parallel read: one partition per committed batch file
     assert back.rdd.getNumPartitions() == len(manifest["files"])
+
+
+def test_batchedstore_stream_reader_incremental(spark, tmp_path):
+    """Streaming half of the connector SPI: the batchedstore manifest
+    consumed as an append log. Pass 1 (availableNow) reads the initial
+    batches; after more files are committed, pass 2 FROM THE SAME
+    CHECKPOINT reads only the new ones (offset = files consumed)."""
+    import json
+    import os
+
+    from python_multiproc_bigdata_spark.sinks import batchedstore_sink
+    from python_multiproc_bigdata_spark.sources.pydatasource import (
+        MANIFEST,
+        BatchedStoreDataSource,
+    )
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)], ["id", "name", "score"]
+    ).coalesce(1)
+    batchedstore_sink(path, buffer_size=100)(df)
+
+    spark.dataSource.register(BatchedStoreDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(_name):
+        got: set = set()
+        q = (
+            spark.readStream.format("batchedstore")
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: got.update(r.id for r in bdf.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    assert drain("bs_pass1") == set(range(20))
+
+    # commit a second batch file by hand (append to the manifest — the
+    # writer's own append path would also work; the reader contract is
+    # the on-disk layout)
+    extra = "batch-extra.jsonl"
+    with open(os.path.join(path, extra), "w") as f:
+        for i in range(20, 25):
+            f.write(json.dumps([i, f"n{i}", float(i)]) + "\n")
+    with open(os.path.join(path, MANIFEST)) as f:
+        m = json.load(f)
+    m["files"].append(extra)
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(m, f)
+
+    # same checkpoint → only the new file's rows arrive in pass 2
+    assert drain("bs_pass2") == set(range(20, 25))
