@@ -168,6 +168,8 @@ HEADLINE = [
     "events_markov_stationary",
     "sim_ivf_incremental_add",
     "events_funnel_latency",
+    "events_changepoint_cusum",
+    "events_frequent_sequences",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

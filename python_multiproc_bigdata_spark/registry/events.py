@@ -1005,6 +1005,168 @@ FROM lats GROUP BY stage
 """
 
 
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on each type's hourly volume series:
+    the hour where the cumulative deviation from the series mean peaks
+    — the standard "when did the level shift?" estimator (the argmax of
+    |Σ_{i≤t}(y_i − ȳ)|). Per type: the changepoint's hour index, the
+    peak statistic (normalized), and the shift direction.
+
+    Exactness: the mean makes the textbook form fractional, so the
+    statistic is multiplied through by n: S_t = n·Σ_{i≤t} y_i − t·Σy —
+    EXACT INTEGERS under a running-sum window; the export divides the
+    peak once by n (mean-deviation units). A negative peak means the
+    prefix ran BELOW the overall mean, i.e. the level shifted UP at the
+    changepoint. Argmax is a total (|S| DESC, t ASC) order. Scale: one
+    (type, hour) partial agg, one per-type window — the linear-trend
+    family's shapes."""
+    e = table(prep(spark), sf_dir, "events")
+    cnt = (
+        e.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wseq = Window.partitionBy("event_type").orderBy("hr")
+    wall = Window.partitionBy("event_type")
+    scored = cnt.select(
+        "event_type",
+        F.row_number().over(wseq).alias("t"),
+        F.sum("y").over(wseq.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("y").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        "event_type",
+        "t",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("tot")).alias("s"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("s"))), F.asc("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("t").alias("cp_index"),
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 4).alias(
+                "peak_dev"
+            ),
+            F.when(F.col("s") < 0, F.lit("up")).otherwise(F.lit("down")).alias(
+                "direction"
+            ),
+        )
+    )
+
+
+SQL_CHANGEPOINT_CUSUM = """
+WITH cnt AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr, count(*) AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+         sum(y) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(y) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cnt
+), scored AS (
+  SELECT event_type, t, n, n * cum - t * tot AS s FROM seq
+), peak AS (
+  SELECT event_type, t, n, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, t ASC) AS rk
+  FROM scored
+)
+SELECT event_type, t AS cp_index, CAST(n AS BIGINT) AS n,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS peak_dev,
+       CASE WHEN s < 0 THEN 'up' ELSE 'down' END AS direction
+FROM peak WHERE rk = 1
+"""
+
+
+_SEQ_MAX_GAP = 5
+
+
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan's k=2 level, gapped): for
+    every ordered type pair (a → b with b within the next 5 events of
+    the SAME user), the number of users whose journey contains it and
+    that support as a share of active users. Unlike the transition
+    matrix (ADJACENT steps only), this sees "a leads to b eventually" —
+    the pattern basis funnel discovery starts from.
+
+    Plan: NO self-join — the gapped follower set expands map-side from
+    5 lead() columns over one (user, ts, event_id) sort, then ONE
+    distinct on (user, a, b) and a |types|²-bounded count. Support is
+    users-containing (set semantics), the standard sequence-mining
+    count, so a user repeating a pattern doesn't inflate it."""
+    e = table(prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leads = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        *[
+            F.lead("event_type", o).over(w).alias(f"_l{o}")
+            for o in range(1, _SEQ_MAX_GAP + 1)
+        ],
+    )
+    pairs = leads.select(
+        "user_id",
+        "a",
+        F.explode(F.array(*[F.col(f"_l{o}") for o in range(1, _SEQ_MAX_GAP + 1)])).alias(
+            "b"
+        ),
+    ).filter(F.col("b").isNotNull())
+    per_user = pairs.select("user_id", "a", "b").distinct()
+    nu = e.agg(F.countDistinct("user_id").alias("nu"))
+    return (
+        per_user.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a",
+            "b",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("nu").cast("double"), 6
+            ).alias("support"),
+        )
+    )
+
+
+def _freq_seq_sql() -> str:
+    lead_cols = ",\n         ".join(
+        f"lead(event_type, {o}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{o}"
+        for o in range(1, _SEQ_MAX_GAP + 1)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, a, l{o} AS b FROM leads WHERE l{o} IS NOT NULL"
+        for o in range(1, _SEQ_MAX_GAP + 1)
+    )
+    return f"""
+WITH leads AS (
+  SELECT user_id, event_type AS a,
+         {lead_cols}
+  FROM events
+), pairs AS (
+{unions}
+), per_user AS (
+  SELECT DISTINCT user_id, a, b FROM pairs
+), nu AS (SELECT count(DISTINCT user_id) AS n FROM events)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE) / CAST(nu.n AS DOUBLE), 6) AS support
+FROM per_user CROSS JOIN nu
+GROUP BY a, b, nu.n
+"""
+
+
+SQL_FREQUENT_SEQUENCES = _freq_seq_sql()
+
+
 _MARKOV_ROUNDS = 4
 _MARKOV_SCALE = 1_000_000
 
@@ -1564,6 +1726,8 @@ REGISTRY = {
     "events_forecast_holt": QuerySpec(events_forecast_holt, SQL_FORECAST_HOLT),
     "events_markov_stationary": QuerySpec(events_markov_stationary, SQL_MARKOV_STATIONARY),
     "events_funnel_latency": QuerySpec(events_funnel_latency, SQL_FUNNEL_LATENCY),
+    "events_changepoint_cusum": QuerySpec(events_changepoint_cusum, SQL_CHANGEPOINT_CUSUM),
+    "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

@@ -569,3 +569,79 @@ def test_funnel_latency_hand_log(spark):
     assert (vc.n_users, vc.avg_s, vc.median_s) == (2, 180.0, 180.0)
     cp = got["click_to_purchase"]
     assert (cp.n_users, cp.avg_s, cp.median_s, cp.p90_s) == (1, 240.0, 240.0, 240.0)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """CUSUM on a crafted series: type 'shift' doubles its hourly rate
+    exactly halfway — the detected changepoint must sit at the shift
+    boundary with direction 'up'; a flat type's peak deviation is
+    near zero by comparison."""
+    from datetime import datetime as dt, timedelta
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    rows = []
+    base = dt(2024, 1, 1)
+    eid = 0
+    for h in range(40):
+        n = 2 if h < 20 else 4  # 'shift' doubles at hour 20 (t=21)
+        for _ in range(n):
+            rows.append((eid, 1, base + timedelta(hours=h, minutes=eid % 50), "shift"))
+            eid += 1
+        for _ in range(3):  # 'flat' constant
+            rows.append((eid, 2, base + timedelta(hours=h, minutes=eid % 50), "flat"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        got = {
+            r.event_type: r
+            for r in ev.events_changepoint_cusum(spark, "unused").collect()
+        }
+    finally:
+        ev.table = orig
+    assert got["shift"].cp_index == 20 and got["shift"].direction == "up"
+    # flat series: every S_t == 0 → tie-break picks t=1, deviation 0
+    assert got["flat"].peak_dev == 0.0 and got["flat"].cp_index == 1
+    assert abs(got["shift"].peak_dev) > 5
+
+
+def test_frequent_sequences_gap_and_set_semantics(spark):
+    """Gapped pattern semantics on a hand journey: b 3 events after a
+    counts (gap ≤ 5), b 6 events after does NOT; a user repeating a
+    pattern counts ONCE (set support)."""
+    from datetime import datetime as dt, timedelta
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    def journey(uid, types, start):
+        return [
+            (uid * 100 + i, uid, start + timedelta(minutes=i), t)
+            for i, t in enumerate(types)
+        ]
+
+    base = dt(2024, 1, 1)
+    rows = (
+        # u1: view then purchase at gap 3 — counts; repeated later: once
+        journey(1, ["view", "x1", "x2", "purchase", "view", "x3", "x4", "purchase"], base)
+        # u2: view then purchase at gap 6 — beyond the window
+        + journey(2, ["view", "x1", "x2", "x3", "x4", "x5", "purchase"], base)
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        got = {
+            (r.a, r.b): r
+            for r in ev.events_frequent_sequences(spark, "unused").collect()
+        }
+    finally:
+        ev.table = orig
+    vp = got[("view", "purchase")]
+    assert vp.n_users == 1 and vp.support == 0.5
+    assert ("x5", "purchase") in got  # adjacent still counts for u2
