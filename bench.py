@@ -170,6 +170,7 @@ HEADLINE = [
     "events_funnel_latency",
     "events_changepoint_cusum",
     "events_frequent_sequences",
+    "events_autocorrelation",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

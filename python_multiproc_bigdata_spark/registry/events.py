@@ -1088,6 +1088,101 @@ FROM peak WHERE rk = 1
 """
 
 
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..3) of each type's hourly volume —
+    the temporal-dependence diagnostic that separates bursty series
+    from white noise (and the sanity input to any forecasting choice,
+    e.g. whether the Holt query above is even warranted).
+
+    Pearson r at each lag over the (x_t, x_{t+k}) pairs via the SAME
+    exact-integer algebraic-sums recipe as events_linear_trend: counts
+    are integers, so n, Σx, Σy, Σxy, Σx², Σy² are exact and r² enters
+    a double exactly once per side. r is exported as
+    sign(num) · √(num² / (dx·dy)) computed identically on both engines
+    from the integer sums. Pairs come from a lag() window, not a
+    self-join; one (type, hour) partial agg feeds all three lags."""
+    e = table(prep(spark), sf_dir, "events")
+    cnt = (
+        e.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = cnt.select(
+        "event_type",
+        F.col("y").alias("x"),
+        *[F.lead("y", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+    )
+    out = None
+    for k in (1, 2, 3):
+        pairs = lagged.filter(F.col(f"y{k}").isNotNull()).select(
+            "event_type", "x", F.col(f"y{k}").alias("yy")
+        )
+        sums = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yy").alias("sy"),
+            F.sum(F.col("x") * F.col("yy")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("yy") * F.col("yy")).alias("syy"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+        r = sums.filter((dx > 0) & (dy > 0)).select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            "n",
+            F.round(
+                F.signum(num.cast("double"))
+                * F.sqrt(
+                    (num.cast("double") * num.cast("double"))
+                    / (dx.cast("double") * dy.cast("double"))
+                ),
+                6,
+            ).alias("acf"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _autocorr_sql() -> str:
+    blocks = []
+    for k in (1, 2, 3):
+        blocks.append(
+            f"""
+SELECT event_type, {k} AS lag, CAST(n AS BIGINT) AS n,
+       round(sign(CAST(n * sxy - sx * sy AS DOUBLE))
+             * sqrt((CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(yy) AS sy,
+         sum(x * yy) AS sxy, sum(x * x) AS sxx, sum(yy * yy) AS syy
+  FROM (
+    SELECT event_type, y AS x,
+           lead(y, {k}) OVER (PARTITION BY event_type ORDER BY hr) AS yy
+    FROM cnt) WHERE yy IS NOT NULL
+  GROUP BY event_type
+) WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"""
+        )
+    return (
+        """
+WITH cnt AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr, count(*) AS y
+  FROM events GROUP BY 1, 2
+)"""
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+SQL_AUTOCORRELATION = _autocorr_sql()
+
+
 _SEQ_MAX_GAP = 5
 
 
@@ -1728,6 +1823,7 @@ REGISTRY = {
     "events_funnel_latency": QuerySpec(events_funnel_latency, SQL_FUNNEL_LATENCY),
     "events_changepoint_cusum": QuerySpec(events_changepoint_cusum, SQL_CHANGEPOINT_CUSUM),
     "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
+    "events_autocorrelation": QuerySpec(events_autocorrelation, SQL_AUTOCORRELATION),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

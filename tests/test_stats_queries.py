@@ -645,3 +645,38 @@ def test_frequent_sequences_gap_and_set_semantics(spark):
     vp = got[("view", "purchase")]
     assert vp.n_users == 1 and vp.support == 0.5
     assert ("x5", "purchase") in got  # adjacent still counts for u2
+
+
+def test_autocorrelation_alternating_and_constantish(spark):
+    """ACF semantics on crafted series: a strictly alternating 2/4
+    hourly rate has lag-1 ACF ≈ −1 and lag-2 ACF ≈ +1; the statistic
+    matches numpy's corrcoef on the same pairs."""
+    from datetime import datetime as dt, timedelta
+
+    import numpy as np
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    rows, eid, base = [], 0, dt(2024, 1, 1)
+    counts = [2 if h % 2 == 0 else 4 for h in range(30)]
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, 1, base + timedelta(hours=h, minutes=eid % 55), "alt"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        got = {
+            (r.event_type, r.lag): r.acf
+            for r in ev.events_autocorrelation(spark, "unused").collect()
+        }
+    finally:
+        ev.table = orig
+    xs = np.array(counts, dtype=float)
+    for k in (1, 2, 3):
+        want = np.corrcoef(xs[:-k], xs[k:])[0, 1]
+        assert abs(got[("alt", k)] - round(want, 6)) < 1e-6, (k, want)
+    assert got[("alt", 1)] < -0.9 and got[("alt", 2)] > 0.9
