@@ -454,3 +454,30 @@ def test_chunk_sliding_single_tokenize_no_shuffle(spark):
     assert opt.count("split(") == 1
     # map-only chunking: tokenize → sequence-explode → slice, no exchange
     assert plan_of(df).count("Exchange") == 0
+
+
+def test_bootstrap_digit_extraction_not_duplicated(spark):
+    """The Poisson-bootstrap uniform is 12 md5-digit terms; the 6
+    threshold compares reference the SUMMED u_int — if CollapseProject
+    ever inlined it into each compare, the plan would carry 72 md5
+    calls (the O(k·n) re-eval trap, SCALE.md)."""
+    plan = optimized_of(REGISTRY["stats_bootstrap_ci"].fn(spark, SF_DIR))
+    assert plan.count("md5(") == 12, plan.count("md5(")
+
+
+def test_recsys_recommend_broadcasts_sims(spark):
+    """The item-item similarity relation must reach the per-customer
+    scoring join as a BROADCAST (items²-bounded), never a shuffle."""
+    plan = plan_of(REGISTRY["recsys_user_recommend"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # owned-brand removal stays an anti-join, not a distinct+except
+    assert "LeftAnti" in plan
+
+
+def test_frequent_sequences_no_self_join(spark):
+    """The gapped follower set must expand from lead() columns — a
+    per-user self-join would show a second events scan joined on
+    user_id; the plan reads events for pairs ONCE plus once for the
+    distinct-user count."""
+    plan = optimized_of(REGISTRY["events_frequent_sequences"].fn(spark, SF_DIR))
+    assert plan.count("Relation") <= 2, plan
