@@ -45,6 +45,11 @@ SHOWCASE: dict[str, str] = {
     "curation_quality_classifier": "trained 256-weight model as a broadcast join; scan reads only (doc_id, text); zero Python stages — training happened driver-side before the plan existed",
     "dedup_semantic": "centroid-broadcast argmax assignment; candidate pairs ONLY from the cid equi-join (cluster-bounded pair space, no cartesian)",
     "stats_countmin_heavy_hitters": "sketch build = distributive partial-agg groupBy onto 1024 cells; probe joins a broadcast of the sketch",
+    "recsys_user_recommend": "items²-bounded similarity relation broadcast onto (custkey, brand)-partitioned interactions; owned-item removal is a LeftAnti on the same keys; integer micro-unit score sums",
+    "stats_bootstrap_ci": "64× replicate explode AFTER a repartition pin (CPU-heavy md5 stage never inherits single-file partitioning); groups×B partial sums are the only shuffle payload",
+    "graph_link_prediction": "wedge self-join on the middle node + cn≥2 floor pruning the quadratic tail; degree attach via broadcast; existing edges removed by LeftAnti",
+    "events_frequent_sequences": "gapped follower set from 5 lead() columns over ONE per-user sort — no events self-join anywhere in the plan",
+    "text_keyphrase_rake": "phrase splitting = running stopword count window (no UDF); word stats collapse map-side to |vocab| rows; word scores broadcast back",
 }
 
 
