@@ -171,6 +171,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "events_frequent_sequences",
     "events_autocorrelation",
+    "events_seasonality_profile",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1183,6 +1183,49 @@ WITH cnt AS (
 SQL_AUTOCORRELATION = _autocorr_sql()
 
 
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile with lift vs uniform —
+    the seasonality heatmap behind staffing/capacity dashboards and the
+    baseline any hour-level anomaly rule needs (events_anomaly_zscore
+    flags deviations over TIME; this is the deviation over the WEEKLY
+    CYCLE). Per (dow, hod) cell: event count and lift = observed
+    share / uniform share, computed as count·168/total so the only
+    float op is the exported division (the CUSUM multiply-through
+    trick). dow is 1=Sunday..7=Saturday (Spark dayofweek == DuckDB
+    dayofweek+1 — the oracle adds 1 to DuckDB's 0=Sunday convention).
+    One partial-agg groupBy to 168 cells; the total broadcasts back."""
+    e = table(prep(spark), sf_dir, "events")
+    cells = (
+        e.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round(
+            (F.col("n") * F.lit(168)).cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+SQL_SEASONALITY = """
+WITH cells AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT sum(n) AS total FROM cells)
+SELECT dow, hod, CAST(n AS BIGINT) AS n,
+       round(CAST(n * 168 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS lift
+FROM cells CROSS JOIN tot
+"""
+
+
 _SEQ_MAX_GAP = 5
 
 
@@ -1824,6 +1867,7 @@ REGISTRY = {
     "events_changepoint_cusum": QuerySpec(events_changepoint_cusum, SQL_CHANGEPOINT_CUSUM),
     "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
     "events_autocorrelation": QuerySpec(events_autocorrelation, SQL_AUTOCORRELATION),
+    "events_seasonality_profile": QuerySpec(events_seasonality_profile, SQL_SEASONALITY),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

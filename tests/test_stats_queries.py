@@ -680,3 +680,21 @@ def test_autocorrelation_alternating_and_constantish(spark):
         want = np.corrcoef(xs[:-k], xs[k:])[0, 1]
         assert abs(got[("alt", k)] - round(want, 6)) < 1e-6, (k, want)
     assert got[("alt", 1)] < -0.9 and got[("alt", 2)] > 0.9
+
+
+def test_seasonality_profile_invariants(spark):
+    """168 cells at most, counts recover the corpus size, and lift
+    averages ~1 weighted by uniform cells (sum of n·lift relations)."""
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_seasonality_profile,
+    )
+    from python_multiproc_bigdata_spark.registry.common import load_events
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_seasonality_profile(spark, sf).collect()
+    assert len(rows) <= 168
+    total = load_events(spark, sf).count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
+        assert abs(r.lift - r.n * 168 / total) < 1e-6
