@@ -172,6 +172,7 @@ HEADLINE = [
     "events_frequent_sequences",
     "events_autocorrelation",
     "events_seasonality_profile",
+    "sim_topk_graph_refined",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1647,3 +1647,92 @@ def topk_ivf_kmeans_incremental(
         )
     )
     return _rank_topk(pairs, k)
+
+
+def topk_ivf_graph_refined(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_lists: int = 8,
+    max_iter: int = 5,
+    train_sample: int | None = 4096,
+) -> DataFrame:
+    """Graph-refined IVF search (one NN-descent round): run the IVF
+    search for the queries, then AGAIN for the distinct neighbors it
+    returned, and exact-re-rank each query over the UNION of its own
+    candidates and its neighbors' candidates — "my neighbor's neighbor
+    is probably my neighbor", the expansion DiskANN/NN-descent builds
+    on. Recovers true neighbors that sit in lists the query never
+    probed but its near-neighbors did, WITHOUT raising nprobe for every
+    query: the second pass is bounded by |queries|·k distinct nodes,
+    not the corpus.
+
+    Both passes share the deterministic trainer, so an oracle replays
+    the whole composition from the same centroid literals. Exact
+    re-rank keeps the output a strict improvement in expectation —
+    candidates only grow."""
+    if train_sample:
+        cents = train_spherical_kmeans_driver(
+            corpus, n_lists=n_lists, max_iter=max_iter, sample_size=train_sample
+        )
+    else:
+        cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
+    spark = corpus.sparkSession
+    cvec, cnormed = _corpus_with_unit(corpus)
+    assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    indexed = cvec.join(assign_df, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "c_norm",
+        F.col("cid").alias("probe_label"),
+    )
+
+    def ivf_pass(qdf: DataFrame) -> DataFrame:
+        probed = _probe_lists(qdf, cents, nprobe, label="probe_label")
+        pairs = (
+            probed.join(indexed, "probe_label")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "score",
+                _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm")),
+            )
+        )
+        return _rank_topk(pairs, k).select("query_id", "neighbor_id")
+
+    r1 = ivf_pass(queries).localCheckpoint(eager=True)
+    nbr_ids = r1.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    q2 = corpus.join(nbr_ids, "vec_id").select("vec_id", "embedding")
+    r2 = ivf_pass(q2)
+    expanded = r1.select(
+        F.col("query_id"), F.col("neighbor_id").alias("cand")
+    ).unionByName(
+        r1.join(
+            r2.select(
+                F.col("query_id").alias("neighbor_id"),
+                F.col("neighbor_id").alias("cand"),
+            ),
+            "neighbor_id",
+        ).select("query_id", "cand")
+    )
+    cand = (
+        expanded.filter(F.col("query_id") != F.col("cand"))
+        .select("query_id", F.col("cand").alias("neighbor_id"))
+        .distinct()
+    )
+    qn = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    scored = (
+        cand.join(qn, "query_id")
+        .join(
+            cvec.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "c_norm",
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(scored, k)

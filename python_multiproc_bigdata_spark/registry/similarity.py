@@ -850,6 +850,125 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-refined IVF: one NN-descent-style neighbor-of-neighbor
+    expansion over the registered IVF tier, exact re-rank over the
+    expanded candidate set (operators/similarity.py:
+    topk_ivf_graph_refined). Uses a deliberately COARSE config (8
+    lists, nprobe 2 — where plain IVF measurably misses) so the
+    refinement has headroom to demonstrate; the generated oracle
+    replays BOTH passes and the expansion from the same centroid
+    literals."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        topk_ivf_graph_refined,
+    )
+
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_ivf_graph_refined(
+        queries, emb, k=3, nprobe=2, n_lists=GRAPH_REFINE_LISTS,
+        max_iter=3, train_sample=4096,
+    )
+
+
+GRAPH_REFINE_LISTS = 8
+
+
+def _ivf_pass_sql(qcte: str, out: str, nprobe: int, k: int) -> str:
+    """One probe+score+rank IVF pass as CTE blocks, parameterized on the
+    query CTE (must expose query_id, q_e, q_norm)."""
+    return f""", probes_{out} AS (
+  SELECT query_id, q_e, q_norm, cid FROM (
+    SELECT q.query_id, q.q_e, q.q_norm, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0
+                         AND sqrt(list_dot_product(cents.c, cents.c)) > 0
+                   THEN list_dot_product(q.q_e, cents.c)
+                        / (q.q_norm * sqrt(list_dot_product(cents.c, cents.c)))
+                   ELSE 0.0 END, 4) DESC, cents.cid ASC) AS pr
+    FROM {qcte} q CROSS JOIN cents) WHERE pr <= {nprobe}
+), scored_{out} AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN p.q_norm > 0 AND sqrt(list_dot_product(c.e, c.e)) > 0
+               THEN list_dot_product(p.q_e, c.e)
+                    / (p.q_norm * sqrt(list_dot_product(c.e, c.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM probes_{out} p
+  JOIN assign a ON a.cid = p.cid
+  JOIN emb c ON c.vec_id = a.vec_id
+  WHERE c.vec_id != p.query_id
+), {out} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM scored_{out}) WHERE rk <= {k}
+)"""
+
+
+def make_graph_refined_oracle() -> str:
+    """Both IVF passes + the neighbor-of-neighbor expansion + exact
+    re-rank, from the same deterministic centroid literals (trained at
+    the coarse 8-list config)."""
+    cents = _centroid_values_literal(
+        n_lists=GRAPH_REFINE_LISTS, max_iter=3, sample_size=4096
+    )
+    k, nprobe = 3, 2
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents(cid, c) AS (
+  VALUES {cents}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), q1 AS (
+  SELECT vec_id AS query_id, e AS q_e, sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {N_QUERIES}
+){_ivf_pass_sql("q1", "ivf1", nprobe, k)}
+, nbrs AS (SELECT DISTINCT neighbor_id AS vec_id FROM ivf1)
+, q2 AS (
+  SELECT emb.vec_id AS query_id, e AS q_e,
+         sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb JOIN nbrs USING (vec_id)
+){_ivf_pass_sql("q2", "ivf2", nprobe, k)}
+, expanded AS (
+  SELECT query_id, neighbor_id AS cand FROM ivf1
+  UNION
+  SELECT i1.query_id, i2.neighbor_id AS cand
+  FROM ivf1 i1 JOIN ivf2 i2 ON i1.neighbor_id = i2.query_id
+), cand AS (
+  SELECT DISTINCT query_id, cand AS neighbor_id
+  FROM expanded WHERE query_id != cand
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(CASE WHEN q.q_norm > 0 AND sqrt(list_dot_product(e2.e, e2.e)) > 0
+               THEN list_dot_product(q.q_e, e2.e)
+                    / (q.q_norm * sqrt(list_dot_product(e2.e, e2.e)))
+               ELSE 0.0 END, 4) AS score,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY round(CASE WHEN q.q_norm > 0
+                                            AND sqrt(list_dot_product(e2.e, e2.e)) > 0
+                                      THEN list_dot_product(q.q_e, e2.e)
+                                           / (q.q_norm * sqrt(list_dot_product(e2.e, e2.e)))
+                                      ELSE 0.0 END, 4) DESC,
+                                     c.neighbor_id ASC) AS rk
+  FROM cand c
+  JOIN q1 q ON q.query_id = c.query_id
+  JOIN emb e2 ON e2.vec_id = c.neighbor_id
+) WHERE rk <= {k}
+"""
+
+
 # NDCG@10 discount weights as exact integers: W[r] = round(1e12 /
 # log2(r+1)). Graded relevance rel = 11 - truth_rank. Integer gains sum
 # exactly (order-independent across engines); the ONLY float op is the
@@ -1854,6 +1973,9 @@ REGISTRY = {
     "eval_ranking_ndcg": QuerySpec(eval_ranking_ndcg, make_ranking_ndcg_oracle),
     "sim_ivf_incremental_add": QuerySpec(
         sim_ivf_incremental_add, make_ivf_kmeans_oracle
+    ),
+    "sim_topk_graph_refined": QuerySpec(
+        sim_topk_graph_refined, make_graph_refined_oracle
     ),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
