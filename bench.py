@@ -173,6 +173,7 @@ HEADLINE = [
     "events_autocorrelation",
     "events_seasonality_profile",
     "sim_topk_graph_refined",
+    "events_attribution_shapley",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1226,6 +1226,154 @@ FROM cells CROSS JOIN tot
 """
 
 
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (the data-driven cooperative-
+    game model, Zhao et al. 2018 — the principled successor to the
+    first/last/linear heuristics in events_attribution_touch /
+    events_linear_attribution): each user's exposure SET of non-
+    purchase channels is a coalition, v(S) = conversion rate of users
+    with exactly that set (unobserved coalitions contribute v = 0, the
+    standard simplification), and each channel's credit is its exact
+    Shapley value φ_i = Σ_{S∌i} |S|!(k−1−|S|)!/k! · (v(S∪i) − v(S)).
+
+    Tractability/exactness: coalitions are INTEGER BITMASKS (channel →
+    bit by alphabetical rank), so the lattice is 2^k rows (k = 4 here),
+    set ops are `&`/`|`, and every Shapley term is an exact integer —
+    factorial(s)·factorial(k−1−s)·(v_up_micro − v_base_micro) — summed
+    exactly and divided ONCE by k!·1e6 at export. Scale: the only
+    corpus passes are the per-user conversion agg and the distinct
+    exposure relation (both user_id-partitioned); everything after is
+    2^k-row algebra."""
+    e = table(prep(spark), sf_dir, "events")
+    ch = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "bit", F.row_number().over(Window.orderBy("event_type")) - F.lit(1)
+        )
+    )
+    conv = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    exposure = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    bitval = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    umask = (
+        exposure.join(F.broadcast(ch), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(bitval).alias("mask"))
+    )
+    users = conv.join(umask, "user_id", "left").select(
+        F.coalesce(F.col("mask"), F.lit(0)).alias("mask"), "conv"
+    )
+    vrel = users.groupBy("mask").agg(
+        F.round(
+            F.sum("conv").cast("double") / F.count(F.lit(1)).cast("double")
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("v_micro")
+    )
+    kk = ch.agg(F.count(F.lit(1)).alias("k"))
+    lattice = kk.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) - 1"),
+            )
+        ).alias("s"),
+        "k",
+    )
+    v = lattice.join(
+        vrel.select(F.col("mask").alias("s"), "v_micro"), "s", "left"
+    ).select("s", "k", F.coalesce(F.col("v_micro"), F.lit(0)).alias("v_micro"))
+    vup = v.select(F.col("s").alias("su"), F.col("v_micro").alias("v_up"))
+    pairs = (
+        v.crossJoin(F.broadcast(ch))
+        .filter(F.expr("(s & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) = 0"))
+        .withColumn(
+            "su", F.expr("s | shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+        )
+        .join(F.broadcast(vup), "su")
+        .select(
+            "event_type",
+            "k",
+            F.expr("CAST(bit_count(s) AS BIGINT)").alias("ssz"),
+            (F.col("v_up") - F.col("v_micro")).alias("dv"),
+        )
+    )
+    terms = pairs.groupBy("event_type", "k").agg(
+        F.sum(
+            F.factorial(F.col("ssz").cast("int"))
+            * F.factorial((F.col("k") - 1 - F.col("ssz")).cast("int"))
+            * F.col("dv")
+        ).alias("t")
+    )
+    nu = exposure.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return terms.join(nu, "event_type").select(
+        F.col("event_type").alias("channel"),
+        "n_users",
+        F.round(
+            F.col("t").cast("double")
+            / (F.factorial(F.col("k").cast("int")).cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("shapley"),
+    )
+
+
+SQL_ATTRIBUTION_SHAPLEY = """
+WITH ch AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS bit
+  FROM (SELECT DISTINCT event_type FROM events WHERE event_type != 'purchase')
+), conv AS (
+  SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), exposure AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE event_type != 'purchase'
+), umask AS (
+  SELECT user_id, sum(1::BIGINT << bit) AS mask
+  FROM exposure JOIN ch USING (event_type) GROUP BY 1
+), users AS (
+  SELECT coalesce(m.mask, 0) AS mask, c.conv
+  FROM conv c LEFT JOIN umask m USING (user_id)
+), vrel AS (
+  SELECT mask,
+         CAST(round(CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS v_micro
+  FROM users GROUP BY 1
+), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ch),
+latt0 AS (SELECT unnest(range(1::BIGINT << CAST(k AS INT))) AS s, k FROM kk),
+v AS (
+  SELECT l.s, l.k, coalesce(vr.v_micro, 0) AS v_micro
+  FROM latt0 l LEFT JOIN vrel vr ON l.s = vr.mask
+), pairs AS (
+  SELECT ch.event_type, v.k, CAST(bit_count(v.s) AS BIGINT) AS ssz,
+         vu.v_micro - v.v_micro AS dv
+  FROM v
+  JOIN ch ON (v.s & (1::BIGINT << ch.bit)) = 0
+  JOIN v vu ON vu.s = (v.s | (1::BIGINT << ch.bit))
+), terms AS (
+  SELECT event_type, k,
+         sum(CAST(factorial(CAST(ssz AS INT)) AS BIGINT)
+             * CAST(factorial(CAST(k - 1 - ssz AS INT)) AS BIGINT)
+             * dv) AS t
+  FROM pairs GROUP BY 1, 2
+), nu AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM exposure GROUP BY 1
+)
+SELECT t.event_type AS channel, nu.n_users,
+       round(CAST(t.t AS DOUBLE)
+             / (CAST(factorial(CAST(t.k AS INT)) AS DOUBLE) * 1000000.0), 6)
+         AS shapley
+FROM terms t JOIN nu USING (event_type)
+"""
+
+
 _SEQ_MAX_GAP = 5
 
 
@@ -1868,6 +2016,7 @@ REGISTRY = {
     "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
     "events_autocorrelation": QuerySpec(events_autocorrelation, SQL_AUTOCORRELATION),
     "events_seasonality_profile": QuerySpec(events_seasonality_profile, SQL_SEASONALITY),
+    "events_attribution_shapley": QuerySpec(events_attribution_shapley, SQL_ATTRIBUTION_SHAPLEY),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(
         events_linear_attribution, SQL_LINEAR_ATTRIBUTION

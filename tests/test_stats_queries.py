@@ -698,3 +698,42 @@ def test_seasonality_profile_invariants(spark):
     for r in rows:
         assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
         assert abs(r.lift - r.n * 168 / total) < 1e-6
+
+
+def test_shapley_attribution_two_channel_hand_game(spark):
+    """Exact 2-channel Shapley: v(A)=0.4, v(B)=0.1, v(AB)=0.6, v(∅)=0
+    (unobserved) → φ_A = ½·0.4 + ½·(0.6−0.1) = 0.45, φ_B = 0.15, and
+    efficiency holds: φ_A + φ_B = v(AB)."""
+    from datetime import datetime as dt, timedelta
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    base, rows, eid = dt(2024, 1, 1), [], 0
+
+    def add(uid, types):
+        nonlocal eid
+        for t in types:
+            rows.append((eid, uid, base + timedelta(minutes=eid), t))
+            eid += 1
+
+    for u in range(1, 11):  # {A}: 4/10 convert
+        add(u, ["a"] + (["purchase"] if u <= 4 else []))
+    for u in range(11, 21):  # {B}: 1/10
+        add(u, ["b"] + (["purchase"] if u == 11 else []))
+    for u in range(21, 31):  # {A,B}: 6/10
+        add(u, ["a", "b"] + (["purchase"] if u <= 26 else []))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        got = {
+            r.channel: r
+            for r in ev.events_attribution_shapley(spark, "unused").collect()
+        }
+    finally:
+        ev.table = orig
+    assert got["a"].shapley == 0.45 and got["b"].shapley == 0.15
+    assert got["a"].n_users == 20 and got["b"].n_users == 20
+    assert abs(got["a"].shapley + got["b"].shapley - 0.6) < 1e-9
