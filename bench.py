@@ -174,6 +174,7 @@ HEADLINE = [
     "events_seasonality_profile",
     "sim_topk_graph_refined",
     "events_attribution_shapley",
+    "stats_ks_two_sample",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1600,10 +1600,105 @@ FROM per_cell p JOIN sizes s USING (cohort_mon)
 """
 
 
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the URGENT and LOW
+    order-price distributions — the nonparametric "did the distribution
+    change?" companion to the mean-level Welch t (stats_ab_ttest): the
+    statistic D = sup|ECDF_a − ECDF_b| sees shape/tail shifts a t-test
+    misses.
+
+    Exactness: ECDFs are evaluated at DISTINCT values (the only points
+    where either step function jumps — correct under ties), cumulative
+    counts come from one window, and D is the max of the integer
+    |i·m − j·n| (multiply-through — no per-point division); the two
+    exported doubles (d_stat, the asymptotic λ = D·√(nm/(n+m))) are
+    single identical expressions. Scale: one (value, group) partial
+    agg + one window over |distinct prices| rows."""
+    o = table(prep(spark), sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    ab = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_a"),
+        cents.alias("v"),
+    )
+    per_v = ab.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("i"),
+        F.sum("cb").over(w).alias("j"),
+    )
+    tot = ab.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(F.col("i") * F.col("n_b") - F.col("j") * F.col("n_a")).alias(
+                "dscaled"
+            ),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("dscaled").alias("dmax"))
+    )
+    nm = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    d = F.col("dmax").cast("double") / nm
+    return dmax.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(
+            d
+            * F.sqrt(
+                nm / (F.col("n_a").cast("double") + F.col("n_b").cast("double"))
+            ),
+            6,
+        ).alias("ks_lambda"),
+    )
+
+
+SQL_KS_TWO_SAMPLE = """
+WITH ab AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_v AS (
+  SELECT v, sum(is_a) AS ca, sum(1 - is_a) AS cb FROM ab GROUP BY v
+), cum AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS i,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS j
+  FROM per_v
+), tot AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+  FROM ab
+), dm AS (
+  SELECT n_a, n_b, max(abs(i * n_b - j * n_a)) AS dmax
+  FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       round(CAST(dmax AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat,
+       round(CAST(dmax AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+         AS ks_lambda
+FROM dm
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
     "stats_gini_concentration": QuerySpec(stats_gini_concentration, SQL_GINI),
+    "stats_ks_two_sample": QuerySpec(stats_ks_two_sample, SQL_KS_TWO_SAMPLE),
     "stats_benford_firstdigit": QuerySpec(stats_benford_firstdigit, SQL_BENFORD),
     "events_ltv_cohorts": QuerySpec(events_ltv_cohorts, SQL_LTV_COHORTS),
     "stats_embedding_isotropy": QuerySpec(

@@ -737,3 +737,27 @@ def test_shapley_attribution_two_channel_hand_game(spark):
     assert got["a"].shapley == 0.45 and got["b"].shapley == 0.15
     assert got["a"].n_users == 20 and got["b"].n_users == 20
     assert abs(got["a"].shapley + got["b"].shapley - 0.6) < 1e-9
+
+
+def test_ks_two_sample_hand_distributions(spark):
+    """KS on hand samples A={10,20,30,40}, B={30,40,50,60}: the ECDF
+    gap peaks at 0.5 (after v=20), λ = 0.5·√2. Ties at 30/40 are
+    evaluated at distinct values only."""
+    import math
+
+    import python_multiproc_bigdata_spark.registry.events  # noqa: F401
+    import python_multiproc_bigdata_spark.registry.stats as st
+
+    rows = [("1-URGENT", v / 100) for v in (1000, 2000, 3000, 4000)] + [
+        ("5-LOW", v / 100) for v in (3000, 4000, 5000, 6000)
+    ] + [("3-MEDIUM", 99.0)]  # other priorities must be ignored
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    orig = st.table
+    st.table = lambda s, d, n: df if n == "orders" else orig(s, d, n)
+    try:
+        r = st.stats_ks_two_sample(spark, "unused").collect()[0]
+    finally:
+        st.table = orig
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.d_stat == 0.5
+    assert r.ks_lambda == round(0.5 * math.sqrt(16 / 8), 6)
