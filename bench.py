@@ -175,6 +175,7 @@ HEADLINE = [
     "sim_topk_graph_refined",
     "events_attribution_shapley",
     "stats_ks_two_sample",
+    "sim_topk_filtered",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

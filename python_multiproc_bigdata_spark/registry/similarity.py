@@ -874,6 +874,121 @@ def sim_topk_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_REFINE_LISTS = 8
 
 
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k restricted to corpus vectors
+    sharing the query's metadata label ("similar docs in MY language"),
+    the constrained-retrieval shape every production vector store
+    serves. Strategy: single-probe pass with the predicate applied at
+    the candidate join (the corpus is assigned once; the label equality
+    rides the same equi-join), i.e. pre-filtered verification — a
+    label whose matches live only in unprobed lists costs recall, the
+    standard filtered-ANN tradeoff a per-label index removes at scale.
+    Oracle: the registered centroid literals with the label condition
+    added to the scored join."""
+    from python_multiproc_bigdata_spark.operators.similarity import (
+        _assign_clusters,
+        _centroid_table,
+        _corpus_with_unit,
+        _probe_lists,
+        _rank_topk,
+        _score,
+        dot,
+        train_spherical_kmeans_driver,
+    )
+
+    cfg = IVF_KMEANS_CFG
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = train_spherical_kmeans_driver(
+        emb,
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        sample_size=cfg["train_sample"],
+    )
+    cvec, cnormed = _corpus_with_unit(emb)
+    assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
+    indexed = (
+        cvec.join(assign_df, "vec_id")
+        .join(emb.select("vec_id", F.col("label").alias("c_label")), "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "c_norm",
+            "c_label",
+            F.col("cid").alias("probe_label"),
+        )
+    )
+    probed = _probe_lists(queries, cents, cfg["nprobe"], label="probe_label")
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    pairs = (
+        probed.join(qlab, "query_id")
+        .join(indexed, "probe_label")
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") == F.col("c_label"))
+        )
+        .withColumn(
+            "score", _score(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    return _rank_topk(pairs, cfg["k"]).join(qlab, "query_id").select(
+        "query_id", F.col("q_label").alias("label"), "neighbor_id", "score", "rk"
+    )
+
+
+def make_filtered_oracle() -> str:
+    cfg = IVF_KMEANS_CFG
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+), cents(cid, c) AS (
+  VALUES {_centroid_values_literal()}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, label AS q_label,
+         sqrt(list_dot_product(e, e)) AS q_norm
+  FROM emb WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, q_e, q_norm, q_label, cid FROM (
+    SELECT q.query_id, q.q_e, q.q_norm, q.q_label, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0
+                         AND sqrt(list_dot_product(cents.c, cents.c)) > 0
+                   THEN list_dot_product(q.q_e, cents.c)
+                        / (q.q_norm * sqrt(list_dot_product(cents.c, cents.c)))
+                   ELSE 0.0 END, 4) DESC, cents.cid ASC) AS pr
+    FROM q CROSS JOIN cents) WHERE pr <= {cfg["nprobe"]}
+), scored AS (
+  SELECT p.query_id, p.q_label AS label, c.vec_id AS neighbor_id,
+         round(CASE WHEN p.q_norm > 0 AND sqrt(list_dot_product(c.e, c.e)) > 0
+               THEN list_dot_product(p.q_e, c.e)
+                    / (p.q_norm * sqrt(list_dot_product(c.e, c.e)))
+               ELSE 0.0 END, 4) AS score
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN emb c ON c.vec_id = a.vec_id
+  WHERE c.vec_id != p.query_id AND c.label = p.q_label
+)
+SELECT query_id, label, neighbor_id, score, rk FROM (
+  SELECT query_id, label, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored) WHERE rk <= {cfg["k"]}
+"""
+
+
 def _ivf_pass_sql(qcte: str, out: str, nprobe: int, k: int) -> str:
     """One probe+score+rank IVF pass as CTE blocks, parameterized on the
     query CTE (must expose query_id, q_e, q_norm)."""
@@ -1977,6 +2092,7 @@ REGISTRY = {
     "sim_topk_graph_refined": QuerySpec(
         sim_topk_graph_refined, make_graph_refined_oracle
     ),
+    "sim_topk_filtered": QuerySpec(sim_topk_filtered, make_filtered_oracle),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),

@@ -281,3 +281,25 @@ def test_graph_refined_beats_plain_ivf(spark):
     )
     assert refined > plain, (refined, plain)
     assert refined >= 0.6, refined
+
+
+def test_filtered_search_respects_label_constraint(spark):
+    """Every filtered result shares its query's label, never the query
+    itself, and within-label exact top-1 agreement stays high (the
+    probe set is geometric; the label filter only removes candidates)."""
+    from python_multiproc_bigdata_spark.registry.similarity import (
+        sim_topk_filtered,
+    )
+
+    rows = sim_topk_filtered(spark, SF_DIR).collect()
+    assert rows
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert emb[r.neighbor_id] == r.label == emb[r.query_id]
+        assert 1 <= r.rk <= 3
