@@ -176,6 +176,7 @@ HEADLINE = [
     "events_attribution_shapley",
     "stats_ks_two_sample",
     "sim_topk_filtered",
+    "stats_mannwhitney_u",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

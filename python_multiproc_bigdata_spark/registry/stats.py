@@ -1694,11 +1694,102 @@ FROM dm
 """
 
 
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test between the URGENT and LOW price
+    distributions — the median-shift sibling of the KS sup-gap above
+    (KS sees any shape change; U asks specifically "does one group
+    stochastically dominate?").
+
+    Exactness: tied values get AVERAGE ranks, which are half-integers —
+    so the rank sum is carried as 2·R (Σ ca·(2·before + t + 1), exact
+    BIGINT from one cumulative window over distinct values), U derives
+    as an exact half-integer, and the tie-corrected normal z =
+    (U − n₁n₂/2) / √(n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))) is one
+    double expression over integer aggregates (tie term Σ(t³−t) exact).
+    Scale: same shapes as the KS query — one (value, group) partial agg
+    + one window over distinct values."""
+    o = table(prep(spark), sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    ab = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_a"),
+        cents.alias("v"),
+    )
+    per_v = ab.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = per_v.select(
+        "ca",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias("before"),
+    )
+    sums = staged.agg(
+        F.sum(F.col("ca") * (2 * F.col("before") + F.col("t") + 1)).alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("t") - F.col("ca")).alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    # U1 = n_a·n_b + n_a(n_a+1)/2 − R_a, with R_a = r2a/2 (exact halves)
+    u1 = na * nb + na * (na + 1) / F.lit(2.0) - F.col("r2a").cast("double") / F.lit(2.0)
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1)))
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.round(u1, 2).alias("u_stat"),
+        F.round((u1 - na * nb / F.lit(2.0)) / F.sqrt(sigma2), 6).alias("z"),
+    )
+
+
+SQL_MANNWHITNEY = """
+WITH ab AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_v AS (
+  SELECT v, sum(is_a) AS ca, sum(1 - is_a) AS cb FROM ab GROUP BY v
+), staged AS (
+  SELECT ca, ca + cb AS t,
+         coalesce(sum(ca + cb) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS before
+  FROM per_v
+), sums AS (
+  SELECT CAST(sum(ca * (2 * before + t + 1)) AS BIGINT) AS r2a,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(t - ca) AS BIGINT) AS n_b
+  FROM staged
+)
+SELECT n_a, n_b,
+       round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             + CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0
+             - CAST(r2a AS DOUBLE) / 2.0, 2) AS u_stat,
+       round((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              + CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0
+              - CAST(r2a AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                       - CAST(ties AS DOUBLE)
+                         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1)))),
+             6) AS z
+FROM sums
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
     "stats_gini_concentration": QuerySpec(stats_gini_concentration, SQL_GINI),
     "stats_ks_two_sample": QuerySpec(stats_ks_two_sample, SQL_KS_TWO_SAMPLE),
+    "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u, SQL_MANNWHITNEY),
     "stats_benford_firstdigit": QuerySpec(stats_benford_firstdigit, SQL_BENFORD),
     "events_ltv_cohorts": QuerySpec(events_ltv_cohorts, SQL_LTV_COHORTS),
     "stats_embedding_isotropy": QuerySpec(

@@ -761,3 +761,27 @@ def test_ks_two_sample_hand_distributions(spark):
     assert (r.n_a, r.n_b) == (4, 4)
     assert r.d_stat == 0.5
     assert r.ks_lambda == round(0.5 * math.sqrt(16 / 8), 6)
+
+
+def test_mannwhitney_hand_ranks_with_ties(spark):
+    """Hand U with tied values: A={10,20,20,50}, B={20,30,40} →
+    average rank of the three 20s is 3, R_A = 14, U₁ = 12 + 10 − 14 =
+    8. Tie term Σ(t³−t) = 24."""
+    import python_multiproc_bigdata_spark.registry.stats as st
+
+    rows = [("1-URGENT", v / 100) for v in (1000, 2000, 2000, 5000)] + [
+        ("5-LOW", v / 100) for v in (2000, 3000, 4000)
+    ]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    orig = st.table
+    st.table = lambda s, d, n: df if n == "orders" else orig(s, d, n)
+    try:
+        r = st.stats_mannwhitney_u(spark, "unused").collect()[0]
+    finally:
+        st.table = orig
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.u_stat == 8.0
+    import math
+
+    sigma2 = 4 * 3 / 12 * ((7 + 1) - 24 / (7 * 6))
+    assert r.z == round((8.0 - 6.0) / math.sqrt(sigma2), 6)
