@@ -177,6 +177,7 @@ HEADLINE = [
     "stats_ks_two_sample",
     "sim_topk_filtered",
     "stats_mannwhitney_u",
+    "stats_spearman_corr",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1784,12 +1784,102 @@ FROM sums
 """
 
 
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and discount
+    — the robust (monotonic, outlier-immune) companion to the Pearson
+    moments in stats_lineitem_moments: Pearson on the tie-averaged
+    RANKS instead of the raw values.
+
+    Exactness: ranks are carried as 2·rank integers (tie-average ranks
+    are half-integers — rank2(v) = 2·cum_before + t + 1, one cumulative
+    window per variable over its distinct values, broadcast back); the
+    Pearson sums over (2rx, 2ry) run in DECIMAL(38,0) / HUGEINT (rank
+    products reach n³ — BIGINT dies near 2M rows), so ρ is exact
+    integers until ONE double expression. Scale: two distinct-value
+    windows (|distinct| rows each) + two broadcast joins + one
+    partial-agg sum pass; at 100 TB the rank attach is a sort-merge on
+    value instead of broadcast — same algebra."""
+    li = table(prep(spark), sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * F.lit(100.0)).cast("bigint").alias("y"),
+    )
+
+    def rank2_map(col: str) -> DataFrame:
+        per_v = li.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    ranked = li.join(F.broadcast(rank2_map("x")), "x").join(
+        F.broadcast(rank2_map("y")), "y"
+    )
+    dec = "decimal(38,0)"
+    rx = F.col("r2_x").cast(dec)
+    ry = F.col("r2_y").cast(dec)
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+    )
+    nd = F.col("n").cast(dec)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        "n", F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho")
+    )
+
+
+SQL_SPEARMAN = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100.0) AS BIGINT) AS y
+  FROM lineitem
+), rx AS (
+  SELECT x, 2 * coalesce(sum(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS r2_x
+  FROM (SELECT x, count(*) AS t FROM li GROUP BY x)
+), ry AS (
+  SELECT y, 2 * coalesce(sum(t) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS r2_y
+  FROM (SELECT y, count(*) AS t FROM li GROUP BY y)
+), ranked AS (
+  SELECT li.x, li.y, rx.r2_x, ry.r2_y
+  FROM li JOIN rx USING (x) JOIN ry USING (y)
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(r2_x AS HUGEINT)) AS sx,
+         sum(CAST(r2_y AS HUGEINT)) AS sy,
+         sum(CAST(r2_x AS HUGEINT) * CAST(r2_y AS HUGEINT)) AS sxy,
+         sum(CAST(r2_x AS HUGEINT) * CAST(r2_x AS HUGEINT)) AS sxx,
+         sum(CAST(r2_y AS HUGEINT) * CAST(r2_y AS HUGEINT)) AS syy
+  FROM ranked
+)
+SELECT n,
+       round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+         AS spearman_rho
+FROM sums
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
     "stats_gini_concentration": QuerySpec(stats_gini_concentration, SQL_GINI),
     "stats_ks_two_sample": QuerySpec(stats_ks_two_sample, SQL_KS_TWO_SAMPLE),
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u, SQL_MANNWHITNEY),
+    "stats_spearman_corr": QuerySpec(stats_spearman_corr, SQL_SPEARMAN),
     "stats_benford_firstdigit": QuerySpec(stats_benford_firstdigit, SQL_BENFORD),
     "events_ltv_cohorts": QuerySpec(events_ltv_cohorts, SQL_LTV_COHORTS),
     "stats_embedding_isotropy": QuerySpec(

@@ -785,3 +785,41 @@ def test_mannwhitney_hand_ranks_with_ties(spark):
 
     sigma2 = 4 * 3 / 12 * ((7 + 1) - 24 / (7 * 6))
     assert r.z == round((8.0 - 6.0) / math.sqrt(sigma2), 6)
+
+
+def test_spearman_matches_numpy_reference(spark):
+    """Spearman ρ on crafted data (a noisy monotone relation with ties)
+    equals a numpy reference computed via tie-averaged ranks."""
+    import numpy as np
+
+    import python_multiproc_bigdata_spark.registry.stats as st
+
+    rng_x = [1, 2, 2, 3, 4, 5, 5, 6, 7, 8]
+    rng_y = [2, 1, 3, 3, 5, 4, 6, 7, 7, 9]  # discount in percent
+    rows = [(float(x), y / 100.0) for x, y in zip(rng_x, rng_y)]
+    df = spark.createDataFrame(rows, "l_quantity double, l_discount double")
+    orig = st.table
+    st.table = lambda s, d, n: df if n == "lineitem" else orig(s, d, n)
+    try:
+        r = st.stats_spearman_corr(spark, "unused").collect()[0]
+    finally:
+        st.table = orig
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    ra, rb = avg_ranks(rng_x), avg_ranks(rng_y)
+    want = np.corrcoef(ra, rb)[0, 1]
+    assert r.n == 10
+    assert abs(r.spearman_rho - round(want, 6)) <= 1e-6
