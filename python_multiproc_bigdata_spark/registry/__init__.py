@@ -347,7 +347,13 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     overlap itself r4-green) -> text_keyphrase_rake (NEW: RAKE)
 # Round-6 candidates from this session (parity-green, never windowed):
 # recsys_item_similar_topk, privacy_l_diversity,
-# stats_benford_firstdigit, events_ltv_cohorts
+# stats_benford_firstdigit, events_ltv_cohorts, graph_kcore,
+# events_markov_stationary, sim_ivf_incremental_add,
+# events_funnel_latency, events_changepoint_cusum,
+# events_frequent_sequences, events_autocorrelation,
+# events_seasonality_profile, events_attribution_shapley,
+# stats_ks_two_sample, stats_mannwhitney_u, stats_spearman_corr,
+# sim_topk_graph_refined, sim_topk_filtered
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship)
     "graph_community_labelprop",
