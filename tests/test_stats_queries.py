@@ -823,3 +823,56 @@ def test_spearman_matches_numpy_reference(spark):
     want = np.corrcoef(ra, rb)[0, 1]
     assert r.n == 10
     assert abs(r.spearman_rho - round(want, 6)) <= 1e-6
+
+
+def test_nonparametric_panel_random_reference(spark):
+    """KS, Mann-Whitney, and the engine's exact rank machinery agree
+    with pure-Python references on seeded random data with heavy ties
+    (values drawn from a small lattice so ties are guaranteed)."""
+    import math
+    import random
+
+    import python_multiproc_bigdata_spark.registry.stats as st
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        a = [rng.randrange(1, 15) * 100 for _ in range(40)]
+        b = [rng.randrange(3, 18) * 100 for _ in range(30)]
+        rows = [("1-URGENT", v / 100) for v in a] + [("5-LOW", v / 100) for v in b]
+        df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+        orig = st.table
+        st.table = lambda s, d, n: df if n == "orders" else orig(s, d, n)
+        try:
+            ks = st.stats_ks_two_sample(spark, "unused").collect()[0]
+            mw = st.stats_mannwhitney_u(spark, "unused").collect()[0]
+        finally:
+            st.table = orig
+
+        # KS reference: sup ECDF gap at distinct values
+        na, nb = len(a), len(b)
+        d_ref = max(
+            abs(sum(x <= v for x in a) / na - sum(x <= v for x in b) / nb)
+            for v in sorted(set(a + b))
+        )
+        assert abs(ks.d_stat - round(d_ref, 6)) <= 1e-6, seed
+
+        # MWU reference: tie-averaged ranks
+        pooled = sorted(a + b)
+        rank_of = {}
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j + 1 < len(pooled) and pooled[j + 1] == pooled[i]:
+                j += 1
+            rank_of[pooled[i]] = (i + j) / 2 + 1
+            i = j + 1
+        r_a = sum(rank_of[v] for v in a)
+        u_ref = na * nb + na * (na + 1) / 2 - r_a
+        assert mw.u_stat == round(u_ref, 2), seed
+        ties = 0
+        for v in set(pooled):
+            t = pooled.count(v)
+            ties += t * t * t - t
+        nn = na + nb
+        sigma2 = na * nb / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
+        assert abs(mw.z - round((u_ref - na * nb / 2) / math.sqrt(sigma2), 6)) <= 1e-6
