@@ -178,6 +178,7 @@ HEADLINE = [
     "sim_topk_filtered",
     "stats_mannwhitney_u",
     "stats_spearman_corr",
+    "dedup_containment",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

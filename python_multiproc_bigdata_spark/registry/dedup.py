@@ -76,6 +76,82 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A→B) = |A∩B| / |A| ≥ 0.9 — catches "doc A is a quote/excerpt of
+    doc B", which symmetric Jaccard misses whenever the containing doc
+    is much longer (J = |A|/|B| stays low while C(A→B) = 1). The output
+    is DIRECTED: (contained, container, containment, jaccard) — both
+    directions of a pair can appear when sizes are close.
+
+    Plan: the same shared-shingle intersection groupBy as the Jaccard
+    family (one shuffle), sizes broadcast back, the per-direction
+    division on the INTEGER micro scale. At 100 TB the guardrail is the
+    same posting-list cap as ngram_jaccard_capped — containment
+    inherits it unchanged."""
+    from python_multiproc_bigdata_spark.operators.dedup import word_shingles
+
+    d = table(prep(spark), sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", 3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    joined = inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    c_micro = (
+        F.round(F.col("i").cast("double") / F.col("na").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+    )
+    return (
+        joined.select(
+            F.col("id_a").alias("contained"),
+            F.col("id_b").alias("container"),
+            c_micro.alias("c_micro"),
+            "i",
+            "na",
+            "nb",
+        )
+        .filter(F.col("c_micro") >= 900000)
+        .select(
+            "contained",
+            "container",
+            F.round(F.col("c_micro") / F.lit(1000000.0), 6).alias("containment"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_CONTAINMENT = SQL_SHINGLES_CTE + r"""
+, inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id != b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a AS contained, id_b AS container, i, sa.n AS na, sb.n AS nb,
+         CAST(round(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS c_micro
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+)
+SELECT contained, container,
+       round(c_micro / 1000000.0, 6) AS containment,
+       round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 6) AS jaccard
+FROM scored WHERE c_micro >= 900000
+"""
+
+
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.8 pairs via AllPairs/PPJoin prefix filtering —
     candidates come only from each doc's rarest |d|-ceil(0.8|d|)+1
@@ -802,6 +878,7 @@ REGISTRY = {
         dedup_edit_distance_blocked, SQL_EDIT_DISTANCE
     ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_containment": QuerySpec(dedup_containment, SQL_CONTAINMENT),
     "dedup_prefix_filter_jaccard": QuerySpec(
         dedup_prefix_filter_jaccard, SQL_NGRAM_JACCARD
     ),

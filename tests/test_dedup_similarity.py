@@ -723,3 +723,33 @@ def test_duplicated_substring_spans_semantics(spark):
     assert set(by_doc) == {1, 2}
     assert (by_doc[1].span_start, by_doc[1].n_windows, by_doc[1].span_len_tokens) == (0, 3, 10)
     assert (by_doc[2].span_start, by_doc[2].n_windows, by_doc[2].span_len_tokens) == (1, 3, 10)
+
+
+def test_containment_detects_excerpt_asymmetrically(spark):
+    """A short doc fully quoted inside a long doc: containment(short →
+    long) = 1.0 while Jaccard stays low — the asymmetric case the
+    symmetric near-dup family misses."""
+    from python_multiproc_bigdata_spark.registry import dedup as dd
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "intro words here now " + short + " plus much more trailing content "
+        "that keeps going with extra unique tokens one two three four five"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely unrelated text body")],
+        "doc_id long, text string",
+    )
+    orig = dd.table
+    dd.table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+    try:
+        rows = {
+            (r.contained, r.container): r
+            for r in dd.dedup_containment(spark, "unused").collect()
+        }
+    finally:
+        dd.table = orig
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.containment == 1.0 and r.jaccard < 0.5
+    assert (2, 1) not in rows  # the long doc is NOT contained in the short
