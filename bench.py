@@ -179,6 +179,7 @@ HEADLINE = [
     "stats_mannwhitney_u",
     "stats_spearman_corr",
     "dedup_containment",
+    "stats_pareto_cutoffs",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1873,6 +1873,82 @@ FROM sums
 """
 
 
+def stats_pareto_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) cutoffs: for each revenue-coverage threshold
+    {50%, 80%, 90%, 99%}, the MINIMUM number of top customers whose
+    combined spend reaches it — the concentration curve's named points
+    (the Gini panel above summarizes the whole curve; these are the
+    actionable cuts). Exactness: customers ranked by (cents DESC,
+    custkey), a running cents sum, and the threshold test
+    cum·100 ≥ thr·total on exact integers — the cutoff is the MIN rank
+    passing it (one min-agg per threshold). Scale note: the global
+    rank/running-sum window is single-task over |customers| (swap for
+    distributed sort + partition offsets at 100 TB, like the Gini)."""
+    o = table(prep(spark), sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("custkey"))
+    ranked = per_cust.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = per_cust.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_customers")
+    )
+    thr = ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "cum",
+        "total",
+        "n_customers",
+        F.explode(F.array(*[F.lit(t) for t in (50, 80, 90, 99)])).alias("threshold_pct"),
+    )
+    hit = thr.filter(F.col("cum") * 100 >= F.col("threshold_pct") * F.col("total"))
+    return hit.groupBy("threshold_pct", "n_customers").agg(
+        F.min("rk").alias("top_customers_needed")
+    ).select(
+        "threshold_pct",
+        "top_customers_needed",
+        "n_customers",
+        F.round(
+            F.col("top_customers_needed").cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("customer_share"),
+    )
+
+
+SQL_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cents DESC, custkey ASC) AS rk,
+         sum(cents) OVER (ORDER BY cents DESC, custkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_cust
+), tot AS (
+  SELECT sum(cents) AS total, CAST(count(*) AS BIGINT) AS n_customers
+  FROM per_cust
+), thr AS (
+  SELECT r.rk, r.cum, t.total, t.n_customers, u.threshold_pct
+  FROM ranked r CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest([50, 80, 90, 99]) AS threshold_pct) u
+)
+SELECT threshold_pct,
+       CAST(min(rk) AS BIGINT) AS top_customers_needed,
+       n_customers,
+       round(CAST(min(rk) AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+         AS customer_share
+FROM thr WHERE cum * 100 >= threshold_pct * total
+GROUP BY threshold_pct, n_customers
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
@@ -1880,6 +1956,7 @@ REGISTRY = {
     "stats_ks_two_sample": QuerySpec(stats_ks_two_sample, SQL_KS_TWO_SAMPLE),
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u, SQL_MANNWHITNEY),
     "stats_spearman_corr": QuerySpec(stats_spearman_corr, SQL_SPEARMAN),
+    "stats_pareto_cutoffs": QuerySpec(stats_pareto_cutoffs, SQL_PARETO),
     "stats_benford_firstdigit": QuerySpec(stats_benford_firstdigit, SQL_BENFORD),
     "events_ltv_cohorts": QuerySpec(events_ltv_cohorts, SQL_LTV_COHORTS),
     "stats_embedding_isotropy": QuerySpec(

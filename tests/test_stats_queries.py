@@ -876,3 +876,22 @@ def test_nonparametric_panel_random_reference(spark):
         nn = na + nb
         sigma2 = na * nb / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
         assert abs(mw.z - round((u_ref - na * nb / 2) / math.sqrt(sigma2), 6)) <= 1e-6
+
+
+def test_pareto_cutoffs_hand_distribution(spark):
+    """Spend {50,20,15,10,5}: 50% needs top-1 (50≥50), 80% top-3
+    (85≥80), 90% top-4 (95≥90), 99% top-5."""
+    import python_multiproc_bigdata_spark.registry.stats as st
+
+    rows = [(i + 1, float(v)) for i, v in enumerate((50, 20, 15, 10, 5))]
+    df = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    orig = st.table
+    st.table = lambda s, d, n: df if n == "orders" else orig(s, d, n)
+    try:
+        got = {
+            r.threshold_pct: r.top_customers_needed
+            for r in st.stats_pareto_cutoffs(spark, "unused").collect()
+        }
+    finally:
+        st.table = orig
+    assert got == {50: 1, 80: 3, 90: 4, 99: 5}
