@@ -180,6 +180,7 @@ HEADLINE = [
     "stats_spearman_corr",
     "dedup_containment",
     "stats_pareto_cutoffs",
+    "curation_badwords_gate",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

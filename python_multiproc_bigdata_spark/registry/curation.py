@@ -1131,6 +1131,55 @@ ORDER BY doc_id
 """
 
 
+# C4-style blocklist (stand-in list — the mechanism is the capability;
+# swap the production list in). Shared verbatim with the oracle.
+BADWORDS = ("slow", "error", "broken", "junk")
+
+
+def curation_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 drop any page with a
+    "bad word"): per doc, the count of blocklisted TOKENS and the keep
+    verdict, plus the rate — the first, cheapest filter every web-scale
+    curation cascade runs (the Gopher gate below is the quality
+    sibling; this is the content-policy one). Map-only: one tokenize,
+    one array_intersect-free size(filter(...)) count — runs at scan
+    speed; the blocklist is a literal (a broadcast table at real list
+    sizes)."""
+    from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
+
+    d = table(prep(spark), sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), WHITESPACE_RE), lambda x: F.length(x) > 0
+    )
+    bad = F.size(F.filter(toks, lambda x: x.isin(*BADWORDS)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        bad.alias("n_bad"),
+        (bad == 0).alias("keep"),
+    )
+
+
+def _badwords_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in BADWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(t, x -> x IN ({lst}))) AS INTEGER) AS n_bad,
+       len(list_filter(t, x -> x IN ({lst}))) = 0 AS keep
+FROM base
+"""
+
+
+SQL_BADWORDS_GATE = _badwords_sql()
+
+
 def curation_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality gate (Rae et al. 2021 App. A, public
     default thresholds): per-doc rule booleans + conjunctive keep.
@@ -1639,6 +1688,7 @@ REGISTRY = {
     "dedup_keep_best_per_cluster": QuerySpec(
         dedup_keep_best_per_cluster, SQL_KEEP_BEST
     ),
+    "curation_badwords_gate": QuerySpec(curation_badwords_gate, SQL_BADWORDS_GATE),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),

@@ -692,3 +692,27 @@ def test_markov_stationary_mass_and_dominance(spark):
     assert 0.99 <= total <= 1.000001, total
     assert all(r.stationary_micro > 0 for r in rows)
     assert {r.event_type for r in rows} >= {"click", "view"}
+
+
+def test_badwords_gate_counts_and_verdict(spark):
+    """Blocklist semantics: tokens counted with multiplicity, keep ⇔
+    zero hits, substrings do NOT match (token-level, not regex)."""
+    import python_multiproc_bigdata_spark.registry.curation as cu
+
+    df = spark.createDataFrame(
+        [
+            (1, "this is clean text"),
+            (2, "the slow query was slow and broken"),
+            (3, "slowly is not slow-listed as a token either"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = cu.table
+    cu.table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+    try:
+        got = {r.doc_id: r for r in cu.curation_badwords_gate(spark, "unused").collect()}
+    finally:
+        cu.table = orig
+    assert got[1].n_bad == 0 and got[1].keep
+    assert got[2].n_bad == 3 and not got[2].keep  # slow×2 + broken
+    assert got[3].n_bad == 0 and got[3].keep  # 'slowly'/'slow-listed' ≠ 'slow'
