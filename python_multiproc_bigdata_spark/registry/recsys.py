@@ -190,8 +190,13 @@ def recsys_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed in exact integer micro-units (order-independent), divided
     back to a double only at export."""
     s = prep(spark)
-    inter = _interactions(s, sf_dir)
-    sims = _item_sims(s, sf_dir)
+    # interactions feed THREE consumers (similarity build, the sampled
+    # scoring join, the owned-items anti-join) — materialize once
+    # (measured 5.4 s -> 3.9 s at sf0.1; the relation is the distinct
+    # (customer, item) incidence — dedup-bounded; cluster storage at
+    # real scale)
+    inter = _interactions(s, sf_dir).localCheckpoint(eager=True)
+    sims = _sims_from_interactions(inter)
     sampled = inter.filter(F.md5(F.col("custkey").cast("string")) < "1")
     scores = (
         sampled.join(F.broadcast(sims), "brand")
