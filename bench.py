@@ -181,6 +181,7 @@ HEADLINE = [
     "dedup_containment",
     "stats_pareto_cutoffs",
     "curation_badwords_gate",
+    "events_survival_km",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1453,6 +1453,117 @@ GROUP BY a, b, nu.n
 SQL_FREQUENT_SEQUENCES = _freq_seq_sql()
 
 
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier curve for time-to-first-purchase: per user, hours
+    from their first event to their first purchase (the "death"); users
+    who NEVER purchase are RIGHT-CENSORED at their observed lifetime —
+    the conversion-survival estimator that answers "what fraction is
+    still unconverted after t hours" without the bias of dropping
+    non-converters (the reason a naive mean time-to-convert lies).
+    Output: one row per distinct event time with the at-risk count,
+    deaths, and S(t) = Π_{i≤t} (1 − dᵢ/nᵢ).
+
+    Exactness: durations are integer hours (integer div, no float
+    epoch math); dᵢ/nᵢ are integer pairs; the cumulative PRODUCT is
+    inherently sequential, so it folds in pandas in textbook order and
+    the oracle replays it with a recursive CTE — BIT-EXACT doubles, no
+    rounding (the events_ewma_value doctrine; Spark has no product
+    aggregate, and exp(Σlog) would differ in float-op order). Scale:
+    one per-user agg (user_id partitioning), a |distinct durations|-row
+    KM table, and a single bounded sequential fold."""
+    import pandas as pd
+
+    e = table(prep(spark), sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("tp"),
+    )
+    lived = per_user.select(
+        F.expr(
+            "CASE WHEN tp IS NOT NULL THEN (tp - t0) div 3600000000"
+            " ELSE (t1 - t0) div 3600000000 END"
+        ).alias("dur"),
+        F.col("tp").isNull().alias("censored"),
+    )
+    km = (
+        lived.groupBy("dur")
+        .agg(
+            F.count(F.lit(1)).alias("n_at"),
+            F.sum((~F.col("censored")).cast("long")).alias("d_i"),
+        )
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        km.select(
+            "dur", "d_i", F.sum("n_at").over(w).alias("n_i")
+        )
+        .filter(F.col("d_i") > 0)
+        .withColumn("g", F.lit(1))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dur")
+        s = 1.0
+        out = []
+        for d_i, n_i in zip(pdf["d_i"], pdf["n_i"]):
+            s = s * (1.0 - float(d_i) / float(n_i))
+            out.append(s)
+        res = pdf[["dur", "d_i", "n_i"]].copy()
+        res["survival"] = out
+        return res
+
+    return (
+        staged.groupBy("g")
+        .applyInPandas(
+            fold, schema="dur long, d_i long, n_i long, survival double"
+        )
+    )
+
+
+SQL_SURVIVAL_KM = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY 1
+), lived AS (
+  SELECT CAST(CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+                   ELSE (t1 - t0) // 3600000000 END AS BIGINT) AS dur,
+         tp IS NULL AS censored
+  FROM per_user
+), km AS (
+  SELECT dur, count(*) AS n_at,
+         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS d_i
+  FROM lived GROUP BY 1
+), staged AS (
+  SELECT dur, d_i,
+         sum(n_at) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_i
+  FROM km
+), seq AS (
+  SELECT dur, d_i, n_i,
+         row_number() OVER (ORDER BY dur ASC) AS rn,
+         count(*) OVER () AS n
+  FROM staged WHERE d_i > 0
+), surv AS (
+  SELECT dur, d_i, n_i, rn, n,
+         CAST(1.0 AS DOUBLE)
+           * (CAST(1.0 AS DOUBLE)
+              - CAST(d_i AS DOUBLE) / CAST(n_i AS DOUBLE)) AS survival
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.dur, s.d_i, s.n_i, s.rn, s.n,
+         p.survival * (CAST(1.0 AS DOUBLE)
+                       - CAST(s.d_i AS DOUBLE) / CAST(s.n_i AS DOUBLE)) AS survival
+  FROM seq s JOIN surv p ON s.rn = p.rn + 1
+)
+SELECT dur, CAST(d_i AS BIGINT) AS d_i, CAST(n_i AS BIGINT) AS n_i, survival
+FROM surv
+"""
+
+
 _MARKOV_ROUNDS = 4
 _MARKOV_SCALE = 1_000_000
 
@@ -2016,6 +2127,7 @@ REGISTRY = {
     "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
     "events_autocorrelation": QuerySpec(events_autocorrelation, SQL_AUTOCORRELATION),
     "events_seasonality_profile": QuerySpec(events_seasonality_profile, SQL_SEASONALITY),
+    "events_survival_km": QuerySpec(events_survival_km, SQL_SURVIVAL_KM),
     "events_attribution_shapley": QuerySpec(events_attribution_shapley, SQL_ATTRIBUTION_SHAPLEY),
     "events_anomaly_zscore": QuerySpec(events_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "events_linear_attribution": QuerySpec(

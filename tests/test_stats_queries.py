@@ -895,3 +895,44 @@ def test_pareto_cutoffs_hand_distribution(spark):
     finally:
         st.table = orig
     assert got == {50: 1, 80: 3, 90: 4, 99: 5}
+
+
+def test_survival_km_hand_cohort(spark):
+    """Textbook KM: deaths at t=1 (n=5) and t=3 (n=3, after a censor at
+    t=2): S(1) = 4/5, S(3) = 4/5 · 2/3. Censored users never appear as
+    event rows but stay in the risk set until their censor time."""
+    from datetime import datetime as dt, timedelta
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    base, rows, eid = dt(2024, 1, 1), [], 0
+
+    def user(uid, purchase_at_h=None, last_h=5):
+        nonlocal eid
+        rows.append((eid, uid, base, "view")); eid += 1
+        if purchase_at_h is not None:
+            rows.append((eid, uid, base + timedelta(hours=purchase_at_h), "purchase"))
+            eid += 1
+        else:
+            rows.append((eid, uid, base + timedelta(hours=last_h), "click"))
+            eid += 1
+
+    user(1, purchase_at_h=1)
+    user(2, purchase_at_h=3)
+    user(3, purchase_at_h=3)
+    user(4, purchase_at_h=None, last_h=2)  # censored at 2
+    user(5, purchase_at_h=None, last_h=9)  # censored at 9
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        got = {r.dur: r for r in ev.events_survival_km(spark, "unused").collect()}
+    finally:
+        ev.table = orig
+    assert set(got) == {1, 3}
+    assert (got[1].d_i, got[1].n_i) == (1, 5)
+    assert got[1].survival == 1.0 * (1.0 - 1.0 / 5.0)
+    assert (got[3].d_i, got[3].n_i) == (2, 3)
+    assert got[3].survival == (1.0 * (1.0 - 1.0 / 5.0)) * (1.0 - 2.0 / 3.0)
