@@ -182,6 +182,7 @@ HEADLINE = [
     "stats_pareto_cutoffs",
     "curation_badwords_gate",
     "events_survival_km",
+    "stats_mutual_information",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

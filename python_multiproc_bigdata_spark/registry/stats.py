@@ -1949,6 +1949,90 @@ GROUP BY threshold_pct, n_customers
 """
 
 
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over documents, with the
+    normalized variant (I/min(H(lang), H(source))) — the dependence
+    measure feature selection and leakage audits use where chi-square
+    (stats_chi_square_independence) only tests significance: MI
+    QUANTIFIES how much knowing the source tells you about the
+    language. One row: n, I in nats, both marginal entropies, NMI.
+
+    Exactness: all probabilities are integer-count ratios; each cell
+    contributes (c/n)·ln(c·n/(ra·cb)) written with the SAME operand
+    order on both engines (ln of a ratio of exact integers — the
+    bigram-LM precedent), summed and rounded at 4dp (repo posture for
+    ln-bearing aggregates; the sum order differs across engines so the
+    rounding absorbs ulp noise — cells are |langs|×|sources|, few
+    enough that 4dp is orders above the float jitter). Scale: one
+    (lang, source) partial-agg marginal; everything after is
+    cells-sized algebra."""
+    d = table(prep(spark), sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ra = cells.groupBy("lang").agg(F.sum("c").alias("ra"))
+    cb = cells.groupBy("source").agg(F.sum("c").alias("cb"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    j = (
+        cells.join(F.broadcast(ra), "lang")
+        .join(F.broadcast(cb), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    mi_term = (cd / nd) * F.log(
+        cd * nd / (F.col("ra").cast("double") * F.col("cb").cast("double"))
+    )
+    hx_term = -(F.col("ra").cast("double") / nd) * F.log(
+        F.col("ra").cast("double") / nd
+    )
+    hy_term = -(F.col("cb").cast("double") / nd) * F.log(
+        F.col("cb").cast("double") / nd
+    )
+    mi = j.agg(F.sum(mi_term).alias("mi"))
+    hx = ra.crossJoin(F.broadcast(tot)).agg(F.sum(hx_term).alias("h_lang"))
+    hy = cb.crossJoin(F.broadcast(tot)).agg(F.sum(hy_term).alias("h_source"))
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            F.round("mi", 4).alias("mi_nats"),
+            F.round("h_lang", 4).alias("h_lang"),
+            F.round("h_source", 4).alias("h_source"),
+            F.round(
+                F.col("mi") / F.least(F.col("h_lang"), F.col("h_source")), 4
+            ).alias("nmi"),
+        )
+    )
+
+
+SQL_MUTUAL_INFO = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+), ra AS (SELECT lang, sum(c) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT source, sum(c) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))) AS mi
+  FROM cells JOIN ra USING (lang) JOIN cb USING (source) CROSS JOIN tot
+), hx AS (
+  SELECT sum(-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))) AS h_lang
+  FROM ra CROSS JOIN tot
+), hy AS (
+  SELECT sum(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))) AS h_source
+  FROM cb CROSS JOIN tot
+)
+SELECT n, round(mi, 4) AS mi_nats, round(h_lang, 4) AS h_lang,
+       round(h_source, 4) AS h_source,
+       round(mi / least(h_lang, h_source), 4) AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
@@ -1957,6 +2041,7 @@ REGISTRY = {
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u, SQL_MANNWHITNEY),
     "stats_spearman_corr": QuerySpec(stats_spearman_corr, SQL_SPEARMAN),
     "stats_pareto_cutoffs": QuerySpec(stats_pareto_cutoffs, SQL_PARETO),
+    "stats_mutual_information": QuerySpec(stats_mutual_information, SQL_MUTUAL_INFO),
     "stats_benford_firstdigit": QuerySpec(stats_benford_firstdigit, SQL_BENFORD),
     "events_ltv_cohorts": QuerySpec(events_ltv_cohorts, SQL_LTV_COHORTS),
     "stats_embedding_isotropy": QuerySpec(

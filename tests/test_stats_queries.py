@@ -936,3 +936,33 @@ def test_survival_km_hand_cohort(spark):
     assert got[1].survival == 1.0 * (1.0 - 1.0 / 5.0)
     assert (got[3].d_i, got[3].n_i) == (2, 3)
     assert got[3].survival == (1.0 * (1.0 - 1.0 / 5.0)) * (1.0 - 2.0 / 3.0)
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    """MI semantics: an independent 2×2 layout gives MI ≈ 0 (and tiny
+    NMI); a perfectly dependent one (lang determines source) gives
+    MI == H(lang) and NMI == 1."""
+    import python_multiproc_bigdata_spark.registry.stats as st
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "lang string, source string")
+        orig = st.table
+        st.table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+        try:
+            return st.stats_mutual_information(spark, "unused").collect()[0]
+        finally:
+            st.table = orig
+
+    indep = (
+        [("en", "web")] * 20 + [("en", "books")] * 20
+        + [("fr", "web")] * 10 + [("fr", "books")] * 10
+    )
+    r = run(indep)
+    assert r.mi_nats == 0.0 and r.nmi == 0.0
+
+    dep = [("en", "web")] * 30 + [("fr", "books")] * 30
+    r = run(dep)
+    import math
+
+    assert r.mi_nats == round(math.log(2), 4)
+    assert r.nmi == 1.0
