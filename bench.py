@@ -183,6 +183,7 @@ HEADLINE = [
     "curation_badwords_gate",
     "events_survival_km",
     "stats_mutual_information",
+    "dedup_cluster_size_report",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -243,6 +243,52 @@ FROM ranked GROUP BY component
 """
 
 
+def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the report every dedup run is
+    sanity-checked against BEFORE deleting anything: one row per
+    cluster size with the number of clusters, total docs bound in them,
+    and the redundant-doc mass (size−1 per cluster) as a share of the
+    corpus. A runaway max size here means a boilerplate shingle or LSH
+    band is gluing the corpus together (the failure the posting-list
+    caps exist for). Composes the same components pass as the
+    canonical-selection family; the rollup is |distinct sizes| rows."""
+    d = table(prep(spark), sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.8).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("docs_bound"),
+            F.round(
+                ((F.col("size") - 1) * F.col("n_clusters")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("redundant_share"),
+        )
+    )
+
+
+SQL_CLUSTER_SIZES = _LSH_PAIRS_CTE + _COMPONENTS_BODY + """
+, csizes AS (
+  SELECT component, count(*) AS size FROM comp GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS docs_bound,
+       round(CAST((size - 1) * count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS redundant_share
+FROM csizes CROSS JOIN tot
+GROUP BY size, n_docs
+"""
+
+
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe ~80/20 split (GroupShuffleSplit semantics): the split
     hash is taken over each doc's near-dup CLUSTER canonical id, not the
@@ -1689,6 +1735,7 @@ REGISTRY = {
         dedup_keep_best_per_cluster, SQL_KEEP_BEST
     ),
     "curation_badwords_gate": QuerySpec(curation_badwords_gate, SQL_BADWORDS_GATE),
+    "dedup_cluster_size_report": QuerySpec(dedup_cluster_size_report, SQL_CLUSTER_SIZES),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),

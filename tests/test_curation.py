@@ -716,3 +716,24 @@ def test_badwords_gate_counts_and_verdict(spark):
     assert got[1].n_bad == 0 and got[1].keep
     assert got[2].n_bad == 3 and not got[2].keep  # slow×2 + broken
     assert got[3].n_bad == 0 and got[3].keep  # 'slowly'/'slow-listed' ≠ 'slow'
+
+
+def test_cluster_size_report_mass_conservation(spark):
+    """Cluster histogram invariants at sf0.001: docs_bound sums to the
+    clustered-doc count, redundant mass = docs_bound − n_clusters per
+    size row, and every size ≥ 2 (singletons never enter the edge
+    relation)."""
+    from python_multiproc_bigdata_spark.registry.curation import (
+        dedup_cluster_size_report,
+    )
+
+    rows = dedup_cluster_size_report(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.size >= 2 for r in rows)
+    n_docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    )
+    for r in rows:
+        assert r.docs_bound == r.size * r.n_clusters
+        assert (
+            abs(r.redundant_share - (r.size - 1) * r.n_clusters / n_docs) < 1e-6
+        )
