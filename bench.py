@@ -184,6 +184,7 @@ HEADLINE = [
     "events_survival_km",
     "stats_mutual_information",
     "dedup_cluster_size_report",
+    "multimodal_resize_ppm",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from python_multiproc_bigdata_spark.operators.multimodal import (
     AUDIO_FRAME_WINDOW,
     FRAME_BYTES,
+    RESIZE_H,
+    RESIZE_W,
     WAV_RATE,
     attach_binary,
     attach_ppm,
@@ -16,6 +18,7 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     decode_wav_features,
     extract_features,
     frame_audio_windows,
+    resize_ppm_features,
     sample_frames,
 )
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
@@ -188,8 +191,48 @@ FROM v GROUP BY doc_id, c, win
 """
 
 
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode each synthesized P6 raster and
+    nearest-neighbor resample to 8×8 (operators/multimodal.py:
+    resize_ppm_features — upgraded from the byte-truncation stand-in),
+    emitting integer channel sums of the RESIZED raster. The oracle
+    replays the full chain in SQL — synth arithmetic, the floor-index
+    NN mapping sx=(tx·w)//8, and the channel sums — so the resample
+    itself is value-checked, not just the plumbing."""
+    d = table(prep(spark), sf_dir, "documents")
+    return resize_ppm_features(attach_ppm(d))
+
+
+SQL_RESIZE_PPM = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), grid AS (
+  SELECT doc_id, w, h, unnest(range({RESIZE_W * RESIZE_H})) AS t FROM dims
+), mapped AS (
+  SELECT doc_id, w, h,
+         ((t // {RESIZE_W}) * h // {RESIZE_H}) * w
+           + ((t % {RESIZE_W}) * w // {RESIZE_W}) AS i
+  FROM grid
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + (3 * i + 0) * 7) % 256 AS r,
+         (doc_id * 31 + (3 * i + 1) * 7) % 256 AS g,
+         (doc_id * 31 + (3 * i + 2) * 7) % 256 AS b
+  FROM mapped
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST({RESIZE_W} AS INTEGER) AS dst_w, CAST({RESIZE_H} AS INTEGER) AS dst_h,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
+    "multimodal_resize_ppm": QuerySpec(multimodal_resize_ppm, SQL_RESIZE_PPM),
     "multimodal_audio_frames": QuerySpec(multimodal_audio_frames, SQL_AUDIO_FRAMES),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "multimodal_decode_ppm": QuerySpec(multimodal_decode_ppm, SQL_DECODE_PPM),

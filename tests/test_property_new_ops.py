@@ -238,3 +238,35 @@ def test_audio_window_features_against_pure_python(n_channels, n_frames, seed):
                 int((flips[1:] != flips[:-1]).sum()),
             ]
     assert got == expect
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_nn_resize_against_per_pixel_reference(w, h, seed):
+    """The numpy fancy-index NN resample equals a per-pixel pure-Python
+    reference for arbitrary source dims (up- and down-sampling), on an
+    independently encoded P6 payload."""
+    import numpy as np
+
+    from python_multiproc_bigdata_spark.operators.multimodal import ppm_raster
+
+    n = 3 * w * h
+    raster = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(n))
+    payload = b"P6\n%d %d\n255\n" % (w, h) + raster
+    pw, ph, maxval, px = ppm_raster(payload)
+    assert (pw, ph, maxval) == (w, h, 255)
+
+    dw = dh = 8
+    xs = (np.arange(dw) * w) // dw
+    ys = (np.arange(dh) * h) // dh
+    resized = px[np.ix_(ys, xs)]
+    for ty in range(dh):
+        for tx in range(dw):
+            sx, sy = (tx * w) // dw, (ty * h) // dh
+            i = sy * w + sx
+            for c in range(3):
+                assert resized[ty, tx, c] == raster[3 * i + c]
