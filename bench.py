@@ -185,6 +185,7 @@ HEADLINE = [
     "stats_mutual_information",
     "dedup_cluster_size_report",
     "multimodal_resize_ppm",
+    "curation_active_learning",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

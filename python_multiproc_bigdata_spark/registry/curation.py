@@ -1360,11 +1360,12 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_lr(docs, w, b)
 
 
-def make_quality_classifier_oracle() -> str:
-    """Retrain via the SHARED core from the same parquet (duckdb read in
-    the identical md5 sample order), embed weights/bias as literals,
-    replay feature hashing (strpos hex arithmetic), scoring, weak label,
-    and both rounded-threshold predictions."""
+def _classifier_scored_sql() -> str:
+    """The retrain-and-score CTE chain shared by the classifier gate and
+    the active-learning selection: retrain via the SHARED core from the
+    same parquet (duckdb read in the identical md5 sample order), embed
+    weights/bias as literals, replay feature hashing (strpos hex
+    arithmetic), scoring, and the weak label — ending at `scored`."""
     import os
 
     import duckdb
@@ -1411,11 +1412,50 @@ tok AS (
          COALESCE(CAST(a.nstop AS DOUBLE) / a.n_tokens, 0.0)
            >= {STOPWORD_RATIO_MIN} AS weak
   FROM documents d LEFT JOIN agg a USING (doc_id)
-)
+)"""
+
+
+def make_quality_classifier_oracle() -> str:
+    return _classifier_scored_sql() + """
 SELECT doc_id, n_tokens, score, (score >= 0.5) AS pred, weak,
        ((score >= 0.5) = weak) AS agree
 FROM scored
 ORDER BY doc_id
+"""
+
+
+def curation_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for a labeling budget: the 50 documents the
+    trained quality classifier is LEAST sure about (smallest
+    |score − 0.5|, doc_id tiebreak) — the standard active-learning
+    selection that spends human labels where the model's decision
+    boundary actually is, instead of on easy cases. Composes the SAME
+    trained model (and the oracle the same retrained literals), so the
+    driver-gated claim covers training, scoring, AND the margin
+    ranking. Margin ranks on the 4dp-ROUNDED score (the score the gate
+    exports), keeping the order identical across engines."""
+    docs = table(prep(spark), sf_dir, "documents")
+    w, b = train_quality_lr_driver(docs)
+    scored = score_quality_lr(docs, w, b)
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.round(F.abs(F.col("score") - F.lit(0.5)), 4).alias("margin"),
+        )
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def make_active_learning_oracle() -> str:
+    return _classifier_scored_sql() + """
+SELECT doc_id, n_tokens, score,
+       round(abs(score - 0.5), 4) AS margin
+FROM scored
+ORDER BY round(abs(score - 0.5), 4) ASC, doc_id ASC
+LIMIT 50
 """
 
 
@@ -1736,6 +1776,7 @@ REGISTRY = {
     ),
     "curation_badwords_gate": QuerySpec(curation_badwords_gate, SQL_BADWORDS_GATE),
     "dedup_cluster_size_report": QuerySpec(dedup_cluster_size_report, SQL_CLUSTER_SIZES),
+    "curation_active_learning": QuerySpec(curation_active_learning, make_active_learning_oracle),
     "curation_repetition_signals": QuerySpec(
         curation_repetition_signals, SQL_REPETITION
     ),

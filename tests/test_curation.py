@@ -737,3 +737,32 @@ def test_cluster_size_report_mass_conservation(spark):
         assert (
             abs(r.redundant_share - (r.size - 1) * r.n_clusters / n_docs) < 1e-6
         )
+
+
+def test_active_learning_selects_boundary_docs(spark):
+    """Uncertainty selection invariants at sf0.001: exactly the 50
+    smallest margins (verified against the full scored relation), all
+    margins ≤ the 50th-smallest overall, deterministic ordering."""
+    from python_multiproc_bigdata_spark.operators.classifier import (
+        score_quality_lr,
+        train_quality_lr_driver,
+    )
+    from python_multiproc_bigdata_spark.registry.common import prep, table
+    from python_multiproc_bigdata_spark.registry.curation import (
+        curation_active_learning,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = curation_active_learning(spark, sf).collect()
+    assert len(got) == 50
+    docs = table(prep(spark), sf, "documents")
+    w, b = train_quality_lr_driver(docs)
+    allm = sorted(
+        (round(abs(r.score - 0.5), 4), r.doc_id)
+        for r in score_quality_lr(docs, w, b).collect()
+    )
+    want = {d for _, d in allm[:50]}
+    # tie at the boundary margin can permute membership only among
+    # equal-margin docs; with the doc_id tiebreak the sets are equal
+    assert {r.doc_id for r in got} == want
+    assert max(r.margin for r in got) == allm[49][0]
