@@ -186,6 +186,7 @@ HEADLINE = [
     "dedup_cluster_size_report",
     "multimodal_resize_ppm",
     "curation_active_learning",
+    "recsys_eval_coverage",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

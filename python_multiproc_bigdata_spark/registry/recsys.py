@@ -250,7 +250,121 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def recsys_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-quality eval for the recommender: catalog COVERAGE (what
+    share of brands ever appear in anyone's top-3 — a popularity-biased
+    recommender collapses here) and intra-list DIVERSITY (mean pairwise
+    dissimilarity 1 − cosine inside each user's list, averaged over
+    users) — the two health metrics that catch degenerate recommenders
+    accuracy metrics miss. One row: n_users, n_brands, coverage,
+    avg_intra_diversity.
+
+    Exactness: the pairwise dissimilarity sums INTEGER micro-cosines
+    (the sims relation's own units) over each list's ≤3 pairs and
+    divides once; coverage is a count ratio. The recommendation and
+    similarity relations are the registered queries' own (shared
+    helpers), so this eval driver-gates their composition too."""
+    s = prep(spark)
+    inter = _interactions(s, sf_dir).localCheckpoint(eager=True)
+    sims = _sims_from_interactions(inter)
+    recs = recsys_user_recommend(spark, sf_dir).select("custkey", "candidate")
+    nb = inter.agg(F.countDistinct("brand").alias("n_brands"))
+    covered = recs.select(F.col("candidate").alias("brand")).distinct()
+    cov = covered.agg(F.count(F.lit(1)).alias("n_covered"))
+    pairs = (
+        recs.alias("x")
+        .join(recs.alias("y"), "custkey")
+        .filter(F.col("x.candidate") < F.col("y.candidate"))
+        .select(
+            "custkey",
+            F.col("x.candidate").alias("brand"),
+            F.col("y.candidate").alias("neighbor"),
+        )
+        .join(
+            F.broadcast(sims.select("brand", "neighbor", "sim_micro")),
+            ["brand", "neighbor"],
+            "left",
+        )
+        .select(F.coalesce(F.col("sim_micro"), F.lit(0)).alias("sim_micro"))
+    )
+    div = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sim_micro").alias("sum_micro"),
+    )
+    nu = recs.select("custkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        nu.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(div))
+        .select(
+            "n_users",
+            "n_brands",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_brands").cast("double"),
+                6,
+            ).alias("coverage"),
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_micro").cast("double")
+                / (F.col("n_pairs").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_intra_diversity"),
+        )
+    )
+
+
+SQL_EVAL_COVERAGE = _SIMS_CTES + """
+, sampled AS (
+  SELECT custkey, brand FROM inter
+  WHERE md5(CAST(custkey AS VARCHAR)) < '1'
+),
+scores AS (
+  SELECT sa.custkey, si.neighbor AS candidate,
+         sum(si.sim_micro) AS score_micro
+  FROM sampled sa JOIN sims si ON sa.brand = si.brand
+  GROUP BY sa.custkey, si.neighbor
+),
+fresh AS (
+  SELECT sc.* FROM scores sc
+  ANTI JOIN inter i
+    ON sc.custkey = i.custkey AND sc.candidate = i.brand
+),
+recs AS (
+  SELECT custkey, candidate FROM (
+    SELECT custkey, candidate,
+           row_number() OVER (PARTITION BY custkey
+                              ORDER BY score_micro DESC, candidate ASC) AS rank
+    FROM fresh) WHERE rank <= 3
+),
+nb AS (SELECT CAST(count(DISTINCT brand) AS BIGINT) AS n_brands FROM inter),
+cov AS (SELECT CAST(count(DISTINCT candidate) AS BIGINT) AS n_covered FROM recs),
+rpairs AS (
+  SELECT coalesce(s.sim_micro, 0) AS sim_micro
+  FROM recs x JOIN recs y
+    ON x.custkey = y.custkey AND x.candidate < y.candidate
+  LEFT JOIN sims s
+    ON s.brand = x.candidate AND s.neighbor = y.candidate
+),
+div AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sim_micro) AS BIGINT) AS sum_micro
+  FROM rpairs
+),
+nu AS (SELECT CAST(count(DISTINCT custkey) AS BIGINT) AS n_users FROM recs)
+SELECT n_users, n_brands,
+       round(CAST(n_covered AS DOUBLE) / CAST(n_brands AS DOUBLE), 6)
+         AS coverage,
+       round(1.0 - CAST(sum_micro AS DOUBLE)
+                   / (CAST(n_pairs AS DOUBLE) * 1000000.0), 6)
+         AS avg_intra_diversity
+FROM nu CROSS JOIN nb CROSS JOIN cov CROSS JOIN div
+"""
+
+
 REGISTRY = {
     "recsys_item_similar_topk": QuerySpec(recsys_item_similar_topk, SQL_ITEM_SIMILAR),
     "recsys_user_recommend": QuerySpec(recsys_user_recommend, SQL_USER_RECOMMEND),
+    "recsys_eval_coverage": QuerySpec(recsys_eval_coverage, SQL_EVAL_COVERAGE),
 }

@@ -82,3 +82,20 @@ def test_registered_queries_on_corpus(spark):
     assert not (owned_pairs & inter)
     for r in recs:
         assert 1 <= r.rank <= 3 and r.score > 0
+
+
+def test_eval_coverage_bounds_and_consistency(spark):
+    """Coverage and diversity live in [0,1]; coverage equals the
+    recomputed distinct-recommended-brands ratio."""
+    from python_multiproc_bigdata_spark.registry.recsys import (
+        recsys_eval_coverage,
+        recsys_user_recommend,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = recsys_eval_coverage(spark, sf).collect()[0]
+    assert 0 < r.coverage <= 1 and 0 <= r.avg_intra_diversity <= 1
+    recs = recsys_user_recommend(spark, sf)
+    assert r.n_users == recs.select("custkey").distinct().count()
+    got_cov = recs.select("candidate").distinct().count() / r.n_brands
+    assert abs(r.coverage - round(got_cov, 6)) < 1e-6
