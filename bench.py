@@ -187,6 +187,7 @@ HEADLINE = [
     "multimodal_resize_ppm",
     "curation_active_learning",
     "recsys_eval_coverage",
+    "events_theilsen_trend",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

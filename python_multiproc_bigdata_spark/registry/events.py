@@ -1671,6 +1671,62 @@ FROM v{_MARKOV_ROUNDS}"""
 SQL_MARKOV_STATIONARY = _markov_sql()
 
 
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of hourly volume per event type: the
+    MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) — the estimator
+    that shrugs off the outlier hours that drag the OLS fit
+    (events_linear_trend is the algebraic sibling; a gap between the
+    two flags influential outliers). Slopes are floored integer
+    micro-slopes ((Δy·1e6) div Δx — deterministic on both engines, no
+    float ratio), the median interpolates that integer multiset
+    identically, and n_pairs is reported so the estimate's support is
+    visible. Scale: the pair space is hours², bounded by the series
+    length, never the event count — the pair join runs on the tiny
+    (type, hour) rollup. Types with < 2 active hours drop."""
+    e = table(prep(spark), sf_dir, "events")
+    cnt = (
+        e.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = cnt.select("event_type", F.col("hr").alias("x1"), F.col("y").alias("y1"))
+    b = cnt.select("event_type", F.col("hr").alias("x2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            F.expr("((y2 - y1) * 1000000) div (x2 - x1)").alias("slope_micro"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.expr("percentile(slope_micro, 0.5)") / F.lit(1000000.0), 6
+        ).alias("theilsen_slope"),
+    )
+
+
+SQL_THEILSEN = """
+WITH cnt AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr, count(*) AS y
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         ((b.y - a.y) * 1000000) // (b.hr - a.hr) AS slope_micro
+  FROM cnt a JOIN cnt b
+    ON a.event_type = b.event_type AND a.hr < b.hr
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(slope_micro, 0.5) / CAST(1000000.0 AS DOUBLE), 6)
+         AS theilsen_slope
+FROM slopes GROUP BY event_type
+"""
+
+
 def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS linear trend of hourly event volume — the
     grouped-regression primitive behind growth/decay monitoring, fit the
@@ -2147,6 +2203,7 @@ REGISTRY = {
     "events_sessionize": QuerySpec(events_sessionize, SQL_SESSIONIZE),
     "events_session_window": QuerySpec(events_session_window, SQL_SESSION_WINDOW),
     "events_linear_trend": QuerySpec(events_linear_trend, SQL_LINEAR_TREND),
+    "events_theilsen_trend": QuerySpec(events_theilsen_trend, SQL_THEILSEN),
     "events_incremental_merge": QuerySpec(events_incremental_merge, SQL_INCREMENTAL_MERGE),
     "events_mad_outliers": QuerySpec(events_mad_outliers, SQL_MAD_OUTLIERS),
     "events_funnel": QuerySpec(events_funnel, SQL_FUNNEL),

@@ -966,3 +966,40 @@ def test_mutual_information_independent_and_dependent(spark):
 
     assert r.mi_nats == round(math.log(2), 4)
     assert r.nmi == 1.0
+
+
+def test_theilsen_robust_to_outlier_hour(spark):
+    """A clean slope-2 series with one wild outlier hour: Theil–Sen
+    recovers slope ≈ 2 (median of pairwise slopes) where OLS would be
+    dragged; exact expectation computed from the crafted pairs."""
+    from datetime import datetime as dt, timedelta
+
+    import python_multiproc_bigdata_spark.registry.events as ev
+
+    base, rows, eid = dt(2024, 1, 1), [], 0
+    counts = [2 + 2 * h for h in range(10)]
+    counts[5] = 100  # outlier hour
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, 1, base + timedelta(hours=h, minutes=eid % 50), "t"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = ev.table
+    ev.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        r = ev.events_theilsen_trend(spark, "unused").collect()[0]
+    finally:
+        ev.table = orig
+    assert r.n_pairs == 45
+    # reference: median of floored micro-slopes, numpy-free
+    slopes = sorted(
+        ((counts[j] - counts[i]) * 1000000) // (j - i) if (counts[j] - counts[i]) >= 0
+        else -((-(counts[j] - counts[i]) * 1000000) // (j - i))
+        for i in range(10) for j in range(i + 1, 10)
+    )
+    n = len(slopes)
+    med = (slopes[n // 2 - 1] + slopes[n // 2]) / 2 if n % 2 == 0 else slopes[n // 2]
+    assert r.theilsen_slope == round(med / 1000000.0, 6)
+    assert abs(r.theilsen_slope - 2.0) < 1.0  # robust: near true slope 2
