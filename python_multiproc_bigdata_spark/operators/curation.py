@@ -663,7 +663,9 @@ def gopher_quality_gate(
             (total_chars >= F.lit(min_mean_word_len) * nw)
             & (total_chars <= F.lit(max_mean_word_len) * nw)
         ).alias("ok_mean_word_len"),
-        (n_alpha * 100 >= F.lit(int(min_alpha_word_frac * 100)) * nw).alias(
+        # round(), not int(): int() floors, so 0.29 → 28 (0.29*100 =
+        # 28.999…) would silently loosen the gate for non-default fracs
+        (n_alpha * 100 >= F.lit(round(min_alpha_word_frac * 100)) * nw).alias(
             "ok_alpha_words"
         ),
         (n_stop >= min_stopwords).alias("ok_stopwords"),

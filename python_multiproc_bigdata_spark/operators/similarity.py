@@ -1509,6 +1509,9 @@ def mmr_diversify(
         selected = (
             selected.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
         )
+    # the final selection is localCheckpointed — lineage no longer needs
+    # pairsim, and bench repeats would otherwise accumulate cached blocks
+    pairsim.unpersist()
     return selected.select("query_id", "neighbor_id", "rel", "mmr_rank").orderBy(
         "query_id", "mmr_rank"
     )

@@ -965,8 +965,9 @@ def stats_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     length(bin(v)), the zero word pinning rho = 49), registers = per-
     bucket MAX(rho) (distributive — partial-aggregates map-side like
     any max), raw estimate = α·m²/Σ2^(−M_j) with empty buckets
-    contributing 2^0 (no small-range correction — RAW HLL, identically
-    replayed on both engines). Emits the estimate next to the exact
+    contributing 2^0, then the standard linear-counting small-range
+    correction (raw ≤ 2.5m with empty buckets → m·ln(m/empties)) —
+    applied identically on both engines. Emits the estimate next to the exact
     distinct count and the relative error; the 6.5%-σ bound is pinned
     in tests."""
     from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE

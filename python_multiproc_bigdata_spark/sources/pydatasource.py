@@ -102,7 +102,14 @@ class BatchedStoreWriter(DataSourceWriter):
         if not self.overwrite and os.path.exists(os.path.join(self.path, MANIFEST)):
             with open(os.path.join(self.path, MANIFEST)) as f:
                 prev = json.load(f)
-            manifest["files"] = sorted(set(prev["files"]) | set(files))
+            # APPEND-ONLY: stream offsets are a consumed-file COUNT over
+            # this list (BatchedStoreStreamReader), so already-published
+            # entries must keep their positions — new files go strictly
+            # at the end. A global re-sort could slot a new uuid-named
+            # file BEFORE already-consumed ones, making the stream
+            # re-emit a consumed file and permanently skip the new one.
+            seen = set(prev["files"])
+            manifest["files"] = prev["files"] + [f for f in files if f not in seen]
         tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

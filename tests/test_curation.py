@@ -422,6 +422,25 @@ def test_gopher_gate_rules(spark):
     assert not rows[2].keep and not rows[3].keep and not rows[4].keep and not rows[5].keep
 
 
+def test_gopher_gate_alpha_frac_not_floored(spark):
+    """Regression (r6 advisory, low): the alpha-word threshold was built
+    with int(frac*100), which floors — frac=0.29 became 28 (0.29*100 =
+    28.999…) and silently loosened the gate. With round(), a 28/100-alpha
+    doc must FAIL at frac=0.29 and a 29/100-alpha doc must pass."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        gopher_quality_gate,
+    )
+
+    doc = lambda n_alpha: " ".join(["word"] * n_alpha + ["111"] * (100 - n_alpha))
+    df = spark.createDataFrame([(1, doc(28)), (2, doc(29))], ["doc_id", "text"])
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_gate(df, min_alpha_word_frac=0.29).collect()
+    }
+    assert not rows[1].ok_alpha_words  # floored int() let this pass
+    assert rows[2].ok_alpha_words
+
+
 def test_quality_classifier_learns_above_baseline(spark):
     """The trained LR gate must beat the majority-class baseline on the
     FULL corpus (not just its training sample) — measured 0.94 @ sf0.01

@@ -161,3 +161,101 @@ def test_batchedstore_stream_reader_incremental(spark, tmp_path):
 
     # same checkpoint → only the new file's rows arrive in pass 2
     assert drain("bs_pass2") == set(range(20, 25))
+
+
+def test_batchedstore_append_commit_is_append_only(tmp_path):
+    """Regression (r6 advisory, medium): append-mode commit() used to
+    rewrite the manifest as sorted(prev | new). Stream offsets are a
+    consumed-file COUNT over that list, so a new uuid-named file sorting
+    BEFORE consumed ones re-emitted a consumed file and permanently
+    skipped the new one. The manifest must be append-only: prior entries
+    keep their positions, new files land strictly at the end."""
+    import json
+    import os
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from python_multiproc_bigdata_spark.sources.pydatasource import (
+        MANIFEST,
+        BatchedStoreDataSource,  # noqa: F401 — import parity with siblings
+        BatchFilesCommit,
+        BatchedStoreWriter,
+    )
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    schema = StructType([StructField("id", IntegerType())])
+    # a consumed manifest whose only entry sorts AFTER any new name
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump({"files": ["batch-zz-consumed.jsonl"], "schema": schema.json()}, f)
+
+    writer = BatchedStoreWriter({"path": path}, schema, overwrite=False)
+    writer.commit([BatchFilesCommit(["batch-aa-new.jsonl"])])
+
+    with open(os.path.join(path, MANIFEST)) as f:
+        files = json.load(f)["files"]
+    # old code produced ["batch-aa-new.jsonl", "batch-zz-consumed.jsonl"]
+    assert files == ["batch-zz-consumed.jsonl", "batch-aa-new.jsonl"]
+    # idempotent re-commit of the same message must not duplicate
+    writer.commit([BatchFilesCommit(["batch-aa-new.jsonl"])])
+    with open(os.path.join(path, MANIFEST)) as f:
+        assert json.load(f)["files"] == ["batch-zz-consumed.jsonl", "batch-aa-new.jsonl"]
+
+
+def test_batchedstore_stream_survives_writer_append(spark, tmp_path):
+    """End-to-end half of the same regression: consume the store, then
+    append MORE ROWS THROUGH THE WRITER'S OWN APPEND PATH (not by hand),
+    with the initial committed file renamed so any uuid-named appendee
+    would sort before it. The resumed stream must emit exactly the new
+    rows — no re-emit of consumed files, no skip of the new one."""
+    import json
+    import os
+
+    from python_multiproc_bigdata_spark.sinks import batchedstore_sink
+    from python_multiproc_bigdata_spark.sources.pydatasource import (
+        MANIFEST,
+        BatchedStoreDataSource,
+    )
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(i, f"n{i}") for i in range(10)], ["id", "name"]).coalesce(1)
+    batchedstore_sink(path, buffer_size=100)(df1)
+
+    # rename the committed file to sort after every batch-<uuid> name —
+    # makes the old sorted(prev|new) bug deterministic, not a coin flip
+    with open(os.path.join(path, MANIFEST)) as f:
+        m = json.load(f)
+    assert len(m["files"]) == 1
+    os.rename(os.path.join(path, m["files"][0]), os.path.join(path, "batch-zzzz.jsonl"))
+    m["files"] = ["batch-zzzz.jsonl"]
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(m, f)
+
+    spark.dataSource.register(BatchedStoreDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got: set = set()
+        q = (
+            spark.readStream.format("batchedstore")
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: got.update(r.id for r in bdf.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    assert drain() == set(range(10))
+
+    df2 = spark.createDataFrame([(i, f"n{i}") for i in range(10, 14)], ["id", "name"]).coalesce(1)
+    batchedstore_sink(path, buffer_size=100, mode="append")(df2)
+
+    with open(os.path.join(path, MANIFEST)) as f:
+        files = json.load(f)["files"]
+    assert files[0] == "batch-zzzz.jsonl", f"consumed file moved: {files}"
+    assert drain() == set(range(10, 14))
