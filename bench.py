@@ -207,22 +207,35 @@ CONFIG_CHANGED: set[str] = {
 }
 
 
-def run_one(spark, name: str, repeats: int = 3) -> dict:
+def run_one(spark, name: str, repeats: int = 3, heavy_repeats: int = 5) -> dict:
     """Steady-state timing: median (and min) of `repeats` full
     materializations — the first run on a cold page cache / fresh code
     path can be 2x the steady state, and single-sample deltas proved too
     noisy to compare round-over-round (three sub-second ±11–38% swings in
-    r03 were all unreplicated), so the headline number is the median."""
+    r03 were all unreplicated), so the headline number is the median.
+
+    r6 calibrated the 3-repeat noise band at roughly ±30% on IDENTICAL
+    code (dedup_containment +29% with a zero diff), so queries whose
+    median exceeds 2 s — the ones whose absolute swing dominates the
+    round-over-round total — escalate to `heavy_repeats` samples; the
+    extra two medians-of-5 measurably tighten the tail without re-timing
+    the ~100 sub-second queries."""
     fn = REGISTRY[name].fn
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
+    if sorted(times)[len(times) // 2] > 2.0:
+        for _ in range(heavy_repeats - repeats):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
     times.sort()
     return {
         "median": round(times[len(times) // 2], 3),
         "min": round(times[0], 3),
+        "n_samples": len(times),
     }
 
 

@@ -354,82 +354,102 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # events_seasonality_profile, events_attribution_shapley,
 # stats_ks_two_sample, stats_mannwhitney_u, stats_spearman_corr,
 # sim_topk_graph_refined, sim_topk_filtered
+# Round-7 rotation (VERDICT r6 ask #2: CORRECTNESS_r06 went 50/50 green,
+# so ALL 49 non-anchor r6 slots rotate out — every demotion is r6-green
+# on record in CORRECTNESS_r06.json — and 49 never-driver-checked
+# queries enter (103 remained after r6; this window retires 49 of them,
+# 98% of the window previously-unchecked). Only words_pipeline stays:
+# it is the reference's flagship ETL spine and the anchor every round.
+# Composition of the 49 promotions (family → members):
+#   TPC-H tail (10): q4/q6/q10/q11/q12/q13/q14/q16/q19/q22 — the last
+#     never-checked TPC-H members; q1-q3/q5/q7-q9/q15/q17/q18/q20/q21
+#     are all driver-green r1-r6
+#   events analytics (9): attribution_shapley (exact bitmask-lattice
+#     Shapley), markov_stationary, funnel_latency, changepoint_cusum,
+#     frequent_sequences, autocorrelation, seasonality_profile,
+#     survival_km (Kaplan-Meier — VERDICT r6 named), theilsen_trend
+#     (VERDICT r6 named)
+#   nonparametric + stats panel (6): ks_two_sample, mannwhitney_u,
+#     spearman_corr (the VERDICT-named panel), mutual_information,
+#     benford_firstdigit, psi_drift
+#   text/tokenizer (2): unigram_vocab (VERDICT r6 named; bpe_merges is
+#     r4-green), bpe_encode_stats
+#   dedup (3): cdc_chunks, containment, eval_dedup_pr
+#   similarity/recall evals (5): topk_graph_refined, ivf_incremental_add,
+#     eval_pq_recall, eval_binary_recall, eval_sq8_ivf_recall (NEW this
+#     round — VERDICT r6 ask #8: the composed SQ8-over-IVF tier's recall
+#     promoted from a test floor to a value-checked row)
+#   func_* scalar-parity suite (6): array_library, string_library,
+#     null_safe_chain, basename_backwards, truncate_flags, format_result
+#     (VERDICT r6 named the suite; arabic_tokenize is r2-r4+r6-green)
+#   graph (1): kcore (triangle_copurchase is r4-green)
+#   recsys (2): item_similar_topk, eval_coverage (user_recommend is
+#     r6-green and composes item_similar_topk's relation)
+#   curation (2): gopher_gate (carries this round's round()-threshold
+#     fix), pii_redact
+#   privacy (1): l_diversity;  multimodal (1): resize_ppm;
+#   streaming (1): first_event
 CHECKED_FIRST: tuple[str, ...] = (
-    # words ETL spine (reference flagship)
-    "graph_community_labelprop",
-    "dedup_substring_spans",
+    # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",
-    "multimodal_decode_wav",
-    # TPC-H (scan pushdown + broadcast joins + partial agg; q8/q17/q21
-    # are the hardest never-checked members, promoted r4)
-    # events: sessionization, retention, trailing RANGE frame
-    "sim_topk_binary",
-    "text_chunk_sliding",
-    # text analysis + profiling
-    "recsys_user_recommend",
-    "curation_quality_classifier",
-    # dedup (ER edit-distance, Jaccard, LSH; exact+SimHash demoted r4 —
-    # both multiply r03-green)
-    "dedup_semantic",
-    "graph_bfs_levels",
-    # similarity search (bruteforce baseline, banded multi-table LSH,
-    # k-means IVF — full-hash-checked since r4 via the generated
-    # deterministic-centroid oracle — int8 SQ8, kNN, banded near-dup)
-    "sim_mmr_diversify",
-    "eval_tokenizer_compare",
-    "stats_embedding_isotropy",
-    "stats_bootstrap_ci",
-    "eval_ranking_ndcg",
-    # layout: Z-order bit math (integer-exact oracle)
-    "graph_link_prediction",
-    # Arabic tokenizer parity (SURVEY §6 risk #1) + datetime parts
-    "func_arabic_tokenize",
-    # advanced: CDC, as-of, range join, UDAF, cube, approx profile
-    "events_forecast_holt",
-    "text_keyphrase_rake",
-    "multimodal_audio_frames",
-    "curation_filter_attrition",
-    # multimodal plumbing
-    # stats panel
-    "corpus_datasheet",
-    "stats_countmin_heavy_hitters",
-    "privacy_dp_noised_counts",
-    # training-mix compositions (training_corpus_pipeline is the
-    # end-to-end capstone: quality → dedup → decontaminate → quota)
-    # + late-r4 promotions: runtime bloom pruning, funnel analytics
-    "stats_hll_portable",
-    "events_rfm_segmentation",
-    "stats_gini_concentration",
-    "training_domain_reweight",
-    "eval_ivf_recall",
-    # sequence packing (training-batch construction: concat-then-chunk
-    # prefix-sum + first-fit-sequential applyInPandas fold with a
-    # recursive-CTE oracle replaying the identical fold)
-    "layout_skipping_hilbert",
-    "training_dsir_weights",
-    # corpus curation (PageRank quality prior, decontamination,
-    # dup-cluster canonicalization; repetition signals demoted r4 —
-    # r03-green)
-    "curation_ccnet_tiers",
-    "streaming_classifier_serving",
-    "dedup_keep_best_per_cluster",
-    # round-5 promotions (see rotation log above)
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "sim_topk_ivfpq",
-    "training_contrastive_pairs",
-    "cdc_scd2_user_state",
-    "events_session_window",
-    "events_gapfill_hourly",
-    "skew_salted_event_counts",
-    "streaming_words_doc_frequency",
-    "text_bm25_topk",
-    "multimodal_frame_sample",
-    "basket_association_rules",
-    "stats_chi_square_independence",
-    "multimodal_decode_ppm",
+    # TPC-H never-checked tail
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    # events analytics
+    "events_attribution_shapley",
+    "events_markov_stationary",
+    "events_funnel_latency",
+    "events_changepoint_cusum",
+    "events_frequent_sequences",
+    "events_autocorrelation",
+    "events_seasonality_profile",
+    "events_survival_km",
+    "events_theilsen_trend",
+    # nonparametric + stats panel
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_spearman_corr",
+    "stats_mutual_information",
+    "stats_benford_firstdigit",
+    "stats_psi_drift",
+    # text / tokenizer
+    "text_unigram_vocab",
+    "text_bpe_encode_stats",
+    # dedup
+    "dedup_cdc_chunks",
+    "dedup_containment",
+    "eval_dedup_pr",
+    # similarity + the recall-eval family
+    "sim_topk_graph_refined",
+    "sim_ivf_incremental_add",
+    "eval_pq_recall",
+    "eval_binary_recall",
+    "eval_sq8_ivf_recall",
+    # func_* scalar-parity suite
+    "func_array_library",
+    "func_string_library",
+    "func_null_safe_chain",
+    "func_basename_backwards",
+    "func_truncate_flags",
+    "func_format_result",
+    # graph / recsys
+    "graph_kcore",
+    "recsys_item_similar_topk",
+    "recsys_eval_coverage",
+    # curation / privacy / multimodal / streaming
+    "curation_gopher_gate",
+    "curation_pii_redact",
+    "privacy_l_diversity",
+    "multimodal_resize_ppm",
+    "streaming_first_event",
 )
 
 _missing = [n for n in CHECKED_FIRST if n not in _ALL]

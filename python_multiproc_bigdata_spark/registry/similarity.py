@@ -1411,6 +1411,74 @@ def make_sq8_ivf_oracle() -> str:
     )
 
 
+def eval_sq8_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the COMPOSED SQ8-over-IVF tier (the 100 TB serving
+    recipe: list pruning x int8 bandwidth cut x exact re-rank) vs exact
+    brute-force — completes the driver-gated recall family (binary /
+    IVF / PQ / SQ8-IVF): until now this composed tier's quality was
+    only floor-pinned in tests, never a value-checked row."""
+    cfg = IVF_KMEANS_CFG
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = topk_bruteforce(queries, emb, k=cfg["k"]).select(
+        "query_id", "neighbor_id"
+    )
+    sq8ivf = topk_sq8_ivf(
+        queries,
+        emb,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        rerank=SQ8_IVF_RERANK,
+        train_sample=cfg["train_sample"],
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(sq8ivf, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.crossJoin(hits).select(
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+    )
+
+
+def make_sq8_ivf_recall_oracle() -> str:
+    """Nested-WITH composition: the generated centroid-literal SQ8-IVF
+    chain + the exact cosine chain + intersection arithmetic (the
+    eval_binary_recall pattern)."""
+    cfg = IVF_KMEANS_CFG
+    sq8_sql = make_sq8_ivf_oracle()
+    return f"""
+WITH sq8ivf AS (
+{sq8_sql}
+), emb2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN q.nrm > 0 AND c.nrm > 0
+                   THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                   ELSE 0.0 END, 4) AS score
+      FROM emb2 q JOIN emb2 c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES})) WHERE rk <= {cfg["k"]}
+), hits AS (
+  SELECT count(*) AS n_hits
+  FROM ex JOIN sq8ivf USING (query_id, neighbor_id)
+), tot AS (SELECT count(*) AS n_exact FROM ex)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / n_exact, 4) AS recall_at_k
+FROM tot CROSS JOIN hits
+"""
+
+
 # r4 sweep at sf0.1 (recall@3, rerank=50): 16 codes 0.56, 64 codes
 # 0.77, 256 codes 0.93 — the code count is THE recall knob, exactly the
 # FAISS sizing story (these near-uniform synthetic embeddings are PQ's
@@ -2094,6 +2162,7 @@ REGISTRY = {
     ),
     "sim_topk_filtered": QuerySpec(sim_topk_filtered, make_filtered_oracle),
     "sim_topk_sq8_ivf": QuerySpec(sim_topk_sq8_ivf, make_sq8_ivf_oracle),
+    "eval_sq8_ivf_recall": QuerySpec(eval_sq8_ivf_recall, make_sq8_ivf_recall_oracle),
     "sim_topk_lsh": QuerySpec(sim_topk_lsh, SQL_TOPK_LSH),
     "sim_topk_lsh_banded": QuerySpec(sim_topk_lsh_banded, SQL_TOPK_LSH_BANDED),
     "sim_topk_ivf": QuerySpec(sim_topk_ivf, SQL_TOPK_IVF),

@@ -41,6 +41,42 @@ def test_checked_window_is_curated():
     assert len(CHECKED_FIRST) == 50
     assert q[:50] == list(CHECKED_FIRST)
     must_be_checked = {
+        # the permanent anchor: the reference's flagship ETL spine
+        "words_pipeline",
+        # round-7 rotation (r6 went 50/50 green, so all 49 non-anchor
+        # slots rotated out — every demotion is r6-green on record in
+        # CORRECTNESS_r06.json — and 49 never-driver-checked queries
+        # entered; swap log in registry/__init__.py)
+        "q4_order_priority_exists", "q6_forecast_revenue",
+        "q10_returned_items", "q11_important_stock",
+        "q12_priority_lines", "q13_customer_distribution",
+        "q14_promo_revenue", "q16_supplier_part_counts",
+        "q19_discounted_revenue", "q22_global_sales_opportunity",
+        "events_attribution_shapley", "events_markov_stationary",
+        "events_funnel_latency", "events_changepoint_cusum",
+        "events_frequent_sequences", "events_autocorrelation",
+        "events_seasonality_profile", "events_survival_km",
+        "events_theilsen_trend",
+        "stats_ks_two_sample", "stats_mannwhitney_u",
+        "stats_spearman_corr", "stats_mutual_information",
+        "stats_benford_firstdigit", "stats_psi_drift",
+        "text_unigram_vocab", "text_bpe_encode_stats",
+        "dedup_cdc_chunks", "dedup_containment", "eval_dedup_pr",
+        "sim_topk_graph_refined", "sim_ivf_incremental_add",
+        "eval_pq_recall", "eval_binary_recall", "eval_sq8_ivf_recall",
+        "func_array_library", "func_string_library",
+        "func_null_safe_chain", "func_basename_backwards",
+        "func_truncate_flags", "func_format_result",
+        "graph_kcore", "recsys_item_similar_topk", "recsys_eval_coverage",
+        "curation_gopher_gate", "curation_pii_redact",
+        "privacy_l_diversity", "multimodal_resize_ppm",
+        "streaming_first_event",
+    }
+    assert must_be_checked <= set(CHECKED_FIRST)
+    # every demoted name must carry a prior driver-green record — the
+    # rotation invariant (checked against the committed CORRECTNESS
+    # files by tools/parity_ledger.py; spot-pinned here for r6)
+    r6_demotions = {
         "func_arabic_tokenize",
         "dedup_keep_best_per_cluster",
         # round-3 promotions (swap log in registry/__init__.py)
@@ -129,7 +165,15 @@ def test_checked_window_is_curated():
         "multimodal_audio_frames", "events_rfm_segmentation",
         "stats_gini_concentration", "text_keyphrase_rake",
     }
-    assert must_be_checked <= set(CHECKED_FIRST)
+    import json
+    import os
+
+    r6 = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json"))
+    )
+    for name in r6_demotions:
+        rec = r6.get(name)
+        assert rec and rec["rows_match"], f"demoted without driver-green: {name}"
 
 
 def test_all_queries_run_sf0001(spark):

@@ -16,6 +16,10 @@ import json
 import sys
 from pathlib import Path
 
+# Absolute-seconds floor under which a per-query delta is noise, measured
+# in r6 on byte-identical code (see bench.py:run_one docstring).
+NOISE_ABS_SEC = 1.0
+
 
 def load(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
@@ -42,19 +46,30 @@ def main() -> int:
     shared = sorted(set(a) & set(b))
     faster, slower, tradeoff = [], [], []
     print(f"{'query':36s} {'old':>8s} {'new':>8s} {'delta':>8s}")
+    noise = []
     for q in shared:
         if a[q] <= 0:
             continue
         pct = (b[q] - a[q]) / a[q] * 100
+        # r6 measured the per-query noise band on byte-identical code:
+        # ±~30% relative / up to ~1 s absolute on 3-repeat medians
+        # (dedup_containment +29%, zero diff). A delta is SIGNAL only if
+        # it clears the pct threshold AND moves >= NOISE_ABS_SEC; inside
+        # the band it is annotated, never classified as a regression.
+        in_noise_band = abs(b[q] - a[q]) < NOISE_ABS_SEC or abs(pct) < thresh
         mark = ""
         if q in config_changed:
             mark = " [config-changed]"
             if abs(pct) >= thresh:
                 tradeoff.append(q)
-        elif pct <= -thresh:
+        elif in_noise_band:
+            if abs(pct) >= thresh:
+                mark = " [within noise band]"
+                noise.append(q)
+        elif pct < 0:
             mark = " <-- faster"
             faster.append(q)
-        elif pct >= thresh:
+        else:
             mark = " <-- SLOWER"
             slower.append(q)
         print(f"{q:36s} {a[q]:8.3f} {b[q]:8.3f} {pct:+7.1f}%{mark}")
@@ -64,9 +79,13 @@ def main() -> int:
     if ta > 0:
         print(f"\nshared total: {ta:.1f}s -> {tb:.1f}s "
               f"({(tb - ta) / ta * 100:+.1f}%)")
-        print(f"moved >={thresh:.0f}%: {len(faster)} faster, "
+        print(f"moved >={thresh:.0f}% and >={NOISE_ABS_SEC:.1f}s: "
+              f"{len(faster)} faster, "
               f"{len(slower)} slower (regressions), "
-              f"{len(tradeoff)} config-changed (deliberate tradeoffs)")
+              f"{len(tradeoff)} config-changed (deliberate tradeoffs), "
+              f"{len(noise)} within the measured noise band")
+        if noise:
+            print(f"noise-band (not signal): {', '.join(noise)}")
         if slower:
             print(f"regressions: {', '.join(slower)}")
         if tradeoff:
