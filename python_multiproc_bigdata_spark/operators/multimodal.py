@@ -558,3 +558,96 @@ def resize_ppm_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 16  # 4 x 16 = 64-bit aHash
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_val", T.LongType()),
+    ]
+)
+
+
+def ahash_bands(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over the binary PPM column,
+    emitted as AHASH_BANDS band integers per image for banded Hamming
+    candidate generation: decode the raster (ppm_raster — the REAL P6
+    parser), nearest-neighbor resample to 8x8 (the resize_ppm_features
+    floor-index mapping), integer grayscale g = (r+g+b)//3 per cell,
+    bit t = [64*g_t > sum(g)] (cross-multiplied — no float mean), and
+    pack bits row-major into 4x16-bit band values.
+
+    At 100 TB this is the image twin of the MinHash band signature
+    (operators/dedup.py): the 4-row-per-image band relation is what an
+    indexed deployment materializes, candidates come from equal-band
+    buckets (never all-pairs), and the 4-band/64-bit split makes the
+    <=3-bit Hamming join LOSSLESS by pigeonhole — 3 differing bits can
+    touch at most 3 of the 4 bands, so every qualifying pair shares at
+    least one identical band."""
+    import numpy as np
+
+    dst = RESIZE_W  # 8x8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(dst)
+        ys = np.arange(dst)
+        shifts = np.arange(AHASH_BAND_BITS, dtype=np.int64)
+        for pdf in it:
+            out = {"doc_id": [], "band_idx": [], "band_val": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, _maxval, px = ppm_raster(bytes(payload))
+                sx = (xs * w) // dst
+                sy = (ys * h) // dst
+                resized = px[np.ix_(sy, sx)].astype(np.int64)
+                g = (resized.sum(axis=2) // 3).reshape(-1)  # row-major: t = y*8+x
+                total = int(g.sum())
+                bits = (dst * dst * g > total).astype(np.int64)
+                for b in range(AHASH_BANDS):
+                    seg = bits[b * AHASH_BAND_BITS : (b + 1) * AHASH_BAND_BITS]
+                    out["doc_id"].append(int(doc_id))
+                    out["band_idx"].append(b)
+                    out["band_val"].append(int((seg << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming join + exact verify over an ahash_bands relation:
+    candidates from EQUAL-BAND buckets (never all-pairs), then exact
+    Hamming = sum over bands of popcount(XOR) kept <= max_hamming.
+    With 4 bands of 16 bits the candidate set is provably complete for
+    max_hamming <= 3 (pigeonhole — 3 differing bits touch at most 3
+    bands, so a qualifying pair always shares one identical band).
+    Caller should localCheckpoint/materialize `bands` — it feeds both
+    candidate sides and both verify lookups."""
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", F.col("band_val").alias("va")
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", F.col("band_val").alias("vb")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "band_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("int")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

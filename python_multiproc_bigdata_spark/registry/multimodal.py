@@ -4,6 +4,7 @@ extraction, oracle-checked because the fake decode is md5-deterministic."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.multimodal import (
     AUDIO_FRAME_WINDOW,
@@ -230,8 +231,90 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+AHASH_HAMMING_MAX = 3  # lossless under the 4-band pigeonhole guarantee
+
+
+def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via average-hash + banded Hamming join
+    — the image twin of MinHash-LSH text dedup and the dedup pass a
+    multimodal training pipeline runs on its image corpus: REAL P6
+    decode → 8x8 NN resample → integer grayscale → 64-bit aHash packed
+    as 4x16-bit bands (operators/multimodal.py:ahash_bands), candidates
+    from EQUAL-BAND buckets (never all-pairs: 3 differing bits can
+    touch at most 3 of 4 bands, so every Hamming<=3 pair shares a band
+    — the candidate set is provably complete), verified by exact XOR
+    popcount over the 4 band values. The synthetic rasters repeat every
+    lcm(5,4,256)=1280 doc_ids, so true duplicate images exist in-corpus
+    by construction. The oracle replays synth arithmetic, the resize
+    mapping, grayscale, bit packing, banding, and popcount in pure SQL
+    — all integers, bit-exact."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        ahash_bands,
+        ahash_neardup_pairs,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    # the 4-rows-per-image band relation feeds both sides of the
+    # candidate join and both verify lookups — localCheckpoint instead
+    # of 4x decode+resample (it is the signature table an indexed
+    # deployment materializes; no persist to leak)
+    bands = ahash_bands(attach_ppm(d)).localCheckpoint(eager=True)
+    return ahash_neardup_pairs(bands, max_hamming=AHASH_HAMMING_MAX)
+
+
+# Replays the full aHash chain on synth_ppm's arithmetic: the
+# SQL_RESIZE_PPM floor-index NN mapping, grayscale (r+g+b)//3, bit t =
+# [64*g_t > sum(g)] (cross-multiplied), 4x16-bit band packing, banded
+# candidates, XOR popcount verify. DuckDB bit_count returns TINYINT —
+# cast before summing.
+SQL_IMAGE_AHASH_NEARDUP = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), grid AS (
+  SELECT doc_id, w, h, unnest(range({RESIZE_W * RESIZE_H})) AS t FROM dims
+), mapped AS (
+  SELECT doc_id, t,
+         ((t // {RESIZE_W}) * h // {RESIZE_H}) * w
+           + ((t % {RESIZE_W}) * w // {RESIZE_W}) AS i
+  FROM grid
+), gray AS (
+  SELECT doc_id, t,
+         (((doc_id * 31 + (3 * i + 0) * 7) % 256)
+          + ((doc_id * 31 + (3 * i + 1) * 7) % 256)
+          + ((doc_id * 31 + (3 * i + 2) * 7) % 256)) // 3 AS g
+  FROM mapped
+), bits AS (
+  SELECT doc_id, t,
+         CASE WHEN {RESIZE_W * RESIZE_H} * g > sum(g) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM gray
+), bands AS (
+  SELECT doc_id, CAST(t // 16 AS INTEGER) AS band_idx,
+         CAST(sum(bit * (1 << (t % 16))) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, band_idx
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CAST(bit_count(xor(x.band_val, y.band_val)) AS INTEGER))
+              AS INTEGER) AS hamming
+  FROM cand c
+  JOIN bands x ON x.doc_id = c.doc_a
+  JOIN bands y ON y.doc_id = c.doc_b AND y.band_idx = x.band_idx
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {AHASH_HAMMING_MAX}
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
+    "multimodal_image_ahash_neardup": QuerySpec(
+        multimodal_image_ahash_neardup, SQL_IMAGE_AHASH_NEARDUP
+    ),
     "multimodal_resize_ppm": QuerySpec(multimodal_resize_ppm, SQL_RESIZE_PPM),
     "multimodal_audio_frames": QuerySpec(multimodal_audio_frames, SQL_AUDIO_FRAMES),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, SQL_FRAME_SAMPLE),

@@ -753,3 +753,52 @@ def test_containment_detects_excerpt_asymmetrically(spark):
     r = rows[(1, 2)]
     assert r.containment == 1.0 and r.jaccard < 0.5
     assert (2, 1) not in rows  # the long doc is NOT contained in the short
+
+
+def test_image_ahash_banded_join_is_lossless(spark):
+    """aHash near-dup (r7): the 4x16-bit banded Hamming join must find
+    EXACTLY the brute-force all-pairs Hamming<=3 set (pigeonhole: 3
+    differing bits touch at most 3 of 4 bands), and images synthesized
+    1280 doc_ids apart (the synth arithmetic's period) must come back
+    as exact duplicates (hamming 0)."""
+    import numpy as np
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        ahash_bands,
+        ahash_neardup_pairs,
+        attach_ppm,
+        ppm_raster,
+        synth_ppm,
+    )
+    from python_multiproc_bigdata_spark.registry.multimodal import AHASH_HAMMING_MAX
+
+    def ahash_bits(doc_id: int) -> np.ndarray:
+        w, h, _m, px = ppm_raster(synth_ppm(doc_id))
+        xs, ys = np.arange(8), np.arange(8)
+        resized = px[np.ix_((ys * h) // 8, (xs * w) // 8)].astype(np.int64)
+        g = (resized.sum(axis=2) // 3).reshape(-1)
+        return (64 * g > int(g.sum())).astype(np.int64)
+
+    doc_ids = list(range(120)) + [7 + 1280, 42 + 1280]  # two exact dups
+    # brute-force truth
+    bits = {d: ahash_bits(d) for d in doc_ids}
+    truth = {
+        (a, b): int(np.sum(bits[a] != bits[b]))
+        for i, a in enumerate(doc_ids)
+        for b in doc_ids[i + 1 :]
+        if int(np.sum(bits[a] != bits[b])) <= AHASH_HAMMING_MAX
+    }
+    assert truth[(7, 7 + 1280)] == 0 and truth[(42, 42 + 1280)] == 0
+
+    df = spark.createDataFrame([(d,) for d in doc_ids], ["doc_id"])
+    bands = ahash_bands(attach_ppm(df)).localCheckpoint(eager=True)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_neardup_pairs(bands, max_hamming=AHASH_HAMMING_MAX).collect()
+    }
+    assert got == truth
+
+    # band packing shape: 4 rows per image, 16-bit values
+    three = ahash_bands(attach_ppm(df.limit(3))).collect()
+    assert len(three) == 12
+    assert all(0 <= r.band_val < (1 << 16) for r in three)
