@@ -188,6 +188,9 @@ HEADLINE = [
     "curation_active_learning",
     "recsys_eval_coverage",
     "events_theilsen_trend",
+    # r7 additions
+    "multimodal_image_ahash_neardup",
+    "eval_sq8_ivf_recall",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

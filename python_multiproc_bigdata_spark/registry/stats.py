@@ -710,6 +710,100 @@ FROM marginal GROUP BY 1, 2
 """
 
 
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the anonymity triad (k-anonymity
+    bounds re-identification, l-diversity bounds homogeneity, but a
+    class whose sensitive-attribute DISTRIBUTION skews far from the
+    corpus-wide one still leaks — Li et al. 2007): per quasi-id class
+    (source, length decile), the total-variation distance between the
+    class's lang distribution and the global lang distribution,
+    flagging classes with TVD > 0.2.
+
+    Exact integer core: TVD = (1/2)·Σ_lang |n_cl·G − g_l·N_c| /
+    (N_c·G) — the numerator is cross-multiplied BIGINT arithmetic and
+    the leaky flag compares the NUMERATOR against 0.4·N_c·G (never a
+    rounded float), only the reported ratio is a rounded double. Langs
+    ABSENT from a class still contribute
+    |0 − g_l·N_c|, so the per-class sum runs over the full class×lang
+    grid — built by crossJoin with the GLOBAL lang marginal, which is
+    |langs| rows (tiny, broadcast) — left-joined against the class
+    marginal. Scale shape: one map-side-combined groupBy over the
+    (class, lang) marginal, then everything downstream is
+    |classes|×|langs| rows — never corpus-sized."""
+    d = table(prep(spark), sf_dir, "documents")
+    marg = (
+        d.select(
+            "source",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "lang",
+        )
+        .groupBy("source", "len_bucket", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cls = marg.groupBy("source", "len_bucket").agg(
+        F.sum("n").cast("long").alias("class_size")
+    )
+    glob = marg.groupBy("lang").agg(F.sum("n").cast("long").alias("g"))
+    gtot = glob.agg(F.sum("g").cast("long").alias("n_total"))
+    grid = cls.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(gtot))
+    return (
+        grid.join(marg, ["source", "len_bucket", "lang"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+        .groupBy("source", "len_bucket", "class_size", "n_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("n") * F.col("n_total") - F.col("g") * F.col("class_size"))
+            )
+            .cast("long")
+            .alias("tvd_num")
+        )
+        .select(
+            "source",
+            "len_bucket",
+            "class_size",
+            F.round(
+                F.col("tvd_num") / (2.0 * F.col("class_size") * F.col("n_total")), 6
+            ).alias("tvd"),
+            (
+                F.col("tvd_num")
+                > 0.4 * F.col("class_size") * F.col("n_total")
+            ).alias("leaky"),
+        )
+    )
+
+
+# TVD numerator is exact cross-multiplied integer arithmetic; the 0.2
+# threshold is applied on the numerator (tvd_num > 0.4*Nc*G) so the flag
+# never depends on float rounding. DuckDB sums promote to HUGEINT —
+# cast back to BIGINT.
+SQL_T_CLOSENESS = """
+WITH marginal AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+), cls AS (
+  SELECT source, len_bucket, CAST(sum(n) AS BIGINT) AS class_size
+  FROM marginal GROUP BY 1, 2
+), langs AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS g FROM marginal GROUP BY 1
+), gtot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n_total FROM langs
+), grid AS (
+  SELECT c.source, c.len_bucket, c.class_size, t.n_total, l.lang, l.g,
+         COALESCE(m.n, 0) AS n
+  FROM cls c CROSS JOIN langs l CROSS JOIN gtot t
+  LEFT JOIN marginal m
+    ON m.source = c.source AND m.len_bucket = c.len_bucket AND m.lang = l.lang
+)
+SELECT source, len_bucket, class_size,
+       round(CAST(sum(abs(n * n_total - g * class_size)) AS BIGINT)
+             / (2.0 * class_size * n_total), 6) AS tvd,
+       CAST(sum(abs(n * n_total - g * class_size)) AS BIGINT)
+         > 0.4 * class_size * n_total AS leaky
+FROM grid GROUP BY source, len_bucket, class_size, n_total
+"""
+
+
 SQL_K_ANONYMITY = """
 WITH classes AS (
   SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
@@ -2056,6 +2150,7 @@ REGISTRY = {
     "privacy_dp_noised_counts": QuerySpec(privacy_dp_noised_counts, SQL_DP_NOISED),
     "privacy_k_anonymity": QuerySpec(privacy_k_anonymity, SQL_K_ANONYMITY),
     "privacy_l_diversity": QuerySpec(privacy_l_diversity, SQL_L_DIVERSITY),
+    "privacy_t_closeness": QuerySpec(privacy_t_closeness, SQL_T_CLOSENESS),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),

@@ -1003,3 +1003,26 @@ def test_theilsen_robust_to_outlier_hour(spark):
     med = (slopes[n // 2 - 1] + slopes[n // 2]) / 2 if n % 2 == 0 else slopes[n // 2]
     assert r.theilsen_slope == round(med / 1000000.0, 6)
     assert abs(r.theilsen_slope - 2.0) < 1.0  # robust: near true slope 2
+
+
+def test_t_closeness_flags_skewed_class(spark, tmp_path):
+    """t-closeness on a crafted corpus: a class holding ALL of a rare
+    lang must be flagged (TVD 0.9), a class near the global mix must
+    not (TVD 0.1) — exact cross-multiplied values, not approximations."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        privacy_t_closeness,
+    )
+
+    rows = []
+    did = 0
+    for _ in range(10):  # class a: 10 docs, all rare lang zz
+        rows.append((did, "a", 50, "zz")); did += 1
+    for i in range(90):  # class b: 45 en + 45 fr
+        rows.append((did, "b", 50, "en" if i % 2 == 0 else "fr")); did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars", "lang"])
+    d = tmp_path / "tc"
+    df.write.parquet(str(d / "documents.parquet"))
+    got = {r.source: r for r in privacy_t_closeness(spark, str(d)).collect()}
+    assert got["a"].class_size == 10 and got["b"].class_size == 90
+    assert got["a"].tvd == 0.9 and got["a"].leaky
+    assert got["b"].tvd == 0.1 and not got["b"].leaky
