@@ -247,7 +247,15 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     lcm(5,4,256)=1280 doc_ids, so true duplicate images exist in-corpus
     by construction. The oracle replays synth arithmetic, the resize
     mapping, grayscale, bit packing, banding, and popcount in pure SQL
-    — all integers, bit-exact."""
+    — all integers, bit-exact.
+
+    Scale note: runtime is OUTPUT-bound — qualifying pairs grow
+    quadratically in duplicate-group size (measured 239 rows at sf0.01
+    vs 41,970 at sf0.1 against a 5.6x runtime step, i.e. per-pair cost
+    falls), and the banded candidate set equals the qualifying set. A
+    100 TB deployment emits per-image cluster assignments instead of
+    pairs (the dedup_keep_best_per_cluster shape) to keep output
+    linear in corpus size."""
     from python_multiproc_bigdata_spark.operators.multimodal import (
         ahash_bands,
         ahash_neardup_pairs,

@@ -481,3 +481,18 @@ def test_frequent_sequences_no_self_join(spark):
     distinct-user count."""
     plan = optimized_of(REGISTRY["events_frequent_sequences"].fn(spark, SF_DIR))
     assert plan.count("Relation") <= 2, plan
+
+
+def test_image_ahash_banded_equijoin_only(spark):
+    # aHash near-dup candidates come from equal-band buckets: the
+    # candidate self-join and both verify lookups are equi-joins on
+    # (band_idx, band_val) / doc ids — the all-pairs image-compare
+    # shape must never appear, and the band relation is a truncated
+    # localCheckpoint scan (decode runs once, not 4x)
+    df = REGISTRY["multimodal_image_ahash_neardup"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decode+resample happened before the checkpoint: no Python worker
+    # (mapInPandas/ArrowEvalPython) appears in the join plan itself
+    assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
