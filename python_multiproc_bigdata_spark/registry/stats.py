@@ -710,6 +710,147 @@ FROM marginal GROUP BY 1, 2
 """
 
 
+QUANTILE_PROBES = (0.5, 0.9, 0.99, 0.999)
+
+
+def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch, value-checked — completing the sketch
+    family (count-min heavy hitters, portable HLL, now quantiles: the
+    three classic one-pass summaries a 100 TB pipeline monitors with):
+    a two-pass fixed-grid histogram over the integer-cents event-value
+    domain — pass 1 is a 1-row min/max/count, pass 2 a 256-bucket count
+    histogram whose per-bucket COUNTs are distributive (partial
+    aggregates merge map-side, and two shards' sketches merge by
+    cell-wise sum — the same mergeability contract as the CMS) — then
+    interpolated readback of p50/p90/p99/p999 next to the EXACT
+    percentile and the error in cents. The estimate is within one
+    bucket width of truth by construction; the err column makes that a
+    checked fact, not a claim.
+
+    Everything through the histogram is integer (cents, floor-div
+    bucketing — no float boundary flips between engines); readback
+    division order is mirrored exactly in the oracle so even the double
+    arithmetic is bit-identical before rounding. Readback itself is
+    |buckets|x|probes| rows — driver-free and trivially small."""
+    spark = prep(spark)
+    e = table(spark, sf_dir, "events")
+    c = e.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    mm = c.agg(
+        F.min("cents").alias("minc"),
+        F.max("cents").alias("maxc"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    hist = (
+        c.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr("CAST((cents - minc) * 256 DIV (maxc - minc + 1) AS INT)").alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return quantile_sketch_readback(spark, sf_dir, hist, mm)
+
+
+def quantile_sketch_readback(
+    spark: SparkSession, sf_dir: str, hist: DataFrame, mm: DataFrame
+) -> DataFrame:
+    """Interpolated probe readback over a (bucket, n) histogram sketch +
+    the exact-percentile comparison column — shared by the one-shot
+    batch sketch above and the micro-batch-merged streaming twin
+    (registry/streaming.py:streaming_quantile_monitor), so 'the merged
+    sketch reads back identically' is enforced by construction."""
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    probes = spark.createDataFrame(
+        [(float(p), i) for i, p in enumerate(QUANTILE_PROBES)], ["p", "idx"]
+    )
+    ranks = probes.crossJoin(F.broadcast(mm)).withColumn(
+        "r", F.col("p") * (F.col("n_total") - 1)
+    )
+    pick = ranks.join(
+        cum,
+        (F.col("cum_before") <= F.col("r"))
+        & (F.col("r") < F.col("cum_before") + F.col("n")),
+    )
+    frac = (F.col("r") - F.col("cum_before")) / F.col("n")
+    span = F.col("maxc") - F.col("minc") + 1
+    est_c = F.col("minc") + (F.col("bucket") + frac) * span / 256.0
+    exact = table(prep(spark), sf_dir, "events").agg(
+        F.expr(
+            "percentile(CAST(round(value * 100) AS BIGINT), array({}))".format(
+                ", ".join(f"{p}D" for p in QUANTILE_PROBES)
+            )
+        ).alias("q")
+    ).select(F.posexplode("q").alias("idx", "exact_c"))
+    return (
+        pick.join(exact, "idx")
+        .select(
+            "p",
+            F.round(est_c / 100.0, 4).alias("est_usd"),
+            F.round(F.col("exact_c") / 100.0, 4).alias("exact_usd"),
+            F.round(F.abs(est_c - F.col("exact_c")), 2).alias("abs_err_cents"),
+            F.round(span / 256.0, 2).alias("bucket_width_cents"),
+        )
+        .orderBy("p")
+    )
+
+
+# The oracle mirrors the two-pass sketch and the readback arithmetic in
+# the SAME expression order (so doubles are bit-identical pre-round) and
+# checks it against DuckDB's exact quantile_cont — which matches Spark's
+# exact percentile() on identical multisets. Bare float literals parse
+# as DECIMAL in DuckDB: CAST every probe to DOUBLE.
+SQL_QUANTILE_SKETCH = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), mm AS (
+  SELECT min(cents) AS minc, max(cents) AS maxc,
+         CAST(count(*) AS BIGINT) AS n_total FROM c
+), hist AS (
+  SELECT CAST((cents - minc) * 256 // (maxc - minc + 1) AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT bucket, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM hist
+), probes(p, idx) AS (
+  VALUES (CAST(0.5 AS DOUBLE), 0), (CAST(0.9 AS DOUBLE), 1),
+         (CAST(0.99 AS DOUBLE), 2), (CAST(0.999 AS DOUBLE), 3)
+), ranks AS (
+  SELECT p, idx, p * (n_total - 1) AS r, minc, maxc
+  FROM probes CROSS JOIN mm
+), pick AS (
+  SELECT rk.p, rk.idx, rk.r, rk.minc, rk.maxc, cm.bucket, cm.n, cm.cum_before
+  FROM ranks rk JOIN cum cm
+    ON cm.cum_before <= rk.r AND rk.r < cm.cum_before + cm.n
+), ex AS (
+  SELECT 0 AS idx, quantile_cont(cents, CAST(0.5 AS DOUBLE)) AS exact_c FROM c
+  UNION ALL
+  SELECT 1, quantile_cont(cents, CAST(0.9 AS DOUBLE)) FROM c
+  UNION ALL
+  SELECT 2, quantile_cont(cents, CAST(0.99 AS DOUBLE)) FROM c
+  UNION ALL
+  SELECT 3, quantile_cont(cents, CAST(0.999 AS DOUBLE)) FROM c
+)
+SELECT p,
+       round((minc + (bucket + (r - cum_before) / n) * (maxc - minc + 1) / 256.0)
+             / 100.0, 4) AS est_usd,
+       round(exact_c / 100.0, 4) AS exact_usd,
+       round(abs((minc + (bucket + (r - cum_before) / n) * (maxc - minc + 1)
+                  / 256.0) - exact_c), 2) AS abs_err_cents,
+       round((maxc - minc + 1) / 256.0, 2) AS bucket_width_cents
+FROM pick JOIN ex USING (idx)
+ORDER BY p
+"""
+
+
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit completing the anonymity triad (k-anonymity
     bounds re-identification, l-diversity bounds homogeneity, but a
@@ -2151,6 +2292,7 @@ REGISTRY = {
     "privacy_k_anonymity": QuerySpec(privacy_k_anonymity, SQL_K_ANONYMITY),
     "privacy_l_diversity": QuerySpec(privacy_l_diversity, SQL_L_DIVERSITY),
     "privacy_t_closeness": QuerySpec(privacy_t_closeness, SQL_T_CLOSENESS),
+    "stats_quantile_sketch": QuerySpec(stats_quantile_sketch, SQL_QUANTILE_SKETCH),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),

@@ -470,6 +470,91 @@ def _classifier_serving_oracle() -> str:
     return make_quality_classifier_oracle()
 
 
+def streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's streaming twin — the live proof of the
+    sketch's MERGEABILITY contract (registry/stats.py:
+    stats_quantile_sketch): event values arrive in micro-batches
+    (maxFilesPerTrigger=1), each batch emits its PARTIAL 256-bucket
+    histogram inside foreachBatch (never raw rows), and the monitor's
+    answer is the interpolated readback over the cell-wise SUM of the
+    partial sketches. Histogram counts are distributive, so the merged
+    sketch is bit-identical to the one-shot batch sketch and the SAME
+    oracle checks both (the streaming_topk_serving twin pattern).
+
+    The grid (min/max cents) is registered ONCE before the stream from
+    the static corpus — a 1-row driver read, the sketch-configuration
+    analogue of broadcasting trained centroids; a production monitor
+    pins the grid from history for exactly this mergeability reason.
+    Scale: each micro-batch ships <=256 cells, the merge is a
+    256-row groupBy — state never grows with stream length."""
+    import os
+    import tempfile
+
+    from python_multiproc_bigdata_spark.registry.stats import (
+        quantile_sketch_readback,
+    )
+
+    spark = prep(spark)
+    e = table(spark, sf_dir, "events")
+    c = e.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    minc, maxc, n_total = c.agg(
+        F.min("cents"), F.max("cents"), F.count(F.lit(1))
+    ).collect()[0]
+
+    root = tempfile.mkdtemp(prefix="spark_graft_qmon_")
+    cdir = os.path.join(root, "cents")
+    hdir = os.path.join(root, "hist")
+    for m in (0, 1):  # two micro-batches
+        c.filter(F.col("cents") % 2 == m).coalesce(1).write.mode("append").parquet(cdir)
+
+    span = maxc - minc + 1
+
+    def sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                F.expr(
+                    f"CAST((cents - {minc}L) * 256 DIV {span}L AS INT)"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(hdir)
+        )
+
+    q = (
+        spark.readStream.schema(c.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdir)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    # merge the partial sketches: cell-wise sum
+    merged = (
+        spark.read.parquet(hdir)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    mm = spark.createDataFrame(
+        [(int(minc), int(maxc), int(n_total))], ["minc", "maxc", "n_total"]
+    )
+    return quantile_sketch_readback(spark, sf_dir, merged, mm)
+
+
+def _quantile_monitor_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.stats import SQL_QUANTILE_SKETCH
+
+    return SQL_QUANTILE_SKETCH
+
+
 REGISTRY = {
     # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
     # per-query top-k is micro-batch-invariant, so the streamed union
@@ -497,4 +582,10 @@ REGISTRY = {
     "streaming_words_doc_frequency": QuerySpec(streaming_words_doc_frequency, SQL_STREAM_WORDS),
     "streaming_enriched_counts": QuerySpec(streaming_enriched_counts, SQL_STREAM_ENRICHED),
     "streaming_click_view_join": QuerySpec(streaming_click_view_join, SQL_STREAM_SS_JOIN),
+    # same oracle as stats_quantile_sketch: histogram cells are
+    # distributive, so the micro-batch-merged sketch must read back
+    # bit-identically to the one-shot batch sketch
+    "streaming_quantile_monitor": QuerySpec(
+        streaming_quantile_monitor, _quantile_monitor_oracle
+    ),
 }

@@ -219,6 +219,10 @@ def test_no_accidental_shared_oracles():
         # answer from a bucketed table — sharing the one-shot oracle IS
         # the materialization-changes-the-plan-not-the-answer proof
         frozenset({"dedup_minhash_lsh", "dedup_minhash_lsh_materialized"}),
+        # deliberate: the streaming monitor merges micro-batch partial
+        # histograms cell-wise; reading back bit-identically to the
+        # one-shot batch sketch IS the mergeability proof
+        frozenset({"stats_quantile_sketch", "streaming_quantile_monitor"}),
     }
     by_oracle = defaultdict(list)
     for n, s in REGISTRY.items():

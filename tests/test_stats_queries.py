@@ -1026,3 +1026,23 @@ def test_t_closeness_flags_skewed_class(spark, tmp_path):
     assert got["a"].class_size == 10 and got["b"].class_size == 90
     assert got["a"].tvd == 0.9 and got["a"].leaky
     assert got["b"].tvd == 0.1 and not got["b"].leaky
+
+
+def test_quantile_sketch_within_one_bucket(spark):
+    """The fixed-grid sketch's interpolated readback must sit within
+    one bucket width of the exact percentile at every probe (the
+    construction bound the query's err column makes checkable), and
+    the estimate must be monotone in p."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        stats_quantile_sketch,
+    )
+
+    rows = sorted(
+        stats_quantile_sketch(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.p,
+    )
+    assert [r.p for r in rows] == [0.5, 0.9, 0.99, 0.999]
+    for r in rows:
+        assert r.abs_err_cents <= r.bucket_width_cents, r
+    ests = [r.est_usd for r in rows]
+    assert ests == sorted(ests)
