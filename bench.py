@@ -191,6 +191,9 @@ HEADLINE = [
     # r7 additions
     "multimodal_image_ahash_neardup",
     "eval_sq8_ivf_recall",
+    "privacy_t_closeness",
+    "stats_quantile_sketch",
+    "streaming_quantile_monitor",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

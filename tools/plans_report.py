@@ -50,6 +50,8 @@ SHOWCASE: dict[str, str] = {
     "graph_link_prediction": "wedge self-join on the middle node + cn≥2 floor pruning the quadratic tail; degree attach via broadcast; existing edges removed by LeftAnti",
     "events_frequent_sequences": "gapped follower set from 5 lead() columns over ONE per-user sort — no events self-join anywhere in the plan",
     "text_keyphrase_rake": "phrase splitting = running stopword count window (no UDF); word stats collapse map-side to |vocab| rows; word scores broadcast back",
+    "multimodal_image_ahash_neardup": "band relation localCheckpointed (decode runs once, not 4x); candidates + verify are equi-joins only (no cartesian/nested-loop), pair space bounded by equal-band buckets",
+    "stats_quantile_sketch": "sketch build = distributive partial-agg groupBy onto <=256 cells after a 1-row min/max broadcast; readback is |buckets|x|probes| rows",
 }
 
 
