@@ -1273,6 +1273,150 @@ LIMIT {_RAKE_TOPK}
 SQL_KEYPHRASE_RAKE = _rake_sql()
 
 
+HEAPS_CHECKPOINTS = 10
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — the corpus-linguistics
+    diagnostic (V(n) = K·n^beta) a tokenizer-budget or dedup-progress
+    analysis reads before committing to a vocab size: cumulative
+    distinct-vocabulary vs cumulative tokens at 10 doc_id-ordered
+    checkpoints, plus the log-log OLS fit (beta, K) as columns.
+
+    The scalable trick: cumulative vocabulary at EVERY checkpoint comes
+    from ONE pass — each type's FIRST-APPEARANCE doc (min(doc_id) per
+    token, a word-count-shaped groupBy), then V(t) = count(types with
+    first_doc <= t); cumulative tokens likewise from per-doc counts.
+    Both checkpoint rollups are conditional aggregates over broadcast
+    thresholds (stack of 10 CASE sums — no 10x fan-out join, no BNL,
+    no re-scan per checkpoint). Checkpoint counts and token/vocab sums
+    are exact integers; only the 10-point OLS is floating (rounded 4,
+    the NMI posture for order-jittered double sums).
+
+    Saturation is a first-class answer: on a CLOSED vocabulary (the
+    synthetic testdata corpus holds exactly 31 types) cum_vocab is flat
+    from checkpoint 1 and beta == 0 — the diagnostic correctly reports
+    'no vocabulary growth'; the crafted-corpus test recovers beta ~ 0.5
+    on a sqrt-growth vocabulary."""
+    d = table(prep(spark), sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), WHITESPACE_RE),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    maxd = d.agg(F.max("doc_id").alias("maxd"))
+    ks = range(1, HEAPS_CHECKPOINTS + 1)
+    tok_row = per_doc.crossJoin(F.broadcast(maxd)).agg(
+        *[
+            F.sum(F.when(F.expr(f"doc_id <= maxd * {k} DIV 10"), F.col("n_tok")))
+            .cast("long")
+            .alias(f"ct{k}")
+            for k in ks
+        ]
+    )
+    voc_row = first.crossJoin(F.broadcast(maxd)).agg(
+        *[
+            F.sum(F.when(F.expr(f"first_doc <= maxd * {k} DIV 10"), 1))
+            .cast("long")
+            .alias(f"cv{k}")
+            for k in ks
+        ]
+    )
+    tok_pts = tok_row.select(
+        F.expr(
+            "stack({}, {}) as (k, cum_tokens)".format(
+                len(ks), ", ".join(f"{k}, ct{k}" for k in ks)
+            )
+        )
+    )
+    voc_pts = voc_row.select(
+        F.expr(
+            "stack({}, {}) as (k, cum_vocab)".format(
+                len(ks), ", ".join(f"{k}, cv{k}" for k in ks)
+            )
+        )
+    )
+    pts = (
+        tok_pts.join(voc_pts, "k")
+        .withColumn("x", F.log(F.col("cum_tokens").cast("double")))
+        .withColumn("y", F.log(F.col("cum_vocab").cast("double")))
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "k",
+            "cum_tokens",
+            "cum_vocab",
+            F.round(beta, 4).alias("heaps_beta"),
+            F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4).alias(
+                "heaps_k"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+# The oracle reproduces the first-appearance construction and mirrors
+# the OLS arithmetic shape exactly (same sub-expression order) so the
+# 4dp-rounded doubles agree; the checkpoint rollup uses the equivalent
+# 10x fan-out form — identical integers, oracle-side simplicity.
+SQL_HEAPS_LAW = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+           x -> length(x) > 0)) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1
+), first AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1
+), mx AS (
+  SELECT max(doc_id) AS maxd FROM documents
+), cps(k) AS (
+  VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)
+), tokcum AS (
+  SELECT k, CAST(sum(CASE WHEN doc_id <= maxd * k // 10 THEN n_tok END) AS BIGINT)
+           AS cum_tokens
+  FROM per_doc CROSS JOIN mx CROSS JOIN cps GROUP BY k
+), voccum AS (
+  SELECT k, CAST(sum(CASE WHEN first_doc <= maxd * k // 10 THEN 1 END) AS BIGINT)
+           AS cum_vocab
+  FROM first CROSS JOIN mx CROSS JOIN cps GROUP BY k
+), pts AS (
+  SELECT k, cum_tokens, cum_vocab,
+         ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_vocab AS DOUBLE)) AS y
+  FROM tokcum JOIN voccum USING (k)
+), fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT k, cum_tokens, cum_vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+       round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n), 4)
+         AS heaps_k
+FROM pts CROSS JOIN fit
+ORDER BY k
+"""
+
+
 REGISTRY = {
     "text_keyphrase_rake": QuerySpec(text_keyphrase_rake, SQL_KEYPHRASE_RAKE),
     "text_context_trim": QuerySpec(text_context_trim, SQL_CONTEXT_TRIM),
@@ -1295,6 +1439,7 @@ REGISTRY = {
     "text_lang_id": QuerySpec(text_lang_id, SQL_LANG_ID),
     "eval_langid_f1": QuerySpec(eval_langid_f1, SQL_EVAL_LANGID_F1),
     "text_token_entropy": QuerySpec(text_token_entropy, SQL_TOKEN_ENTROPY),
+    "text_heaps_law": QuerySpec(text_heaps_law, SQL_HEAPS_LAW),
     "text_token_count": QuerySpec(text_token_count, SQL_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(text_fingerprint, SQL_FINGERPRINT),
 }

@@ -1046,3 +1046,48 @@ def test_quantile_sketch_within_one_bucket(spark):
         assert r.abs_err_cents <= r.bucket_width_cents, r
     ests = [r.est_usd for r in rows]
     assert ests == sorted(ests)
+
+
+def test_heaps_law_curve_and_fit(spark, tmp_path):
+    """On a crafted corpus whose vocabulary grows like sqrt(tokens),
+    the relational log-log OLS must recover beta ~ 0.5 and match
+    numpy's polyfit on the same 10 points; on the SYNTHETIC testdata
+    corpus (a closed 31-token vocabulary) the diagnostic must report
+    saturation: flat cum_vocab and beta == 0 exactly."""
+    import math
+
+    import numpy as np
+
+    from python_multiproc_bigdata_spark.registry.text import text_heaps_law
+
+    # crafted Heaps corpus: token at global position g is w_isqrt(g),
+    # so V(T) = floor(sqrt(T)) + 1 -> beta ~ 0.5
+    docs = []
+    for i in range(200):
+        words = [f"w{math.isqrt(i * 20 + j)}" for j in range(20)]
+        docs.append((i, " ".join(words), "en", "synthetic", len(" ".join(words))))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path / "heaps"
+    df.write.parquet(str(d / "documents.parquet"))
+
+    rows = sorted(text_heaps_law(spark, str(d)).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == list(range(1, 11))
+    toks = [r.cum_tokens for r in rows]
+    vocab = [r.cum_vocab for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    assert all(v <= t for v, t in zip(vocab, toks))
+    beta = rows[0].heaps_beta
+    assert 0.45 < beta < 0.55
+    slope, intercept = np.polyfit(
+        [math.log(t) for t in toks], [math.log(v) for v in vocab], 1
+    )
+    assert abs(beta - slope) < 1e-3
+    assert abs(rows[0].heaps_k - math.exp(intercept)) <= 1e-3 * math.exp(intercept)
+
+    # the synthetic testdata corpus: closed vocabulary -> saturation
+    sat = sorted(
+        text_heaps_law(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.k,
+    )
+    assert len({r.cum_vocab for r in sat}) == 1  # flat from checkpoint 1
+    assert sat[0].heaps_beta == 0.0
