@@ -398,6 +398,63 @@ def dedup_minhash_lsh_materialized(spark: SparkSession, sf_dir: str) -> DataFram
     return lsh_pairs_from_signatures(sig, threshold=0.8)
 
 
+def eval_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration eval for the MinHash estimator — the recall
+    evals' dedup-side sibling: on every banded-LSH candidate pair, the
+    SIGNATURE estimate of Jaccard (matching minhash components / k,
+    granularity 1/8 at k=8) next to the exact set Jaccard and the
+    absolute error. This is the number that justifies trusting k=8
+    signatures to rank near-dups at 100 TB — the estimator's bias on
+    REAL candidate pairs (not the textbook uniform bound) becomes a
+    value-checked row instead of folklore. Candidates and both lookups
+    are the shared LSH machinery (operators/dedup.py); the exact side
+    is a per-pair array_intersect on the already-collected shingle
+    sets, never a second corpus shuffle."""
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        MINHASH_K,
+        _banded_candidates,
+        _signature_relation,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    sig = _signature_relation(d, "doc_id", "text", 3).localCheckpoint(eager=True)
+    cand = _banded_candidates(sig)
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        F.col("shs").alias("shs_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        F.col("shs").alias("shs_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    m = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    est = F.round(m / float(MINHASH_K), 4)
+    jac = F.round(inter / union, 4)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            est.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.round(F.abs(est - jac), 4).alias("abs_err"),
+        )
+    )
+
+
+_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+)
+
+
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sig"
     for b in range(MINHASH_K // 2)
@@ -431,6 +488,42 @@ WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= {threshold}
 
 
 SQL_MINHASH_LSH = _minhash_pairs_sql(0.8)
+
+
+# Calibration oracle: same shingle/signature/band chain; candidates that
+# share a band but ZERO shingles (minhash collisions across different
+# shingles) must still appear with jaccard 0 — LEFT JOIN the
+# intersection, COALESCE to 0 (Spark computes the intersection inline
+# via array_intersect, so it never drops them).
+SQL_MINHASH_CALIBRATION = SQL_SHINGLES_CTE + f"""
+, sig AS (SELECT id, {_SIG_COLS} FROM sh GROUP BY id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+       round(({_MATCH_SQL}) / {MINHASH_K}.0, 4) AS est_jaccard,
+       round(COALESCE(i.i, 0) * 1.0
+             / (sa.n + sb.n - COALESCE(i.i, 0)), 4) AS jaccard,
+       round(abs(round(({_MATCH_SQL}) / {MINHASH_K}.0, 4)
+                 - round(COALESCE(i.i, 0) * 1.0
+                         / (sa.n + sb.n - COALESCE(i.i, 0)), 4)), 4) AS abs_err
+FROM cand c
+JOIN sig a ON a.id = c.id_a
+JOIN sig b ON b.id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,6 +985,9 @@ REGISTRY = {
     "dedup_winnow_pairs": QuerySpec(dedup_winnow_pairs, SQL_WINNOW_PAIRS),
     "dedup_minhash_signatures": QuerySpec(dedup_minhash_signatures, SQL_MINHASH_SIG),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "eval_minhash_calibration": QuerySpec(
+        eval_minhash_calibration, SQL_MINHASH_CALIBRATION
+    ),
     "dedup_minhash_lsh_materialized": QuerySpec(
         dedup_minhash_lsh_materialized, SQL_MINHASH_LSH
     ),

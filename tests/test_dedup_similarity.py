@@ -802,3 +802,32 @@ def test_image_ahash_banded_join_is_lossless(spark):
     three = ahash_bands(attach_ppm(df.limit(3))).collect()
     assert len(three) == 12
     assert all(0 <= r.band_val < (1 << 16) for r in three)
+
+
+def test_minhash_calibration_estimator_semantics(spark, tmp_path):
+    """The k=8 signature estimate must be exactly m/8-granular, equal 1
+    with zero error on an exact-duplicate pair, and abs_err must be the
+    |est - jaccard| of the emitted columns on every candidate pair."""
+    from python_multiproc_bigdata_spark.registry.dedup import (
+        eval_minhash_calibration,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "src0", len(base)),
+        (2, base, "en", "src0", len(base)),  # exact dup of 1
+        (3, base + " with a different tail entirely", "en", "src0", 99),
+        (4, "completely unrelated text about spark physical plans", "en", "src0", 52),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path / "cal"
+    df.write.parquet(str(d / "documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b): r for r in eval_minhash_calibration(spark, str(d)).collect()}
+    assert (1, 2) in got
+    r12 = got[(1, 2)]
+    assert r12.est_jaccard == 1.0 and r12.jaccard == 1.0 and r12.abs_err == 0.0
+    for r in got.values():
+        assert round(r.est_jaccard * 8, 6) == int(round(r.est_jaccard * 8))
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.jaccard), 4)) < 1e-9
+        assert 0.0 <= r.jaccard <= 1.0
