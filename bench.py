@@ -194,6 +194,8 @@ HEADLINE = [
     "privacy_t_closeness",
     "stats_quantile_sketch",
     "streaming_quantile_monitor",
+    "text_heaps_law",
+    "eval_minhash_calibration",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

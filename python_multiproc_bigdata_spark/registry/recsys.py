@@ -250,6 +250,188 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def recsys_eval_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out accuracy eval for the item-based recommender —
+    the temporal protocol recsys papers report: for each eligible
+    customer (>=2 brands, deterministic md5 quarter-sample), HOLD OUT
+    the brand they adopted LAST (latest first-purchase date, ties to
+    the lower brand), retrain the similarity relation on the remaining
+    interactions only (no leakage: holding out the last FIRST-TIME
+    brand removes ALL of that pair's support), score candidates with
+    the standard CF sum, and report hit-rate@10 and MRR@10 as ONE row.
+
+    Exactness: dates and counts are integers; per-hit reciprocal ranks
+    are summed as round(1e6/rank) BIGINT micro-units (rank <= 10, so
+    order-independent) and divided back once at export — the
+    eval_ranking_ndcg integer-gain discipline. Scale shape: identical
+    to recsys_user_recommend (broadcast sims over the (custkey, brand)
+    partitioning) plus one row_number to pick each user's holdout."""
+    s = prep(spark)
+    li = table(s, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(s, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    pt = table(s, sf_dir, "part").select("p_partkey", "p_brand")
+    ev = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("p_brand").alias("brand"),
+            "o_orderdate",
+        )
+    )
+    firsts = ev.groupBy("custkey", "brand").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    wl = Window.partitionBy("custkey").orderBy(F.desc("first_dt"), F.asc("brand"))
+    marked = firsts.withColumn("_r", F.row_number().over(wl))
+    # train feeds the sims build, the scoring join, and the owned
+    # anti-join — materialize once (the user_recommend discipline)
+    train = (
+        marked.filter(F.col("_r") >= 2)
+        .select("custkey", "brand")
+        .localCheckpoint(eager=True)
+    )
+    eligible = (
+        marked.groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_brands"))
+        .filter(
+            (F.col("n_brands") >= 2)
+            & (F.md5(F.col("custkey").cast("string")) < "4")
+        )
+        .select("custkey")
+    )
+    holdout = (
+        marked.filter(F.col("_r") == 1)
+        .join(eligible, "custkey")
+        .select("custkey", F.col("brand").alias("held"))
+    )
+    sims = _sims_from_interactions(train)
+    sampled = train.join(eligible, "custkey")
+    scores = (
+        sampled.join(F.broadcast(sims), "brand")
+        .groupBy("custkey", F.col("neighbor").alias("candidate"))
+        .agg(F.sum("sim_micro").alias("score_micro"))
+    )
+    fresh = scores.join(
+        train.select("custkey", F.col("brand").alias("candidate")),
+        ["custkey", "candidate"],
+        "left_anti",
+    )
+    wr = Window.partitionBy("custkey").orderBy(
+        F.desc("score_micro"), F.asc("candidate")
+    )
+    topk = fresh.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= 10
+    )
+    hits = topk.join(holdout, "custkey").filter(
+        F.col("candidate") == F.col("held")
+    )
+    n_eval = eligible.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.coalesce(
+            F.sum(F.round(F.lit(1000000.0) / F.col("rank"), 0).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("mrr_micro"),
+    )
+    return n_eval.crossJoin(agg).select(
+        "n_eval",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_eval"), 6).alias("hit_rate_at_10"),
+        F.round(F.col("mrr_micro") / F.col("n_eval") / 1000000.0, 6).alias(
+            "mrr_at_10"
+        ),
+    )
+
+
+SQL_EVAL_HITRATE_LOO = """
+WITH ev AS (
+  SELECT o.o_custkey AS custkey, p.p_brand AS brand, o.o_orderdate
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+firsts AS (
+  SELECT custkey, brand, min(o_orderdate) AS first_dt
+  FROM ev GROUP BY 1, 2
+),
+marked AS (
+  SELECT custkey, brand,
+         row_number() OVER (PARTITION BY custkey
+                            ORDER BY first_dt DESC, brand ASC) AS _r
+  FROM firsts
+),
+train AS (SELECT custkey, brand FROM marked WHERE _r >= 2),
+eligible AS (
+  SELECT custkey FROM marked GROUP BY custkey
+  HAVING count(*) >= 2 AND md5(CAST(custkey AS VARCHAR)) < '4'
+),
+holdout AS (
+  SELECT m.custkey, m.brand AS held
+  FROM marked m JOIN eligible e ON m.custkey = e.custkey
+  WHERE m._r = 1
+),
+cnt AS (SELECT brand, count(*) AS n FROM train GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_co
+  FROM train a JOIN train b ON a.custkey = b.custkey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+),
+sym AS (
+  SELECT brand_a, brand_b, n_co FROM pairs
+  UNION ALL
+  SELECT brand_b AS brand_a, brand_a AS brand_b, n_co FROM pairs
+),
+sims AS (
+  SELECT s.brand_a AS brand, s.brand_b AS neighbor, s.n_co,
+         CAST(round(CAST(s.n_co AS DOUBLE)
+                    / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS sim_micro
+  FROM sym s
+  JOIN cnt ca ON s.brand_a = ca.brand
+  JOIN cnt cb ON s.brand_b = cb.brand
+),
+sampled AS (
+  SELECT t.custkey, t.brand FROM train t JOIN eligible e ON t.custkey = e.custkey
+),
+scores AS (
+  SELECT sa.custkey, si.neighbor AS candidate,
+         sum(si.sim_micro) AS score_micro
+  FROM sampled sa JOIN sims si ON sa.brand = si.brand
+  GROUP BY sa.custkey, si.neighbor
+),
+fresh AS (
+  SELECT sc.* FROM scores sc
+  ANTI JOIN train t
+    ON sc.custkey = t.custkey AND sc.candidate = t.brand
+),
+topk AS (
+  SELECT custkey, candidate,
+         row_number() OVER (PARTITION BY custkey
+                            ORDER BY score_micro DESC, candidate ASC) AS rank
+  FROM fresh
+),
+hits AS (
+  SELECT t.custkey, t.rank
+  FROM topk t JOIN holdout h ON t.custkey = h.custkey AND t.candidate = h.held
+  WHERE t.rank <= 10
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM eligible),
+ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(COALESCE(sum(CAST(round(1000000.0 / rank, 0) AS BIGINT)), 0)
+              AS BIGINT) AS mrr_micro
+  FROM hits
+)
+SELECT n_eval, n_hit,
+       round(n_hit * 1.0 / n_eval, 6) AS hit_rate_at_10,
+       round(mrr_micro / n_eval / 1000000.0, 6) AS mrr_at_10
+FROM ne CROSS JOIN ag
+"""
+
+
 def recsys_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-quality eval for the recommender: catalog COVERAGE (what
     share of brands ever appear in anyone's top-3 — a popularity-biased
@@ -367,4 +549,7 @@ REGISTRY = {
     "recsys_item_similar_topk": QuerySpec(recsys_item_similar_topk, SQL_ITEM_SIMILAR),
     "recsys_user_recommend": QuerySpec(recsys_user_recommend, SQL_USER_RECOMMEND),
     "recsys_eval_coverage": QuerySpec(recsys_eval_coverage, SQL_EVAL_COVERAGE),
+    "recsys_eval_hitrate_loo": QuerySpec(
+        recsys_eval_hitrate_loo, SQL_EVAL_HITRATE_LOO
+    ),
 }

@@ -99,3 +99,55 @@ def test_eval_coverage_bounds_and_consistency(spark):
     assert r.n_users == recs.select("custkey").distinct().count()
     got_cov = recs.select("candidate").distinct().count() / r.n_brands
     assert abs(r.coverage - round(got_cov, 6)) < 1e-6
+
+
+def test_hitrate_loo_protocol(spark):
+    """Leave-last-out protocol invariants at sf0.001: metrics bounded
+    (n_hit <= n_eval, MRR <= hit-rate since each hit contributes at
+    most 1/1 to the numerator), and the holdout construction recomputed
+    row-by-row — latest first-purchase date per eligible customer,
+    ties to the LOWER brand, never present in the train relation."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.common import prep, table
+    from python_multiproc_bigdata_spark.registry.recsys import (
+        recsys_eval_hitrate_loo,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    [row] = recsys_eval_hitrate_loo(spark, sf).collect()
+    assert 0 <= row.n_hit <= row.n_eval
+    assert 0.0 <= row.mrr_at_10 <= row.hit_rate_at_10 <= 1.0
+
+    s = prep(spark)
+    li = table(s, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(s, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    pt = table(s, sf, "part").select("p_partkey", "p_brand")
+    firsts = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.min("o_orderdate").alias("first_dt"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in firsts:
+        by_user.setdefault(r.custkey, []).append((r.first_dt, r.brand))
+    n_eval = 0
+    for ck, pairs in by_user.items():
+        if len(pairs) < 2:
+            continue
+        import hashlib
+
+        if hashlib.md5(str(ck).encode()).hexdigest() >= "4":
+            continue
+        n_eval += 1
+        # latest first_dt, ties to the LOWER brand
+        latest = max(p[0] for p in pairs)
+        held_brand = min(b for d, b in pairs if d == latest)
+        train_brands = {b for d, b in pairs if b != held_brand}
+        assert held_brand not in train_brands
+        assert len(train_brands) == len(pairs) - 1
+    assert n_eval == row.n_eval
