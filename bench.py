@@ -196,6 +196,7 @@ HEADLINE = [
     "streaming_quantile_monitor",
     "text_heaps_law",
     "eval_minhash_calibration",
+    "recsys_eval_hitrate_loo",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

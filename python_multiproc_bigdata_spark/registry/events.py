@@ -1088,6 +1088,88 @@ FROM peak WHERE rk = 1
 """
 
 
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type — the traffic-shape
+    diagnostic capacity planning and anomaly baselining read first:
+    for consecutive events of the same (user, type), the gap
+    distribution (n, mean, p90) plus the coefficient of variation and
+    Goh-Barabási burstiness B = (sigma - mu)/(sigma + mu) (B -> -1
+    periodic, 0 Poisson, +1 bursty).
+
+    Exactness: gaps are integer microseconds from one lag() over the
+    (user, type) partitioning; mean comes from the exact BIGINT sum;
+    the variance's sum of squares runs in DECIMAL(38,0) on Spark /
+    HUGEINT on DuckDB (gap^2 overflows int64 at day-scale gaps), and
+    both engines convert the same exact integers to double with the
+    same mirrored expression before the round. p90 interpolates the
+    same integer multiset (percentile == quantile_cont)."""
+    e = table(prep(spark), sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    gaps = (
+        e.select("user_id", "event_type", us.alias("t"), "event_id")
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s1"),
+        # cast BEFORE multiplying: gap*gap overflows int64 at day-scale
+        # gaps (ANSI mode throws; the decimal product is exact)
+        F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap")).alias("s2"),
+        F.expr("percentile(gap, 0.9D)").alias("p90_us"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s1") / n
+    var = (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")) / (n * n)
+    sigma = F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu / 1000000.0, 4).alias("mean_s"),
+        F.round(F.col("p90_us") / 1000000.0, 6).alias("p90_s"),
+        F.round(sigma / mu, 4).alias("cv"),
+        F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+SQL_INTERARRIVAL = """
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), gaps AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY user_id, event_type
+                          ORDER BY t, event_id) AS gap
+  FROM t
+), g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s1,
+         sum(CAST(gap AS HUGEINT) * gap) AS s2,
+         quantile_cont(gap, 0.9) AS p90_us
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       round((CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1000000.0, 4)
+         AS mean_s,
+       round(p90_us / 1000000.0, 6) AS p90_s,
+       round(sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS cv,
+       round((sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+              - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             / (sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS burstiness
+FROM agg ORDER BY event_type
+"""
+
+
 def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-k autocorrelation (k = 1..3) of each type's hourly volume —
     the temporal-dependence diagnostic that separates bursty series
@@ -2182,6 +2264,9 @@ REGISTRY = {
     "events_changepoint_cusum": QuerySpec(events_changepoint_cusum, SQL_CHANGEPOINT_CUSUM),
     "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
     "events_autocorrelation": QuerySpec(events_autocorrelation, SQL_AUTOCORRELATION),
+    "events_interarrival_profile": QuerySpec(
+        events_interarrival_profile, SQL_INTERARRIVAL
+    ),
     "events_seasonality_profile": QuerySpec(events_seasonality_profile, SQL_SEASONALITY),
     "events_survival_km": QuerySpec(events_survival_km, SQL_SURVIVAL_KM),
     "events_attribution_shapley": QuerySpec(events_attribution_shapley, SQL_ATTRIBUTION_SHAPLEY),

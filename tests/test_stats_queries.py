@@ -1091,3 +1091,47 @@ def test_heaps_law_curve_and_fit(spark, tmp_path):
     )
     assert len({r.cum_vocab for r in sat}) == 1  # flat from checkpoint 1
     assert sat[0].heaps_beta == 0.0
+
+
+def test_interarrival_burstiness_on_crafted_traffic(spark, tmp_path):
+    """A strictly periodic stream must profile as B = -1 (cv 0) and a
+    two-scale bursty stream as B > 0; mean must equal the exact gap."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.events import (
+        events_interarrival_profile,
+    )
+
+    rows = []
+    eid = 0
+    # periodic: user 1, every 10 s exactly
+    for i in range(50):
+        eid += 1
+        rows.append((eid, 1_700_000_000_000_000 + i * 10_000_000, 1, "tick", 1.0, "{}"))
+    # bursty: user 2, one dense 1 s-spaced burst of 49 events, then one
+    # straggler 100000 s later -> 48 tiny gaps + 1 huge gap (cv ~ 6.9)
+    t = 1_700_000_000_000_000
+    for i in range(49):
+        eid += 1
+        rows.append((eid, t + i * 1_000_000, 2, "burst", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, t + 48 * 1_000_000 + 100_000_000_000, 2, "burst", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "us", "user_id", "event_type", "value", "props"]
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    d = tmp_path / "ia"
+    df.write.parquet(str(d / "events.parquet"))
+    got = {r.event_type: r for r in events_interarrival_profile(spark, str(d)).collect()}
+    tick = got["tick"]
+    assert tick.n_gaps == 49 and tick.mean_s == 10.0
+    assert tick.cv == 0.0 and tick.burstiness == -1.0
+    burst = got["burst"]
+    assert burst.n_gaps == 49
+    assert burst.burstiness > 0.5  # two-scale traffic is strongly bursty
