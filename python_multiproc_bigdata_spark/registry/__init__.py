@@ -389,6 +389,12 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     fix), pii_redact
 #   privacy (1): l_diversity;  multimodal (1): resize_ppm;
 #   streaming (1): first_event
+# Round-8 promotion candidates (parity-green r7, never windowed):
+# multimodal_image_ahash_neardup, privacy_t_closeness,
+# stats_quantile_sketch, streaming_quantile_monitor, text_heaps_law,
+# eval_minhash_calibration, recsys_eval_hitrate_loo,
+# events_interarrival_profile — plus the ~46 remaining never-checked
+# from the pre-r7 backlog (see PARITY_LEDGER.md "driver rounds green").
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",

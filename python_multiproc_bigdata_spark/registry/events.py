@@ -1133,7 +1133,7 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-SQL_INTERARRIVAL = """
+SQL_INTERARRIVAL_PROFILE = """
 WITH t AS (
   SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
 ), gaps AS (
@@ -2265,7 +2265,7 @@ REGISTRY = {
     "events_frequent_sequences": QuerySpec(events_frequent_sequences, SQL_FREQUENT_SEQUENCES),
     "events_autocorrelation": QuerySpec(events_autocorrelation, SQL_AUTOCORRELATION),
     "events_interarrival_profile": QuerySpec(
-        events_interarrival_profile, SQL_INTERARRIVAL
+        events_interarrival_profile, SQL_INTERARRIVAL_PROFILE
     ),
     "events_seasonality_profile": QuerySpec(events_seasonality_profile, SQL_SEASONALITY),
     "events_survival_km": QuerySpec(events_survival_km, SQL_SURVIVAL_KM),

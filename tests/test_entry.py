@@ -242,3 +242,29 @@ def test_rows_only_queries_are_the_documented_exceptions():
 
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == {"approx_distinct_stats", "stats_hll_users_per_type"}
+
+
+def test_no_shadowed_registry_module_constants():
+    """A module-level constant defined TWICE silently replaces the
+    first (bit us in r7: a new SQL_INTERARRIVAL clobbered an existing
+    query's oracle — the full gate caught the value drift, this catches
+    it at test time). Parse each registry module and reject duplicate
+    top-level simple assignments."""
+    import ast
+    import pathlib
+
+    import python_multiproc_bigdata_spark.registry as reg
+
+    pkg = pathlib.Path(reg.__file__).parent
+    for f in sorted(pkg.glob("*.py")):
+        tree = ast.parse(f.read_text())
+        seen: dict = {}
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        assert t.id not in seen, (
+                            f"{f.name}:{node.lineno} redefines {t.id} "
+                            f"(first at line {seen[t.id]})"
+                        )
+                        seen[t.id] = node.lineno
