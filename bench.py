@@ -197,6 +197,7 @@ HEADLINE = [
     "text_heaps_law",
     "eval_minhash_calibration",
     "recsys_eval_hitrate_loo",
+    "events_interarrival_profile",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

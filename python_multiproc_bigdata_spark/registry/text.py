@@ -1308,7 +1308,20 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # per-doc token count is pure map-side size() — no second tokenize+
+    # explode+shuffle of the corpus (docs with 0 tokens contribute 0 to
+    # every cumulative sum, so including them is value-neutral)
+    per_doc = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), WHITESPACE_RE),
+                lambda w: F.length(w) > 0,
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
     first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     maxd = d.agg(F.max("doc_id").alias("maxd"))
     ks = range(1, HEAPS_CHECKPOINTS + 1)
