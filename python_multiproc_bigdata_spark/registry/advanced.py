@@ -491,6 +491,130 @@ SELECT check_name, n_violations, n_rows, n_violations = 0 AS passed FROM (
 """
 
 
+# One shared spec drives BOTH the Spark panel and its oracle, so the
+# two can never drift: per table, the primary key (composite allowed)
+# and the profiled columns. Only string/integer/date columns are
+# profiled — float min/max would hash-compare via engine-specific
+# string formatting. Values are emitted as strings (dates render
+# 'YYYY-MM-DD' identically on both engines).
+DQ_PANEL_SPEC: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    # table: (pk columns, profiled columns)
+    "region": (("r_regionkey",), ("r_name",)),
+    "nation": (("n_nationkey",), ("n_name", "n_regionkey")),
+    "customer": (("c_custkey",), ("c_nationkey", "c_mktsegment")),
+    "supplier": (("s_suppkey",), ("s_nationkey",)),
+    "part": (("p_partkey",), ("p_brand", "p_type")),
+    "orders": (("o_orderkey",), ("o_custkey", "o_orderdate", "o_orderpriority")),
+    "lineitem": (
+        ("l_orderkey", "l_linenumber"),
+        ("l_shipdate", "l_returnflag", "l_linestatus"),
+    ),
+    "documents": (("doc_id",), ("lang", "source", "n_chars")),
+    "embeddings": (("vec_id",), ("label",)),
+}
+
+
+def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide data-quality expectation panel — the
+    Great-Expectations shape generalizing dq_check_orders from one
+    table's rules to every table's profile: per table a row_count and a
+    pk_duplicates check (rows minus distinct PK tuples — composite keys
+    supported), and per profiled column null_count / n_distinct /
+    min / max as canonical strings. One scan + one aggregate per table
+    (every metric is a conditional/distinct aggregate in the same
+    groupBy-less pass; the distinct-PK check is its own count-distinct
+    pass), |tables|x|columns| rows out at any scale — the nightly
+    freshness/contract report a 100 TB lakehouse runs per layer."""
+    s = prep(spark)
+    frames = []
+    for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
+        t = table(s, sf_dir, tbl)
+        # \x01 separator matches the oracle's chr(1) join — a bare
+        # concat would make ('1','23') collide with ('12','3')
+        pk_tuple = F.concat_ws("\x01", *[F.col(c).cast("string") for c in pk])
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+            F.count_distinct(pk_tuple).cast("long").alias("_pk_distinct"),
+        ]
+        for c in cols:
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_null_{c}"),
+                F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            ]
+        row = t.agg(*aggs)
+        metrics = [
+            ("_table_", "row_count", F.col("_rows").cast("string")),
+            (
+                "_table_",
+                "pk_duplicates",
+                (F.col("_rows") - F.col("_pk_distinct")).cast("string"),
+            ),
+        ]
+        for c in cols:
+            metrics += [
+                (c, "null_count", F.col(f"_null_{c}").cast("string")),
+                (c, "n_distinct", F.col(f"_nd_{c}").cast("string")),
+                (c, "min", F.col(f"_min_{c}")),
+                (c, "max", F.col(f"_max_{c}")),
+            ]
+        frames.append(
+            row.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(tbl).alias("tbl"),
+                                F.lit(col).alias("col"),
+                                F.lit(metric).alias("metric"),
+                                val.alias("value"),
+                            )
+                            for col, metric, val in metrics
+                        ]
+                    )
+                ).alias("m")
+            ).select("m.tbl", "m.col", "m.metric", "m.value")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("tbl", "col", "metric")
+
+
+def _dq_panel_oracle() -> str:
+    parts = []
+    for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
+        pk_expr = " || chr(1) || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, '_table_' AS col, 'row_count' AS metric,\n"
+            f"       CAST(count(*) AS VARCHAR) AS value FROM {tbl}"
+        )
+        parts.append(
+            f"SELECT '{tbl}', '_table_', 'pk_duplicates',\n"
+            f"       CAST(count(*) - count(DISTINCT {pk_expr}) AS VARCHAR) FROM {tbl}"
+        )
+        for c in cols:
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'null_count',\n"
+                f"       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS VARCHAR)"
+                f" FROM {tbl}"
+            )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'n_distinct',\n"
+                f"       CAST(count(DISTINCT {c}) AS VARCHAR) FROM {tbl}"
+            )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'min', CAST(min({c}) AS VARCHAR) FROM {tbl}"
+            )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'max', CAST(max({c}) AS VARCHAR) FROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tbl, col, metric"
+
+
 REGISTRY = {
     "cdc_upsert_customers": QuerySpec(cdc_upsert_customers, SQL_CDC_UPSERT),
     "cdc_latest_per_key": QuerySpec(cdc_latest_per_key, SQL_CDC_LATEST),
@@ -507,4 +631,5 @@ REGISTRY = {
     "approx_distinct_stats": QuerySpec(approx_distinct_stats, None),
     "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
     "dq_check_orders": QuerySpec(dq_check_orders, SQL_DQ_ORDERS),
+    "dq_expectations_panel": QuerySpec(dq_expectations_panel, _dq_panel_oracle),
 }
