@@ -491,6 +491,53 @@ SELECT check_name, n_violations, n_rows, n_violations = 0 AS passed FROM (
 """
 
 
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector proof, end-to-end: write the documents profile
+    through the XML sink (Spark 4's built-in `xml` format, one file per
+    partition so the read side stays parallel — XML is not splittable
+    within a file), read it back with an explicit schema (inference
+    would re-scan the corpus), and aggregate. The oracle computes the
+    SAME aggregate straight from parquet, so the driver check is the
+    materialization-changes-the-plan-never-the-answer proof (the
+    dedup_minhash_lsh_materialized pattern) applied to a source format.
+    Text stays out of the hop: XML escaping is the format's own concern;
+    the connector claim is schema+values fidelity for scalar columns."""
+    import tempfile
+
+    from python_multiproc_bigdata_spark.sinks import xml_sink
+    from python_multiproc_bigdata_spark.sources.files import read_xml
+
+    s = prep(spark)
+    d = table(s, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="pmb_xml_") + "/docs"
+    xml_sink(path)(d)
+    back = read_xml(
+        s,
+        path,
+        schema="doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("doc_id").cast("long").alias("n_unique"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_XML_ROUNDTRIP = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 # One shared spec drives BOTH the Spark panel and its oracle, so the
 # two can never drift: per table, the primary key (composite allowed)
 # and the profiled columns. Only string/integer/date columns are
@@ -632,4 +679,5 @@ REGISTRY = {
     "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
     "dq_check_orders": QuerySpec(dq_check_orders, SQL_DQ_ORDERS),
     "dq_expectations_panel": QuerySpec(dq_expectations_panel, _dq_panel_oracle),
+    "source_xml_roundtrip": QuerySpec(source_xml_roundtrip, SQL_XML_ROUNDTRIP),
 }

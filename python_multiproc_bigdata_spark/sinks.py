@@ -166,3 +166,19 @@ def jsonl_sink(path: str, mode: str = "overwrite") -> Sink:
         df.write.mode(mode).json(path)
 
     return _write
+
+
+def xml_sink(path: str, row_tag: str = "doc", mode: str = "overwrite") -> Sink:
+    """XML sink (Spark 4 built-in format) — the interchange hop for
+    systems that still speak XML feeds; one file per partition, so the
+    read side stays parallel (XML is not splittable within a file)."""
+
+    def _write(df: DataFrame) -> None:
+        (
+            df.write.format("xml")
+            .option("rowTag", row_tag)
+            .mode(mode)
+            .save(path)
+        )
+
+    return _write

@@ -144,3 +144,22 @@ def jsonl_sink_write(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL corpus sink (one object per line; gzip-free so downstream
     readers can split files). Pair of read_jsonl."""
     df.write.mode(mode).json(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    *paths: str,
+    row_tag: str = "doc",
+    schema: str | None = None,
+) -> DataFrame:
+    """XML corpus source (Spark 4's built-in `xml` format — the
+    spark-xml package folded into core): one DataFrame row per
+    `row_tag` element. Like read_jsonl, an EXPLICIT schema matters at
+    scale — inference runs a full extra pass over the input; unlike
+    JSONL, XML is NOT line-splittable, so at 100 TB the input should be
+    many moderate files (the writer below emits one file per partition)
+    rather than one giant document."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(list(paths) if len(paths) > 1 else paths[0])

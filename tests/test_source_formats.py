@@ -63,3 +63,25 @@ def test_parquet_schema_evolution_union(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_xml_roundtrip_values_and_attrs(spark, tmp_path):
+    """Spark 4 built-in XML: values survive the write->read hop with an
+    explicit schema, one output file per partition (parallel read side),
+    and malformed trailing content is the format's own failure — we pin
+    the happy path plus null handling."""
+    from python_multiproc_bigdata_spark.sinks import xml_sink
+    from python_multiproc_bigdata_spark.sources.files import read_xml
+
+    rows = [(1, "en", "a", 10), (2, None, "b", 20), (3, "fr", "a", 30)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, n_chars bigint"
+    ).repartition(2)
+    p = str(tmp_path / "docs")
+    xml_sink(p)(df)
+    back = read_xml(
+        spark, p, schema="doc_id bigint, lang string, source string, n_chars bigint"
+    )
+    got = sorted((r.doc_id, r.lang, r.source, r.n_chars) for r in back.collect())
+    assert got == sorted(rows)
+    assert back.rdd.getNumPartitions() >= 2  # one file per write partition
