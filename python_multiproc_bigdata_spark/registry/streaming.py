@@ -15,6 +15,7 @@ from python_multiproc_bigdata_spark.registry.similarity import make_ivf_kmeans_o
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
     stream_stream_click_view_join,
+    stream_stream_click_view_left_join,
     run_to_memory,
     session_counts,
     sliding_counts,
@@ -270,6 +271,75 @@ FROM events c
 JOIN events v
   ON v.user_id = c.user_id
  AND v.event_type = 'view' AND c.event_type = 'click'
+ AND v.ts >= c.ts - INTERVAL '1 hour' AND v.ts <= c.ts
+"""
+
+
+def streaming_click_view_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join driven to completion —
+    the null-padding semantics milestone the inner join can't express:
+    clicks with no view in the lookback emit (click_id, user_id, NULL),
+    but ONLY after the global watermark proves no match can arrive, and
+    the emission itself happens one micro-batch after eviction becomes
+    possible. On a bounded replay that means the watermark must keep
+    advancing after the real data ends, so the input is staged as THREE
+    files consumed one per micro-batch (maxFilesPerTrigger=1, mtimes
+    pinned ascending): the corpus, then two sentinel click/view pairs
+    ever further in the future (negative ids, impossible user). Batch 2
+    advances the global watermark past every real click; batch 3 runs
+    with that watermark and evicts+emits all real unmatched rows; the
+    sentinels themselves stay trapped in state (their own watermark
+    never passes them) and are filtered by id anyway. The oracle is the
+    plain batch LEFT JOIN — streamed union == batch answer, the
+    streaming_topk_serving twin discipline."""
+    import glob as _glob
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    s = prep(spark)
+    e = table(s, sf_dir, "events")
+    max_ts = e.agg(F.max("ts").alias("m")).collect()[0].m  # 1-row driver read
+    root = tempfile.mkdtemp(prefix="pmb_ssoj_")
+    data_dir = os.path.join(root, "in")
+    os.makedirs(data_dir)
+
+    def _stage(df: DataFrame, name: str, mtime: int) -> None:
+        stage = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        [part] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(data_dir, name)
+        os.rename(part, dst)
+        os.utime(dst, (mtime, mtime))  # file source consumes oldest-first
+
+    _stage(e, "a_events.parquet", 1_000_000_000)
+
+    def _sentinels(h_click: int, h_view: int, id_click: int, id_view: int):
+        return s.createDataFrame(
+            [
+                (id_click, max_ts + timedelta(hours=h_click), -999, "click", 0.0, "{}"),
+                (id_view, max_ts + timedelta(hours=h_view), -999, "view", 0.0, "{}"),
+            ],
+            e.schema,
+        )
+
+    _stage(_sentinels(10, 20, -1, -2), "b_flush1.parquet", 1_000_000_100)
+    _stage(_sentinels(30, 40, -3, -4), "c_flush2.parquet", 1_000_000_200)
+
+    raw = (
+        s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    out = run_to_memory(stream_stream_click_view_left_join(raw), mode="append")
+    return out.filter(F.col("click_id") >= 0)
+
+
+SQL_STREAM_SS_LEFT_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
  AND v.ts >= c.ts - INTERVAL '1 hour' AND v.ts <= c.ts
 """
 
@@ -582,6 +652,9 @@ REGISTRY = {
     "streaming_words_doc_frequency": QuerySpec(streaming_words_doc_frequency, SQL_STREAM_WORDS),
     "streaming_enriched_counts": QuerySpec(streaming_enriched_counts, SQL_STREAM_ENRICHED),
     "streaming_click_view_join": QuerySpec(streaming_click_view_join, SQL_STREAM_SS_JOIN),
+    "streaming_click_view_left_join": QuerySpec(
+        streaming_click_view_left_join, SQL_STREAM_SS_LEFT_JOIN
+    ),
     # same oracle as stats_quantile_sketch: histogram cells are
     # distributive, so the micro-batch-merged sketch must read back
     # bit-identically to the one-shot batch sketch

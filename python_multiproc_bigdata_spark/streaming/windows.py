@@ -326,6 +326,48 @@ def stream_stream_click_view_join(
     ).select("click_id", "user_id", "view_id")
 
 
+def stream_stream_click_view_left_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-padding
+    semantics the inner variant above cannot express: a click with NO
+    view in its lookback window is still emitted (view_id NULL), but
+    only once the watermark proves no matching view can still arrive.
+    State stays bounded exactly as in the inner join; the NEW mechanics
+    are on the output side — unmatched rows surface at state EVICTION,
+    i.e. one micro-batch after the global watermark passes them, so a
+    bounded replay must keep advancing the watermark after the real
+    data ends (see registry/streaming.py:streaming_click_view_left_join
+    for the staged sentinel-flush pattern)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "left_outer",
+    ).select("click_id", "user_id", "view_id")
+
+
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through a
     memory sink; returns the materialized result as a batch DataFrame."""

@@ -73,3 +73,45 @@ def test_restart_resumes_from_checkpoint_no_reprocessing(spark, tmp_path):
         (r.doc_id, r.n) for r in got if r.n != 1
     )[:5]
     assert os.path.isdir(ckpt)
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark):
+    """The left-outer interval join must emit null-padded rows for
+    clicks with no view in the lookback — and exactly the ones the
+    batch LEFT JOIN produces (the sentinel-staged watermark flush in
+    registry/streaming.py is what makes them surface on a bounded
+    replay)."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.common import prep, table
+    from python_multiproc_bigdata_spark.registry.streaming import (
+        streaming_click_view_left_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_click_view_left_join(spark, sf).collect()
+    streamed = {(r.click_id, r.user_id, r.view_id) for r in got}
+    assert any(v is None for _, _, v in streamed), "no null-padded rows emitted"
+
+    e = table(prep(spark), sf, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    batch = {
+        (r.click_id, r.user_id, r.view_id)
+        for r in c.join(
+            v,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("vts") <= F.col("cts")),
+            "left_outer",
+        )
+        .select("click_id", "user_id", "view_id")
+        .collect()
+    }
+    assert streamed == batch
