@@ -1307,6 +1307,141 @@ FROM (
 """
 
 
+def events_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via MERGEABLE portable-HLL registers
+    — the sketch-over-time-windows composition that makes trailing
+    distinct counts affordable at 100 TB: per day, build the p=8 HLL
+    register relation ONCE (bucket = 2 md5 hex digits of the user key,
+    rho = leading-zero count, per-(day, bucket) MAX — the same portable
+    sketch as stats_hll_portable); each day's trailing-window estimate
+    then merges the last 7 days' registers by cell-wise MAX — never
+    re-scanning events per window, the whole point of a mergeable
+    sketch (recounting distinct users per sliding window rescans the
+    corpus |window| times; merging register relations touches
+    |days| x 256 rows). Emits the exact trailing distinct next to the
+    estimate and the relative error, so the sketch's accuracy is a
+    value-checked column per window (exact side is the eval — a 100 TB
+    deployment drops it)."""
+    e = table(prep(spark), sf_dir, "events")
+    du = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+        .distinct()
+    )
+    digits = [
+        F.expr(
+            f"CAST(instr('0123456789abcdef', substring(md5(u), {i + 1}, 1)) - 1 AS BIGINT)"
+        )
+        for i in range(14)
+    ]
+    bucket = (digits[0] * 16 + digits[1]).cast("int")
+    v = None
+    for i in range(2, 14):
+        t = digits[i] * F.lit(16 ** (13 - i)).cast("long")
+        v = t if v is None else v + t
+    rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v)))
+    regs = (
+        du.select("day", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    days = regs.select("day").distinct()
+    win = (
+        days.select(F.col("day").alias("wday"))
+        .join(
+            regs,
+            (F.col("day") <= F.col("wday"))
+            & (F.col("day") >= F.date_sub(F.col("wday"), 6)),
+        )
+        .groupBy("wday", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = win.groupBy("wday").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    exact = (
+        days.select(F.col("day").alias("wday"))
+        .join(
+            du,
+            (F.col("day") <= F.col("wday"))
+            & (F.col("day") >= F.date_sub(F.col("wday"), 6)),
+        )
+        .groupBy("wday")
+        .agg(F.count_distinct("u").cast("long").alias("exact_users"))
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")) * F.lit(1.0))
+    empties = F.lit(m) - F.col("_nb")
+    est = F.when(
+        (raw <= 2.5 * m) & (empties > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empties),
+    ).otherwise(raw)
+    return (
+        agg.join(exact, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            "exact_users",
+            F.round(est, 1).alias("hll_estimate"),
+            F.round(
+                F.abs(F.round(est, 1) - F.col("exact_users")) / F.col("exact_users"), 4
+            ).alias("rel_error"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_HLL_SLIDING = rf"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u
+  FROM events
+), hashed AS (
+  SELECT day,
+         CAST((strpos('0123456789abcdef', substr(md5(u), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(u), 2, 1)) - 1)
+              AS INTEGER) AS bucket,
+         CAST({" + ".join(
+             f"(strpos('0123456789abcdef', substr(md5(u), {i + 1}, 1)) - 1)"
+             f" * {16 ** (13 - i)}"
+             for i in range(2, 14)
+         )} AS BIGINT) AS v
+  FROM du
+), regs AS (
+  SELECT day, bucket,
+         max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS m
+  FROM hashed GROUP BY day, bucket
+), days AS (SELECT DISTINCT day FROM regs),
+win AS (
+  SELECT d.day AS wday, r.bucket, max(r.m) AS m
+  FROM days d JOIN regs r ON r.day <= d.day AND r.day >= d.day - 6
+  GROUP BY 1, 2
+), agg AS (
+  SELECT wday, sum(power(2.0, -m)) AS s, count(*) AS nb FROM win GROUP BY wday
+), ex AS (
+  SELECT d.day AS wday, CAST(count(DISTINCT u2.u) AS BIGINT) AS exact_users
+  FROM days d JOIN du u2 ON u2.day <= d.day AND u2.day >= d.day - 6
+  GROUP BY 1
+)
+SELECT wday AS day, exact_users,
+       round(est, 1) AS hll_estimate,
+       round(abs(round(est, 1) - exact_users) / exact_users, 4) AS rel_error
+FROM (
+  SELECT a.wday, e.exact_users,
+         CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+              THEN 256.0 * ln(256.0 / (256 - nb))
+              ELSE raw END AS est
+  FROM (
+    SELECT wday, nb,
+           CAST({0.7213 / (1.0 + 1.079 / 256)!r} AS DOUBLE) * 256 * 256
+             / (s + (256 - nb) * 1.0) AS raw
+    FROM agg) a JOIN ex e ON a.wday = e.wday)
+ORDER BY day
+"""
+
+
 def stats_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space isotropy diagnostics — the health panel run before
     trusting an embedding column for dedup/ANN: corpus size, dimension,
@@ -2293,6 +2428,7 @@ REGISTRY = {
     "privacy_l_diversity": QuerySpec(privacy_l_diversity, SQL_L_DIVERSITY),
     "privacy_t_closeness": QuerySpec(privacy_t_closeness, SQL_T_CLOSENESS),
     "stats_quantile_sketch": QuerySpec(stats_quantile_sketch, SQL_QUANTILE_SKETCH),
+    "events_hll_sliding_users": QuerySpec(events_hll_sliding_users, SQL_HLL_SLIDING),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),

@@ -1135,3 +1135,25 @@ def test_interarrival_burstiness_on_crafted_traffic(spark, tmp_path):
     burst = got["burst"]
     assert burst.n_gaps == 49
     assert burst.burstiness > 0.5  # two-scale traffic is strongly bursty
+
+
+def test_hll_sliding_merge_accuracy_and_monotonicity(spark):
+    """The merged trailing-window sketch must track the exact trailing
+    distinct within the p=8 error regime (<= 20% at these counts), and
+    the trailing-window exact count can never be below the best single
+    day inside it (merge sanity)."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        events_hll_sliding_users,
+    )
+
+    rows = sorted(
+        events_hll_sliding_users(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) >= 7
+    for r in rows:
+        assert r.rel_error <= 0.20, (r.day, r.rel_error)
+        assert r.hll_estimate > 0
+    # trailing window is a superset of each member day: exact counts
+    # never shrink vs a 1-day window at the warmup ramp's start
+    assert rows[6].exact_users >= rows[0].exact_users
