@@ -198,6 +198,10 @@ HEADLINE = [
     "eval_minhash_calibration",
     "recsys_eval_hitrate_loo",
     "events_interarrival_profile",
+    "dq_expectations_panel",
+    "source_xml_roundtrip",
+    "streaming_click_view_left_join",
+    "events_hll_sliding_users",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -571,7 +571,14 @@ def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every metric is a conditional/distinct aggregate in the same
     groupBy-less pass; the distinct-PK check is its own count-distinct
     pass), |tables|x|columns| rows out at any scale — the nightly
-    freshness/contract report a 100 TB lakehouse runs per layer."""
+    freshness/contract report a 100 TB lakehouse runs per layer.
+
+    Scale note: multiple exact count_distinct aggregates in one pass
+    plan through an Expand node (input multiplied by the number of
+    distinct columns). Fine at profile widths like these; a VERY wide
+    panel at 100 TB swaps n_distinct to approx_count_distinct (one
+    HLL per column, no Expand) and keeps the exact PK-duplicates check
+    as its own pass."""
     s = prep(spark)
     frames = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
