@@ -200,7 +200,10 @@ HEADLINE = [
     "events_interarrival_profile",
     "dq_expectations_panel",
     "source_xml_roundtrip",
-    "streaming_click_view_left_join",
+    # streaming_click_view_left_join is correctness-gated (parity +
+    # window) but NOT benched: its 22 s/repeat is fixture re-staging
+    # (corpus rewrite + 3 staged micro-batches), not engine work — the
+    # same reason most streaming queries stay out of HEADLINE
     "events_hll_sliding_users",
 ]
 
