@@ -52,6 +52,8 @@ SHOWCASE: dict[str, str] = {
     "text_keyphrase_rake": "phrase splitting = running stopword count window (no UDF); word stats collapse map-side to |vocab| rows; word scores broadcast back",
     "multimodal_image_ahash_neardup": "band relation localCheckpointed (decode runs once, not 4x); candidates + verify are equi-joins only (no cartesian/nested-loop), pair space bounded by equal-band buckets",
     "stats_quantile_sketch": "sketch build = distributive partial-agg groupBy onto <=256 cells after a 1-row min/max broadcast; readback is |buckets|x|probes| rows",
+    "events_hll_sliding_users": "per-day register relation built once; trailing windows merge registers by cell-wise MAX over a days-dimension broadcast — events never rescanned per window",
+    "dq_expectations_panel": "one aggregate pass per table (multi-distinct plans through Expand); output is |tables|x|columns| rows",
 }
 
 
