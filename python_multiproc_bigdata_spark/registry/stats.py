@@ -534,6 +534,65 @@ ORDER BY bucket
 """
 
 
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split — the eval protocol for event data
+    (random splits leak the future into training; k-fold and the
+    stratified/leakage-safe splits cover exchangeable rows, this covers
+    time series): one global cutoff at the 80th percentile of event
+    time, then per user the train/test event counts and the boundary
+    timestamps (max train us / min test us — integer microseconds, so
+    the no-leakage property max_train <= cutoff < min_test is a
+    checkable fact per row, not a claim). One percentile pass + one
+    user-partitioned conditional aggregate; |users| rows out at any
+    scale. Spark's exact percentile interpolates identically to
+    DuckDB's quantile_cont on the same integer multiset, so the cutoff
+    double is bit-identical on both engines."""
+    e = table(prep(spark), sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.8D)").alias("cut"))
+    t = F.col("t")
+    return (
+        e.select("user_id", us.alias("t"))
+        .crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(t <= F.col("cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(t > F.col("cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.max(F.when(t <= F.col("cut"), t)).alias("max_train_us"),
+            F.min(F.when(t > F.col("cut"), t)).alias("min_test_us"),
+        )
+        .select(
+            "user_id",
+            "n_train",
+            "n_test",
+            "max_train_us",
+            "min_test_us",
+            ((F.col("n_train") > 0) & (F.col("n_test") > 0)).alias("has_both"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TEMPORAL_HOLDOUT = """
+WITH c AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS cut FROM events),
+t AS (SELECT user_id, epoch_us(ts) AS t FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN t <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN t > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       max(CASE WHEN t <= cut THEN t END) AS max_train_us,
+       min(CASE WHEN t > cut THEN t END) AS min_test_us,
+       sum(CASE WHEN t <= cut THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN t > cut THEN 1 ELSE 0 END) > 0 AS has_both
+FROM t CROSS JOIN c
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold cross-validation assignment by hash-mod
     (fold = md5(doc_id) first 4 hex chars mod 5 — no RNG, engines and
@@ -2429,6 +2488,7 @@ REGISTRY = {
     "privacy_t_closeness": QuerySpec(privacy_t_closeness, SQL_T_CLOSENESS),
     "stats_quantile_sketch": QuerySpec(stats_quantile_sketch, SQL_QUANTILE_SKETCH),
     "events_hll_sliding_users": QuerySpec(events_hll_sliding_users, SQL_HLL_SLIDING),
+    "split_temporal_holdout": QuerySpec(split_temporal_holdout, SQL_TEMPORAL_HOLDOUT),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),

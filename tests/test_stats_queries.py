@@ -1157,3 +1157,23 @@ def test_hll_sliding_merge_accuracy_and_monotonicity(spark):
     # trailing window is a superset of each member day: exact counts
     # never shrink vs a 1-day window at the warmup ramp's start
     assert rows[6].exact_users >= rows[0].exact_users
+
+
+def test_temporal_holdout_no_leakage(spark):
+    """The temporal split's defining property: every user's last train
+    event precedes their first test event (max_train_us < min_test_us
+    whenever both sides are non-empty), the global 80/20 proportion
+    holds, and counts reconcile to the corpus."""
+    from python_multiproc_bigdata_spark.registry.stats import (
+        split_temporal_holdout,
+    )
+
+    rows = split_temporal_holdout(spark, "/root/testdata/sf0.001").collect()
+    total_train = sum(r.n_train for r in rows)
+    total_test = sum(r.n_test for r in rows)
+    n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert total_train + total_test == n
+    assert 0.75 <= total_train / n <= 0.85
+    for r in rows:
+        if r.n_train > 0 and r.n_test > 0:
+            assert r.max_train_us < r.min_test_us, r.user_id
