@@ -205,6 +205,7 @@ HEADLINE = [
     # (corpus rewrite + 3 staged micro-batches), not engine work — the
     # same reason most streaming queries stay out of HEADLINE
     "events_hll_sliding_users",
+    "split_temporal_holdout",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a
