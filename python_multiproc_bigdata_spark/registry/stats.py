@@ -593,6 +593,62 @@ ORDER BY user_id
 """
 
 
+def events_velocity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based abuse/bot gate — the velocity check fraud and API
+    rate-limiting pipelines run, complementing the VALUE-based anomaly
+    family (z-score/MAD/CUSUM detect unusual amounts; this detects
+    unusual FREQUENCY): per user, the peak events-per-5-minute tumbling
+    bucket, the total active buckets, and the mean in-bucket rate,
+    flagging users whose peak exceeds the threshold. Two exact integer
+    groupBys (user x bucket counts, then per-user rollup) — word-count
+    shaped, |users| rows out at any scale; bucketing is integer
+    floor-div on epoch microseconds, so both engines bucket
+    identically (no timestamp-truncation dialect risk)."""
+    e = table(prep(spark), sf_dir, "events")
+    # integer DIV, not float-divide-then-cast: a double quotient just
+    # under an integer can round UP before truncation (off-by-one bucket)
+    bucket = F.expr("unix_micros(ts) DIV 300000000")
+    per_bucket = (
+        e.select("user_id", bucket.alias("b"))
+        .groupBy("user_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_bucket.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("peak_per_5min"),
+            F.count(F.lit(1)).cast("long").alias("active_buckets"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "peak_per_5min",
+            "active_buckets",
+            "n_events",
+            F.round(F.col("n_events") / F.col("active_buckets"), 4).alias(
+                "mean_rate"
+            ),
+            (F.col("peak_per_5min") > 5).alias("flagged"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_VELOCITY_GATE = """
+WITH pb AS (
+  SELECT user_id, epoch_us(ts) // 300000000 AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS peak_per_5min,
+       CAST(count(*) AS BIGINT) AS active_buckets,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(n) * 1.0 / count(*), 4) AS mean_rate,
+       max(n) > 5 AS flagged
+FROM pb GROUP BY user_id ORDER BY user_id
+"""
+
+
 def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold cross-validation assignment by hash-mod
     (fold = md5(doc_id) first 4 hex chars mod 5 — no RNG, engines and
@@ -2489,6 +2545,7 @@ REGISTRY = {
     "stats_quantile_sketch": QuerySpec(stats_quantile_sketch, SQL_QUANTILE_SKETCH),
     "events_hll_sliding_users": QuerySpec(events_hll_sliding_users, SQL_HLL_SLIDING),
     "split_temporal_holdout": QuerySpec(split_temporal_holdout, SQL_TEMPORAL_HOLDOUT),
+    "events_velocity_gate": QuerySpec(events_velocity_gate, SQL_VELOCITY_GATE),
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),

@@ -1177,3 +1177,41 @@ def test_temporal_holdout_no_leakage(spark):
     for r in rows:
         if r.n_train > 0 and r.n_test > 0:
             assert r.max_train_us < r.min_test_us, r.user_id
+
+
+def test_velocity_gate_flags_burst_user(spark, tmp_path):
+    """A user firing 10 events inside one 5-minute bucket must be
+    flagged; a user spreading 10 events over 10 separate buckets must
+    not — and peak/mean/total must reconcile exactly."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.registry.stats import (
+        events_velocity_gate,
+    )
+
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    for i in range(10):  # burst user: all inside one bucket
+        eid += 1
+        rows.append((eid, base + i * 1_000_000, 1, "view", 1.0, "{}"))
+    for i in range(10):  # steady user: one event per 5-min bucket
+        eid += 1
+        rows.append((eid, base + i * 300_000_000, 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "us", "user_id", "event_type", "value", "props"]
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    d = tmp_path / "vel"
+    df.write.parquet(str(d / "events.parquet"))
+    got = {r.user_id: r for r in events_velocity_gate(spark, str(d)).collect()}
+    assert got[1].peak_per_5min == 10 and got[1].flagged
+    assert got[1].active_buckets == 1 and got[1].n_events == 10
+    assert got[2].peak_per_5min == 1 and not got[2].flagged
+    assert got[2].active_buckets == 10 and got[2].mean_rate == 1.0
