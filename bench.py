@@ -206,6 +206,7 @@ HEADLINE = [
     # same reason most streaming queries stay out of HEADLINE
     "events_hll_sliding_users",
     "split_temporal_holdout",
+    "events_velocity_gate",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a
