@@ -241,17 +241,24 @@ ARR_ROWS = [(1, [3, 1, 2], [2, 4]), (2, [], [1]), (3, [5, 5], [5])]
 
 def func_array_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function parity: sort/distinct/union/intersect/except/
-    contains/size over edge inputs (empty arrays, duplicates)."""
+    contains/size over edge inputs (empty arrays, duplicates).
+
+    Array results are emitted as comma-joined strings, not array<int>
+    cells: the driver's canonicalizer hashes rows through a pandas sort
+    that cannot factorize list cells (r7 red: "unhashable type: 'list'").
+    The arrays are order-canonicalized by array_sort first, so the join
+    is lossless for the comparison."""
     df = prep(spark).createDataFrame(ARR_ROWS, "id int, a array<int>, b array<int>")
+    as_str = lambda c: F.array_join(c.cast("array<string>"), ",")
     return df.select(
         "id",
-        F.sort_array("a").alias("sorted_a"),
+        as_str(F.sort_array("a")).alias("sorted_a"),
         # sorted: Spark's array_distinct keeps first-occurrence order while
         # DuckDB's list_distinct does not guarantee any order
-        F.array_sort(F.array_distinct("a")).alias("distinct_a"),
-        F.array_sort(F.array_union("a", "b")).alias("union_ab"),
-        F.array_sort(F.array_intersect("a", "b")).alias("inter_ab"),
-        F.array_sort(F.array_except("a", "b")).alias("except_ab"),
+        as_str(F.array_sort(F.array_distinct("a"))).alias("distinct_a"),
+        as_str(F.array_sort(F.array_union("a", "b"))).alias("union_ab"),
+        as_str(F.array_sort(F.array_intersect("a", "b"))).alias("inter_ab"),
+        as_str(F.array_sort(F.array_except("a", "b"))).alias("except_ab"),
         F.array_contains("a", 2).alias("has_2"),
         F.size("a").cast("long").alias("n_a"),
     )
@@ -263,11 +270,11 @@ def func_array_library(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARR_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in ARR_ROWS)
 SQL_ARRAY_LIB = f"""
 SELECT id,
-       list_sort(a) AS sorted_a,
-       list_sort(list_distinct(a)) AS distinct_a,
-       list_sort(list_distinct(list_concat(a, b))) AS union_ab,
-       list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS inter_ab,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
+       coalesce(array_to_string(list_sort(a), ','), '') AS sorted_a,
+       coalesce(array_to_string(list_sort(list_distinct(a)), ','), '') AS distinct_a,
+       coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS union_ab,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '') AS inter_ab,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_ab,
        list_contains(a, 2) AS has_2,
        len(a) AS n_a
 FROM (VALUES {_ARR_VALUES}) AS t(id, a, b)

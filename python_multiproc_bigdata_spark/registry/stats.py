@@ -494,7 +494,12 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices come from a single groupBy with conditional sums (word-count
     shaped); totals are 1-row broadcast fan-outs; proportions clamp at
     1e-6 so an empty bucket contributes a finite penalty. Per-bucket
-    rows with the PSI contribution; sum(psi_term) is the index."""
+    rows with the PSI contribution; sum over psi_term_micros / 1e6 is
+    the index. The term ships as integer micro-units (the project's
+    float-sum convention, cf. Theil-Sen / NDCG / CUSUM): r7's driver row
+    was rows+schema green / hash red because a zero-count bucket yields
+    a tiny negative double that rounds to -0.0 on one engine and 0.0 on
+    the other — integers have one representation."""
     e = table(prep(spark), sf_dir, "events")
     in_a = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
     bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
@@ -511,7 +516,9 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "na",
             "nb",
-            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+            F.round((pa - pb) * F.log(pa / pb) * 1e6)
+            .cast("bigint")
+            .alias("psi_term_micros"),
         )
         .orderBy("bucket")
     )
@@ -527,8 +534,9 @@ WITH cnt AS (
   SELECT sum(na) AS ta, sum(nb) AS tb FROM cnt
 )
 SELECT bucket, na, nb,
-       round((greatest(na * 1.0 / ta, 1e-6) - greatest(nb * 1.0 / tb, 1e-6))
-             * ln(greatest(na * 1.0 / ta, 1e-6) / greatest(nb * 1.0 / tb, 1e-6)), 6) AS psi_term
+       CAST(round((greatest(na * 1.0 / ta, 1e-6) - greatest(nb * 1.0 / tb, 1e-6))
+             * ln(greatest(na * 1.0 / ta, 1e-6) / greatest(nb * 1.0 / tb, 1e-6)) * 1e6)
+            AS BIGINT) AS psi_term_micros
 FROM cnt, tot
 ORDER BY bucket
 """
