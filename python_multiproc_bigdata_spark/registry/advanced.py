@@ -501,7 +501,13 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization-changes-the-plan-never-the-answer proof (the
     dedup_minhash_lsh_materialized pattern) applied to a source format.
     Text stays out of the hop: XML escaping is the format's own concern;
-    the connector claim is schema+values fidelity for scalar columns."""
+    the connector claim is schema+values fidelity for scalar columns.
+
+    The staging dir is a stable per-sf_dir path (overwritten by the
+    sink, not mkdtemp'd fresh): bench runs this query 3-5x per round
+    and a fresh dir per call would accumulate XML copies of the corpus
+    in /tmp."""
+    import hashlib
     import tempfile
 
     from python_multiproc_bigdata_spark.sinks import xml_sink
@@ -509,7 +515,8 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = prep(spark)
     d = table(s, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    path = tempfile.mkdtemp(prefix="pmb_xml_") + "/docs"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/pmb_xml_{tag}/docs"
     xml_sink(path)(d)
     back = read_xml(
         s,
@@ -584,8 +591,16 @@ def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
         t = table(s, sf_dir, tbl)
         # \x01 separator matches the oracle's chr(1) join — a bare
-        # concat would make ('1','23') collide with ('12','3')
-        pk_tuple = F.concat_ws("\x01", *[F.col(c).cast("string") for c in pk])
+        # concat would make ('1','23') collide with ('12','3').
+        # NULL components are encoded explicitly as \x02 on BOTH engine
+        # sides: concat_ws silently skips NULLs (('a',NULL) would
+        # collide with ('a','')) while the oracle's || propagates them
+        # (dropping the whole tuple from count DISTINCT) — the two
+        # engines would disagree the moment a nullable PK enters the
+        # spec.
+        pk_tuple = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]
+        )
         aggs = [
             F.count(F.lit(1)).cast("long").alias("_rows"),
             F.count_distinct(pk_tuple).cast("long").alias("_pk_distinct"),
@@ -641,7 +656,9 @@ def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dq_panel_oracle() -> str:
     parts = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
-        pk_expr = " || chr(1) || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        pk_expr = " || chr(1) || ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(2))" for c in pk
+        )
         parts.append(
             f"SELECT '{tbl}' AS tbl, '_table_' AS col, 'row_count' AS metric,\n"
             f"       CAST(count(*) AS VARCHAR) AS value FROM {tbl}"

@@ -53,6 +53,25 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     sc._pmb_pyfiles_added = True
 
 
+def fixture_root(name: str, sf_dir: str) -> str:
+    """Stable, self-cleaning staging dir for queries that must
+    materialize fixtures (streaming micro-batch inputs, CDC targets,
+    LSH signature tables). A fresh mkdtemp per invocation leaks a
+    corpus copy every run — bench executes headline queries 3-5x per
+    round — so instead the path is deterministic per (query, sf_dir)
+    and each invocation removes the previous run's tree before
+    recreating it. Removing the whole root also resets any streaming
+    checkpoint inside it, so every run reprocesses from scratch (which
+    is what the fixture queries intend)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"pmb_fix_{name}_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return root
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Pin runtime confs the oracle comparison depends on, regardless of
     how the caller built the session (the driver uses its own), and make

@@ -383,15 +383,14 @@ def dedup_minhash_lsh_materialized(spark: SparkSession, sf_dir: str) -> DataFram
     test_bucketing.py). Shares the one-shot query's oracle, so the
     driver check is a two-implementations-one-oracle equivalence proof
     that materialization changes the PLAN, never the answer."""
-    import tempfile
-
     from python_multiproc_bigdata_spark.operators.dedup import (
         lsh_pairs_from_signatures,
         materialize_signatures,
     )
+    from python_multiproc_bigdata_spark.registry.common import fixture_root
 
     d = table(prep(spark), sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="pmb_sig_")
+    tmp = fixture_root("sig", sf_dir)
     sig = materialize_signatures(
         d, table="pmb_sig_registry", path=f"{tmp}/sig", id_col="doc_id"
     )

@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
-from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
+from python_multiproc_bigdata_spark.registry.common import (
+    QuerySpec,
+    fixture_root,
+    prep,
+    table,
+)
 from python_multiproc_bigdata_spark.registry.similarity import make_ivf_kmeans_oracle
 from python_multiproc_bigdata_spark.streaming.windows import (
     first_event_per_key,
@@ -169,7 +174,6 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE over the customer table."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -183,7 +187,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("bal"),
         F.lit(0).alias("version"),
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    root = fixture_root("cdc_merge", sf_dir)
     target = os.path.join(root, "target")
     changes = os.path.join(root, "changes")
     os.makedirs(changes)
@@ -294,13 +298,12 @@ def streaming_click_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     streaming_topk_serving twin discipline."""
     import glob as _glob
     import os
-    import tempfile
     from datetime import timedelta
 
     s = prep(spark)
     e = table(s, sf_dir, "events")
     max_ts = e.agg(F.max("ts").alias("m")).collect()[0].m  # 1-row driver read
-    root = tempfile.mkdtemp(prefix="pmb_ssoj_")
+    root = fixture_root("ssoj", sf_dir)
     data_dir = os.path.join(root, "in")
     os.makedirs(data_dir)
 
@@ -429,7 +432,6 @@ def streaming_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch costs O(|batch| × nprobe/n_lists × corpus-scan), the
     same serving math as the batch tier."""
     import os
-    import tempfile
 
     from python_multiproc_bigdata_spark.operators.similarity import topk_ivf_kmeans
     from python_multiproc_bigdata_spark.registry.similarity import (
@@ -440,7 +442,7 @@ def streaming_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERIES)
-    root = tempfile.mkdtemp(prefix="spark_graft_serve_")
+    root = fixture_root("topk_serve", sf_dir)
     qdir = os.path.join(root, "queries")
     odir = os.path.join(root, "out")
     # two single-file appends -> maxFilesPerTrigger=1 yields two real
@@ -494,7 +496,6 @@ def streaming_classifier_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch costs O(|batch| tokens) map-side work — the streaming
     twin inherits the batch plan's whole-stage-codegen scoring."""
     import os
-    import tempfile
 
     from python_multiproc_bigdata_spark.operators.classifier import (
         score_quality_lr,
@@ -504,7 +505,7 @@ def streaming_classifier_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = prep(spark)
     docs = table(spark, sf_dir, "documents")
     w, b = train_quality_lr_driver(docs)
-    root = tempfile.mkdtemp(prefix="spark_graft_clf_serve_")
+    root = fixture_root("clf_serve", sf_dir)
     ddir = os.path.join(root, "docs")
     odir = os.path.join(root, "out")
     for m in (0, 1):
@@ -558,7 +559,6 @@ def streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each micro-batch ships <=256 cells, the merge is a
     256-row groupBy — state never grows with stream length."""
     import os
-    import tempfile
 
     from python_multiproc_bigdata_spark.registry.stats import (
         quantile_sketch_readback,
@@ -571,7 +571,7 @@ def streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents"), F.max("cents"), F.count(F.lit(1))
     ).collect()[0]
 
-    root = tempfile.mkdtemp(prefix="spark_graft_qmon_")
+    root = fixture_root("qmon", sf_dir)
     cdir = os.path.join(root, "cents")
     hdir = os.path.join(root, "hist")
     for m in (0, 1):  # two micro-batches
@@ -580,6 +580,10 @@ def streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = maxc - minc + 1
 
     def sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried micro-batch must not
+        # double its partial sketch into the cell-wise sum. Epoch-keyed
+        # overwrite makes the write idempotent — a retry replaces its
+        # own epoch dir instead of appending a second copy.
         if batch_df.isEmpty():
             return
         (
@@ -590,8 +594,8 @@ def streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .parquet(hdir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(hdir, f"epoch={epoch_id}"))
         )
 
     q = (
@@ -607,7 +611,8 @@ def streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination(30)
 
-    # merge the partial sketches: cell-wise sum
+    # merge the partial sketches: cell-wise sum (partition discovery
+    # over hdir yields an `epoch` column; the merge ignores it)
     merged = (
         spark.read.parquet(hdir)
         .groupBy("bucket")

@@ -56,7 +56,16 @@ def main() -> int:
         # (dedup_containment +29%, zero diff). A delta is SIGNAL only if
         # it clears the pct threshold AND moves >= NOISE_ABS_SEC; inside
         # the band it is annotated, never classified as a regression.
-        in_noise_band = abs(b[q] - a[q]) < NOISE_ABS_SEC or abs(pct) < thresh
+        # Exception: an EXTREME relative move (>= 3x the threshold,
+        # e.g. 0.2 s -> 0.9 s = +350%) is signal even below the
+        # absolute floor — the floor was calibrated on multi-second
+        # queries and must not mute the ~100 sub-second ones. A 0.1 s
+        # sub-floor still applies so millisecond jitter can't flag.
+        abs_delta = abs(b[q] - a[q])
+        signal = (abs_delta >= NOISE_ABS_SEC and abs(pct) >= thresh) or (
+            abs_delta >= 0.1 and abs(pct) >= 3 * thresh
+        )
+        in_noise_band = not signal
         mark = ""
         if q in config_changed:
             mark = " [config-changed]"
