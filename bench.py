@@ -199,6 +199,10 @@ HEADLINE = [
     "recsys_eval_hitrate_loo",
     "events_interarrival_profile",
     "dq_expectations_panel",
+    # r8 additions: the Expand-free wide-panel scale path and the
+    # IVF-fed MMR composition (VERDICT r7 asks #5-#6)
+    "dq_expectations_panel_approx",
+    "sim_mmr_from_ivf",
     "source_xml_roundtrip",
     # streaming_click_view_left_join is correctness-gated (parity +
     # window) but NOT benched: its 22 s/repeat is fixture re-staging

@@ -1433,9 +1433,30 @@ def mmr_diversify(
     the part an ANN tier replaces), ~2.6 s greedy loop (k−1 tiny jobs —
     CONSTANT in corpus size; a pairsim-first broadcast reorder was
     tried and measured SLOWER, 7.6 s, per-step broadcast builds)."""
+    cand = topk_bruteforce(queries, corpus, k=pool).select(
+        "query_id", "neighbor_id", F.col("score").alias("rel")
+    )
+    return mmr_from_candidates(cand, corpus, k=k, lam=lam)
+
+
+def mmr_from_candidates(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """The greedy MMR stage alone, with the candidate pool INJECTED —
+    the composed serving shape: any ANN tier (IVF, LSH, binary sketch)
+    produces (query_id, neighbor_id, rel) and this stage diversifies
+    it. `rel` must be the 4dp-rounded cosine (the shared _score), so
+    every tier feeds comparable relevance and an oracle can replay the
+    greedy path exactly. mmr_diversify is this with a brute-force pool
+    (the exactness anchor); sim_mmr_from_ivf in the registry is this
+    over trained-IVF candidates (the 100 TB shape — candidate cost
+    drops from full-scan to nprobe/n_lists of the corpus while the
+    greedy loop stays constant-size)."""
     cand = (
-        topk_bruteforce(queries, corpus, k=pool)
-        .select("query_id", "neighbor_id", F.col("score").alias("rel"))
+        cand.select("query_id", "neighbor_id", "rel")
         .coalesce(1)  # <= |queries|*pool rows — one partition, one task/step
         .localCheckpoint(eager=True)
     )

@@ -389,73 +389,78 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 #     fix), pii_redact
 #   privacy (1): l_diversity;  multimodal (1): resize_ppm;
 #   streaming (1): first_event
-# Round-8 promotion candidates (parity-green r7, never windowed):
-# multimodal_image_ahash_neardup, privacy_t_closeness,
-# stats_quantile_sketch, streaming_quantile_monitor, text_heaps_law,
-# eval_minhash_calibration, recsys_eval_hitrate_loo,
-# events_interarrival_profile — plus the ~46 remaining never-checked
-# from the pre-r7 backlog (see PARITY_LEDGER.md "driver rounds green").
+# Round-8 rotation (VERDICT r7 asks #1-#7): CORRECTNESS_r07 went 48/50 —
+# every green non-anchor slot rotates out (all 47 demotions are r7-green
+# on record in CORRECTNESS_r07.json); the two r7 REDS (func_array_library
+# driver-canonicalizer crash on array<int> cells, stats_psi_drift ±0.0
+# double-hash exposure) STAY to prove this round's hash-stable fixes.
+# 45 never-driver-checked queries enter: the 12 VERDICT-named leads, the
+# six streaming twins, the events/split/training/text tails, plus the two
+# NEW r8 compositions (sim_mmr_from_ivf, dq_expectations_panel_approx).
+# Remaining never-checked backlog after this window: ~24 (see
+# PARITY_LEDGER.md) — clears in r9.
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",
-    # TPC-H never-checked tail
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    # events analytics
-    "events_attribution_shapley",
-    "events_markov_stationary",
-    "events_funnel_latency",
-    "events_changepoint_cusum",
-    "events_frequent_sequences",
-    "events_autocorrelation",
-    "events_seasonality_profile",
-    "events_survival_km",
-    "events_theilsen_trend",
-    # nonparametric + stats panel
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    "stats_spearman_corr",
-    "stats_mutual_information",
-    "stats_benford_firstdigit",
-    "stats_psi_drift",
-    # text / tokenizer
-    "text_unigram_vocab",
-    "text_bpe_encode_stats",
-    # dedup
-    "dedup_cdc_chunks",
-    "dedup_containment",
-    "eval_dedup_pr",
-    # similarity + the recall-eval family
-    "sim_topk_graph_refined",
-    "sim_ivf_incremental_add",
-    "eval_pq_recall",
-    "eval_binary_recall",
-    "eval_sq8_ivf_recall",
-    # func_* scalar-parity suite
+    # the two r7 driver-reds, kept in window to prove their fixes
+    # (VERDICT r7 asks #1-#3): hash-stable outputs landed this round
     "func_array_library",
-    "func_string_library",
-    "func_null_safe_chain",
-    "func_basename_backwards",
-    "func_truncate_flags",
-    "func_format_result",
-    # graph / recsys
-    "graph_kcore",
-    "recsys_item_similar_topk",
-    "recsys_eval_coverage",
-    # curation / privacy / multimodal / streaming
-    "curation_gopher_gate",
-    "curation_pii_redact",
-    "privacy_l_diversity",
-    "multimodal_resize_ppm",
-    "streaming_first_event",
+    "stats_psi_drift",
+    # the two NEW r8 compositions (VERDICT r7 asks #5-#6)
+    "sim_mmr_from_ivf",
+    "dq_expectations_panel_approx",
+    # VERDICT r7 ask #4's named never-checked leads
+    "dq_expectations_panel",
+    "events_velocity_gate",
+    "split_temporal_holdout",
+    "privacy_t_closeness",
+    "stats_quantile_sketch",
+    "multimodal_image_ahash_neardup",
+    "text_heaps_law",
+    "eval_minhash_calibration",
+    "recsys_eval_hitrate_loo",
+    "events_hll_sliding_users",
+    "source_xml_roundtrip",
+    # the six never-checked streaming twins (VERDICT r7 ask #7)
+    "streaming_click_view_left_join",
+    "streaming_sliding_counts",
+    "streaming_tumbling_counts",
+    "streaming_quantile_monitor",
+    "streaming_topk_serving",
+    "streaming_enriched_counts",
+    # events long tail (never checked)
+    "events_attribution_touch",
+    "events_max_concurrency",
+    "events_transition_matrix",
+    "events_top_session_paths",
+    "events_time_decayed_value",
+    "events_interarrival_profile",
+    "events_anomaly_zscore",
+    "events_linear_attribution",
+    "events_props_variant",
+    "events_hierarchical_rollup",
+    "events_incremental_merge",
+    "events_mad_outliers",
+    "events_daily_active_users",
+    "events_ltv_cohorts",
+    # split family (completes with temporal_holdout above)
+    "split_stratified_eval",
+    "split_kfold_assign",
+    "split_leakage_safe",
+    # training-data ops tail
+    "training_shard_manifest",
+    "training_length_batches",
+    "training_source_caps",
+    "training_chunk_windows",
+    "training_weighted_sample",
+    # text analysis tail
+    "text_context_trim",
+    "text_unigram_fertility",
+    "text_vocab_coverage",
+    "text_token_entropy",
+    # eval / dedup tail
+    "eval_langid_f1",
+    "dedup_source_overlap",
 )
 
 _missing = [n for n in CHECKED_FIRST if n not in _ALL]

@@ -282,9 +282,19 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is no exact oracle; the exact twins are count_distinct_segments /
     udaf_median_acctbal."""
     e = table(prep(spark), sf_dir, "events")
+    # quantiles ship as a joined string, not array<double>: the
+    # harness canonicalizer cannot hash list cells (the r7
+    # func_array_library lesson), and this query's check is rows-only
+    # anyway — the scalar rendering loses nothing
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.array_join(
+            F.transform(
+                F.percentile_approx("value", [0.5, 0.95, 0.99], 10000),
+                lambda v: F.round(v, 4).cast("string"),
+            ),
+            ",",
+        ).alias("value_quantiles"),
     )
 
 
@@ -653,6 +663,198 @@ def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tbl", "col", "metric")
 
 
+def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-panel SCALE path dq_expectations_panel's docstring
+    prescribes, shipped as code: NO exact count_distinct in the profile
+    pass (multiple exact distincts plan through an Expand node — input
+    multiplied by the number of distinct columns — the exact panel's
+    honest 100 TB cost), three Expand-free passes per table instead:
+
+    1. profile pass — row_count + per-column null_count/min/max, plain
+       conditional aggregates only (map-side partials, one 1-row task);
+    2. exact PK-duplicates as its own pass — groupBy(pk_tuple).count()
+       then sum(cnt) − count(*): two chained partial aggregations,
+       never a distinct-aggregate rewrite (the dup check must stay
+       exact — an approximate uniqueness gate is useless);
+    3. per-column cardinality via the PORTABLE md5-HLL
+       (operators/sketches.py, the stats_hll_portable arithmetic):
+       explode (col, val), registers = groupBy(col, bucket).max(rho) —
+       the explode multiplies rows like Expand does, but HLL registers
+       partial-aggregate map-side to ≤ 256·|cols| rows per partition
+       before the shuffle, which exact distinct cannot (it must move
+       every distinct value). Emitted as metric 'n_distinct_hll',
+       rounded to the nearest integer — and because the sketch is
+       engine-portable, the oracle replays it EXACTLY, so this panel is
+       full value-checked, not rows+bounds.
+
+    Plan pin: tests/test_scale_plans.py asserts no Expand node in any
+    per-table pass."""
+    from python_multiproc_bigdata_spark.operators.sketches import (
+        hll_corrected_estimate,
+        hll_registers,
+    )
+
+    s = prep(spark)
+    frames = []
+    for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
+        t = table(s, sf_dir, tbl)
+        # pass 1: profile aggregates (no distinct anywhere)
+        aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+        for c in cols:
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_null_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            ]
+        row = t.agg(*aggs)
+        metrics = [("_table_", "row_count", F.col("_rows").cast("string"))]
+        for c in cols:
+            metrics += [
+                (c, "null_count", F.col(f"_null_{c}").cast("string")),
+                (c, "min", F.col(f"_min_{c}")),
+                (c, "max", F.col(f"_max_{c}")),
+            ]
+        profile = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tbl).alias("tbl"),
+                            F.lit(col).alias("col"),
+                            F.lit(metric).alias("metric"),
+                            val.alias("value"),
+                        )
+                        for col, metric, val in metrics
+                    ]
+                )
+            ).alias("m")
+        ).select("m.tbl", "m.col", "m.metric", "m.value")
+        # pass 2: exact pk_duplicates without a distinct aggregate —
+        # sum(group counts) − |groups| over groupBy(pk_tuple)
+        pk_tuple = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]
+        )
+        grouped = t.groupBy(pk_tuple.alias("_pk")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        pkdup = grouped.agg(
+            (F.sum("_cnt") - F.count(F.lit(1))).cast("long").alias("_dup")
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit("_table_").alias("col"),
+            F.lit("pk_duplicates").alias("metric"),
+            F.col("_dup").cast("string").alias("value"),
+        )
+        # pass 3: portable-HLL cardinality per profiled column
+        kv = (
+            t.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("col"),
+                                F.col(c).cast("string").alias("val"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("kv")
+            )
+            .select("kv.col", "kv.val")
+            .filter(F.col("val").isNotNull())
+        )
+        regs = hll_registers(kv, ["col"], "val")
+        filled = regs.groupBy("col").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        # seed every profiled column so an all-NULL column still emits
+        # an estimate row (0 via linear counting) on both engines
+        seed = s.createDataFrame([(c,) for c in cols], "col string")
+        est = (
+            seed.join(filled, "col", "left")
+            .select(
+                "col",
+                F.coalesce("_s", F.lit(0.0)).alias("_s"),
+                F.coalesce("_nb", F.lit(0)).alias("_nb"),
+            )
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.col("col"),
+                F.lit("n_distinct_hll").alias("metric"),
+                F.round(hll_corrected_estimate())
+                .cast("long")
+                .cast("string")
+                .alias("value"),
+            )
+        )
+        frames += [profile, pkdup, est]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("tbl", "col", "metric")
+
+
+def _dq_panel_approx_oracle() -> str:
+    from python_multiproc_bigdata_spark.operators.sketches import (
+        HLL_ALPHA,
+        sql_hll_bucket_expr,
+        sql_hll_v_expr,
+    )
+
+    parts = []
+    for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
+        pk_expr = " || chr(1) || ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(2))" for c in pk
+        )
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, '_table_' AS col, 'row_count' AS metric,\n"
+            f"       CAST(count(*) AS VARCHAR) AS value FROM {tbl}"
+        )
+        parts.append(
+            f"SELECT '{tbl}', '_table_', 'pk_duplicates',\n"
+            f"       CAST(count(*) - count(DISTINCT {pk_expr}) AS VARCHAR) FROM {tbl}"
+        )
+        for c in cols:
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'null_count',\n"
+                f"       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS VARCHAR)"
+                f" FROM {tbl}"
+            )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'min', CAST(min({c}) AS VARCHAR) FROM {tbl}"
+            )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'max', CAST(max({c}) AS VARCHAR) FROM {tbl}"
+            )
+            # portable md5-HLL replay — identical arithmetic to
+            # operators/sketches.py, so the estimate value-matches
+            parts.append(f"""SELECT '{tbl}', '{c}', 'n_distinct_hll',
+       CAST(CAST(round(
+         CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+              THEN 256.0 * ln(256.0 / (256 - nb))
+              ELSE raw END) AS BIGINT) AS VARCHAR)
+FROM (
+  SELECT CAST({HLL_ALPHA!r} AS DOUBLE) * 65536 / (s + (256 - nb) * 1.0) AS raw, nb
+  FROM (
+    SELECT coalesce(sum(power(2.0, -m)), 0.0) AS s, count(*) AS nb
+    FROM (
+      SELECT bucket,
+             max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS m
+      FROM (
+        SELECT {sql_hll_bucket_expr("val")} AS bucket,
+               {sql_hll_v_expr("val")} AS v
+        FROM (SELECT CAST({c} AS VARCHAR) AS val FROM {tbl}
+              WHERE {c} IS NOT NULL)
+      ) GROUP BY bucket
+    )
+  )
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tbl, col, metric"
+
+
 def _dq_panel_oracle() -> str:
     parts = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
@@ -703,5 +905,8 @@ REGISTRY = {
     "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
     "dq_check_orders": QuerySpec(dq_check_orders, SQL_DQ_ORDERS),
     "dq_expectations_panel": QuerySpec(dq_expectations_panel, _dq_panel_oracle),
+    "dq_expectations_panel_approx": QuerySpec(
+        dq_expectations_panel_approx, _dq_panel_approx_oracle
+    ),
     "source_xml_roundtrip": QuerySpec(source_xml_roundtrip, SQL_XML_ROUNDTRIP),
 }

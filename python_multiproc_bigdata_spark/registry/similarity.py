@@ -11,6 +11,7 @@ from python_multiproc_bigdata_spark.operators.similarity import (
     binary_hyperplanes,
     knn_classify,
     mmr_diversify,
+    mmr_from_candidates,
     topk_binary_hamming,
     topk_sq8,
     topk_sq8_ivf,
@@ -534,10 +535,20 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(queries, emb, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
 
 
-def _mmr_oracle_sql(k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAM) -> str:
+def _mmr_oracle_sql(
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAM,
+    cand_sql: str | None = None,
+) -> str:
     """k-stage greedy CTE chain. The (1−λ) literal is emitted as
     repr(1.0 − lam) so DuckDB parses the EXACT double Spark computes
-    (1.0 − 0.7 = 0.30000000000000004, not 0.3)."""
+    (1.0 − 0.7 = 0.30000000000000004, not 0.3).
+
+    `cand_sql`, when given, replaces the brute-force candidate CTEs
+    with any SQL producing cand(query_id, neighbor_id, rel) on top of
+    the shared emb(vec_id, e, nrm) — how the IVF-fed composition
+    (make_mmr_from_ivf_oracle) reuses the identical greedy chain."""
     one_minus = 1.0 - lam
     steps = []
     for step in range(2, k + 1):
@@ -564,25 +575,27 @@ def _mmr_oracle_sql(k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAM) 
   SELECT * FROM {prev} UNION ALL SELECT * FROM sel{step}
 )""")
     chain = ",\n".join(steps)
-    return f"""
-WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
-), scored AS (
+    if cand_sql is None:
+        cand_sql = f"""scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(CASE WHEN q.nrm > 0 AND c.nrm > 0
                THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
                ELSE 0.0 END, 4) AS rel
   FROM emb q JOIN emb c ON q.vec_id != c.vec_id
   WHERE q.vec_id < {N_QUERIES}
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, rel FROM (
     SELECT query_id, neighbor_id, rel,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY rel DESC, neighbor_id ASC) AS rk
     FROM scored) WHERE rk <= {pool}
-), ps AS (
+)"""
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), {cand_sql}, ps AS MATERIALIZED (
   SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
          round(CASE WHEN ea.nrm > 0 AND eb.nrm > 0
                THEN list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm)
@@ -606,6 +619,86 @@ ORDER BY query_id, mmr_rank
 
 
 SQL_MMR_DIVERSIFY = _mmr_oracle_sql()
+
+
+def sim_mmr_from_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED serving shape: trained-IVF candidates feeding the
+    injected-pool MMR greedy (operators/similarity.py:
+    mmr_from_candidates) — sim_mmr_diversify with its brute-force
+    candidate stage swapped for the ANN tier its own docstring names as
+    the scale path. Candidate cost drops from a full corpus scan per
+    query to nprobe/n_lists (24/192 = 12.5%) of it; the greedy loop is
+    unchanged and constant in corpus size. sim_mmr_diversify stays
+    registered as the exactness anchor.
+
+    Oracle: generated — the IVF centroid-literal candidate chain
+    (the make_ivf_kmeans_oracle pattern) composed with the SAME k-stage
+    greedy CTE as SQL_MMR_DIVERSIFY, so the driver value-checks the
+    full composition end-to-end."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cfg = IVF_KMEANS_CFG
+    cand = topk_ivf_kmeans(
+        queries,
+        emb,
+        k=MMR_POOL,
+        nprobe=cfg["nprobe"],
+        n_lists=cfg["n_lists"],
+        max_iter=cfg["max_iter"],
+        train_sample=cfg["train_sample"],
+    ).select("query_id", "neighbor_id", F.col("score").alias("rel"))
+    return mmr_from_candidates(cand, emb, k=MMR_K, lam=MMR_LAM)
+
+
+def make_mmr_from_ivf_oracle() -> str:
+    """Generate the sim_mmr_from_ivf oracle: retrain the deterministic
+    centroids from the parquet, build the IVF candidate CTEs (identical
+    arithmetic to SQL_TOPK_IVF_KMEANS_TEMPLATE, pool-sized cut), and
+    hand them to the shared greedy chain via _mmr_oracle_sql."""
+    cfg = IVF_KMEANS_CFG
+    cand_sql = f"""cents(cid, c) AS (
+  VALUES {_centroid_values_literal()}
+), cn AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                      ELSE e END AS u
+  FROM emb
+), assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT cn.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY cn.vec_id
+                              ORDER BY list_dot_product(cn.u, cents.c) DESC,
+                                       cents.cid ASC) AS ar
+    FROM cn CROSS JOIN cents) WHERE ar = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS q_e, nrm AS q_norm
+  FROM emb WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, q_e, q_norm, cid FROM (
+    SELECT q.query_id, q.q_e, q.q_norm, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN q.q_norm > 0
+                         AND sqrt(list_dot_product(cents.c, cents.c)) > 0
+                   THEN list_dot_product(q.q_e, cents.c)
+                        / (q.q_norm * sqrt(list_dot_product(cents.c, cents.c)))
+                   ELSE 0.0 END, 4) DESC, cents.cid ASC) AS pr
+    FROM q CROSS JOIN cents) WHERE pr <= {cfg["nprobe"]}
+), ivfscored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN p.q_norm > 0 AND c.nrm > 0
+               THEN list_dot_product(p.q_e, c.e) / (p.q_norm * c.nrm)
+               ELSE 0.0 END, 4) AS rel
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN emb c ON c.vec_id = a.vec_id
+  WHERE c.vec_id != p.query_id
+), cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id ASC) AS rk
+    FROM ivfscored) WHERE rk <= {MMR_POOL}
+)"""
+    return _mmr_oracle_sql(cand_sql=cand_sql)
 
 
 BINARY_RERANK = 100  # oversample-then-rescore pool; recall 0.89 @ sf0.1
@@ -2150,6 +2243,10 @@ REGISTRY = {
     "sim_topk_sq8": QuerySpec(sim_topk_sq8, SQL_TOPK_SQ8),
     "sim_topk_binary": QuerySpec(sim_topk_binary, make_binary_oracle),
     "sim_mmr_diversify": QuerySpec(sim_mmr_diversify, SQL_MMR_DIVERSIFY),
+    # generated centroid-literal oracle composing the IVF candidate
+    # chain with the SAME greedy CTE as sim_mmr_diversify — the
+    # ANN-fed serving composition, value-checked end-to-end
+    "sim_mmr_from_ivf": QuerySpec(sim_mmr_from_ivf, make_mmr_from_ivf_oracle),
     "eval_binary_recall": QuerySpec(eval_binary_recall, make_binary_recall_oracle),
     "eval_ivf_recall": QuerySpec(eval_ivf_recall, make_ivf_recall_oracle),
     "eval_pq_recall": QuerySpec(eval_pq_recall, make_pq_recall_oracle),

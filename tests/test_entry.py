@@ -43,10 +43,43 @@ def test_checked_window_is_curated():
     must_be_checked = {
         # the permanent anchor: the reference's flagship ETL spine
         "words_pipeline",
-        # round-7 rotation (r6 went 50/50 green, so all 49 non-anchor
-        # slots rotated out — every demotion is r6-green on record in
-        # CORRECTNESS_r06.json — and 49 never-driver-checked queries
-        # entered; swap log in registry/__init__.py)
+        # round-8 rotation (r7 went 48/50: the 47 green non-anchor slots
+        # rotated out — every demotion is r7-green on record in
+        # CORRECTNESS_r07.json, asserted below — the two r7 REDS stay to
+        # prove their hash-stable fixes, and 45 never-driver-checked
+        # queries entered; swap log in registry/__init__.py)
+        "func_array_library", "stats_psi_drift",
+        "sim_mmr_from_ivf", "dq_expectations_panel_approx",
+        "dq_expectations_panel", "events_velocity_gate",
+        "split_temporal_holdout", "privacy_t_closeness",
+        "stats_quantile_sketch", "multimodal_image_ahash_neardup",
+        "text_heaps_law", "eval_minhash_calibration",
+        "recsys_eval_hitrate_loo", "events_hll_sliding_users",
+        "source_xml_roundtrip",
+        "streaming_click_view_left_join", "streaming_sliding_counts",
+        "streaming_tumbling_counts", "streaming_quantile_monitor",
+        "streaming_topk_serving", "streaming_enriched_counts",
+        "events_attribution_touch", "events_max_concurrency",
+        "events_transition_matrix", "events_top_session_paths",
+        "events_time_decayed_value", "events_interarrival_profile",
+        "events_anomaly_zscore", "events_linear_attribution",
+        "events_props_variant", "events_hierarchical_rollup",
+        "events_incremental_merge", "events_mad_outliers",
+        "events_daily_active_users", "events_ltv_cohorts",
+        "split_stratified_eval", "split_kfold_assign",
+        "split_leakage_safe",
+        "training_shard_manifest", "training_length_batches",
+        "training_source_caps", "training_chunk_windows",
+        "training_weighted_sample",
+        "text_context_trim", "text_unigram_fertility",
+        "text_vocab_coverage", "text_token_entropy",
+        "eval_langid_f1", "dedup_source_overlap",
+    }
+    assert must_be_checked <= set(CHECKED_FIRST)
+    # every name demoted in the r8 rotation must carry an r7 driver-green
+    # record — the rotation invariant (checked across ALL committed
+    # CORRECTNESS files by tools/parity_ledger.py; pinned here for r8)
+    r8_demotions = {
         "q4_order_priority_exists", "q6_forecast_revenue",
         "q10_returned_items", "q11_important_stock",
         "q12_priority_lines", "q13_customer_distribution",
@@ -59,12 +92,12 @@ def test_checked_window_is_curated():
         "events_theilsen_trend",
         "stats_ks_two_sample", "stats_mannwhitney_u",
         "stats_spearman_corr", "stats_mutual_information",
-        "stats_benford_firstdigit", "stats_psi_drift",
+        "stats_benford_firstdigit",
         "text_unigram_vocab", "text_bpe_encode_stats",
         "dedup_cdc_chunks", "dedup_containment", "eval_dedup_pr",
         "sim_topk_graph_refined", "sim_ivf_incremental_add",
         "eval_pq_recall", "eval_binary_recall", "eval_sq8_ivf_recall",
-        "func_array_library", "func_string_library",
+        "func_string_library",
         "func_null_safe_chain", "func_basename_backwards",
         "func_truncate_flags", "func_format_result",
         "graph_kcore", "recsys_item_similar_topk", "recsys_eval_coverage",
@@ -72,107 +105,14 @@ def test_checked_window_is_curated():
         "privacy_l_diversity", "multimodal_resize_ppm",
         "streaming_first_event",
     }
-    assert must_be_checked <= set(CHECKED_FIRST)
-    # every demoted name must carry a prior driver-green record — the
-    # rotation invariant (checked against the committed CORRECTNESS
-    # files by tools/parity_ledger.py; spot-pinned here for r6)
-    r6_demotions = {
-        "func_arabic_tokenize",
-        "dedup_keep_best_per_cluster",
-        # round-3 promotions (swap log in registry/__init__.py)
-        
-        
-        # round-4 promotions: never-driver-checked tail + the composed
-        # SQ8-over-IVF scale plan (sim_topk_ivf / sim_topk_sq8 demoted —
-        # their surfaces now carry through sim_topk_ivf_kmeans /
-        # sim_topk_sq8_ivf, both full-hash-checked)
-        
-        
-        # late-round-4 promotions (new capability classes; demoted
-        # sim_neardup_cosine / quota_sample_per_lang /
-        # curation_repetition_signals / training_temperature_mix /
-        # dedup_exact are all multiply-driver-green with in-window
-        # family siblings — swap log in registry/__init__.py)
-        # continuation-session promotions (new capability classes;
-        # demoted words_first_position / q1_pricing_summary /
-        # events_sessionize / stats_lineitem_moments /
-        # training_mix_by_lang are all multiply-driver-green with
-        # in-window family siblings — swap log in registry/__init__.py)
-        
-        
-        
-        # second-continuation promotions (6 new capability classes;
-        # demoted words_duplicate_occurrences / text_quality /
-        # streaming_click_view_join / sim_topk_bruteforce /
-        # udaf_median_acctbal / dedup_minhash_lsh are all r03-green with
-        # in-window family siblings — swap log in registry/__init__.py)
-        
-        
-        # end-of-round-4 promotions (8 never-checked capability classes;
-        # demoted profile_documents / sim_knn_classify /
-        # training_pack_chunks / decontaminate_train_eval /
-        # asof_click_to_view / range_join_close_events /
-        # cdc_upsert_customers / semantic_only_neardups are all
-        # r03-green with in-window family siblings — swap log in
-        # registry/__init__.py)
-        "layout_skipping_hilbert",
-
-        # round-5 promotions (16 never-driver-checked queries + the new
-        # real-decode class; demotions are all r4-green with in-window
-        # family siblings — swap log in registry/__init__.py)
-        "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
-        "q20_potential_promotion", "sim_topk_ivfpq",
-        "training_contrastive_pairs", "cdc_scd2_user_state",
-        "events_session_window", "events_gapfill_hourly",
-        "skew_salted_event_counts", "streaming_words_doc_frequency",
-        "text_bm25_topk", "multimodal_frame_sample",
-        "basket_association_rules", "stats_chi_square_independence",
-        "multimodal_decode_ppm",
-        # late-r5 continuation rotation: 12 NEW capability classes in,
-        # demotions all r04-green with in-window family siblings
-        # (cube_orders / curation_bigram_logprob / events_ewma_value /
-        # text_pmi_collocations / dedup_edit_distance_blocked /
-        # sim_pca_project / calendar_month_order_counts /
-        # udaf_trimmed_mean_price / layout_skipping_stats /
-        # bloom_pruned_urgent_revenue / events_funnel_conversion /
-        # dedup_minhash_lsh_materialized — swap log in
-        # registry/__init__.py)
-        "sim_topk_binary", "curation_quality_classifier",
-        "dedup_semantic", "sim_mmr_diversify",
-        "privacy_dp_noised_counts", "eval_tokenizer_compare",
-        "corpus_datasheet", "eval_ivf_recall",
-        "training_domain_reweight", "streaming_classifier_serving",
-        "stats_countmin_heavy_hitters", "stats_hll_portable",
-        # third-continuation rotation: 8 NEW capability classes in,
-        # demotions all r04-green with in-window family siblings
-        # (graph_triangle_copurchase / dedup_winnow_pairs /
-        # streaming_transition_counts / text_bpe_merges /
-        # sim_topk_sq8_ivf / training_pack_greedy /
-        # curation_pagerank_quality / dq_check_orders — swap log in
-        # registry/__init__.py)
-        "graph_community_labelprop", "dedup_substring_spans",
-        "multimodal_decode_wav", "text_chunk_sliding",
-        "stats_embedding_isotropy", "training_dsir_weights",
-        "curation_ccnet_tiers", "curation_filter_attrition",
-        # fourth-continuation rotation: 10 NEW capability classes in;
-        # demotions all r04-green (the IVF serving tier's signal now
-        # flows through eval_ivf_recall + eval_ranking_ndcg, which
-        # compose the identical centroid chain — swap log in
-        # registry/__init__.py)
-        "recsys_user_recommend", "eval_ranking_ndcg",
-        "stats_bootstrap_ci", "graph_bfs_levels",
-        "graph_link_prediction", "events_forecast_holt",
-        "multimodal_audio_frames", "events_rfm_segmentation",
-        "stats_gini_concentration", "text_keyphrase_rake",
-    }
     import json
     import os
 
-    r6 = json.load(
-        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json"))
+    r7 = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"))
     )
-    for name in r6_demotions:
-        rec = r6.get(name)
+    for name in r8_demotions:
+        rec = r7.get(name)
         assert rec and rec["rows_match"], f"demoted without driver-green: {name}"
 
 

@@ -496,3 +496,18 @@ def test_image_ahash_banded_equijoin_only(spark):
     # decode+resample happened before the checkpoint: no Python worker
     # (mapInPandas/ArrowEvalPython) appears in the join plan itself
     assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dq_panel_approx_no_expand(spark):
+    """The approx DQ panel exists precisely to avoid the exact panel's
+    Expand node (input x #distinct-columns): profile pass has no
+    distinct aggregates, pk_duplicates is two chained groupBys, and
+    cardinality is portable-HLL registers (map-side-combinable max).
+    The exact panel's Expand is its documented cost; the approx twin
+    must never regress into one."""
+    plan = plan_of(REGISTRY["dq_expectations_panel_approx"].fn(spark, SF_DIR))
+    assert "Expand" not in plan, "approx DQ panel planned an Expand node"
+    # the exact panel DOES carry Expand (multiple exact count_distincts
+    # in one pass) — pin the contrast so the two never silently swap
+    exact_plan = plan_of(REGISTRY["dq_expectations_panel"].fn(spark, SF_DIR))
+    assert "Expand" in exact_plan
