@@ -1330,6 +1330,11 @@ def stats_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests."""
     from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE
 
+    from python_multiproc_bigdata_spark.operators.sketches import (
+        hll_corrected_estimate,
+        hll_registers,
+    )
+
     d = table(prep(spark), sf_dir, "documents")
     toks = (
         d.select(F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("token"))
@@ -1337,38 +1342,13 @@ def stats_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
         .distinct()  # HLL state depends only on the distinct hash set
     )
-    digits = [
-        F.expr(
-            f"CAST(instr('0123456789abcdef', substring(md5(token), {i + 1}, 1)) - 1 AS BIGINT)"
-        )
-        for i in range(14)
-    ]
-    bucket = (digits[0] * 16 + digits[1]).cast("int")
-    v = None
-    for i in range(2, 14):
-        t = digits[i] * F.lit(16 ** (13 - i)).cast("long")
-        v = t if v is None else v + t
-    rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v)))
-    regs = (
-        toks.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("m"))
-    )
-    m = 256
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(toks, [], "token")
     filled = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
         F.count(F.lit(1)).alias("_nb"),
     )
     exact = toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
-    raw = F.lit(alpha * m * m) / (
-        F.col("_s") + (F.lit(m) - F.col("_nb")) * F.lit(1.0)
-    )
-    empties = F.lit(m) - F.col("_nb")
-    corrected = F.when(
-        (raw <= 2.5 * m) & (empties > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / empties),
-    ).otherwise(raw)
+    corrected = hll_corrected_estimate()
     return (
         filled.crossJoin(exact)
         .select(
@@ -1445,6 +1425,11 @@ def events_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate and the relative error, so the sketch's accuracy is a
     value-checked column per window (exact side is the eval — a 100 TB
     deployment drops it)."""
+    from python_multiproc_bigdata_spark.operators.sketches import (
+        hll_corrected_estimate,
+        hll_registers,
+    )
+
     e = table(prep(spark), sf_dir, "events")
     du = (
         e.select(
@@ -1453,23 +1438,7 @@ def events_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    digits = [
-        F.expr(
-            f"CAST(instr('0123456789abcdef', substring(md5(u), {i + 1}, 1)) - 1 AS BIGINT)"
-        )
-        for i in range(14)
-    ]
-    bucket = (digits[0] * 16 + digits[1]).cast("int")
-    v = None
-    for i in range(2, 14):
-        t = digits[i] * F.lit(16 ** (13 - i)).cast("long")
-        v = t if v is None else v + t
-    rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v)))
-    regs = (
-        du.select("day", bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("day", "bucket")
-        .agg(F.max("rho").alias("m"))
-    )
+    regs = hll_registers(du, ["day"], "u")
     days = regs.select("day").distinct()
     win = (
         days.select(F.col("day").alias("wday"))
@@ -1481,8 +1450,6 @@ def events_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wday", "bucket")
         .agg(F.max("m").alias("m"))
     )
-    m = 256
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = win.groupBy("wday").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
         F.count(F.lit(1)).alias("_nb"),
@@ -1497,12 +1464,7 @@ def events_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wday")
         .agg(F.count_distinct("u").cast("long").alias("exact_users"))
     )
-    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")) * F.lit(1.0))
-    empties = F.lit(m) - F.col("_nb")
-    est = F.when(
-        (raw <= 2.5 * m) & (empties > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / empties),
-    ).otherwise(raw)
+    est = hll_corrected_estimate()
     return (
         agg.join(exact, "wday")
         .select(
