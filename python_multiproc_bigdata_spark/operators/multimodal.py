@@ -447,6 +447,139 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, PPM_SCHEMA)
 
 
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic 24-bit BI_RGB BMP bytes for a doc — the third real
+    container format after P6 PPM and RIFF/WAVE, chosen because its
+    on-disk quirks differ from both: rows are stored BOTTOM-UP, bytes
+    are BGR (not RGB), and every row is zero-padded to a 4-byte stride.
+    w = 3 + doc_id % 5 cycles the pad through 3/0/1/2/3 bytes so every
+    padding case is exercised; h = 2 + doc_id % 4. Pixel i = y·w + x in
+    IMAGE (top-down) order has channels
+    R/G/B = (doc_id·17 + i·5 + {0,3,6}) mod 256 — plain integer
+    arithmetic a SQL oracle replays exactly
+    (registry/multimodal.py:SQL_DECODE_BMP)."""
+    import struct
+
+    w = 3 + doc_id % 5
+    h = 2 + doc_id % 4
+    stride = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (stride - 3 * w)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row storage
+        row = bytearray()
+        for x in range(w):
+            base = doc_id * 17 + (y * w + x) * 5
+            row += bytes(((base + 6) % 256, (base + 3) % 256, base % 256))  # BGR
+        rows.append(bytes(row) + pad)
+    raster = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return header + info + raster
+
+
+def bmp_raster(payload: bytes):
+    """Parse 24-bit BI_RGB BMP bytes to (width, height, h×w×3 uint8 RGB
+    raster): magic + file-size validation, BITMAPINFOHEADER field
+    checks, stride-padded bottom-up (or top-down via negative height)
+    row recovery, BGR→RGB channel swap."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP (magic {payload[:2]!r})")
+    fsize, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
+    if fsize != len(payload):
+        raise ValueError(f"file-size field {fsize} != payload {len(payload)}")
+    hsize, w, h, planes, bpp, comp, _isz, _xr, _yr, _nc, _ni = struct.unpack_from(
+        "<IiiHHIIiiII", payload, 14
+    )
+    if hsize != 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hsize={hsize} planes={planes} "
+            f"bpp={bpp} compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    raster = payload[offset : offset + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError(f"truncated raster: {len(raster)} != {stride * h}")
+    arr = (
+        np.frombuffer(raster, dtype=np.uint8)
+        .reshape(h, stride)[:, : 3 * w]
+        .reshape(h, w, 3)
+    )
+    if not top_down:
+        arr = arr[::-1]
+    return w, h, arr[:, :, ::-1]  # BGR on disk -> RGB
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL BMP decoder returning (width, height, n_pixels, sum_r,
+    sum_g, sum_b) — integer channel SUMS for bit-exact engine parity,
+    numpy-vectorized raster math (no Python byte loop)."""
+    w, h, px = bmp_raster(payload)
+    sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+    return w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def attach_bmp(df: DataFrame) -> DataFrame:
+    """Synthesize the binary BMP payload column (doc_id → media) in
+    Arrow batches — attach_ppm's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_bmp_features(df: DataFrame) -> DataFrame:
+    """Decode a binary BMP column via mapInPandas (Arrow batches): 1 row
+    → 1 row of integer image stats — decode_ppm_features' sibling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_bmp(bytes(p)) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_pixels": [d[2] for d in decoded],
+                    "sum_r": [d[3] for d in decoded],
+                    "sum_g": [d[4] for d in decoded],
+                    "sum_b": [d[5] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, BMP_SCHEMA)
+
+
 AUDIO_FRAME_WINDOW = 8  # analysis window length in frames (per channel)
 
 AUDIO_FRAMES_SCHEMA = T.StructType(

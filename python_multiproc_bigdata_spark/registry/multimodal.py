@@ -13,8 +13,10 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     RESIZE_W,
     WAV_RATE,
     attach_binary,
+    attach_bmp,
     attach_ppm,
     attach_wav,
+    decode_bmp_features,
     decode_ppm_features,
     decode_wav_features,
     extract_features,
@@ -318,8 +320,46 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {AHASH_HAMMING_MAX}
 """
 
 
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode over a binary column — the third container
+    format (after P6 PPM and RIFF/WAVE), with genuinely different
+    on-disk quirks: bottom-up row storage, BGR byte order, and
+    4-byte row-stride padding that w = 3 + doc_id%5 cycles through
+    3/0/1/2/3 bytes so every pad case is parsed on every run
+    (operators/multimodal.py:synth_bmp / decode_bmp). Same
+    synth→opaque-bytes→struct-decode shape as multimodal_decode_ppm;
+    the oracle replays the raster arithmetic over unnested pixel
+    indices, so the full decoder path (header validation, stride
+    recovery, row flip, channel swap, numpy sums) is value-checked."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_bmp_features(attach_bmp(d))
+
+
+# Replays synth_bmp's arithmetic: w = 3 + doc_id%5, h = 2 + doc_id%4,
+# pixel i channels R/G/B = (doc_id*17 + i*5 + {0,3,6}) % 256. The
+# decoder un-does the BGR/bottom-up/stride encoding, so the oracle is
+# in clean image order. DuckDB sums promote to HUGEINT — cast back.
+SQL_DECODE_BMP = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+)
+SELECT doc_id,
+       w AS width,
+       h AS height,
+       w * h AS n_pixels,
+       CAST(sum((doc_id * 17 + i * 5) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 17 + i * 5 + 3) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 17 + i * 5 + 6) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
+    "multimodal_decode_bmp": QuerySpec(multimodal_decode_bmp, SQL_DECODE_BMP),
     "multimodal_image_ahash_neardup": QuerySpec(
         multimodal_image_ahash_neardup, SQL_IMAGE_AHASH_NEARDUP
     ),

@@ -588,6 +588,78 @@ def test_ppm_decode_real_parser(spark):
     assert rows[1].n_pixels == rows[1].width * rows[1].height
 
 
+def test_bmp_decode_real_parser(spark):
+    """The BMP decoder (r8) must un-do the format's real quirks —
+    bottom-up rows, BGR byte order, 4-byte stride padding, and the
+    top-down negative-height variant — on bytes it did not synthesize,
+    and reject malformed payloads loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_bmp,
+        bmp_raster,
+        decode_bmp,
+        decode_bmp_features,
+        synth_bmp,
+    )
+
+    def hand_bmp(w, h, pixels_rgb, top_down=False):
+        stride = (3 * w + 3) // 4 * 4
+        pad = b"\x00" * (stride - 3 * w)
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        raster = b"".join(
+            b"".join(
+                bytes(pixels_rgb[y * w + x][::-1]) for x in range(w)
+            )
+            + pad
+            for y in ys
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+            len(raster), 2835, 2835, 0, 0,
+        )
+        return struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54) + info + raster
+
+    # hand-written 2x2: known pixels, known channel sums — and the
+    # stride pad (3*2=6 -> stride 8) is exercised
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    assert decode_bmp(hand_bmp(2, 2, px)) == (2, 2, 4, 220, 260, 300)
+    # top-down negative-height storage decodes to the SAME image
+    w, h, arr = bmp_raster(hand_bmp(2, 2, px, top_down=True))
+    assert [tuple(int(v) for v in arr[i // 2][i % 2]) for i in range(4)] == px
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with _pytest.raises(ValueError, match="file-size"):
+        decode_bmp(hand_bmp(2, 2, px) + b"\x00")
+    short = bytearray(hand_bmp(2, 2, px))
+    struct.pack_into("<i", short, 22, 3)  # claim h=3, raster only has 2 rows
+    with _pytest.raises(ValueError, match="truncated raster"):
+        decode_bmp(bytes(short))
+    bad_bpp = bytearray(hand_bmp(2, 2, px))
+    struct.pack_into("<H", bad_bpp, 28, 32)
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad_bpp))
+
+    # synth → decode roundtrip agrees with direct arithmetic, across
+    # every stride-pad case (w cycles 3..7 -> pad 3/0/1/2/3)
+    for doc_id in (0, 1, 2, 3, 4, 11):
+        w, h = 3 + doc_id % 5, 2 + doc_id % 4
+        exp = [
+            sum((doc_id * 17 + i * 5 + o) % 256 for i in range(w * h))
+            for o in (0, 3, 6)
+        ]
+        assert decode_bmp(synth_bmp(doc_id)) == (w, h, w * h, *exp)
+
+    # distributed shape: two mapInPandas stages, decoder sees only bytes
+    df = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+    rows = {r.doc_id: r for r in decode_bmp_features(attach_bmp(df)).collect()}
+    assert rows[9].width == 3 + 9 % 5 and rows[9].height == 2 + 9 % 4
+    assert rows[1].n_pixels == rows[1].width * rows[1].height
+
+
 def test_mmr_rank1_is_top1_and_reduces_redundancy(spark):
     """Greedy MMR must (a) keep the single most-relevant neighbor as
     rank 1, and (b) not select a MORE mutually-similar set than plain
