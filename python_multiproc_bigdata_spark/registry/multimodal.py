@@ -14,9 +14,11 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     WAV_RATE,
     attach_binary,
     attach_bmp,
+    attach_png,
     attach_ppm,
     attach_wav,
     decode_bmp_features,
+    decode_png_features,
     decode_ppm_features,
     decode_wav_features,
     extract_features,
@@ -357,9 +359,49 @@ GROUP BY doc_id, w, h
 """
 
 
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode over a binary column — the first true CODEC
+    format (not just a container): per-chunk CRC-32 verification, IHDR
+    validation, zlib DEFLATE decompression of the IDAT stream, and
+    per-row reverse filtering where the synthetic corpus cycles the
+    filter type through None/Sub/Up/Average/Paeth
+    (operators/multimodal.py:synth_png / decode_png — stdlib zlib, no
+    PIL needed for the 8-bit RGB non-interlaced subset; JPEG/MP3/video
+    remain honest stubs, their codecs are not in the stdlib). The
+    oracle replays the pre-filter raster arithmetic over unnested pixel
+    indices, so compression, filtering, and their exact inverses are
+    value-checked end-to-end: one flipped bit anywhere in the DEFLATE
+    stream or filter algebra and every downstream channel sum moves."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_png_features(attach_png(d))
+
+
+# Replays synth_png's pre-filter arithmetic: w = 3 + doc_id%5,
+# h = 2 + doc_id%4, pixel i channels R/G/B = (doc_id*23 + i*11 +
+# {0,5,10}) % 256. The filter+DEFLATE encode and its inverse cancel by
+# construction — which is exactly the claim under test.
+SQL_DECODE_PNG = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+)
+SELECT doc_id,
+       w AS width,
+       h AS height,
+       w * h AS n_pixels,
+       CAST(sum((doc_id * 23 + i * 11) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 23 + i * 11 + 5) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 23 + i * 11 + 10) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_bmp": QuerySpec(multimodal_decode_bmp, SQL_DECODE_BMP),
+    "multimodal_decode_png": QuerySpec(multimodal_decode_png, SQL_DECODE_PNG),
     "multimodal_image_ahash_neardup": QuerySpec(
         multimodal_image_ahash_neardup, SQL_IMAGE_AHASH_NEARDUP
     ),

@@ -660,6 +660,121 @@ def test_bmp_decode_real_parser(spark):
     assert rows[1].n_pixels == rows[1].width * rows[1].height
 
 
+def test_png_decode_real_codec(spark):
+    """The PNG decoder (r8) is a real codec path: CRC-verified chunk
+    walk, zlib DEFLATE, and per-row reverse filtering. To break
+    encoder/decoder bug SYMMETRY, the filtered stream for a known 2x2
+    image is built BY HAND here (filter algebra worked out manually
+    from RFC 2083, not via synth_png) and must decode to the intended
+    pixels; malformed payloads must be rejected loudly."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        _paeth,
+        attach_png,
+        decode_png,
+        decode_png_features,
+        png_raster,
+        synth_png,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    def png_of(stream, w=2, h=2):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+
+    # intended image: row0 = (10,20,30)(40,50,60), row1 = (70,80,90)(100,110,120)
+    # row0 uses Sub (f=1): first pixel literal, second = delta from left:
+    #   40-10=30, 50-20=30, 60-30=30
+    # row1 uses Up (f=2): deltas from row0: 70-10, 80-20, 90-30, 100-40...= 60 each
+    stream = bytes(
+        [1, 10, 20, 30, 30, 30, 30]
+        + [2, 60, 60, 60, 60, 60, 60]
+    )
+    assert decode_png(png_of(stream)) == (2, 2, 4, 220, 260, 300)
+
+    # Average (f=3) and Paeth (f=4) rows, deltas hand-computed:
+    # row0 Average: pred = (left + up)//2 with up=0 → (0+0)//2=0 for px0,
+    #   (10+0)//2=5, (20)//2=10, (30)//2=15 → deltas 10,20,30, 35,40,45
+    # row1 Paeth: px0 pred = paeth(0, up, 0) = up → delta = cur-up;
+    #   px1 pred = paeth(left, up, upleft)
+    r0 = [10, 20, 30, 40, 50, 60]
+    r1 = [70, 80, 90, 100, 110, 120]
+    avg_deltas = [
+        (r0[i] - ((r0[i - 3] if i >= 3 else 0) + 0) // 2) % 256 for i in range(6)
+    ]
+    paeth_deltas = [
+        (r1[i] - _paeth(r1[i - 3] if i >= 3 else 0, r0[i], r0[i - 3] if i >= 3 else 0))
+        % 256
+        for i in range(6)
+    ]
+    stream2 = bytes([3] + avg_deltas + [4] + paeth_deltas)
+    assert decode_png(png_of(stream2)) == (2, 2, 4, 220, 260, 300)
+
+    # Paeth cases (RFC 2083 order left → up → up-left). A left/up tie
+    # with a != b is algebraically unreachable (|a-c|=|b-c|, a != b
+    # forces pc = 0), so the observable branches are: strict left win,
+    # the up-over-up-left TIE (pb == pc < pa, e.g. b-c = -2(a-c)), and
+    # a strict up-left win.
+    assert _paeth(5, 1, 1) == 5
+    assert _paeth(3, 0, 2) == 0
+    assert _paeth(1, 3, 2) == 2
+    assert _paeth(10, 10, 10) == 10
+
+    # malformed payloads
+    with _pytest.raises(ValueError, match="magic"):
+        decode_png(b"\x89PNX\r\n\x1a\n" + b"\x00" * 30)
+    good = png_of(stream)
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip a bit inside IHDR body
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad_crc))
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 18))
+            + chunk(b"IEND", b"")
+        )
+    with _pytest.raises(ValueError, match="decompressed size"):
+        decode_png(png_of(stream[:-1]))
+    with _pytest.raises(ValueError, match="bad filter"):
+        decode_png(png_of(bytes([9]) + stream[1:]))
+
+    # synth → decode roundtrip agrees with direct arithmetic; doc_ids
+    # chosen so every filter type appears as some row's type
+    for doc_id in (0, 1, 2, 3, 4, 7, 13):
+        w, h = 3 + doc_id % 5, 2 + doc_id % 4
+        exp = [
+            sum((doc_id * 23 + i * 11 + o) % 256 for i in range(w * h))
+            for o in (0, 5, 10)
+        ]
+        assert decode_png(synth_png(doc_id)) == (w, h, w * h, *exp)
+    # raster content (not just sums) survives the codec for a Paeth doc
+    w, h, px = png_raster(synth_png(4))  # h=2: rows use filters 4 and 0
+    assert int(px[1][2][1]) == (4 * 23 + (1 * w + 2) * 11 + 5) % 256
+
+    # distributed shape: two mapInPandas stages, decoder sees only bytes
+    df = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+    rows = {r.doc_id: r for r in decode_png_features(attach_png(df)).collect()}
+    assert rows[9].width == 3 + 9 % 5 and rows[9].height == 2 + 9 % 4
+    assert rows[1].n_pixels == rows[1].width * rows[1].height
+
+
 def test_mmr_rank1_is_top1_and_reduces_redundancy(spark):
     """Greedy MMR must (a) keep the single most-relevant neighbor as
     rank 1, and (b) not select a MORE mutually-similar set than plain
