@@ -621,6 +621,7 @@ def topk_ivf_kmeans(
     n_lists: int = 8,
     max_iter: int = 5,
     train_sample: int | None = 4096,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF top-k with spherical-k-means centroids (the recall fix for
     topk_ivf's label lists: the harness `label` column does not follow
@@ -635,13 +636,17 @@ def topk_ivf_kmeans(
     trainer (train_spherical_kmeans_driver — zero Spark jobs per Lloyd's
     iteration); pass train_sample=None to train distributed on the full
     corpus instead (only worth it when the quantizer genuinely needs
-    more points than fit on the driver, i.e. huge n_lists)."""
-    if train_sample:
-        cents = train_spherical_kmeans_driver(
-            corpus, n_lists=n_lists, max_iter=max_iter, sample_size=train_sample
-        )
-    else:
-        cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
+    more points than fit on the driver, i.e. huge n_lists). Pass `cents`
+    to serve from an already-trained quantizer (the offline-index
+    shape — training is deterministic, so callers over an immutable
+    corpus may memoize it; see registry/similarity.py)."""
+    if cents is None:
+        if train_sample:
+            cents = train_spherical_kmeans_driver(
+                corpus, n_lists=n_lists, max_iter=max_iter, sample_size=train_sample
+            )
+        else:
+            cents = train_spherical_kmeans(corpus, n_lists=n_lists, max_iter=max_iter)
     spark = corpus.sparkSession
     # corpus→list assignment through the same broadcast-join argmax used
     # in training (no giant literal tree; at scale this assignment runs
@@ -1429,10 +1434,12 @@ def mmr_diversify(
     replayed per step (measured 15.4 s → 5.5 s total at sf0.1) —
     `pairsim` via persist; each step's pick is also localCheckpointed so
     step N+1's job starts from N's tiny result, not the whole chained
-    plan. Steady-state split: ~2.9 s candidate+pairsim (corpus-scale,
-    the part an ANN tier replaces), ~2.6 s greedy loop (k−1 tiny jobs —
-    CONSTANT in corpus size; a pairsim-first broadcast reorder was
-    tried and measured SLOWER, 7.6 s, per-step broadcast builds)."""
+    plan. r8 adds a checkpoint on the cand+embedding relation (`ce`) so
+    the pairsim self-pairing no longer scans the corpus twice —
+    steady-state total 6.8 s → 3.8 s at sf0.1 (~1.1 s candidates,
+    ~2.7 s greedy loop, the latter CONSTANT in corpus size; a
+    pairsim-first broadcast reorder was tried and measured SLOWER,
+    7.6 s, per-step broadcast builds)."""
     cand = topk_bruteforce(queries, corpus, k=pool).select(
         "query_id", "neighbor_id", F.col("score").alias("rel")
     )
@@ -1461,8 +1468,14 @@ def mmr_from_candidates(
         .localCheckpoint(eager=True)
     )
     cemb = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
-    ce = cand.join(cemb, "neighbor_id").select(
-        "query_id", "neighbor_id", "rel", "c_emb", "c_norm"
+    # <= |queries|*pool rows with their embeddings; checkpointed so the
+    # a/b self-pairing below reads it twice WITHOUT scanning (and
+    # re-norming) the corpus twice
+    ce = (
+        cand.join(cemb, "neighbor_id")
+        .select("query_id", "neighbor_id", "rel", "c_emb", "c_norm")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     a = ce.select(
         "query_id",
@@ -1496,6 +1509,10 @@ def mmr_from_candidates(
         .filter(F.col("_r") == 1)
         .select("query_id", "neighbor_id", "rel", F.lit(1).alias("mmr_rank"))
     )
+    # a driver-side selected-state variant (collect each step's pick,
+    # re-create a literal frame) was tried in r8 and measured SLOWER
+    # (5.35 s vs 3.95 s total at sf0.1): per-step checkpointed unions
+    # beat per-step Python<->JVM row traffic here
     for step in range(2, k + 1):
         # anti-join out already-selected candidates, fan each remaining
         # candidate out to the selected set, look up the pair sim, and
