@@ -2,13 +2,16 @@
 opaque `binary` columns with typed metadata, processed in Arrow batches
 via mapInPandas.
 
-Four REAL decode paths are value-checked end-to-end: P6 PPM images
+Five REAL decode paths are value-checked end-to-end: P6 PPM images
 (`decode_ppm`), RIFF/WAVE PCM16 audio (`decode_wav`), 24-bit BI_RGB BMP
 (`decode_bmp` — bottom-up rows, BGR order, stride padding), all pure
-struct parsing; and 8-bit RGB PNG (`decode_png`) — a true CODEC path:
-CRC-verified chunks, stdlib-zlib DEFLATE, and the five PNG row filters
-reversed per row. Codec formats whose decompressors are NOT in the
-stdlib (JPEG/MP3/video) remain STUBBED: `decode_media` raises
+struct parsing; 8-bit RGB PNG (`decode_png`) — a true CODEC path:
+CRC-verified chunks, stdlib-zlib DEFLATE, the five PNG row filters
+reversed per row; and GIF87a (`decode_gif`) — LZW implemented from the
+spec (`lzw_decode_gif`: variable code widths, LSB-first packing,
+clear/end, KwKwK), since no stdlib LZW exists. Codec formats whose
+decoders are genuinely out of reach without external libraries
+(JPEG's DCT+Huffman, MP3, video) remain STUBBED: `decode_media` raises
 NotImplementedError; `fake_decode` is the deterministic stand-in
 (md5-derived dimensions) used by the generic-plumbing queries.
 Everything around the stub — the binary schema, batch iteration, UDF
@@ -796,6 +799,278 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, PNG_SCHEMA)
+
+
+GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("palette_size", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (variable code width, LSB-first bit
+    packing, clear/end codes, width grows when the next assignable code
+    reaches 2^width, capped at 12 bits). Exists to SYNTHESIZE fixtures;
+    the decoder below is the operator under test — the unit test also
+    feeds the decoder hand-packed streams so an encoder/decoder
+    symmetric bug cannot hide."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # The code WIDTH must track the DECODER's table, which runs one
+    # entry behind the encoder's (the decoder only learns an entry
+    # after reading the code that follows it). dec_next mirrors the
+    # decoder's next-slot counter: it advances after every emitted data
+    # code except the first, exactly when the decoder adds an entry —
+    # and the width bumps when IT reaches 2^width, not when the
+    # encoder's own next_code does (the classic LZW desync bug).
+    dec_next = end + 1
+    first = True
+
+    def emit_data(code: int) -> None:
+        nonlocal first, dec_next, width
+        emit(code)
+        if first:
+            first = False
+        elif dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([ch])
+    if w:
+        emit_data(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_gif(stream: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decode — the REAL codec work: LSB-first variable-
+    width code reader, clear/end handling, the KwKwK case (code ==
+    next_code), and the mirrored width-growth rule (width++ when the
+    next assignable code reaches 2^width, capped at 12)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0  # bit position
+    total_bits = len(stream) * 8
+
+    def reset():
+        return (
+            {i: bytes([i]) for i in range(clear)},
+            end + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset()
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        if pos + width > total_bits:
+            raise ValueError("LZW stream ended without end-of-information")
+        byte_i, bit_i = divmod(pos, 8)
+        chunk = int.from_bytes(stream[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_i) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < next_code and code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} of {next_code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(f"LZW output overran raster: {len(out)}")
+    if len(out) != n_expected:
+        raise ValueError(f"LZW output {len(out)} != raster {n_expected}")
+    return bytes(out)
+
+
+def _gif_palette(doc_id: int, size: int) -> list[tuple[int, int, int]]:
+    return [
+        (
+            (doc_id * 29 + j * 37) % 256,
+            (doc_id * 29 + j * 37 + 9) % 256,
+            (doc_id * 29 + j * 37 + 18) % 256,
+        )
+        for j in range(size)
+    ]
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic GIF87a bytes for a doc — the second true CODEC
+    format after PNG: the pixel-index raster is LZW-compressed with
+    variable code widths and packaged in length-prefixed sub-blocks.
+    w = 3 + doc_id % 5, h = 2 + doc_id % 4; palette size alternates
+    4/8 (min LZW code size 2/3, so BOTH starting widths appear across
+    the corpus); pixel i's color index = (doc_id·13 + i·7) mod psize,
+    palette entry j = (doc_id·29 + j·37 + {0,9,18}) mod 256 — plain
+    integer arithmetic a SQL oracle replays exactly
+    (registry/multimodal.py:SQL_DECODE_GIF)."""
+    import struct
+
+    w = 3 + doc_id % 5
+    h = 2 + doc_id % 4
+    mcs = 2 + doc_id % 2
+    psize = 1 << mcs
+    indices = bytes((doc_id * 13 + i * 7) % psize for i in range(w * h))
+    lzw = lzw_encode_gif(indices, mcs)
+    # logical screen descriptor: global color table, 2^(n+1) entries
+    packed = 0x80 | (mcs - 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    for rgb in _gif_palette(doc_id, psize):
+        out += bytes(rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):  # sub-block packaging
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_raster(payload: bytes):
+    """Parse GIF87a bytes to (width, height, palette, index raster):
+    header + logical-screen-descriptor validation, global color table,
+    image descriptor (full-frame, non-interlaced, no local table),
+    sub-block reassembly, LZW decode."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF (magic {payload[:6]!r})")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    psize = 2 << (packed & 0x07)
+    pos = 13
+    palette = [tuple(payload[pos + 3 * j : pos + 3 * j + 3]) for j in range(psize)]
+    pos += 3 * psize
+    if payload[pos] != 0x2C:
+        raise ValueError(f"expected image descriptor, got 0x{payload[pos]:02x}")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    if (left, top, iw, ih) != (0, 0, w, h) or ipacked & 0xC0:
+        raise ValueError("unsupported GIF layout (offset/interlace/local table)")
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated sub-blocks")
+        blen = payload[pos]
+        pos += 1
+        if blen == 0:
+            break
+        lzw += payload[pos : pos + blen]
+        pos += blen
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    indices = lzw_decode_gif(bytes(lzw), mcs, w * h)
+    if any(i >= psize for i in indices):
+        raise ValueError("color index out of palette range")
+    return w, h, palette, indices
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL GIF decoder returning (width, height, palette_size,
+    n_pixels, sum_r, sum_g, sum_b) via palette lookup of the
+    LZW-decoded index raster — integer sums for bit-exact parity."""
+    w, h, palette, indices = gif_raster(payload)
+    sr = sum(palette[i][0] for i in indices)
+    sg = sum(palette[i][1] for i in indices)
+    sb = sum(palette[i][2] for i in indices)
+    return w, h, len(palette), w * h, sr, sg, sb
+
+
+def attach_gif(df: DataFrame) -> DataFrame:
+    """Synthesize the binary GIF payload column (doc_id → media) in
+    Arrow batches — attach_ppm's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_gif(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """Decode a binary GIF column via mapInPandas (Arrow batches): 1 row
+    → 1 row of integer image stats — decode_ppm_features' sibling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_gif(bytes(p)) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "palette_size": [d[2] for d in decoded],
+                    "n_pixels": [d[3] for d in decoded],
+                    "sum_r": [d[4] for d in decoded],
+                    "sum_g": [d[5] for d in decoded],
+                    "sum_b": [d[6] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, GIF_SCHEMA)
 
 
 AUDIO_FRAME_WINDOW = 8  # analysis window length in frames (per channel)

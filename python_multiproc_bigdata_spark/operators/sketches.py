@@ -29,20 +29,15 @@ def hll_bucket_rho(val_col: str) -> tuple[Column, Column]:
     """(bucket, rho) of a string column under the portable p=8 md5-HLL:
     bucket = first two md5 hex digits, rho = leading-zero count of the
     next 48 bits + 1 (49 − length(bin(v)); the all-zero word pins
-    rho = 49). Pure column math — identical expressions replay in
-    DuckDB with strpos/substr/bin."""
-    digits = [
-        F.expr(
-            f"CAST(instr('0123456789abcdef', substring(md5({val_col}), {i + 1}, 1))"
-            " - 1 AS BIGINT)"
-        )
-        for i in range(14)
-    ]
-    bucket = (digits[0] * 16 + digits[1]).cast("int")
-    v = None
-    for i in range(2, 14):
-        t = digits[i] * F.lit(16 ** (13 - i)).cast("long")
-        v = t if v is None else v + t
+    rho = 49). Hex→int goes through ONE conv() per field (Spark
+    conv(x, 16, 10) ≡ DuckDB ('0x' || x)::BIGINT — verified equal),
+    not the 14-digit instr/substring ladder the first HLL queries
+    used: that ladder evaluated md5 per digit and measured ~2x slower
+    at panel width (the values are bit-identical either way, so the
+    older queries' committed digit-sum oracles still match)."""
+    h = F.md5(val_col)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
     rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v)))
     return bucket, rho
 
@@ -98,21 +93,9 @@ def hll_corrected_estimate(
 def sql_hll_v_expr(val_expr: str) -> str:
     """DuckDB expression for the 48-bit hash word `v` over md5 of
     `val_expr` — the oracle-side twin of hll_bucket_rho."""
-    return (
-        "CAST("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({val_expr}), {i + 1}, 1)) - 1)"
-            f" * {16 ** (13 - i)}"
-            for i in range(2, 14)
-        )
-        + " AS BIGINT)"
-    )
+    return f"(('0x' || substr(md5({val_expr}), 3, 12))::BIGINT)"
 
 
 def sql_hll_bucket_expr(val_expr: str) -> str:
     """DuckDB expression for the p=8 bucket over md5 of `val_expr`."""
-    return (
-        f"CAST((strpos('0123456789abcdef', substr(md5({val_expr}), 1, 1)) - 1) * 16"
-        f" + (strpos('0123456789abcdef', substr(md5({val_expr}), 2, 1)) - 1)"
-        " AS INTEGER)"
-    )
+    return f"(('0x' || substr(md5({val_expr}), 1, 2))::INTEGER)"

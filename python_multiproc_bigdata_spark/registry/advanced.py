@@ -670,13 +670,14 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplied by the number of distinct columns — the exact panel's
     honest 100 TB cost), three Expand-free passes per table instead:
 
-    1. profile pass — row_count + per-column null_count/min/max, plain
-       conditional aggregates only (map-side partials, one 1-row task);
-    2. exact PK-duplicates as its own pass — groupBy(pk_tuple).count()
-       then sum(cnt) − count(*): two chained partial aggregations,
-       never a distinct-aggregate rewrite (the dup check must stay
-       exact — an approximate uniqueness gate is useless);
-    3. per-column cardinality via the PORTABLE md5-HLL
+    1. profile pass — row_count + per-column null_count/min/max plus
+       the ONE exact pk-distinct count (the dup check must stay exact —
+       an approximate uniqueness gate is useless): a SINGLE distinct
+       aggregate plans through planAggregateWithOneDistinct (four
+       chained HashAggregates), never an Expand — Expand appears only
+       with MULTIPLE distinct groups, which is what this variant
+       removes;
+    2. per-column cardinality via the PORTABLE md5-HLL
        (operators/sketches.py, the stats_hll_portable arithmetic):
        explode (col, val), registers = groupBy(col, bucket).max(rho) —
        the explode multiplies rows like Expand does, but HLL registers
@@ -698,8 +699,14 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
         t = table(s, sf_dir, tbl)
-        # pass 1: profile aggregates (no distinct anywhere)
-        aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+        # pass 1: profile aggregates + the single exact pk distinct
+        pk_tuple = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]
+        )
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+            F.count_distinct(pk_tuple).cast("long").alias("_pk_distinct"),
+        ]
         for c in cols:
             aggs += [
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
@@ -709,7 +716,14 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
             ]
         row = t.agg(*aggs)
-        metrics = [("_table_", "row_count", F.col("_rows").cast("string"))]
+        metrics = [
+            ("_table_", "row_count", F.col("_rows").cast("string")),
+            (
+                "_table_",
+                "pk_duplicates",
+                (F.col("_rows") - F.col("_pk_distinct")).cast("string"),
+            ),
+        ]
         for c in cols:
             metrics += [
                 (c, "null_count", F.col(f"_null_{c}").cast("string")),
@@ -731,23 +745,7 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("m")
         ).select("m.tbl", "m.col", "m.metric", "m.value")
-        # pass 2: exact pk_duplicates without a distinct aggregate —
-        # sum(group counts) − |groups| over groupBy(pk_tuple)
-        pk_tuple = F.concat_ws(
-            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]
-        )
-        grouped = t.groupBy(pk_tuple.alias("_pk")).agg(
-            F.count(F.lit(1)).alias("_cnt")
-        )
-        pkdup = grouped.agg(
-            (F.sum("_cnt") - F.count(F.lit(1))).cast("long").alias("_dup")
-        ).select(
-            F.lit(tbl).alias("tbl"),
-            F.lit("_table_").alias("col"),
-            F.lit("pk_duplicates").alias("metric"),
-            F.col("_dup").cast("string").alias("value"),
-        )
-        # pass 3: portable-HLL cardinality per profiled column
+        # pass 2: portable-HLL cardinality per profiled column
         kv = (
             t.select(
                 F.explode(
@@ -790,7 +788,7 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("value"),
             )
         )
-        frames += [profile, pkdup, est]
+        frames += [profile, est]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

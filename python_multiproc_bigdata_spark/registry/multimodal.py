@@ -14,10 +14,12 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     WAV_RATE,
     attach_binary,
     attach_bmp,
+    attach_gif,
     attach_png,
     attach_ppm,
     attach_wav,
     decode_bmp_features,
+    decode_gif_features,
     decode_png_features,
     decode_ppm_features,
     decode_wav_features,
@@ -398,10 +400,55 @@ GROUP BY doc_id, w, h
 """
 
 
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a decode over a binary column — the second true codec
+    after PNG, and a different compression family: the pixel-index
+    raster is LZW-compressed (variable code widths, LSB-first packing,
+    clear/end codes, the KwKwK case) and packaged in length-prefixed
+    sub-blocks; no stdlib decompressor exists for LZW, so
+    operators/multimodal.py:lzw_decode_gif implements the codec from
+    the spec (property-tested against 30k-symbol streams that drive
+    the code width to 12 bits, plus HAND-PACKED bitstreams in the unit
+    test so an encoder/decoder symmetric bug cannot hide). The palette
+    alternates 4/8 entries so BOTH starting code widths appear. The
+    oracle replays palette-lookup sums over unnested pixel indices —
+    one wrong bit in the LZW stream or table timing moves every sum."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_gif_features(attach_gif(d))
+
+
+# Replays synth_gif's arithmetic: w = 3 + doc_id%5, h = 2 + doc_id%4,
+# palette size ps = 1 << (2 + doc_id%2), pixel i's index
+# j = (doc_id*13 + i*7) % ps, palette entry j channels R/G/B =
+# (doc_id*29 + j*37 + {0,9,18}) % 256.
+SQL_DECODE_GIF = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         (1 << (2 + doc_id % 2))::BIGINT AS ps
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, ps,
+         (doc_id * 13 + unnest(range(w * h)) * 7) % ps AS j
+  FROM dims
+)
+SELECT doc_id,
+       w AS width,
+       h AS height,
+       ps AS palette_size,
+       w * h AS n_pixels,
+       CAST(sum((doc_id * 29 + j * 37) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 29 + j * 37 + 9) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 29 + j * 37 + 18) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h, ps
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_bmp": QuerySpec(multimodal_decode_bmp, SQL_DECODE_BMP),
     "multimodal_decode_png": QuerySpec(multimodal_decode_png, SQL_DECODE_PNG),
+    "multimodal_decode_gif": QuerySpec(multimodal_decode_gif, SQL_DECODE_GIF),
     "multimodal_image_ahash_neardup": QuerySpec(
         multimodal_image_ahash_neardup, SQL_IMAGE_AHASH_NEARDUP
     ),

@@ -775,6 +775,92 @@ def test_png_decode_real_codec(spark):
     assert rows[1].n_pixels == rows[1].width * rows[1].height
 
 
+def test_gif_decode_real_codec(spark):
+    """The GIF decoder (r8) implements LZW from the spec. To break
+    encoder/decoder bug symmetry, two bitstreams are PACKED BY HAND
+    here (variable-width codes worked out on paper, LSB-first): a
+    plain stream whose width grows 3→4 mid-stream, and a KwKwK stream
+    (code == next slot). Property coverage (30k-symbol streams to
+    12-bit widths) lives in the operator roundtrip below; malformed
+    payloads must be rejected loudly."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_gif,
+        decode_gif,
+        decode_gif_features,
+        lzw_decode_gif,
+        lzw_encode_gif,
+        synth_gif,
+    )
+
+    # hand-packed (mcs=2: clear=4, end=5, width starts 3):
+    # codes 4,1,2,2 @3 bits — after the 3rd data code the decoder's
+    # next slot hits 8, so END is read @4 bits → bytes 0x8C 0x54
+    assert lzw_decode_gif(bytes([0x8C, 0x54]), 2, 3) == bytes([1, 2, 2])
+    # hand-packed KwKwK: codes 4,1,6,5 @3 bits — code 6 IS the next
+    # slot (entry [1,1] the decoder hasn't built yet) → bytes 0x8C 0x0B
+    assert lzw_decode_gif(bytes([0x8C, 0x0B]), 2, 3) == bytes([1, 1, 1])
+
+    # property: roundtrip over random index streams, both starting
+    # widths, including runs that stress the KwKwK path
+    rnd = random.Random(7)
+    for mcs in (2, 3):
+        for n in (1, 7, 300):
+            data = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+            assert lzw_decode_gif(lzw_encode_gif(data, mcs), mcs, n) == data
+        run = bytes([1] * 100)
+        assert lzw_decode_gif(lzw_encode_gif(run, mcs), mcs, 100) == run
+
+    # malformed payloads
+    with _pytest.raises(ValueError, match="magic"):
+        decode_gif(b"JIF87a" + b"\x00" * 30)
+    good = bytearray(synth_gif(3))
+    with _pytest.raises(ValueError, match="trailer"):
+        decode_gif(bytes(good[:-1]))
+    bad = bytearray(good)
+    bad[6:8] = struct.pack("<H", 100)  # widen the screen: raster short
+    with _pytest.raises(ValueError, match="unsupported GIF layout"):
+        decode_gif(bytes(bad))
+    # corrupt a byte inside the LZW sub-block → decode must not return
+    # silently-wrong pixels: any of the decoder's validations may fire
+    corrupt = bytearray(synth_gif(9))
+    corrupt[-4] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(corrupt))
+
+    # synth → decode roundtrip agrees with direct arithmetic (both
+    # palette sizes / starting code widths)
+    for doc_id in (0, 1, 6, 13):
+        w, h = 3 + doc_id % 5, 2 + doc_id % 4
+        ps = 1 << (2 + doc_id % 2)
+        pal = [
+            (
+                (doc_id * 29 + j * 37) % 256,
+                (doc_id * 29 + j * 37 + 9) % 256,
+                (doc_id * 29 + j * 37 + 18) % 256,
+            )
+            for j in range(ps)
+        ]
+        idx = [(doc_id * 13 + i * 7) % ps for i in range(w * h)]
+        exp = (
+            w, h, ps, w * h,
+            sum(pal[i][0] for i in idx),
+            sum(pal[i][1] for i in idx),
+            sum(pal[i][2] for i in idx),
+        )
+        assert decode_gif(synth_gif(doc_id)) == exp
+
+    # distributed shape: two mapInPandas stages, decoder sees only bytes
+    df = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+    rows = {r.doc_id: r for r in decode_gif_features(attach_gif(df)).collect()}
+    assert rows[9].width == 3 + 9 % 5 and rows[9].palette_size == 1 << (2 + 9 % 2)
+    assert rows[1].n_pixels == rows[1].width * rows[1].height
+
+
 def test_mmr_rank1_is_top1_and_reduces_redundancy(spark):
     """Greedy MMR must (a) keep the single most-relevant neighbor as
     rank 1, and (b) not select a MORE mutually-similar set than plain
