@@ -397,8 +397,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # 45 never-driver-checked queries enter: the 12 VERDICT-named leads, the
 # six streaming twins, the events/split/training/text tails, plus the two
 # NEW r8 compositions (sim_mmr_from_ivf, dq_expectations_panel_approx).
-# Remaining never-checked backlog after this window: ~24 (see
-# PARITY_LEDGER.md) — clears in r9.
+# Remaining never-checked backlog after this window: ~24 pre-r8 names
+# (see PARITY_LEDGER.md) plus the three r8 codec/container decoders
+# (multimodal_decode_bmp / _png / _gif) — clears in r9.
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",

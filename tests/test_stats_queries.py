@@ -1215,3 +1215,26 @@ def test_velocity_gate_flags_burst_user(spark, tmp_path):
     assert got[1].active_buckets == 1 and got[1].n_events == 10
     assert got[2].peak_per_5min == 1 and not got[2].flagged
     assert got[2].active_buckets == 10 and got[2].mean_rate == 1.0
+
+
+def test_hll_bucket_rho_matches_hashlib_reference(spark):
+    """operators/sketches.py's conv()-based bucket/rho (r8) must agree
+    with an independent hashlib-md5 reference — the expression is
+    shared by three value-checked queries, so a silent hex-extraction
+    bug here would shift every sketch in the same wrong direction."""
+    import hashlib
+
+    from python_multiproc_bigdata_spark.operators.sketches import hll_bucket_rho
+
+    vals = ["", "hello", "0", "a" * 300, "عَرَبِي", "1\x012"]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    bucket, rho = hll_bucket_rho("val")
+    got = {
+        r.val: (r.b, r.r)
+        for r in df.select("val", bucket.alias("b"), rho.alias("r")).collect()
+    }
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        w = int(h[2:14], 16)
+        exp_rho = 49 if w == 0 else 49 - w.bit_length()
+        assert got[v] == (int(h[:2], 16), exp_rho), v

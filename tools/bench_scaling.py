@@ -75,6 +75,11 @@ QUERIES = [
     ("recsys_eval_hitrate_loo", "holdout window + retrained sims + CF score"),
     ("events_hll_sliding_users", "per-day HLL registers + cell-wise window merge"),
     ("dq_expectations_panel", "one multi-distinct agg pass per table"),
+    # r8 additions
+    ("dq_expectations_panel_approx", "Expand-free profile + HLL registers per table"),
+    ("sim_mmr_from_ivf", "prebuilt-index probe + constant-size greedy"),
+    ("multimodal_decode_png", "DEFLATE + row-filter codec mapInPandas"),
+    ("multimodal_decode_gif", "LZW codec mapInPandas"),
 ]
 
 
