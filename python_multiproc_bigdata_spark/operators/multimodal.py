@@ -2,18 +2,21 @@
 opaque `binary` columns with typed metadata, processed in Arrow batches
 via mapInPandas.
 
-Five REAL decode paths are value-checked end-to-end: P6 PPM images
-(`decode_ppm`), RIFF/WAVE PCM16 audio (`decode_wav`), 24-bit BI_RGB BMP
-(`decode_bmp` — bottom-up rows, BGR order, stride padding), all pure
-struct parsing; 8-bit RGB PNG (`decode_png`) — a true CODEC path:
-CRC-verified chunks, stdlib-zlib DEFLATE, the five PNG row filters
-reversed per row; and GIF87a (`decode_gif`) — LZW implemented from the
-spec (`lzw_decode_gif`: variable code widths, LSB-first packing,
-clear/end, KwKwK), since no stdlib LZW exists. Codec formats whose
-decoders are genuinely out of reach without external libraries
-(JPEG's DCT+Huffman, MP3, video) remain STUBBED: `decode_media` raises
-NotImplementedError; `fake_decode` is the deterministic stand-in
-(md5-derived dimensions) used by the generic-plumbing queries.
+Six REAL decode paths are value-checked end-to-end — every modality has
+a genuinely parsed container and two true codecs exist:
+- images: P6 PPM (`decode_ppm`), 24-bit BI_RGB BMP (`decode_bmp` —
+  bottom-up rows, BGR order, stride padding), 8-bit RGB PNG
+  (`decode_png` — a real CODEC: CRC-verified chunks, stdlib-zlib
+  DEFLATE, the five row filters reversed), GIF87a (`decode_gif` — LZW
+  implemented from the spec, since no stdlib LZW exists);
+- audio: RIFF/WAVE PCM16 (`decode_wav`);
+- video: RIFF/AVI with uncompressed DIB frames (`decode_avi` — nested
+  LIST walking, avih/strf cross-check, per-frame raster recovery).
+Only formats whose decoders genuinely need external libraries (JPEG's
+DCT+Huffman, MP3, compressed video codecs) remain STUBBED:
+`decode_media` raises NotImplementedError; `fake_decode` is the
+deterministic stand-in (md5-derived dimensions) used by the
+generic-plumbing queries.
 Everything around the stub — the binary schema, batch iteration, UDF
 signature, output schema — is real and is exactly what a production
 decoder would slot into.
@@ -1071,6 +1074,202 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, GIF_SCHEMA)
+
+
+AVI_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic RIFF/AVI bytes for a doc — VIDEO as a real
+    container: LIST('hdrl') with a 56-byte avih main header and a
+    LIST('strl') holding a 'vids'/'DIB ' strh + BITMAPINFOHEADER strf,
+    then LIST('movi') with n_frames uncompressed '00db' frame chunks
+    (bottom-up BGR rows, 4-byte stride padding — the BMP raster rules).
+    w = 3 + doc_id % 5 (pad cycles 3/0/1/2/3), h = 2 + doc_id % 4,
+    n_frames = 2 + doc_id % 3; frame f pixel i channels R/G/B =
+    (doc_id·19 + f·13 + i·5 + {0,7,14}) mod 256 — integer arithmetic a
+    SQL oracle replays exactly (registry/multimodal.py:SQL_DECODE_AVI)."""
+    import struct
+
+    w = 3 + doc_id % 5
+    h = 2 + doc_id % 4
+    n_frames = 2 + doc_id % 3
+    stride = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (stride - 3 * w)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up row storage
+            row = bytearray()
+            for x in range(w):
+                base = doc_id * 19 + f * 13 + (y * w + x) * 5
+                row += bytes(
+                    ((base + 14) % 256, (base + 7) % 256, base % 256)
+                )  # BGR
+            rows.append(bytes(row) + pad)
+        frames.append(chunk(b"00db", b"".join(rows)))
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 40000, 0, 0, 0, n_frames, 0, 1, stride * h, w, h, 0, 0, 0, 0
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 25, 0, n_frames, stride * h, 0, 0, 0, 0, w, h),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frames(payload: bytes):
+    """Parse RIFF/AVI bytes to (width, height, list of h×w×3 RGB
+    rasters): RIFF walker with the odd-size pad rule, avih main-header
+    dims cross-checked against the strf BITMAPINFOHEADER, '00db'
+    uncompressed frames recovered through the BMP raster rules
+    (bottom-up, BGR, stride pad)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI (magic {payload[:4]!r}/{payload[8:12]!r})")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 != len(payload):
+        raise ValueError(f"RIFF size {riff_size} != payload {len(payload) - 8}")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated {tag!r} chunk")
+            yield tag, body_start, size
+            pos = body_start + size + (size % 2)  # odd chunks pad to even
+
+    avih = None
+    strf = None
+    frames_raw: list[bytes] = []
+    for tag, start, size in walk(12, len(payload)):
+        if tag != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            for t2, s2, z2 in walk(start + 4, start + size):
+                if t2 == b"avih":
+                    avih = struct.unpack_from("<14I", payload, s2)
+                elif t2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for t3, s3, z3 in walk(s2 + 4, s2 + z2):
+                        if t3 == b"strf":
+                            strf = struct.unpack_from("<IiiHHIIiiII", payload, s3)
+        elif kind == b"movi":
+            for t2, s2, z2 in walk(start + 4, start + size):
+                if t2 == b"00db":
+                    frames_raw.append(payload[s2 : s2 + z2])
+    if avih is None or strf is None:
+        raise ValueError("missing avih or strf header")
+    n_frames, w, h = avih[4], avih[8], avih[9]
+    if (strf[1], strf[2], strf[4], strf[5]) != (w, h, 24, 0):
+        raise ValueError("strf disagrees with avih or unsupported format")
+    if len(frames_raw) != n_frames:
+        raise ValueError(f"frame count {len(frames_raw)} != avih {n_frames}")
+    stride = (3 * w + 3) // 4 * 4
+    out = []
+    for raw in frames_raw:
+        if len(raw) != stride * h:
+            raise ValueError(f"frame size {len(raw)} != {stride * h}")
+        arr = (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(h, stride)[:, : 3 * w]
+            .reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up, BGR -> RGB
+        )
+        out.append(arr)
+    return w, h, out
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL AVI decoder returning (width, height, n_frames,
+    n_pixels_total, sum_r, sum_g, sum_b) across all frames — integer
+    sums for bit-exact parity, numpy-vectorized per frame."""
+    import numpy as np
+
+    w, h, frames = avi_frames(payload)
+    sums = np.zeros(3, dtype="int64")
+    for arr in frames:
+        sums += arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+    n = len(frames)
+    return w, h, n, w * h * n, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def attach_avi(df: DataFrame) -> DataFrame:
+    """Synthesize the binary AVI payload column (doc_id → media) in
+    Arrow batches — attach_ppm's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_avi(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_avi_features(df: DataFrame) -> DataFrame:
+    """Decode a binary AVI column via mapInPandas (Arrow batches): 1 row
+    → 1 row of integer video stats — decode_ppm_features' sibling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_avi(bytes(p)) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "n_pixels": [d[3] for d in decoded],
+                    "sum_r": [d[4] for d in decoded],
+                    "sum_g": [d[5] for d in decoded],
+                    "sum_b": [d[6] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, AVI_SCHEMA)
 
 
 AUDIO_FRAME_WINDOW = 8  # analysis window length in frames (per channel)

@@ -861,6 +861,65 @@ def test_gif_decode_real_codec(spark):
     assert rows[1].n_pixels == rows[1].width * rows[1].height
 
 
+def test_avi_decode_real_parser(spark):
+    """The AVI decoder (r8) must walk nested RIFF LISTs with the
+    odd-size pad rule, cross-check avih vs strf, and recover bottom-up
+    BGR stride-padded frames — and reject malformed payloads loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_avi,
+        avi_frames,
+        decode_avi,
+        decode_avi_features,
+        synth_avi,
+    )
+
+    # roundtrip vs direct arithmetic over every (pad, frame-count) case
+    for doc_id in (0, 1, 2, 3, 4, 5, 11):
+        w, h, nf = 3 + doc_id % 5, 2 + doc_id % 4, 2 + doc_id % 3
+        exp = [0, 0, 0]
+        for f in range(nf):
+            for i in range(w * h):
+                base = doc_id * 19 + f * 13 + i * 5
+                for c, o in enumerate((0, 7, 14)):
+                    exp[c] += (base + o) % 256
+        assert decode_avi(synth_avi(doc_id)) == (w, h, nf, w * h * nf, *exp)
+
+    # frame CONTENT (not just sums) comes back in image order/RGB
+    w, h, frames = avi_frames(synth_avi(3))
+    base = 3 * 19 + 1 * 13 + (1 * w + 2) * 5  # frame 1, pixel (y=1, x=2)
+    assert tuple(int(v) for v in frames[1][1][2]) == (
+        base % 256, (base + 7) % 256, (base + 14) % 256,
+    )
+
+    # malformed payloads
+    good = synth_avi(5)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_avi(b"XIFF" + good[4:])
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 4, 5)
+    with _pytest.raises(ValueError, match="RIFF size"):
+        decode_avi(bytes(bad))
+    # drop the last frame chunk (fixing only the RIFF size): the movi
+    # LIST now claims bytes past the end → the walker must refuse
+    w5, h5 = 3 + 5 % 5, 2 + 5 % 4
+    stride = (3 * w5 + 3) // 4 * 4
+    frame_chunk = 8 + stride * h5 + (stride * h5) % 2
+    cut = bytearray(good[:-frame_chunk])
+    struct.pack_into("<I", cut, 4, len(cut) - 8)  # RIFF size
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi(bytes(cut))
+
+    # distributed shape: two mapInPandas stages, decoder sees only bytes
+    df = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+    rows = {r.doc_id: r for r in decode_avi_features(attach_avi(df)).collect()}
+    assert rows[9].n_frames == 2 + 9 % 3 and rows[9].width == 3 + 9 % 5
+    assert rows[1].n_pixels == rows[1].width * rows[1].height * rows[1].n_frames
+
+
 def test_mmr_rank1_is_top1_and_reduces_redundancy(spark):
     """Greedy MMR must (a) keep the single most-relevant neighbor as
     rank 1, and (b) not select a MORE mutually-similar set than plain
