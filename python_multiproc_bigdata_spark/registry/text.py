@@ -1376,7 +1376,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "cum_tokens",
             "cum_vocab",
-            F.round(beta, 4).alias("heaps_beta"),
+            # + 0.0 collapses IEEE -0.0 to +0.0 on both engines: on the
+            # closed-vocabulary corpus the OLS numerator is sum-order
+            # jitter around zero, and round() keeps the sign (r7's
+            # stats_psi_drift driver-red failure mode, caught here by
+            # the r8 strict ±0 window scan before the driver could)
+            (F.round(beta, 4) + F.lit(0.0)).alias("heaps_beta"),
             F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4).alias(
                 "heaps_k"
             ),
@@ -1422,7 +1427,7 @@ WITH toks AS (
   FROM pts
 )
 SELECT k, cum_tokens, cum_vocab,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS heaps_beta,
        round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n), 4)
          AS heaps_k
 FROM pts CROSS JOIN fit
