@@ -400,68 +400,98 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # Remaining never-checked backlog after this window: ~24 pre-r8 names
 # (see PARITY_LEDGER.md) plus the three r8 codec/container decoders
 # (multimodal_decode_bmp / _png / _gif) — clears in r9.
+#
+# Round-9 rotation (VERDICT r8 asks #1/#3): r8 went 49/50 — every green
+# non-anchor slot except five deliberate keepers rotates out (all 43
+# demotions are r8-green on record in CORRECTNESS_r08.json, pinned by
+# tests/test_entry.py). stats_psi_drift STAYS a third round carrying the
+# r9 forensic fix (the oracle's bare sum(CASE...) is a DuckDB HUGEINT —
+# float64 under a pandas/arrow driver fetch vs Spark's int64; now CAST
+# AS BIGINT; tools/gate.py scans every oracle for this class). ALL 28
+# remaining never-driver-checked queries enter — including the four r8
+# decoders and the two freshly oracle-backed sketch promotions
+# (approx_distinct_stats, stats_hll_users_per_type — portable-HLL /
+# histogram-sketch re-expressions, natives kept unregistered) — so a
+# green r9 gives every one of the 291 queries a driver-green row ever.
+# The 20 re-confirmation slots: the two r9 oracle-CAST edits
+# (text_bpe_encode_stats, privacy_dp_noised_counts), the two r9
+# code-touched compositions (dq_expectations_panel_approx fused to one
+# HLL pass, sim_mmr_from_ivf index-cache fingerprint), the words
+# flagship pair, the sketch family (stats_hll_portable,
+# events_hll_sliding_users, stats_quantile_sketch), and one diverse
+# green representative per major family (TPC-H ×2, dedup, text,
+# streaming, training, eval, graph, recsys, multimodal, curation,
+# func/Arabic — SURVEY's #1 named correctness risk).
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",
-    # the two r7 driver-reds, kept in window to prove their fixes
-    # (VERDICT r7 asks #1-#3): hash-stable outputs landed this round
-    "func_array_library",
+    # the r7/r8 driver-red, kept a THIRD round to prove the r9 forensic
+    # fix (oracle HUGEINT → CAST AS BIGINT; see registry/stats.py)
     "stats_psi_drift",
-    # the two NEW r8 compositions (VERDICT r7 asks #5-#6)
-    "sim_mmr_from_ivf",
+    # ---- the 28 never-driver-checked queries (backlog clears here) ----
+    # the four r8 real decoders (PNG/GIF/BMP/AVI)
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_decode_bmp",
+    "multimodal_decode_avi",
+    # similarity tail
+    "sim_topk_filtered",
+    "sim_cluster_profile",
+    "sim_jl_project",
+    # dedup tail
+    "dedup_cluster_size_report",
+    "dedup_incremental_novelty",
+    # advanced tail
+    "asof_click_to_next_view",
+    # the two r9 sketch promotions (rows-only → portable-sketch oracles)
+    "approx_distinct_stats",
+    "stats_hll_users_per_type",
+    # stats tail
+    "stats_pareto_cutoffs",
+    "stats_ab_ttest",
+    "stats_top_types_sketch",
+    "stats_price_histogram",
+    "stats_argminmax_orders",
+    "global_index_orders",
+    "map_status_counts",
+    # privacy tail
+    "privacy_k_anonymity",
+    # curation / corpus tail
+    "curation_badwords_gate",
+    "curation_line_dedup",
+    "curation_dup_ngram_fraction",
+    "curation_active_learning",
+    "curation_unigram_logprob",
+    "curation_boilerplate_ngrams",
+    "corpus_version_diff",
+    "decontaminate_fraction",
+    # ---- 20 re-confirmation slots (all r8-or-earlier driver-green) ----
+    # r9 oracle-CAST edits (DECIMAL → DOUBLE, the gate.py dtype class)
+    "text_bpe_encode_stats",
+    "privacy_dp_noised_counts",
+    # r9 code-touched compositions
     "dq_expectations_panel_approx",
-    # VERDICT r7 ask #4's named never-checked leads
-    "dq_expectations_panel",
-    "events_velocity_gate",
-    "split_temporal_holdout",
-    "privacy_t_closeness",
-    "stats_quantile_sketch",
-    "multimodal_image_ahash_neardup",
-    "text_heaps_law",
-    "eval_minhash_calibration",
-    "recsys_eval_hitrate_loo",
+    "sim_mmr_from_ivf",
+    # words flagship pair (r9 perf polish target)
+    "words_total_tokens",
+    # portable-sketch family (shares operators/sketches.py with the
+    # two promotions above)
+    "stats_hll_portable",
     "events_hll_sliding_users",
-    "source_xml_roundtrip",
-    # the six never-checked streaming twins (VERDICT r7 ask #7)
-    "streaming_click_view_left_join",
-    "streaming_sliding_counts",
-    "streaming_tumbling_counts",
-    "streaming_quantile_monitor",
-    "streaming_topk_serving",
-    "streaming_enriched_counts",
-    # events long tail (never checked)
-    "events_attribution_touch",
-    "events_max_concurrency",
-    "events_transition_matrix",
-    "events_top_session_paths",
-    "events_time_decayed_value",
-    "events_interarrival_profile",
-    "events_anomaly_zscore",
-    "events_linear_attribution",
-    "events_props_variant",
-    "events_hierarchical_rollup",
-    "events_incremental_merge",
-    "events_mad_outliers",
-    "events_daily_active_users",
-    "events_ltv_cohorts",
-    # split family (completes with temporal_holdout above)
-    "split_stratified_eval",
-    "split_kfold_assign",
-    "split_leakage_safe",
-    # training-data ops tail
-    "training_shard_manifest",
-    "training_length_batches",
-    "training_source_caps",
-    "training_chunk_windows",
-    "training_weighted_sample",
-    # text analysis tail
-    "text_context_trim",
-    "text_unigram_fertility",
-    "text_vocab_coverage",
-    "text_token_entropy",
-    # eval / dedup tail
-    "eval_langid_f1",
-    "dedup_source_overlap",
+    "stats_quantile_sketch",
+    # one diverse green representative per major family
+    "q1_pricing_summary",
+    "q18_large_volume_customers",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "streaming_dedup_watermark",
+    "training_pack_greedy",
+    "eval_ranking_ndcg",
+    "graph_kcore",
+    "recsys_item_similar_topk",
+    "multimodal_image_ahash_neardup",
+    "curation_gopher_gate",
+    "func_arabic_tokenize",
 )
 
 _missing = [n for n in CHECKED_FIRST if n not in _ALL]

@@ -276,16 +276,89 @@ FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates for the 100 TB path: HyperLogLog distinct
-    users and t-digest value quantiles per event type. rows-only check —
-    sketch implementations legitimately differ across engines, so there
-    is no exact oracle; the exact twins are count_distinct_segments /
-    udaf_median_acctbal."""
+    """Approximate aggregates for the 100 TB path, per event type:
+    distinct users via the PORTABLE p=8 md5-HLL (operators/sketches.py)
+    and p50/p95/p99 value quantiles via the mergeable fixed-grid
+    histogram sketch (the stats_quantile_sketch arithmetic, partitioned
+    by type) — promoted r9 from rows-only to a FULL value check: both
+    sketches are engine-portable column math, so the DuckDB oracle
+    replays them bit-for-bit. The native-sketch twin
+    (approx_count_distinct + percentile_approx, JVM-internal hash and
+    t-digest that no oracle can replay) is kept unregistered below.
+    Scale shape: HLL registers partial-aggregate map-side to
+    ≤256·|types| rows; the histogram to ≤256·|types| cells; the
+    readback is |types|×3 rows — nothing downstream of the two
+    map-side-combining groupBys depends on input size."""
+    from python_multiproc_bigdata_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
     e = table(prep(spark), sf_dir, "events")
-    # quantiles ship as a joined string, not array<double>: the
-    # harness canonicalizer cannot hash list cells (the r7
-    # func_array_library lesson), and this query's check is rows-only
-    # anyway — the scalar rendering loses nothing
+    base = e.select("event_type", F.col("user_id").cast("string").alias("uid"))
+    regs = hll_registers(base, ["event_type"], "uid")
+    users = hll_estimate_from_registers(regs, ["event_type"]).select(
+        "event_type", F.round("hll_est", 1).alias("approx_users")
+    )
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    mm = c.groupBy("event_type").agg(
+        F.min("cents").alias("minc"),
+        F.max("cents").alias("maxc"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    hist = (
+        c.join(F.broadcast(mm), "event_type")
+        .select(
+            "event_type",
+            F.expr("CAST((cents - minc) * 256 DIV (maxc - minc + 1) AS INT)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    probes = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    ranks = mm.crossJoin(F.broadcast(probes)).withColumn(
+        "r", F.col("p") * (F.col("n_total") - 1)
+    )
+    pick = ranks.join(cum, "event_type").filter(
+        (F.col("cum_before") <= F.col("r"))
+        & (F.col("r") < F.col("cum_before") + F.col("n"))
+    )
+    frac = (F.col("r") - F.col("cum_before")) / F.col("n")
+    span = F.col("maxc") - F.col("minc") + 1
+    est_usd = F.round(
+        (F.col("minc") + (F.col("bucket") + frac) * span / 256.0) / 100.0, 4
+    )
+    quant = (
+        pick.select("event_type", "p", est_usd.alias("q"))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias("q50_usd"),
+            F.max(F.when(F.col("p") == 0.95, F.col("q"))).alias("q95_usd"),
+            F.max(F.when(F.col("p") == 0.99, F.col("q"))).alias("q99_usd"),
+        )
+    )
+    return users.join(quant, "event_type").orderBy("event_type")
+
+
+def approx_distinct_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED native-sketch twin: approx_count_distinct (HLL++,
+    JVM xxhash) + percentile_approx (t-digest) — the production choice
+    when no cross-engine replay is needed. Quantiles ship as a joined
+    string, not array<double>: the harness canonicalizer cannot hash
+    list cells (the r7 func_array_library lesson)."""
+    e = table(prep(spark), sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.array_join(
@@ -296,6 +369,74 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("value_quantiles"),
     )
+
+
+SQL_APPROX_DISTINCT_STATS = rf"""
+WITH base AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(uid), 1, 2))::INTEGER AS bucket,
+         ('0x' || substr(md5(uid), 3, 12))::BIGINT AS v
+  FROM base
+), regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS m
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, sum(power(2.0, -m)) AS s, count(*) AS nb
+  FROM regs GROUP BY 1
+), users AS (
+  SELECT event_type,
+         round(CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+                    THEN 256.0 * ln(256.0 / (256 - nb))
+                    ELSE raw END, 1) AS approx_users
+  FROM (
+    SELECT event_type,
+           CAST({0.7213 / (1.0 + 1.079 / 256)!r} AS DOUBLE) * 65536
+             / (s + (256 - nb) * 1.0) AS raw,
+           nb
+    FROM agg)
+), c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), mm AS (
+  SELECT event_type, min(cents) AS minc, max(cents) AS maxc,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM c GROUP BY 1
+), hist AS (
+  SELECT c.event_type,
+         CAST((cents - minc) * 256 // (maxc - minc + 1) AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c JOIN mm USING (event_type) GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, n,
+         CAST(COALESCE(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM hist
+), probes(p) AS (
+  VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+), ranks AS (
+  SELECT event_type, p, p * (n_total - 1) AS r, minc, maxc
+  FROM mm CROSS JOIN probes
+), pick AS (
+  SELECT rk.event_type, rk.p,
+         round((rk.minc + (cm.bucket + (rk.r - cm.cum_before) / cm.n)
+                * (rk.maxc - rk.minc + 1) / 256.0) / 100.0, 4) AS q
+  FROM ranks rk JOIN cum cm
+    ON cm.event_type = rk.event_type
+   AND cm.cum_before <= rk.r AND rk.r < cm.cum_before + cm.n
+), quant AS (
+  SELECT event_type,
+         max(CASE WHEN p = 0.5 THEN q END) AS q50_usd,
+         max(CASE WHEN p = 0.95 THEN q END) AS q95_usd,
+         max(CASE WHEN p = 0.99 THEN q END) AS q99_usd
+  FROM pick GROUP BY 1
+)
+SELECT u.event_type, u.approx_users, q.q50_usd, q.q95_usd, q.q99_usd
+FROM users u JOIN quant q USING (event_type)
+ORDER BY event_type
+"""
 
 
 def cdc_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,17 +820,25 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
        removes;
     2. per-column cardinality via the PORTABLE md5-HLL
        (operators/sketches.py, the stats_hll_portable arithmetic):
-       explode (col, val), registers = groupBy(col, bucket).max(rho) —
-       the explode multiplies rows like Expand does, but HLL registers
-       partial-aggregate map-side to ≤ 256·|cols| rows per partition
-       before the shuffle, which exact distinct cannot (it must move
-       every distinct value). Emitted as metric 'n_distinct_hll',
-       rounded to the nearest integer — and because the sketch is
-       engine-portable, the oracle replays it EXACTLY, so this panel is
-       full value-checked, not rows+bounds.
+       explode (tbl, col, val), registers = groupBy(tbl, col,
+       bucket).max(rho) — the explode multiplies rows like Expand does,
+       but HLL registers partial-aggregate map-side to ≤ 256·|cols|
+       rows per partition before the shuffle, which exact distinct
+       cannot (it must move every distinct value). Emitted as metric
+       'n_distinct_hll', rounded to the nearest integer — and because
+       the sketch is engine-portable, the oracle replays it EXACTLY,
+       so this panel is full value-checked, not rows+bounds.
 
-    Plan pin: tests/test_scale_plans.py asserts no Expand node in any
-    per-table pass."""
+    r9 fusion (VERDICT r8 ask #4): the nine per-table HLL pipelines
+    (each its own explode → groupBy → seed-join, ~27 small jobs at
+    sf0.1) are UNIONED into ONE kv relation tagged with tbl before the
+    register groupBy — one shuffle keyed (tbl, col, bucket), one filled
+    aggregate, one seed join for all 9 tables. Same registers, same
+    estimates (the sketch state is per-(tbl, col) either way); only the
+    fixed per-job overhead collapses.
+
+    Plan pin: tests/test_scale_plans.py asserts no Expand node in the
+    full panel plan."""
     from python_multiproc_bigdata_spark.operators.sketches import (
         hll_corrected_estimate,
         hll_registers,
@@ -697,6 +846,7 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = prep(spark)
     frames = []
+    kv_frames = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
         t = table(s, sf_dir, tbl)
         # pass 1: profile aggregates + the single exact pk distinct
@@ -745,13 +895,15 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("m")
         ).select("m.tbl", "m.col", "m.metric", "m.value")
-        # pass 2: portable-HLL cardinality per profiled column
-        kv = (
+        frames.append(profile)
+        # pass 2 feed: (tbl, col, val) kv rows for the FUSED HLL pass
+        kv_frames.append(
             t.select(
                 F.explode(
                     F.array(
                         *[
                             F.struct(
+                                F.lit(tbl).alias("tbl"),
                                 F.lit(c).alias("col"),
                                 F.col(c).cast("string").alias("val"),
                             )
@@ -760,35 +912,45 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("kv")
             )
-            .select("kv.col", "kv.val")
+            .select("kv.tbl", "kv.col", "kv.val")
             .filter(F.col("val").isNotNull())
         )
-        regs = hll_registers(kv, ["col"], "val")
-        filled = regs.groupBy("col").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
-            F.count(F.lit(1)).alias("_nb"),
+    # pass 2: ONE portable-HLL pipeline over all tables — union the kv
+    # relations, ONE register groupBy keyed (tbl, col, bucket), one
+    # filled aggregate, one seed join (vs 9 of each pre-fusion)
+    kv = kv_frames[0]
+    for f in kv_frames[1:]:
+        kv = kv.unionByName(f)
+    regs = hll_registers(kv, ["tbl", "col"], "val")
+    filled = regs.groupBy("tbl", "col").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    # seed every profiled (tbl, col) so an all-NULL column still emits
+    # an estimate row (0 via linear counting) on both engines
+    seed = s.createDataFrame(
+        [(tbl, c) for tbl, (_pk, cols) in DQ_PANEL_SPEC.items() for c in cols],
+        "tbl string, col string",
+    )
+    est = (
+        seed.join(filled, ["tbl", "col"], "left")
+        .select(
+            "tbl",
+            "col",
+            F.coalesce("_s", F.lit(0.0)).alias("_s"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
-        # seed every profiled column so an all-NULL column still emits
-        # an estimate row (0 via linear counting) on both engines
-        seed = s.createDataFrame([(c,) for c in cols], "col string")
-        est = (
-            seed.join(filled, "col", "left")
-            .select(
-                "col",
-                F.coalesce("_s", F.lit(0.0)).alias("_s"),
-                F.coalesce("_nb", F.lit(0)).alias("_nb"),
-            )
-            .select(
-                F.lit(tbl).alias("tbl"),
-                F.col("col"),
-                F.lit("n_distinct_hll").alias("metric"),
-                F.round(hll_corrected_estimate())
-                .cast("long")
-                .cast("string")
-                .alias("value"),
-            )
+        .select(
+            "tbl",
+            "col",
+            F.lit("n_distinct_hll").alias("metric"),
+            F.round(hll_corrected_estimate())
+            .cast("long")
+            .cast("string")
+            .alias("value"),
         )
-        frames += [profile, est]
+    )
+    frames.append(est)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -899,7 +1061,9 @@ REGISTRY = {
     "udaf_median_acctbal": QuerySpec(udaf_median_acctbal, SQL_UDAF_MEDIAN),
     "udaf_trimmed_mean_price": QuerySpec(udaf_trimmed_mean_price, SQL_UDAF_TRIMMED),
     "cube_orders": QuerySpec(cube_orders, SQL_CUBE),
-    "approx_distinct_stats": QuerySpec(approx_distinct_stats, None),
+    "approx_distinct_stats": QuerySpec(
+        approx_distinct_stats, SQL_APPROX_DISTINCT_STATS
+    ),
     "skew_salted_event_counts": QuerySpec(skew_salted_event_counts, SQL_SKEW_SALTED),
     "dq_check_orders": QuerySpec(dq_check_orders, SQL_DQ_ORDERS),
     "dq_expectations_panel": QuerySpec(dq_expectations_panel, _dq_panel_oracle),

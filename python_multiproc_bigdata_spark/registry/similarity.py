@@ -630,8 +630,11 @@ def _serving_ivf_index(emb: DataFrame, sf_dir: str) -> tuple[str, list[list[floa
     (O(KB)) is stored next to the index as JSON, so a fresh process
     serves without retraining; training and assignment are
     deterministic, so rebuild-vs-reuse cannot change any answer (the
-    parity gate checks the served values either way). The corpus here
-    is immutable per sf_dir; a mutable corpus versions the path."""
+    parity gate checks the served values either way). The cache key
+    includes a fingerprint of the source parquet (mtime_ns + size of
+    embeddings.parquet — ADVICE r8: sf_dir alone reuses stale centroids
+    if the corpus is regenerated in place), so an in-place rewrite
+    rebuilds rather than serving a stale index."""
     import hashlib
     import json
     import os
@@ -640,7 +643,13 @@ def _serving_ivf_index(emb: DataFrame, sf_dir: str) -> tuple[str, list[list[floa
     from python_multiproc_bigdata_spark.operators.similarity import build_ivf_index
 
     cfg = IVF_KMEANS_CFG
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fingerprint = sf_dir  # non-local corpus: fall back to path-only
+    tag = hashlib.md5(fingerprint.encode()).hexdigest()[:10]
     root = os.path.join(
         tempfile.gettempdir(),
         f"pmb_ivf_idx_{tag}_{cfg['n_lists']}_{cfg['max_iter']}_{cfg['train_sample']}",

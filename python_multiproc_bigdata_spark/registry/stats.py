@@ -282,17 +282,62 @@ GROUP BY o_orderpriority, quartile
 
 
 def stats_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL, native
-    in Spark 4): per-event-type user sketches, estimated, PLUS a
-    hll_union across types proving the merge path — the 100 TB story is
-    exactly that partial sketches merge across partitions/days without
-    rescanning (incremental daily uniques = union of daily sketches).
-    Rows-only check: sketch estimates are engine-specific by design
-    (DuckDB's HLL differs), like approx_distinct_stats."""
+    """Mergeable distinct-count sketches: per-event-type user HLLs,
+    estimated, PLUS a register-wise union across types proving the
+    merge path — the 100 TB story is exactly that partial sketches
+    merge across partitions/days without rescanning (incremental daily
+    uniques = union of daily sketches; union = cell-wise max of
+    registers). Runs on the PORTABLE p=8 md5-HLL
+    (operators/sketches.py), so the oracle replays the sketch
+    bit-for-bit and this is a FULL value check — promoted r9 from
+    rows-only (the native Apache DataSketches twin, whose JVM-internal
+    hash no oracle can replay, is kept unregistered below)."""
+    from python_multiproc_bigdata_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
     e = table(prep(spark), sf_dir, "events")
-    # per_type feeds BOTH the per-type select and the ALL union row;
-    # persist so the merge path merges sketches instead of rescanning
-    # events twice (the whole point of mergeable sketches)
+    base = e.select("event_type", F.col("user_id").cast("string").alias("uid"))
+    # per-type register relation feeds BOTH the per-type estimates and
+    # the ALL union row; persist so the merge path merges registers
+    # instead of rescanning events (the whole point of mergeable sketches)
+    regs = hll_registers(base, ["event_type"], "uid").persist()
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "m")
+    )
+    ests = hll_estimate_from_registers(regs.unionByName(merged), ["event_type"])
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = counts.agg(
+        F.lit("ALL").alias("event_type"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    return (
+        ests.join(counts.unionByName(total), "event_type")
+        .select(
+            "event_type",
+            F.round("hll_est", 1).alias("approx_users"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_hll_users_per_type_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNREGISTERED native-sketch twin (Apache DataSketches HLL, native
+    in Spark 4): same shape as stats_hll_users_per_type but on
+    hll_sketch_agg/hll_union_agg — the production choice when no
+    cross-engine replay is needed (binary sketch state is storable and
+    mergeable across days). Kept out of the registry because its
+    estimates are engine-specific by design; the registered portable
+    form is the value-checked twin."""
+    e = table(prep(spark), sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
@@ -310,6 +355,48 @@ def stats_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(total)
     )
+
+
+SQL_HLL_USERS_PER_TYPE = rf"""
+WITH base AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(uid), 1, 2))::INTEGER AS bucket,
+         ('0x' || substr(md5(uid), 3, 12))::BIGINT AS v
+  FROM base
+), regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS m
+  FROM hashed GROUP BY 1, 2
+), allregs AS (
+  SELECT event_type, bucket, m FROM regs
+  UNION ALL
+  SELECT 'ALL', bucket, max(m) FROM regs GROUP BY bucket
+), agg AS (
+  SELECT event_type, sum(power(2.0, -m)) AS s, count(*) AS nb
+  FROM allregs GROUP BY 1
+), est AS (
+  SELECT event_type,
+         CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+              THEN 256.0 * ln(256.0 / (256 - nb))
+              ELSE raw END AS hll_est
+  FROM (
+    SELECT event_type,
+           CAST({0.7213 / (1.0 + 1.079 / 256)!r} AS DOUBLE) * 65536
+             / (s + (256 - nb) * 1.0) AS raw,
+           nb
+    FROM agg)
+), counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(*) AS BIGINT) FROM events
+)
+SELECT e.event_type, round(e.hll_est, 1) AS approx_users, c.n_events
+FROM est e JOIN counts c USING (event_type)
+ORDER BY event_type
+"""
 
 
 def global_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,10 +583,14 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 so an empty bucket contributes a finite penalty. Per-bucket
     rows with the PSI contribution; sum over psi_term_micros / 1e6 is
     the index. The term ships as integer micro-units (the project's
-    float-sum convention, cf. Theil-Sen / NDCG / CUSUM): r7's driver row
-    was rows+schema green / hash red because a zero-count bucket yields
-    a tiny negative double that rounds to -0.0 on one engine and 0.0 on
-    the other — integers have one representation."""
+    float-sum convention, cf. Theil-Sen / NDCG / CUSUM). Driver-red
+    r7+r8 root cause (found r9): the oracle's bare ``sum(CASE...)`` is
+    a DuckDB HUGEINT, which a pandas/arrow fetch coerces to float64
+    (``5.0``) while Spark's BIGINT stays int64 (``5``) — a value-hash
+    mismatch invisible to fetchall()-based local gates (both fetch as
+    Python int there). Fix: ``CAST(... AS BIGINT)`` in the oracle's cnt
+    CTE; tools/gate.py now scans every oracle for HUGEINT/DECIMAL
+    output columns so this divergence class is caught pre-driver."""
     e = table(prep(spark), sf_dir, "events")
     in_a = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
     bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
@@ -527,8 +618,8 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PSI_DRIFT = """
 WITH cnt AS (
   SELECT least(floor(value / 50)::INT, 9) AS bucket,
-         sum(CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) < '8' THEN 1 ELSE 0 END) AS na,
-         sum(CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) < '8' THEN 0 ELSE 1 END) AS nb
+         CAST(sum(CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) < '8' THEN 0 ELSE 1 END) AS BIGINT) AS nb
   FROM events GROUP BY 1
 ), tot AS (
   SELECT sum(na) AS ta, sum(nb) AS tb FROM cnt
@@ -1149,7 +1240,7 @@ WITH counts AS (
 )
 SELECT lang, source, true_n,
        round(true_n + (-sign(u) * ln(1.0 - 2.0 * abs(u))), 4) AS noised_n,
-       1.0 AS epsilon
+       CAST(1.0 AS DOUBLE) AS epsilon
 FROM noised
 ORDER BY lang, source
 """
@@ -2519,7 +2610,9 @@ REGISTRY = {
     "stats_lineitem_moments": QuerySpec(stats_lineitem_moments, SQL_MOMENTS),
     "stats_ab_ttest": QuerySpec(stats_ab_ttest, SQL_AB_TTEST),
     "stats_top_types_sketch": QuerySpec(stats_top_types_sketch, SQL_TOP_TYPES),
-    "stats_hll_users_per_type": QuerySpec(stats_hll_users_per_type, None),
+    "stats_hll_users_per_type": QuerySpec(
+        stats_hll_users_per_type, SQL_HLL_USERS_PER_TYPE
+    ),
     "global_index_orders": QuerySpec(global_index_orders, SQL_GLOBAL_INDEX),
     "calendar_month_order_counts": QuerySpec(
         calendar_month_order_counts, SQL_CALENDAR_MONTHS

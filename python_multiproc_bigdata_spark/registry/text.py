@@ -746,8 +746,12 @@ def make_bpe_encode_oracle() -> str:
         f"('{lang}', {n}, {s}, {round(s / n, 4)})"
         for lang, (n, s) in sorted(agg.items())
     )
+    # CAST: a bare VALUES literal like 1.2345 binds as DECIMAL in DuckDB,
+    # which a pandas/arrow driver fetch may canonicalize differently from
+    # Spark's double (the stats_psi_drift HUGEINT lesson, r9)
     return (
-        "SELECT lang, n_tokens, n_symbols, syms_per_token\n"
+        "SELECT lang, n_tokens, n_symbols,"
+        " CAST(syms_per_token AS DOUBLE) AS syms_per_token\n"
         f"FROM (VALUES {values}) AS t(lang, n_tokens, n_symbols, syms_per_token)\n"
         "ORDER BY lang"
     )

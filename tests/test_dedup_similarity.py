@@ -815,6 +815,19 @@ def test_gif_decode_real_codec(spark):
         run = bytes([1] * 100)
         assert lzw_decode_gif(lzw_encode_gif(run, mcs), mcs, 100) == run
 
+    # long streams (ADVICE r8: the short cases above never leave width
+    # 9): 30k random symbols emit >4k codes, driving the width through
+    # 10..12 bits AND across the 4096-entry table freeze; the 120k
+    # single-symbol run exercises monotone phrase growth over the width
+    # ladder. Both at the smallest and largest starting widths.
+    for mcs in (2, 8):
+        data = bytes(rnd.randrange(1 << mcs) for _ in range(30000))
+        assert (
+            lzw_decode_gif(lzw_encode_gif(data, mcs), mcs, len(data)) == data
+        )
+        run = bytes([1]) * 120000
+        assert lzw_decode_gif(lzw_encode_gif(run, mcs), mcs, len(run)) == run
+
     # malformed payloads
     with _pytest.raises(ValueError, match="magic"):
         decode_gif(b"JIF87a" + b"\x00" * 30)

@@ -43,18 +43,55 @@ def test_checked_window_is_curated():
     must_be_checked = {
         # the permanent anchor: the reference's flagship ETL spine
         "words_pipeline",
-        # round-8 rotation (r7 went 48/50: the 47 green non-anchor slots
-        # rotated out — every demotion is r7-green on record in
-        # CORRECTNESS_r07.json, asserted below — the two r7 REDS stay to
-        # prove their hash-stable fixes, and 45 never-driver-checked
-        # queries entered; swap log in registry/__init__.py)
-        "func_array_library", "stats_psi_drift",
-        "sim_mmr_from_ivf", "dq_expectations_panel_approx",
-        "dq_expectations_panel", "events_velocity_gate",
-        "split_temporal_holdout", "privacy_t_closeness",
-        "stats_quantile_sketch", "multimodal_image_ahash_neardup",
-        "text_heaps_law", "eval_minhash_calibration",
-        "recsys_eval_hitrate_loo", "events_hll_sliding_users",
+        # round-9 rotation (r8 went 49/50: every green non-anchor slot
+        # except five deliberate keepers rotated out — each demotion is
+        # r8-green on record in CORRECTNESS_r08.json, asserted below.
+        # stats_psi_drift stays a THIRD round carrying the r9 forensic
+        # fix: the oracle's bare sum(CASE...) was a DuckDB HUGEINT,
+        # float64 under a pandas/arrow driver fetch vs Spark's int64 —
+        # now CAST AS BIGINT, and tools/gate.py scans every oracle for
+        # the class. All 28 remaining never-driver-checked queries
+        # enter, so a green r9 completes 291/291 driver-checked-ever.)
+        "stats_psi_drift",
+        # the four r8 real decoders
+        "multimodal_decode_png", "multimodal_decode_gif",
+        "multimodal_decode_bmp", "multimodal_decode_avi",
+        # never-checked tails
+        "sim_topk_filtered", "sim_cluster_profile", "sim_jl_project",
+        "dedup_cluster_size_report", "dedup_incremental_novelty",
+        "asof_click_to_next_view",
+        # the two r9 sketch promotions (rows-only → portable oracles)
+        "approx_distinct_stats", "stats_hll_users_per_type",
+        "stats_pareto_cutoffs", "stats_ab_ttest",
+        "stats_top_types_sketch", "stats_price_histogram",
+        "stats_argminmax_orders", "global_index_orders",
+        "map_status_counts", "privacy_k_anonymity",
+        "curation_badwords_gate", "curation_line_dedup",
+        "curation_dup_ngram_fraction", "curation_active_learning",
+        "curation_unigram_logprob", "curation_boilerplate_ngrams",
+        "corpus_version_diff", "decontaminate_fraction",
+        # re-confirmation slots: r9 oracle-CAST edits + code-touched
+        # compositions + the sketch family + diverse representatives
+        "text_bpe_encode_stats", "privacy_dp_noised_counts",
+        "dq_expectations_panel_approx", "sim_mmr_from_ivf",
+        "words_total_tokens", "stats_hll_portable",
+        "events_hll_sliding_users", "stats_quantile_sketch",
+        "q1_pricing_summary", "q18_large_volume_customers",
+        "dedup_minhash_lsh", "text_quality",
+        "streaming_dedup_watermark", "training_pack_greedy",
+        "eval_ranking_ndcg", "graph_kcore",
+        "recsys_item_similar_topk", "multimodal_image_ahash_neardup",
+        "curation_gopher_gate", "func_arabic_tokenize",
+    }
+    assert must_be_checked <= set(CHECKED_FIRST)
+    # every name demoted in the r9 rotation must carry an r8 driver-green
+    # record — the rotation invariant (checked across ALL committed
+    # CORRECTNESS files by tools/parity_ledger.py; pinned here for r9)
+    r9_demotions = {
+        "func_array_library", "dq_expectations_panel",
+        "events_velocity_gate", "split_temporal_holdout",
+        "privacy_t_closeness", "text_heaps_law",
+        "eval_minhash_calibration", "recsys_eval_hitrate_loo",
         "source_xml_roundtrip",
         "streaming_click_view_left_join", "streaming_sliding_counts",
         "streaming_tumbling_counts", "streaming_quantile_monitor",
@@ -75,45 +112,17 @@ def test_checked_window_is_curated():
         "text_vocab_coverage", "text_token_entropy",
         "eval_langid_f1", "dedup_source_overlap",
     }
-    assert must_be_checked <= set(CHECKED_FIRST)
-    # every name demoted in the r8 rotation must carry an r7 driver-green
-    # record — the rotation invariant (checked across ALL committed
-    # CORRECTNESS files by tools/parity_ledger.py; pinned here for r8)
-    r8_demotions = {
-        "q4_order_priority_exists", "q6_forecast_revenue",
-        "q10_returned_items", "q11_important_stock",
-        "q12_priority_lines", "q13_customer_distribution",
-        "q14_promo_revenue", "q16_supplier_part_counts",
-        "q19_discounted_revenue", "q22_global_sales_opportunity",
-        "events_attribution_shapley", "events_markov_stationary",
-        "events_funnel_latency", "events_changepoint_cusum",
-        "events_frequent_sequences", "events_autocorrelation",
-        "events_seasonality_profile", "events_survival_km",
-        "events_theilsen_trend",
-        "stats_ks_two_sample", "stats_mannwhitney_u",
-        "stats_spearman_corr", "stats_mutual_information",
-        "stats_benford_firstdigit",
-        "text_unigram_vocab", "text_bpe_encode_stats",
-        "dedup_cdc_chunks", "dedup_containment", "eval_dedup_pr",
-        "sim_topk_graph_refined", "sim_ivf_incremental_add",
-        "eval_pq_recall", "eval_binary_recall", "eval_sq8_ivf_recall",
-        "func_string_library",
-        "func_null_safe_chain", "func_basename_backwards",
-        "func_truncate_flags", "func_format_result",
-        "graph_kcore", "recsys_item_similar_topk", "recsys_eval_coverage",
-        "curation_gopher_gate", "curation_pii_redact",
-        "privacy_l_diversity", "multimodal_resize_ppm",
-        "streaming_first_event",
-    }
     import json
     import os
 
-    r7 = json.load(
-        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"))
+    r8 = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json"))
     )
-    for name in r8_demotions:
-        rec = r7.get(name)
-        assert rec and rec["rows_match"], f"demoted without driver-green: {name}"
+    for name in r9_demotions:
+        rec = r8.get(name)
+        assert rec and rec["rows_match"] and rec["hash_match"], (
+            f"demoted without driver-green: {name}"
+        )
 
 
 def test_all_queries_run_sf0001(spark):
@@ -173,15 +182,17 @@ def test_no_accidental_shared_oracles():
 
 
 def test_rows_only_queries_are_the_documented_exceptions():
-    """Every registry query must carry an oracle unless it's one of the
-    documented sketch-based exceptions (HLL values are engine-specific;
-    the driver's weaker rows-only check is intentional there). A new
+    """Every registry query must carry an oracle. r9 promoted the last
+    two rows-only entries (approx_distinct_stats,
+    stats_hll_users_per_type) onto the portable md5-HLL / fixed-grid
+    histogram sketches, so the registry is now 100% oracle-backed; the
+    native-sketch forms live on as unregistered *_native twins. A new
     oracle-less query should be a deliberate decision, not a missed
     field."""
     from python_multiproc_bigdata_spark.registry import REGISTRY
 
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
-    assert rows_only == {"approx_distinct_stats", "stats_hll_users_per_type"}
+    assert rows_only == set()
 
 
 def test_no_shadowed_registry_module_constants():

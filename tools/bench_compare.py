@@ -20,6 +20,10 @@ from pathlib import Path
 # in r6 on byte-identical code (see bench.py:run_one docstring).
 NOISE_ABS_SEC = 1.0
 
+# The reference flagship (words-ETL spine): exempt from noise-band
+# muting — see the signal computation below.
+FLAGSHIP = {"words_pipeline", "words_total_tokens"}
+
 
 def load(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
@@ -65,6 +69,13 @@ def main() -> int:
         signal = (abs_delta >= NOISE_ABS_SEC and abs(pct) >= thresh) or (
             abs_delta >= 0.1 and abs(pct) >= 3 * thresh
         )
+        # The reference's flagship pair gets NO noise-band muting: the
+        # repo's headline claim is the words-ETL rate, so any move
+        # >= threshold and >= 0.1 s on these is reported as signal
+        # (VERDICT r8 ask #5 — the r7→r8 +0.4-0.6 s drift on ~1.1 s
+        # medians was classified as noise and went uninvestigated).
+        if q in FLAGSHIP:
+            signal = abs_delta >= 0.1 and abs(pct) >= thresh
         in_noise_band = not signal
         mark = ""
         if q in config_changed:

@@ -15,6 +15,12 @@ IEEE addition collapses -0.0 to +0.0 without moving any nonzero value —
 or integer micro-units for sum-shaped columns (the psi fix).
 
 Run:  python tools/check_strict_zero.py   (window queries, sf0.01)
+
+SUPERSEDED for full-registry runs by tools/gate.py (r9), which adds the
+divergence class this tool cannot see: DuckDB results re-fetched via
+pandas, where HUGEINT/DECIMAL output columns coerce to float64 ('5.0'
+vs Spark's '5') — the actual stats_psi_drift r7/r8 red. Kept for quick
+window-subset strict scans.
 """
 
 from __future__ import annotations
