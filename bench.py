@@ -211,6 +211,11 @@ HEADLINE = [
     "events_hll_sliding_users",
     "split_temporal_holdout",
     "events_velocity_gate",
+    # r9 additions: the fifth real image decoder (IFD walk + strips)
+    # and the PSI drift monitor's batch anchor already benches via
+    # stats family; streaming_psi_monitor stays out of HEADLINE like
+    # the other fixture-staging streaming twins
+    "multimodal_decode_tiff",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1272,6 +1272,209 @@ def decode_avi_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AVI_SCHEMA)
 
 
+TIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_strips", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+# TIFF 6.0 field type sizes (bytes) for the types this reader accepts
+_TIFF_TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG
+
+
+def synth_tiff(doc_id: int) -> bytes:
+    """Deterministic baseline TIFF 6.0 bytes for a doc (r9) — the fifth
+    real image/container format, chosen because its on-disk structure
+    differs from all prior ones: a directory of TYPED TAGS (the IFD)
+    whose values live INLINE when they fit in 4 bytes and at an OFFSET
+    when they don't, plus strip-based raster storage. RowsPerStrip = 2
+    with h = 2 + doc_id % 4 cycles the strip count through 1/2/2/3, so
+    single-strip (inline offset) and multi-strip (external offset
+    arrays) layouts are both exercised on every run; BitsPerSample is
+    always an external 6-byte SHORT[3] array. w = 3 + doc_id % 5;
+    pixel i = y·w + x has channels R/G/B =
+    (doc_id·19 + i·7 + {0,4,8}) mod 256 — plain integer arithmetic a
+    SQL oracle replays exactly (registry/multimodal.py:SQL_DECODE_TIFF).
+    Little-endian ('II'), uncompressed (Compression=1), RGB
+    (Photometric=2, SamplesPerPixel=3)."""
+    import struct
+
+    w = 3 + doc_id % 5
+    h = 2 + doc_id % 4
+    rps = 2
+    raster = bytes(
+        (doc_id * 19 + (y * w + x) * 7 + c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in (0, 4, 8)
+    )
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = min(rps, h - y0)
+        strips.append(raster[y0 * w * 3 : (y0 + rows) * w * 3])
+    n = len(strips)
+
+    pos = 8  # after the 8-byte header
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bps_off = pos
+    pos += 6  # SHORT[3] BitsPerSample always external
+    if n > 1:
+        so_off = pos
+        pos += 4 * n
+        sc_off = pos
+        pos += 4 * n
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value_bytes: bytes) -> bytes:
+        return struct.pack("<HHI", tag, typ, count) + value_bytes.ljust(
+            4, b"\x00"
+        )
+
+    entries = [
+        entry(256, 4, 1, struct.pack("<I", w)),  # ImageWidth
+        entry(257, 4, 1, struct.pack("<I", h)),  # ImageLength
+        entry(258, 3, 3, struct.pack("<I", bps_off)),  # BitsPerSample @off
+        entry(259, 3, 1, struct.pack("<H", 1)),  # Compression: none
+        entry(262, 3, 1, struct.pack("<H", 2)),  # Photometric: RGB
+        entry(  # StripOffsets: inline when single strip, else @offset
+            273,
+            4,
+            n,
+            struct.pack("<I", strip_offsets[0] if n == 1 else so_off),
+        ),
+        entry(277, 3, 1, struct.pack("<H", 3)),  # SamplesPerPixel
+        entry(278, 4, 1, struct.pack("<I", rps)),  # RowsPerStrip
+        entry(
+            279,
+            4,
+            n,
+            struct.pack("<I", len(strips[0]) if n == 1 else sc_off),
+        ),
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += b"".join(strips)
+    out += struct.pack("<HHH", 8, 8, 8)
+    if n > 1:
+        out += struct.pack(f"<{n}I", *strip_offsets)
+        out += struct.pack(f"<{n}I", *(len(s) for s in strips))
+    out += struct.pack("<H", len(entries)) + b"".join(entries)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def tiff_raster(payload: bytes):
+    """Parse baseline little-endian TIFF bytes to (width, height,
+    n_strips, h×w×3 uint8 RGB raster): header magic + version, IFD tag
+    walk with inline-vs-offset value resolution (the structural quirk
+    unique to TIFF), Compression/Photometric/SamplesPerPixel/
+    BitsPerSample validation, and multi-strip raster assembly."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"II" or struct.unpack_from("<H", payload, 2)[0] != 42:
+        raise ValueError(f"not a little-endian TIFF (head {payload[:4]!r})")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset past EOF")
+    (n_entries,) = struct.unpack_from("<H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        tag, typ, count = struct.unpack_from("<HHI", payload, ifd_off + 2 + 12 * k)
+        if typ not in _TIFF_TYPE_SIZE:
+            raise ValueError(f"unsupported field type {typ} for tag {tag}")
+        size = _TIFF_TYPE_SIZE[typ] * count
+        vpos = ifd_off + 2 + 12 * k + 8
+        if size > 4:
+            (vpos,) = struct.unpack_from("<I", payload, vpos)
+            if vpos + size > len(payload):
+                raise ValueError(f"tag {tag} value array past EOF")
+        fmt = "<" + ("H" if typ == 3 else "I") * count
+        tags[tag] = list(struct.unpack_from(fmt, payload, vpos))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        comp, photo, spp = tags[259][0], tags[262][0], tags[277][0]
+        bps = tags[258]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as missing:
+        raise ValueError(f"missing required TIFF tag {missing}") from None
+    if comp != 1 or photo != 2 or spp != 3 or bps != [8, 8, 8]:
+        raise ValueError(
+            f"unsupported TIFF variant (compression={comp} photometric="
+            f"{photo} spp={spp} bps={bps})"
+        )
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    raster = b"".join(
+        payload[off : off + cnt] for off, cnt in zip(offsets, counts)
+    )
+    if len(raster) != w * h * 3:
+        raise ValueError(f"strip bytes {len(raster)} != raster {w * h * 3}")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, len(offsets), arr
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL TIFF decoder returning (width, height, n_strips, n_pixels,
+    sum_r, sum_g, sum_b) — integer channel SUMS for bit-exact engine
+    parity, numpy-vectorized raster math (no Python byte loop)."""
+    w, h, n_strips, px = tiff_raster(payload)
+    sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+    return w, h, n_strips, w * h, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def attach_tiff(df: DataFrame) -> DataFrame:
+    """Synthesize the binary TIFF payload column (doc_id → media) in
+    Arrow batches — attach_ppm's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_tiff(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_tiff_features(df: DataFrame) -> DataFrame:
+    """Decode a binary TIFF column via mapInPandas (Arrow batches): 1
+    row → 1 row of integer image stats — decode_ppm_features' sibling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_tiff(bytes(p)) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_strips": [d[2] for d in decoded],
+                    "n_pixels": [d[3] for d in decoded],
+                    "sum_r": [d[4] for d in decoded],
+                    "sum_g": [d[5] for d in decoded],
+                    "sum_b": [d[6] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, TIFF_SCHEMA)
+
+
 AUDIO_FRAME_WINDOW = 8  # analysis window length in frames (per channel)
 
 AUDIO_FRAMES_SCHEMA = T.StructType(

@@ -412,7 +412,9 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # decoders and the two freshly oracle-backed sketch promotions
 # (approx_distinct_stats, stats_hll_users_per_type — portable-HLL /
 # histogram-sketch re-expressions, natives kept unregistered) — so a
-# green r9 gives every one of the 291 queries a driver-green row ever.
+# green r9 gives every one of the 293 queries a driver-green row ever
+# (the two queries BORN in r9 — streaming_psi_monitor,
+# multimodal_decode_tiff — enter the window the round they are born).
 # The 20 re-confirmation slots: the two r9 oracle-CAST edits
 # (text_bpe_encode_stats, privacy_dp_noised_counts), the two r9
 # code-touched compositions (dq_expectations_panel_approx fused to one
@@ -479,14 +481,19 @@ CHECKED_FIRST: tuple[str, ...] = (
     "stats_hll_portable",
     "events_hll_sliding_users",
     "stats_quantile_sketch",
+    # the two NEW r9 queries (late-r9 swaps so the parity story stays
+    # complete: a never-checked query must enter the window the round
+    # it is born; the evicted q18_large_volume_customers r1-green and
+    # eval_ranking_ndcg r5-green re-confirm slots both carry multi-round
+    # green history and keep family siblings in-window)
+    "streaming_psi_monitor",
+    "multimodal_decode_tiff",
     # one diverse green representative per major family
     "q1_pricing_summary",
-    "q18_large_volume_customers",
     "dedup_minhash_lsh",
     "text_quality",
     "streaming_dedup_watermark",
     "training_pack_greedy",
-    "eval_ranking_ndcg",
     "graph_kcore",
     "recsys_item_similar_topk",
     "multimodal_image_ahash_neardup",

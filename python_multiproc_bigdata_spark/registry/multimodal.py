@@ -18,12 +18,14 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     attach_gif,
     attach_png,
     attach_ppm,
+    attach_tiff,
     attach_wav,
     decode_avi_features,
     decode_bmp_features,
     decode_gif_features,
     decode_png_features,
     decode_ppm_features,
+    decode_tiff_features,
     decode_wav_features,
     extract_features,
     frame_audio_windows,
@@ -446,6 +448,48 @@ GROUP BY doc_id, w, h, ps
 """
 
 
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode over a binary column (r9) — the fifth
+    real image/container format, structurally unlike all prior ones:
+    values live in a directory of TYPED TAGS (the IFD) that are INLINE
+    when they fit 4 bytes and at an OFFSET otherwise, and the raster is
+    stored as STRIPS (RowsPerStrip=2 cycles the strip count 1/2/2/3
+    with the corpus heights, so single-strip inline offsets and
+    multi-strip external offset arrays are both decoded every run;
+    BitsPerSample is always an external SHORT[3] array)
+    (operators/multimodal.py:synth_tiff / decode_tiff — pure struct
+    parsing, no codec library). Same synth→opaque-bytes→struct-decode
+    mapInPandas shape as the PPM/BMP/PNG/GIF/AVI siblings; the oracle
+    replays the raster arithmetic AND the strip-count formula, so the
+    IFD walk, offset resolution, and strip assembly are value-checked
+    end-to-end."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_tiff_features(attach_tiff(d))
+
+
+# Replays synth_tiff's arithmetic: w = 3 + doc_id%5, h = 2 + doc_id%4,
+# n_strips = ceil(h / RowsPerStrip=2), pixel i channels R/G/B =
+# (doc_id*19 + i*7 + {0,4,8}) % 256. DuckDB sums promote to HUGEINT —
+# cast back.
+SQL_DECODE_TIFF = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+)
+SELECT doc_id,
+       w AS width,
+       h AS height,
+       (h + 1) // 2 AS n_strips,
+       w * h AS n_pixels,
+       CAST(sum((doc_id * 19 + i * 7) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 19 + i * 7 + 4) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 19 + i * 7 + 8) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AVI decode over a binary column — VIDEO as a genuinely
     parsed container (operators/multimodal.py:synth_avi / decode_avi):
@@ -493,6 +537,7 @@ GROUP BY doc_id, w, h, nf
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_avi": QuerySpec(multimodal_decode_avi, SQL_DECODE_AVI),
+    "multimodal_decode_tiff": QuerySpec(multimodal_decode_tiff, SQL_DECODE_TIFF),
     "multimodal_decode_bmp": QuerySpec(multimodal_decode_bmp, SQL_DECODE_BMP),
     "multimodal_decode_png": QuerySpec(multimodal_decode_png, SQL_DECODE_PNG),
     "multimodal_decode_gif": QuerySpec(multimodal_decode_gif, SQL_DECODE_GIF),

@@ -2092,10 +2092,14 @@ def sim_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from python_multiproc_bigdata_spark.functions.vectors import dot
 
+    # + 0.0 collapses -0.0 (a projection summing to a tiny negative
+    # rounds to -0.0 on whichever engine's sum order produces it —
+    # tools/gate.py caught exactly one such cell at sf0.01 pre-driver;
+    # the text_heaps_law fix pattern)
     return emb.join(F.broadcast(ctab)).select(
         "vec_id",
         "pc_id",
-        F.round(dot("embedding", "comp"), 4).alias("value"),
+        (F.round(dot("embedding", "comp"), 4) + F.lit(0.0)).alias("value"),
     )
 
 
@@ -2111,7 +2115,7 @@ WITH ks AS (
   FROM ks
 )
 SELECT e.vec_id, c.pc_id,
-       round(list_dot_product(e.embedding::DOUBLE[], c.comp), 4) AS value
+       round(list_dot_product(e.embedding::DOUBLE[], c.comp), 4) + 0.0 AS value
 FROM embeddings e, comps c
 """
 

@@ -598,6 +598,17 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
         F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
     )
+    return psi_readback(cnt)
+
+
+def psi_readback(cnt: DataFrame) -> DataFrame:
+    """Shared PSI arithmetic over a (bucket, na, nb) count relation —
+    used by the one-shot batch query above and the micro-batch-merged
+    streaming twin (registry/streaming.py:streaming_psi_monitor), so
+    'the merged counts read back identically' is enforced by
+    construction (the quantile_sketch_readback pattern). Per-bucket
+    counts are distributive, so the merged sketch is bit-identical to
+    the one-shot groupBy and the SAME oracle value-checks both."""
     tot = cnt.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     pa = F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6))
     pb = F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6))

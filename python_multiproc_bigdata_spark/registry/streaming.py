@@ -630,6 +630,87 @@ def _quantile_monitor_oracle() -> str:
     return SQL_QUANTILE_SKETCH
 
 
+def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_psi_drift's streaming twin (r9) — the live drift monitor a
+    training pipeline actually deploys: events arrive in micro-batches
+    (maxFilesPerTrigger=1), each batch emits its PARTIAL per-bucket
+    (na, nb) slice counts inside foreachBatch (never raw rows,
+    epoch-keyed overwrite so at-least-once retries stay idempotent),
+    and the monitor's answer is the PSI readback over the cell-wise SUM
+    of the partials (registry/stats.py:psi_readback — the exact
+    arithmetic of the batch query, shared by construction). Counts are
+    distributive, so the merged table is bit-identical to the one-shot
+    groupBy and the SAME oracle value-checks both — the
+    streaming_quantile_monitor mergeability pattern applied to drift.
+    Scale: each micro-batch ships ≤10 bucket cells; merge state never
+    grows with stream length."""
+    import os
+
+    from python_multiproc_bigdata_spark.registry.stats import psi_readback
+
+    spark = prep(spark)
+    e = table(spark, sf_dir, "events")
+    rows = e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias(
+            "bucket"
+        ),
+        (
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
+        ).alias("a"),
+    )
+
+    root = fixture_root("psimon", sf_dir)
+    rdir = os.path.join(root, "rows")
+    cdir = os.path.join(root, "cnt")
+    for m in (0, 1):  # two micro-batches
+        rows.filter(F.col("event_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(rdir)
+
+    def count_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+                F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(cdir, f"epoch={epoch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rdir)
+        .writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    merged = (
+        spark.read.parquet(cdir)
+        .groupBy("bucket")
+        .agg(
+            F.sum("na").cast("long").alias("na"),
+            F.sum("nb").cast("long").alias("nb"),
+        )
+    )
+    return psi_readback(merged)
+
+
+def _psi_monitor_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.stats import SQL_PSI_DRIFT
+
+    return SQL_PSI_DRIFT
+
+
 REGISTRY = {
     # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
     # per-query top-k is micro-batch-invariant, so the streamed union
@@ -663,6 +744,11 @@ REGISTRY = {
     # same oracle as stats_quantile_sketch: histogram cells are
     # distributive, so the micro-batch-merged sketch must read back
     # bit-identically to the one-shot batch sketch
+    # same shared-readback proof as the quantile monitor: merged partial
+    # PSI counts read back bit-identically to the one-shot batch query
+    "streaming_psi_monitor": QuerySpec(
+        streaming_psi_monitor, _psi_monitor_oracle
+    ),
     "streaming_quantile_monitor": QuerySpec(
         streaming_quantile_monitor, _quantile_monitor_oracle
     ),

@@ -1176,3 +1176,115 @@ def test_minhash_calibration_estimator_semantics(spark, tmp_path):
         assert round(r.est_jaccard * 8, 6) == int(round(r.est_jaccard * 8))
         assert abs(r.abs_err - round(abs(r.est_jaccard - r.jaccard), 4)) < 1e-9
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_tiff_decode_real_parser(spark):
+    """The TIFF decoder (r9) must WALK the IFD — typed tags, inline
+    values when they fit 4 bytes, offset values when they don't — and
+    assemble multi-strip rasters. The hand-built file here places the
+    IFD directly AFTER the header with the raster at the END (the
+    REVERSE of synth_tiff's layout), so a decoder that assumed the
+    synth layout instead of following offsets fails immediately; it
+    must also reject malformed payloads loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_tiff,
+        decode_tiff,
+        decode_tiff_features,
+        synth_tiff,
+        tiff_raster,
+    )
+
+    def hand_tiff(w, h, pixels_rgb, rps):
+        strips = []
+        flat = b"".join(bytes(p) for p in pixels_rgb)
+        for y0 in range(0, h, rps):
+            rows = min(rps, h - y0)
+            strips.append(flat[y0 * w * 3 : (y0 + rows) * w * 3])
+        n = len(strips)
+        ifd_off = 8
+        ifd_size = 2 + 12 * 9 + 4
+        bps_off = ifd_off + ifd_size
+        pos = bps_off + 6
+        if n > 1:
+            so_off, pos = pos, pos + 4 * n
+            sc_off, pos = pos, pos + 4 * n
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+
+        def entry(tag, typ, count, vbytes):
+            return struct.pack("<HHI", tag, typ, count) + vbytes.ljust(4, b"\x00")
+
+        entries = [
+            entry(256, 4, 1, struct.pack("<I", w)),
+            entry(257, 4, 1, struct.pack("<I", h)),
+            entry(258, 3, 3, struct.pack("<I", bps_off)),
+            entry(259, 3, 1, struct.pack("<H", 1)),
+            entry(262, 3, 1, struct.pack("<H", 2)),
+            entry(273, 4, n, struct.pack("<I", offs[0] if n == 1 else so_off)),
+            entry(277, 3, 1, struct.pack("<H", 3)),
+            entry(278, 4, 1, struct.pack("<I", rps)),
+            entry(279, 4, n,
+                  struct.pack("<I", len(strips[0]) if n == 1 else sc_off)),
+        ]
+        out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+        out += struct.pack("<H", 9) + b"".join(entries) + struct.pack("<I", 0)
+        out += struct.pack("<HHH", 8, 8, 8)
+        if n > 1:
+            out += struct.pack(f"<{n}I", *offs)
+            out += struct.pack(f"<{n}I", *(len(s) for s in strips))
+        out += b"".join(strips)
+        return bytes(out)
+
+    # hand-written 2x2 single strip (inline StripOffsets/ByteCounts)
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    assert decode_tiff(hand_tiff(2, 2, px, rps=2)) == (2, 2, 1, 4, 220, 260, 300)
+    # same image as THREE strips (rps=1 -> external offset arrays);
+    # raster identical, only the storage layout changes
+    w, h, n_strips, arr = tiff_raster(hand_tiff(2, 2, px, rps=1))
+    assert (w, h, n_strips) == (2, 2, 2)
+    assert [tuple(int(v) for v in arr[i // 2][i % 2]) for i in range(4)] == px
+
+    with _pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"MM" + b"\x00" * 60)  # big-endian: not this reader
+    with _pytest.raises(ValueError, match="unsupported field type"):
+        bad = bytearray(hand_tiff(2, 2, px, rps=2))
+        struct.pack_into("<H", bad, 8 + 2 + 2, 5)  # RATIONAL type
+        decode_tiff(bytes(bad))
+    with _pytest.raises(ValueError, match="unsupported TIFF variant"):
+        bad = bytearray(hand_tiff(2, 2, px, rps=2))
+        struct.pack_into("<H", bad, 8 + 2 + 12 * 3 + 8, 5)  # Compression=LZW
+        decode_tiff(bytes(bad))
+    with _pytest.raises(ValueError, match="strip bytes"):
+        bad = bytearray(hand_tiff(2, 2, px, rps=2))
+        # shrink the single inline StripByteCount: raster short
+        struct.pack_into("<I", bad, 8 + 2 + 12 * 8 + 8, 9)
+        decode_tiff(bytes(bad))
+    with _pytest.raises(ValueError, match="missing required TIFF tag"):
+        bad = bytearray(hand_tiff(2, 2, px, rps=2))
+        struct.pack_into("<H", bad, 8 + 2 + 12 * 5, 999)  # retag StripOffsets
+        decode_tiff(bytes(bad))
+
+    # synth → decode roundtrip agrees with direct arithmetic across the
+    # full strip-count cycle (h = 2..5 -> 1/2/2/3 strips)
+    for doc_id in (0, 1, 2, 3, 4, 13):
+        w, h = 3 + doc_id % 5, 2 + doc_id % 4
+        exp = [
+            sum((doc_id * 19 + i * 7 + o) % 256 for i in range(w * h))
+            for o in (0, 4, 8)
+        ]
+        assert decode_tiff(synth_tiff(doc_id)) == (
+            w, h, (h + 1) // 2, w * h, *exp,
+        )
+
+    # distributed shape: two mapInPandas stages, decoder sees only bytes
+    df = spark.createDataFrame([(1,), (3,), (9,)], ["doc_id"])
+    rows = {r.doc_id: r for r in decode_tiff_features(attach_tiff(df)).collect()}
+    assert rows[9].width == 3 + 9 % 5 and rows[9].height == 2 + 9 % 4
+    assert rows[3].n_strips == (2 + 3 % 4 + 1) // 2
+    assert rows[1].n_pixels == rows[1].width * rows[1].height

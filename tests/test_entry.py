@@ -51,7 +51,7 @@ def test_checked_window_is_curated():
         # float64 under a pandas/arrow driver fetch vs Spark's int64 —
         # now CAST AS BIGINT, and tools/gate.py scans every oracle for
         # the class. All 28 remaining never-driver-checked queries
-        # enter, so a green r9 completes 291/291 driver-checked-ever.)
+        # enter, so a green r9 completes 293/293 driver-checked-ever.)
         "stats_psi_drift",
         # the four r8 real decoders
         "multimodal_decode_png", "multimodal_decode_gif",
@@ -76,10 +76,14 @@ def test_checked_window_is_curated():
         "dq_expectations_panel_approx", "sim_mmr_from_ivf",
         "words_total_tokens", "stats_hll_portable",
         "events_hll_sliding_users", "stats_quantile_sketch",
-        "q1_pricing_summary", "q18_large_volume_customers",
+        # the two queries BORN in r9 (never-checked queries enter the
+        # window the round they are born, keeping the parity story
+        # complete; they displaced two multi-round-green re-confirms)
+        "streaming_psi_monitor", "multimodal_decode_tiff",
+        "q1_pricing_summary",
         "dedup_minhash_lsh", "text_quality",
         "streaming_dedup_watermark", "training_pack_greedy",
-        "eval_ranking_ndcg", "graph_kcore",
+        "graph_kcore",
         "recsys_item_similar_topk", "multimodal_image_ahash_neardup",
         "curation_gopher_gate", "func_arabic_tokenize",
     }
@@ -172,6 +176,8 @@ def test_no_accidental_shared_oracles():
         # histograms cell-wise; reading back bit-identically to the
         # one-shot batch sketch IS the mergeability proof
         frozenset({"stats_quantile_sketch", "streaming_quantile_monitor"}),
+        # same mergeability proof for the PSI drift monitor (r9)
+        frozenset({"stats_psi_drift", "streaming_psi_monitor"}),
     }
     by_oracle = defaultdict(list)
     for n, s in REGISTRY.items():

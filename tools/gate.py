@@ -80,14 +80,67 @@ def _connect() -> duckdb.DuckDBPyConnection:
 
 
 def strict(v) -> str:
-    """Driver-strict cell repr: exact float repr, ±0.0 NOT collapsed."""
+    """Driver-strict cell repr: exact float repr, ±0.0 NOT collapsed.
+
+    Temporal values normalize to a canonical string with any midnight
+    time component trimmed — DuckDB DATE fetches as pandas
+    datetime64[ns] ('1995-01-01 00:00:00') while Spark gives
+    datetime.date ('1995-01-01'); four date-emitting queries with
+    driver-green history prove the driver canonicalizes this, so the
+    gate must not flag it."""
+    import datetime
+
     if isinstance(v, float):
         return "nan" if math.isnan(v) else repr(v)
     # numpy scalars out of fetchdf: unwrap so int64(5) prints like 5
     item = getattr(v, "item", None)
     if item is not None and type(v).__module__ == "numpy":
         return strict(v.item())
+    if isinstance(v, datetime.datetime):  # includes pandas Timestamp
+        s = v.isoformat(sep=" ")
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
+
+
+DUCK_INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+
+
+def strict_pd(v, duck_type: str) -> str:
+    """Pandas-view cell repr with the two NULL-coercion classes that
+    the driver provably tolerates normalized away (each has driver-green
+    precedent — r8's streaming_click_view_left_join carries NULL ints):
+
+    - a NULLABLE integer column fetches as float64; render NaN as None
+      and integral floats as ints, so '657.0'/'nan' don't false-flag
+      against Spark's '657'/'None'. Genuine value drift still flags:
+      a WRONG integer is wrong in any dtype.
+    - NaT (null timestamp) renders as None.
+
+    HUGEINT/DECIMAL float64-coercion (the real psi-red class) is NOT
+    masked by this: those are flagged statically by dtype_scan, and
+    integer-typed columns here are keyed on the DuckDB DESCRIBE type,
+    not the pandas dtype."""
+    import pandas as pd
+
+    try:
+        if pd.isna(v):
+            # NULL of any type fetches as NaN/NaT in pandas; render as
+            # None to match fetchall/Spark NULLs. A genuine (non-NULL)
+            # NaN double is indistinguishable here — the fetchall view
+            # still covers that parity, and the caller maps the Spark
+            # side's 'nan' to 'None' for THIS view only.
+            return "None"
+    except (TypeError, ValueError):
+        pass
+    if (
+        isinstance(v, float)
+        and any(t == duck_type.upper() for t in DUCK_INT_TYPES)
+        and v.is_integer()
+    ):
+        return str(int(v))
+    return strict(v)
 
 
 def dtype_scan(con, names) -> dict[str, list]:
@@ -119,12 +172,19 @@ def dtype_scan(con, names) -> dict[str, list]:
 
 
 def duck_views(con, oracle: str, cols: list[str]):
-    """Return (fetchall-view rows, pandas-view rows) under strict repr."""
-    q = f"SELECT {', '.join(cols)} FROM ({oracle}) q"
+    """Return (fetchall-view rows, pandas-view rows) under strict repr.
+    Column names are double-quoted — an oracle may legitimately emit a
+    reserved word like `offset` (training_pack_chunks does)."""
+    sel = ", ".join(f'"{c}"' for c in cols)
+    q = f"SELECT {sel} FROM ({oracle}) q"
     fa = sorted(tuple(strict(v) for v in row) for row in con.execute(q).fetchall())
+    dtypes = {
+        d[0]: d[1] for d in con.execute(f"DESCRIBE {q}").fetchall()
+    }
     pdf = con.execute(q).fetchdf()
     pd_rows = sorted(
-        tuple(strict(pdf[c].iloc[i]) for c in cols) for i in range(len(pdf))
+        tuple(strict_pd(pdf[c].iloc[i], dtypes.get(c, "")) for c in cols)
+        for i in range(len(pdf))
     )
     return fa, pd_rows
 
@@ -178,7 +238,13 @@ def run_gate(names, do_plans: bool, dtype_only: bool) -> int:
                     print(f"  ✗ {name}: COLUMN MISMATCH {cols} vs {sorted(ocols)}")
                     continue
                 fa, pd_rows = duck_views(con, oracle, cols)
-                ok_fa, ok_pd = s == fa, s == pd_rows
+                # pandas view: NULLs of every type render 'None' (see
+                # strict_pd); align the Spark side's NaN rendering for
+                # this view only — fetchall keeps 'nan' vs 'None' strict
+                s_pd = [
+                    tuple("None" if c == "nan" else c for c in r) for r in s
+                ]
+                ok_fa, ok_pd = s == fa, s_pd == pd_rows
                 rec.update(
                     mode="oracle",
                     rows=len(s),
@@ -191,7 +257,8 @@ def run_gate(names, do_plans: bool, dtype_only: bool) -> int:
                 else:
                     failures.add(name)
                     bad_view = fa if not ok_fa else pd_rows
-                    diffs = [(a, b) for a, b in zip(s, bad_view) if a != b][:2]
+                    base = s if not ok_fa else s_pd
+                    diffs = [(a, b) for a, b in zip(base, bad_view) if a != b][:2]
                     print(
                         f"  ✗ {name}: fetchall={'OK' if ok_fa else 'DIFF'}"
                         f" pandas={'OK' if ok_pd else 'DIFF'} {diffs}"
@@ -263,9 +330,10 @@ def dump(name: str) -> int:
         lines.append(f"pandas dtypes: {dict(pdf.dtypes.astype(str))}")
         lines += [f"duck.fetchall[{i}]: {r}" for i, r in enumerate(fa)]
         lines += [f"duck.pandas[{i}]:  {r}" for i, r in enumerate(pd_rows)]
+        s_pd = [tuple("None" if c == "nan" else c for c in r) for r in s]
         lines.append("")
         lines.append(f"strict fetchall: {'EQUAL' if s == fa else 'DIFF'}")
-        lines.append(f"strict pandas:   {'EQUAL' if s == pd_rows else 'DIFF'}")
+        lines.append(f"strict pandas:   {'EQUAL' if s_pd == pd_rows else 'DIFF'}")
     out = ROOT / f"GATE_DUMP_{name}.txt"
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
