@@ -2,18 +2,23 @@
 opaque `binary` columns with typed metadata, processed in Arrow batches
 via mapInPandas.
 
-Six REAL decode paths are value-checked end-to-end — every modality has
-a genuinely parsed container and two true codecs exist:
+Eight REAL decode paths are value-checked end-to-end — every modality
+has a genuinely parsed container and three true codecs exist:
 - images: P6 PPM (`decode_ppm`), 24-bit BI_RGB BMP (`decode_bmp` —
   bottom-up rows, BGR order, stride padding), 8-bit RGB PNG
   (`decode_png` — a real CODEC: CRC-verified chunks, stdlib-zlib
   DEFLATE, the five row filters reversed), GIF87a (`decode_gif` — LZW
-  implemented from the spec, since no stdlib LZW exists);
+  implemented from the spec, since no stdlib LZW exists), baseline TIFF
+  (`decode_tiff` — IFD tag walk, strip assembly), and baseline JPEG
+  (operators/jpeg.py — the full T.81 lossy pipeline: canonical Huffman
+  from DHT, DC prediction + EXTEND, dequantize, zigzag, IDCT, restart
+  markers; the first lossy codec, value-checked via the
+  exact-roundtrip constant-block construction);
 - audio: RIFF/WAVE PCM16 (`decode_wav`);
 - video: RIFF/AVI with uncompressed DIB frames (`decode_avi` — nested
   LIST walking, avih/strf cross-check, per-frame raster recovery).
-Only formats whose decoders genuinely need external libraries (JPEG's
-DCT+Huffman, MP3, compressed video codecs) remain STUBBED:
+Only formats whose decoders genuinely need external libraries (MP3's
+MDCT synthesis, compressed video codecs) remain STUBBED:
 `decode_media` raises NotImplementedError; `fake_decode` is the
 deterministic stand-in (md5-derived dimensions) used by the
 generic-plumbing queries.
@@ -60,10 +65,12 @@ def attach_binary(df: DataFrame, text_col: str = "text", kind: str = "image") ->
 
 
 def decode_media(payload: bytes):  # pragma: no cover - stub by design
-    """REAL decode stub: needs PIL/librosa/ffmpeg, absent in this image."""
+    """REAL decode stub for the REMAINING library-bound formats (MP3
+    audio synthesis, compressed video codecs); PPM/BMP/PNG/GIF/TIFF/
+    JPEG/WAV/AVI all have real in-repo decoders."""
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this container; "
-        "swap in PIL.Image.open / librosa.load here in production"
+        "MP3/compressed-video decoding requires codec libraries not present "
+        "in this container; swap in librosa.load / ffmpeg here in production"
     )
 
 

@@ -32,6 +32,14 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
     resize_ppm_features,
     sample_frames,
 )
+from python_multiproc_bigdata_spark.operators.jpeg import (
+    attach_jpeg,
+    decode_jpeg_features,
+)
+from python_multiproc_bigdata_spark.operators.mp3 import (
+    attach_mp3,
+    mp3_frame_features,
+)
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
 
@@ -372,8 +380,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row reverse filtering where the synthetic corpus cycles the
     filter type through None/Sub/Up/Average/Paeth
     (operators/multimodal.py:synth_png / decode_png — stdlib zlib, no
-    PIL needed for the 8-bit RGB non-interlaced subset; JPEG/MP3/video
-    remain honest stubs, their codecs are not in the stdlib). The
+    PIL needed for the 8-bit RGB non-interlaced subset; baseline JPEG
+    joined as a real codec in r9 — operators/jpeg.py). The
     oracle replays the pre-filter raster arithmetic over unnested pixel
     indices, so compression, filtering, and their exact inverses are
     value-checked end-to-end: one flipped bit anywhere in the DEFLATE
@@ -498,10 +506,11 @@ def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and '00db' uncompressed DIB frames recovered through the BMP raster
     rules (bottom-up rows, BGR order, stride padding). With this, every
     modality has a real container decode (PPM/BMP images, WAV audio,
-    AVI video) and two real codecs exist (PNG DEFLATE, GIF LZW); only
-    formats needing non-stdlib decompressors (JPEG, MP3, compressed
-    video codecs) remain stubbed. The oracle replays the per-frame
-    raster arithmetic over doubly-unnested (frame, pixel) indices."""
+    AVI video) and three real codecs exist (PNG DEFLATE, GIF LZW, and
+    as of r9 baseline JPEG — operators/jpeg.py); only MP3 synthesis and
+    compressed video codecs remain stubbed. The oracle replays the
+    per-frame raster arithmetic over doubly-unnested (frame, pixel)
+    indices."""
     d = table(prep(spark), sf_dir, "documents")
     return decode_avi_features(attach_avi(d))
 
@@ -534,8 +543,116 @@ GROUP BY doc_id, w, h, nf
 """
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode over a binary column (r9) — the LAST
+    image format to graduate from the honest codec stub, and the first
+    LOSSY one: operators/jpeg.py implements the full ITU-T T.81
+    baseline pipeline (marker walk, DHT canonical-Huffman
+    reconstruction FROM THE FILE, DC-predicted category decode with
+    EXTEND, AC run/size with ZRL/EOB, byte un-stuffing, DRI/RSTn
+    resync, dequantize, inverse zigzag, matrix IDCT, level shift).
+    Value-checking a lossy codec against a SQL oracle uses the
+    exact-roundtrip construction: every 8×8 block in the synthetic
+    corpus is constant with an EVEN value, so the sole nonzero
+    coefficient 8·(v−128) is an exact multiple of the Annex-K DC step
+    and decode reproduces v bit-exactly — while general lossy behavior
+    is separately proven by tolerance round-trips and a hand-packed
+    entropy bitstream in tests/test_multimodal_jpeg.py. One third of
+    the corpus carries restart intervals, so predictor reset and
+    marker resync are on the checked path every run."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_jpeg_features(attach_jpeg(d))
+
+
+# Replays synth_jpeg's arithmetic: wb = 1 + doc_id%3, hb = 1 + doc_id%2
+# blocks (8×8 each), block b constant value v = 2·((doc_id·7 + b·9) %
+# 96) + 32; decode is bit-exact by construction (see operators/jpeg.py)
+# so sum_y = Σ 64·v(b), min/max over blocks. DuckDB sums promote to
+# HUGEINT — cast back.
+SQL_DECODE_JPEG = """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb FROM documents
+), blk AS (
+  SELECT doc_id, wb, hb,
+         2 * ((doc_id * 7 + unnest(range(wb * hb)) * 9) % 96) + 32 AS v
+  FROM dims
+)
+SELECT doc_id,
+       wb * 8 AS width,
+       hb * 8 AS height,
+       wb * hb AS n_blocks,
+       wb * hb * 64 AS n_pixels,
+       CAST(sum(64 * v) AS BIGINT) AS sum_y,
+       CAST(min(v) AS BIGINT) AS min_y,
+       CAST(max(v) AS BIGINT) AS max_y
+FROM blk
+GROUP BY doc_id, wb, hb
+"""
+
+
+def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 (MPEG-1 Layer III) frame-structure walk over a binary column
+    (r9) — spec-level audio introspection for the one format whose full
+    DECODE is honestly library-bound (the MDCT/filterbank stub in
+    operators/multimodal.py:decode_media stays): operators/mp3.py walks
+    sync words, validates version/layer/table indices against the
+    ISO 11172-3 bitrate and sample-rate tables, advances by the Layer
+    III frame-length formula ⌊144·bitrate/fs⌋ + padding, and skips
+    ID3v2 tags via their syncsafe size — what an ingest pipeline needs
+    to validate/measure audio blobs (duration, bitrate profile, tag
+    overhead) without decoding samples. The synth corpus cycles every
+    bitrate row, all three sample rates, both padding states, and five
+    ID3v2 tag sizes; filler bytes are never 0xFF, so the walker's
+    computed-length advance (not lucky re-syncing) is what the oracle
+    value-checks."""
+    d = table(prep(spark), sf_dir, "documents")
+    return mp3_frame_features(attach_mp3(d))
+
+
+# Replays synth_mp3's arithmetic: nf = 3 + doc_id%4 frames, sample rate
+# by doc_id%3, ID3v2 tag 10 + (doc_id%5)·7 bytes on even docs, frame f
+# bitrate index 1 + (doc_id·3 + f·5) % 14 via the spec table, padding
+# (doc_id + f) % 2, frame bytes ⌊144·kbps·1000/sr⌋ + pad. DuckDB sums
+# promote to HUGEINT — cast back.
+SQL_MP3_FRAME_WALK = """
+WITH brt(idx, kbps) AS (
+  VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),(8,112),
+         (9,128),(10,160),(11,192),(12,224),(13,256),(14,320)
+), dims AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr,
+         CASE WHEN doc_id % 2 = 0 THEN 10 + (doc_id % 5) * 7
+              ELSE 0 END AS tagb
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, sr, tagb, unnest(range(nf)) AS f FROM dims
+), fx AS (
+  SELECT doc_id, nf, sr, tagb,
+         1 + (doc_id * 3 + f * 5) % 14 AS bidx,
+         (doc_id + f) % 2 AS pad
+  FROM fr
+)
+SELECT fx.doc_id,
+       nf AS n_frames,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(tagb AS BIGINT) AS tag_bytes,
+       CAST(sum((144 * kbps * 1000) // sr + pad) AS BIGINT) AS audio_bytes,
+       nf * 1152 AS total_samples,
+       CAST(sum(kbps) AS BIGINT) AS sum_bitrate_kbps,
+       CAST(sum(pad) AS BIGINT) AS n_padded
+FROM fx JOIN brt ON brt.idx = fx.bidx
+GROUP BY fx.doc_id, nf, sr, tagb
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
+    "multimodal_decode_jpeg": QuerySpec(multimodal_decode_jpeg, SQL_DECODE_JPEG),
+    "multimodal_mp3_frame_walk": QuerySpec(
+        multimodal_mp3_frame_walk, SQL_MP3_FRAME_WALK
+    ),
     "multimodal_decode_avi": QuerySpec(multimodal_decode_avi, SQL_DECODE_AVI),
     "multimodal_decode_tiff": QuerySpec(multimodal_decode_tiff, SQL_DECODE_TIFF),
     "multimodal_decode_bmp": QuerySpec(multimodal_decode_bmp, SQL_DECODE_BMP),

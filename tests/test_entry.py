@@ -76,16 +76,20 @@ def test_checked_window_is_curated():
         "dq_expectations_panel_approx", "sim_mmr_from_ivf",
         "words_total_tokens", "stats_hll_portable",
         "events_hll_sliding_users", "stats_quantile_sketch",
-        # the two queries BORN in r9 (never-checked queries enter the
+        # the four queries BORN in r9 (never-checked queries enter the
         # window the round they are born, keeping the parity story
-        # complete; they displaced two multi-round-green re-confirms)
+        # complete; they displaced four driver-green re-confirms —
+        # q18, eval_ranking_ndcg, multimodal_image_ahash_neardup
+        # r8-green, and curation_gopher_gate r7+r8-green; multimodal
+        # keeps eight in-window siblings, curation keeps six)
         "streaming_psi_monitor", "multimodal_decode_tiff",
+        "multimodal_decode_jpeg", "multimodal_mp3_frame_walk",
         "q1_pricing_summary",
         "dedup_minhash_lsh", "text_quality",
         "streaming_dedup_watermark", "training_pack_greedy",
         "graph_kcore",
-        "recsys_item_similar_topk", "multimodal_image_ahash_neardup",
-        "curation_gopher_gate", "func_arabic_tokenize",
+        "recsys_item_similar_topk",
+        "func_arabic_tokenize",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
     # every name demoted in the r9 rotation must carry an r8 driver-green
