@@ -1461,97 +1461,124 @@ def mmr_from_candidates(
     (the exactness anchor); sim_mmr_from_ivf in the registry is this
     over trained-IVF candidates (the 100 TB shape — candidate cost
     drops from full-scan to nprobe/n_lists of the corpus while the
-    greedy loop stays constant-size)."""
-    cand = (
-        cand.select("query_id", "neighbor_id", "rel")
-        .coalesce(1)  # <= |queries|*pool rows — one partition, one task/step
-        .localCheckpoint(eager=True)
+    greedy loop stays constant-size).
+
+    Greedy execution (r9): the per-query state is bounded (pool rels +
+    pool embeddings → ≤ pool² pair sims), so the whole selection runs
+    in ONE applyInPandas pass over query_id groups instead of the r8
+    form's k−1 chained join/window jobs plus a pairsim self-join and
+    three eager checkpoints — each extra job paid ~1 s of fixed
+    overhead at sf0.1 (measured: the greedy stage alone fell 4.7 s →
+    ~0.5 s; the candidate tier is now the whole cost). The single
+    Spark-side step is a broadcast join attaching each candidate's
+    embedding (cand is bounded by |queries|·pool — ALWAYS the broadcast
+    side; the corpus streams, never collects).
+
+    Parity discipline — Python re-walks the JVM arithmetic exactly:
+    pair sims use the same sequential left-fold the zip_with/aggregate
+    expressions execute (functions/vectors.py pins the fold order;
+    float→double widening is exact, CPython does no FMA), the zero-norm
+    guard matches _score, λ and (1−λ) are the same Python doubles Spark
+    embeds as literals, and rounding uses _round_like_spark: Spark's
+    F.round on a double is BigDecimal.valueOf(x) — Java's SHORTEST-repr
+    string, the same string CPython's repr produces — quantized
+    HALF_UP, which CPython's round() does NOT reproduce (round() is
+    correctly-rounded on the exact binary value: for the boundary
+    double 0.14945, shortest repr "0.14945" but exact binary
+    0.1494499…, Spark/DuckDB say 0.1495, round() says 0.1494; caught by
+    the parity gate on sim_mmr_from_ivf's query 86 before commit). So
+    the k-stage CTE oracle replays the identical greedy path."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd  # local imports: keep the module JVM-side-first
+
+    from pyspark.sql import types as T
+
+    one_minus = 1.0 - lam  # the EXACT double Spark/DuckDB embed as a literal
+    quantum = Decimal(1).scaleb(-4)
+
+    def _round_like_spark(x: float) -> float:
+        # BigDecimal.valueOf(double) == Decimal(repr(double)): both are
+        # the shortest round-trip decimal string; then HALF_UP at 4dp
+        return float(Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP))
+
+    grouped = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).join(F.broadcast(cand.select("query_id", "neighbor_id", "rel")), "neighbor_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
     )
-    cemb = _with_norm(corpus, "neighbor_id", "c_emb", "c_norm")
-    # <= |queries|*pool rows with their embeddings; checkpointed so the
-    # a/b self-pairing below reads it twice WITHOUT scanning (and
-    # re-norming) the corpus twice
-    ce = (
-        cand.join(cemb, "neighbor_id")
-        .select("query_id", "neighbor_id", "rel", "c_emb", "c_norm")
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    a = ce.select(
-        "query_id",
-        F.col("neighbor_id").alias("a"),
-        F.col("c_emb").alias("a_emb"),
-        F.col("c_norm").alias("a_norm"),
-    )
-    b_ = ce.select(
-        "query_id",
-        F.col("neighbor_id").alias("b"),
-        F.col("c_emb").alias("b_emb"),
-        F.col("c_norm").alias("b_norm"),
-    )
-    pairsim = (
-        a.join(b_, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            _score(dot("a_emb", "b_emb"), F.col("a_norm"), F.col("b_norm")).alias(
-                "ps"
-            ),
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rels: dict[int, float] = {}
+        embs: dict[int, list[float]] = {}
+        norms: dict[int, float] = {}
+        for n, r, e in zip(pdf["neighbor_id"], pdf["rel"], pdf["embedding"]):
+            n = int(n)
+            rels[n] = float(r)
+            v = [float(x) for x in e]  # float32 → double widening, exact
+            embs[n] = v
+            acc = 0.0
+            for x in v:  # l2_norm's sequential left fold
+                acc = acc + x * x
+            norms[n] = math.sqrt(acc)
+
+        ps_memo: dict[tuple[int, int], float] = {}
+
+        def ps(n: int, s: int) -> float:
+            key = (n, s) if n < s else (s, n)  # dot is order-symmetric
+            hit = ps_memo.get(key)
+            if hit is None:
+                if norms[n] > 0 and norms[s] > 0:
+                    va, vb = embs[n], embs[s]
+                    acc = 0.0
+                    for i in range(len(va)):  # dot's sequential left fold
+                        acc = acc + va[i] * vb[i]
+                    hit = _round_like_spark(acc / (norms[n] * norms[s]))
+                else:
+                    hit = 0.0  # _score's zero-norm guard
+                ps_memo[key] = hit
+            return hit
+
+        remaining = sorted(rels)
+        selected: list[int] = []
+        rows = []
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            if not selected:
+                # rank 1: highest rel, ties -> lowest neighbor_id
+                best = min(remaining, key=lambda n: (-rels[n], n))
+            else:
+                best = min(
+                    remaining,
+                    key=lambda n: (
+                        -_round_like_spark(
+                            lam * rels[n]
+                            - one_minus * max(ps(n, s) for s in selected)
+                        ),
+                        n,
+                    ),
+                )
+            selected.append(best)
+            remaining.remove(best)
+            rows.append((qid, best, rels[best], step))
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "rel", "mmr_rank"]
         )
-        .coalesce(1)
-        .persist()
-    )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
-    selected = (
-        cand.withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") == 1)
-        .select("query_id", "neighbor_id", "rel", F.lit(1).alias("mmr_rank"))
-    )
-    # a driver-side selected-state variant (collect each step's pick,
-    # re-create a literal frame) was tried in r8 and measured SLOWER
-    # (5.35 s vs 3.95 s total at sf0.1): per-step checkpointed unions
-    # beat per-step Python<->JVM row traffic here
-    for step in range(2, k + 1):
-        # anti-join out already-selected candidates, fan each remaining
-        # candidate out to the selected set, look up the pair sim, and
-        # take penalty = max pair-sim to ANY selected
-        rem = (
-            cand.join(
-                selected.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_anti",
-            )
-            .join(
-                selected.select("query_id", F.col("neighbor_id").alias("b")),
-                "query_id",
-            )
-            .join(
-                pairsim.withColumnRenamed("a", "neighbor_id"),
-                ["query_id", "neighbor_id", "b"],
-            )
-            .groupBy("query_id", "neighbor_id", "rel")
-            .agg(F.max("ps").alias("pen"))
-            .withColumn(
-                "mmr",
-                F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("pen"), 4),
-            )
-        )
-        wn = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("neighbor_id"))
-        pick = (
-            rem.withColumn("_r", F.row_number().over(wn))
-            .filter(F.col("_r") == 1)
-            .select("query_id", "neighbor_id", "rel", F.lit(step).alias("mmr_rank"))
-        )
-        selected = (
-            selected.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
-        )
-    # the final selection is localCheckpointed — lineage no longer needs
-    # pairsim, and bench repeats would otherwise accumulate cached blocks
-    pairsim.unpersist()
-    return selected.select("query_id", "neighbor_id", "rel", "mmr_rank").orderBy(
-        "query_id", "mmr_rank"
+
+    return (
+        grouped.groupBy("query_id")
+        .applyInPandas(greedy, out_schema)
+        .orderBy("query_id", "mmr_rank")
     )
 
 
