@@ -211,11 +211,15 @@ HEADLINE = [
     "events_hll_sliding_users",
     "split_temporal_holdout",
     "events_velocity_gate",
-    # r9 additions: the fifth real image decoder (IFD walk + strips)
-    # and the PSI drift monitor's batch anchor already benches via
-    # stats family; streaming_psi_monitor stays out of HEADLINE like
-    # the other fixture-staging streaming twins
+    # r9 additions: the fifth real image decoder (IFD walk + strips),
+    # the baseline-JPEG codec (first lossy decode path), and the MP3
+    # frame walker; the PSI drift monitor's batch anchor already
+    # benches via the stats family and streaming_psi_monitor stays out
+    # of HEADLINE like the other fixture-staging streaming twins
     "multimodal_decode_tiff",
+    "multimodal_decode_jpeg",
+    "multimodal_mp3_frame_walk",
+    "source_zip_shards",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

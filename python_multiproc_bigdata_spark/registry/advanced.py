@@ -696,6 +696,46 @@ ORDER BY source, lang
 """
 
 
+def source_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-shard ingest round trip (r9): pack the documents corpus
+    into ZIP shards (one bounded applyInPandas group per 16 docs, both
+    STORE and raw-DEFLATE members in every shard), then WALK the
+    archives per the public APPNOTE spec — EOCD backward scan through a
+    nonempty comment, central-directory iteration, local-header offset
+    follow, inflate, CRC-32 + size verification — and emit per-member
+    integrity rows (operators/archives.py; stdlib struct + zlib, the
+    zipfile module deliberately unused so the walk is evidence the
+    format is actually parsed). The oracle recomputes each member's
+    md5 straight from the parquet text, so the packed→inflated content
+    is value-checked byte-for-byte: one flipped bit in the DEFLATE
+    stream, a wrong directory offset, or a skipped CRC check and the
+    hashes move. At 100 TB both stages are embarrassingly parallel —
+    shards are bounded groups, the walk is 1-blob-in → n-rows-out,
+    nothing touches the driver."""
+    from python_multiproc_bigdata_spark.operators.archives import (
+        pack_zip_shards,
+        walk_zip_shards,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    return walk_zip_shards(pack_zip_shards(d))
+
+
+# Replays the shard/member layout from the parquet: shard = doc_id//16,
+# method alternates DEFLATE(8)/STORE(0) on parity, n_bytes = utf-8
+# octet length, content md5 recomputed on the raw text (DuckDB's md5
+# hashes the VARCHAR's utf-8 bytes, same as hashlib on text.encode()).
+SQL_ZIP_SHARDS = """
+SELECT doc_id // 16 AS shard_id,
+       doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END AS BIGINT) AS method,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       TRUE AS crc_ok,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
 # One shared spec drives BOTH the Spark panel and its oracle, so the
 # two can never drift: per table, the primary key (composite allowed)
 # and the profiled columns. Only string/integer/date columns are
@@ -1071,4 +1111,5 @@ REGISTRY = {
         dq_expectations_panel_approx, _dq_panel_approx_oracle
     ),
     "source_xml_roundtrip": QuerySpec(source_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "source_zip_shards": QuerySpec(source_zip_shards, SQL_ZIP_SHARDS),
 }

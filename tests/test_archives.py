@@ -1,0 +1,97 @@
+"""ZIP shard pack/walk tests (operators/archives.py, r9): spec-level
+structural checks (EOCD backward scan through a comment, central-
+directory authority, both compression methods), loud integrity
+rejection, and the distributed two-stage round trip."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from python_multiproc_bigdata_spark.operators.archives import (
+    pack_zip,
+    pack_zip_shards,
+    walk_zip_shards,
+    zip_members,
+)
+
+MEMBERS = [
+    ("doc_00000001.txt", b"hello world", 8),
+    ("doc_00000002.txt", b"", 0),  # empty STORE member
+    ("a/b/deep.txt", bytes(range(256)) * 40, 8),  # incompressible-ish
+]
+
+
+def test_roundtrip_both_methods_and_comment():
+    blob = pack_zip(MEMBERS, comment=b"shard 7 test")
+    out = zip_members(blob)
+    assert [(n, m, d) for n, m, d in out] == [(n, m, d) for n, d, m in MEMBERS]
+    # the comment really displaces EOCD from the fixed -22 position
+    assert blob[-12:] == b"shard 7 test"
+    assert blob.rfind(b"PK\x05\x06") != len(blob) - 22
+
+
+def test_central_directory_is_authoritative():
+    """A walker must reach member data through each central entry's
+    local-header offset. Prepend junk bytes BEFORE the first local
+    record and fix up all offsets — a reader assuming records start at
+    byte 0 (or are contiguous after a guessed origin) fails; the
+    spec-following walk still recovers everything."""
+    blob = pack_zip(MEMBERS)
+    pad = b"JUNKJUNK"  # self-extractor stub stand-in (spec-legal)
+    shifted = bytearray(pad + blob)
+    eocd = shifted.rfind(b"PK\x05\x06")
+    cd_size, cd_off = struct.unpack("<II", shifted[eocd + 12 : eocd + 20])
+    struct.pack_into("<I", shifted, eocd + 16, cd_off + len(pad))
+    pos = cd_off + len(pad)
+    for _ in range(len(MEMBERS)):
+        (loc,) = struct.unpack("<I", shifted[pos + 42 : pos + 46])
+        struct.pack_into("<I", shifted, pos + 42, loc + len(pad))
+        nlen, elen, cmlen = struct.unpack("<HHH", shifted[pos + 28 : pos + 34])
+        pos += 46 + nlen + elen + cmlen
+    out = zip_members(bytes(shifted))
+    assert [n for n, _, _ in out] == [n for n, _, _ in MEMBERS]
+
+
+def test_integrity_violations_rejected():
+    blob = pack_zip(MEMBERS, comment=b"c")
+    # flip one DEFLATE byte of member 1 (payload starts after the
+    # 30-byte local header + 16-byte name)
+    bad = bytearray(blob)
+    bad[30 + 16 + 2] ^= 0xFF
+    with pytest.raises(Exception):  # zlib.error or ValueError(CRC)
+        zip_members(bytes(bad))
+    with pytest.raises(ValueError, match="comment length"):
+        zip_members(blob[:-1])
+    with pytest.raises(ValueError, match="no end-of-central-directory"):
+        zip_members(b"PK\x03\x04" + bytes(40))
+    # corrupt a STORED member's CRC field in the central directory
+    bad = bytearray(blob)
+    eocd = bad.rfind(b"PK\x05\x06")
+    (cd_off,) = struct.unpack("<I", bad[eocd + 16 : eocd + 20])
+    pos = cd_off + 46 + len(MEMBERS[0][0])  # second entry (STORE)
+    struct.pack_into("<I", bad, pos + 16, 0xDEADBEEF)
+    with pytest.raises(ValueError, match="CRC-32 mismatch"):
+        zip_members(bytes(bad))
+
+
+def test_distributed_two_stage_roundtrip(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * (1 + i % 3)) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = walk_zip_shards(pack_zip_shards(docs)).collect()
+    assert len(out) == 40
+    by_id = {r.doc_id: r for r in out}
+    for i in range(40):
+        r = by_id[i]
+        body = f"document body {i} " * (1 + i % 3)
+        assert r.shard_id == i // 16
+        assert r.method == (8 if i % 2 == 0 else 0)
+        assert r.n_bytes == len(body.encode())
+        assert r.crc_ok
+        assert r.content_md5 == hashlib.md5(body.encode()).hexdigest()
