@@ -220,6 +220,7 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "multimodal_mp3_frame_walk",
     "source_zip_shards",
+    "source_tar_shards",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

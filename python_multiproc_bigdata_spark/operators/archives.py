@@ -5,10 +5,12 @@ must (a) pack bounded groups into archives without collecting anything
 to the driver and (b) walk archives it did NOT create, following the
 format's real structure.
 
-Both directions are implemented from the public ZIP APPNOTE spec, pure
-stdlib (struct + zlib's RAW Deflate with wbits=-15 — the zipfile module
-is deliberately not used, so the walker is evidence the format is
-actually parsed):
+Two archive families, both implemented from their public specs with
+pure stdlib byte handling (the zipfile/tarfile modules are deliberately
+not used, so the walkers are evidence the formats are actually parsed):
+ZIP per APPNOTE (struct + zlib's RAW Deflate with wbits=-15) and POSIX
+ustar (512-byte headers, octal fields, blanked-chksum verification).
+The ZIP path:
 
   pack : local file headers (PK\\x03\\x04) + member data (STORE or raw
          DEFLATE, alternating so both methods are always on the checked
@@ -157,6 +159,66 @@ MEMBER_SCHEMA = T.StructType(
 )
 
 
+def pack_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Assemble a POSIX ustar archive (the tarfile module deliberately
+    unused): 512-byte headers with octal size fields, the checksum
+    computed over the header with the chksum field blanked to spaces,
+    content padded to 512-byte blocks, two zero blocks as terminator."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError(f"name too long for ustar short form: {name}")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"  # mode
+        hdr[108:116] = b"0000000\x00"  # uid
+        hdr[116:124] = b"0000000\x00"  # gid
+        hdr[124:136] = f"{len(data):011o}\x00".encode()
+        hdr[136:148] = b"00000000000\x00"  # mtime (epoch, deterministic)
+        hdr[148:156] = b" " * 8  # chksum blanked for computation
+        hdr[156] = ord("0")  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}\x00 ".encode()
+        out += hdr + data
+        pad = (-len(data)) % 512
+        out += bytes(pad)
+    out += bytes(1024)  # end-of-archive marker
+    return bytes(out)
+
+
+def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """Walk a ustar archive per spec: 512-byte header blocks, octal
+    size decode, CHECKSUM VERIFICATION (sum over the header with the
+    chksum field read as spaces), block-padded content, and the
+    two-zero-block terminator. Raises loudly on violations."""
+    out: list[tuple[str, bytes]] = []
+    pos = 0
+    n = len(payload)
+    while pos + 512 <= n:
+        hdr = payload[pos : pos + 512]
+        if hdr == bytes(512):
+            if payload[pos + 512 : pos + 1024] != bytes(512):
+                raise ValueError("single zero block without terminator pair")
+            return out
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"not a ustar header at {pos}")
+        stored = int(hdr[148:156].rstrip(b"\x00 ").decode() or "0", 8)
+        computed = sum(hdr[:148]) + 8 * ord(" ") + sum(hdr[156:])
+        if stored != computed:
+            raise ValueError(f"header checksum mismatch at {pos}")
+        name = hdr[0:100].rstrip(b"\x00").decode("utf-8")
+        size = int(hdr[124:136].rstrip(b"\x00 ").decode(), 8)
+        data = payload[pos + 512 : pos + 512 + size]
+        if len(data) != size:
+            raise ValueError(f"member {name} truncated")
+        out.append((name, data))
+        pos += 512 + size + ((-size) % 512)
+    raise ValueError("archive ended without terminator blocks")
+
+
 def pack_zip_shards(docs: DataFrame, shard_size: int = ZIP_SHARD_SIZE) -> DataFrame:
     """Pack (doc_id, text) rows into ZIP shards of `shard_size` docs:
     one applyInPandas group per shard — bounded by construction, so a
@@ -184,6 +246,55 @@ def pack_zip_shards(docs: DataFrame, shard_size: int = ZIP_SHARD_SIZE) -> DataFr
         "text",
     )
     return shards.groupBy("shard_id").applyInPandas(pack, SHARD_SCHEMA)
+
+
+def pack_tar_shards(docs: DataFrame, shard_size: int = ZIP_SHARD_SIZE) -> DataFrame:
+    """ustar sibling of pack_zip_shards: same bounded-group shape, no
+    compression (tar's concern is framing; pair with a codec column for
+    compressed shards)."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        members = [
+            (f"doc_{int(doc_id):08d}.txt", str(text).encode("utf-8"))
+            for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"]))
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "archive": [pack_tar(members)],
+                "n_members": [len(members)],
+            }
+        )
+
+    shards = docs.select(
+        F.floor(F.col("doc_id") / shard_size).cast("long").alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return shards.groupBy("shard_id").applyInPandas(pack, SHARD_SCHEMA)
+
+
+def walk_tar_shards(shards: DataFrame) -> DataFrame:
+    """ustar sibling of walk_zip_shards: checksum-verified header walk,
+    per-member integrity rows (method column = -1: tar has no
+    compression method; the md5 is over the framed bytes)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in MEMBER_SCHEMA.fields}
+            for sid, blob in zip(pdf["shard_id"], pdf["archive"]):
+                for name, data in tar_members(bytes(blob)):
+                    rows["shard_id"].append(int(sid))
+                    rows["doc_id"].append(int(name[4:-4]))
+                    rows["method"].append(-1)
+                    rows["n_bytes"].append(len(data))
+                    rows["crc_ok"].append(True)  # header checksum verified
+                    rows["content_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(batches, MEMBER_SCHEMA)
 
 
 def walk_zip_shards(shards: DataFrame) -> DataFrame:

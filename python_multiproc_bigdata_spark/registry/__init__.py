@@ -481,23 +481,24 @@ CHECKED_FIRST: tuple[str, ...] = (
     "stats_hll_portable",
     "events_hll_sliding_users",
     "stats_quantile_sketch",
-    # the five NEW r9 queries (late-r9 swaps so the parity story stays
+    # the six NEW r9 queries (late-r9 swaps so the parity story stays
     # complete: a never-checked query must enter the window the round
     # it is born; the evicted q18_large_volume_customers r1-green,
     # eval_ranking_ndcg r5-green, multimodal_image_ahash_neardup
-    # r8-green, curation_gopher_gate r7+r8-green, and
-    # streaming_dedup_watermark r4+r8-green re-confirm slots all carry
-    # driver-green history and keep family siblings in-window —
-    # multimodal keeps EIGHT entries here, curation six, streaming
-    # keeps streaming_psi_monitor)
+    # r8-green, curation_gopher_gate r7+r8-green,
+    # streaming_dedup_watermark r4+r8-green, and dedup_minhash_lsh
+    # multi-round-green re-confirm slots all carry driver-green history
+    # and keep family siblings in-window — multimodal keeps EIGHT
+    # entries here, curation six, dedup two never-checked tails,
+    # streaming keeps streaming_psi_monitor)
     "streaming_psi_monitor",
     "multimodal_decode_tiff",
     "multimodal_decode_jpeg",
     "multimodal_mp3_frame_walk",
     "source_zip_shards",
+    "source_tar_shards",
     # one diverse green representative per major family
     "q1_pricing_summary",
-    "dedup_minhash_lsh",
     "text_quality",
     "training_pack_greedy",
     "graph_kcore",

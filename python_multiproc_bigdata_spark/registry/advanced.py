@@ -736,6 +736,36 @@ FROM documents
 """
 
 
+def source_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX-ustar sibling of source_zip_shards (r9): same bounded
+    pack/walk shape, different framing family — 512-byte headers with
+    octal size fields, the header CHECKSUM verified per spec (summed
+    with the chksum field read as spaces), block padding, and the
+    two-zero-block terminator (operators/archives.py:pack_tar /
+    tar_members; the tarfile module deliberately unused). The oracle
+    recomputes member md5s from parquet, value-checking content
+    byte-for-byte through the framing."""
+    from python_multiproc_bigdata_spark.operators.archives import (
+        pack_tar_shards,
+        walk_tar_shards,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    return walk_tar_shards(pack_tar_shards(d))
+
+
+# Same layout replay as SQL_ZIP_SHARDS, method = -1 (tar has none).
+SQL_TAR_SHARDS = """
+SELECT doc_id // 16 AS shard_id,
+       doc_id,
+       CAST(-1 AS BIGINT) AS method,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       TRUE AS crc_ok,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
 # One shared spec drives BOTH the Spark panel and its oracle, so the
 # two can never drift: per table, the primary key (composite allowed)
 # and the profiled columns. Only string/integer/date columns are
@@ -1112,4 +1142,5 @@ REGISTRY = {
     ),
     "source_xml_roundtrip": QuerySpec(source_xml_roundtrip, SQL_XML_ROUNDTRIP),
     "source_zip_shards": QuerySpec(source_zip_shards, SQL_ZIP_SHARDS),
+    "source_tar_shards": QuerySpec(source_tar_shards, SQL_TAR_SHARDS),
 }

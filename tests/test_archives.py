@@ -11,8 +11,12 @@ import zlib
 import pytest
 
 from python_multiproc_bigdata_spark.operators.archives import (
+    pack_tar,
+    pack_tar_shards,
     pack_zip,
     pack_zip_shards,
+    tar_members,
+    walk_tar_shards,
     walk_zip_shards,
     zip_members,
 )
@@ -75,6 +79,56 @@ def test_integrity_violations_rejected():
     struct.pack_into("<I", bad, pos + 16, 0xDEADBEEF)
     with pytest.raises(ValueError, match="CRC-32 mismatch"):
         zip_members(bytes(bad))
+
+
+def test_tar_roundtrip_against_stdlib_and_integrity():
+    """The ustar pack must be readable by the INDEPENDENT stdlib
+    tarfile reader (cross-implementation proof), and the walker must
+    verify header checksums, sizes, and the terminator pair."""
+    import io
+    import tarfile
+
+    members = [("doc_00000003.txt", b"abc" * 700), ("x/y.bin", bytes(513))]
+    blob = pack_tar(members)
+    assert len(blob) % 512 == 0
+    # stdlib reads what we wrote
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+    # our walker reads what stdlib writes (reverse direction)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    assert tar_members(buf.getvalue()) == members
+    # checksum violation is loud
+    bad = bytearray(blob)
+    bad[0] ^= 0x01  # flip a name byte -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        tar_members(bytes(bad))
+    # truncated content is loud
+    with pytest.raises(ValueError, match="truncated|terminator"):
+        tar_members(blob[: 512 + 100])
+    # missing terminator pair is loud
+    with pytest.raises(ValueError, match="terminator"):
+        tar_members(blob[:-1024])
+
+
+def test_tar_distributed_roundtrip(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"tar body {i} " * (1 + i % 2)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in walk_tar_shards(pack_tar_shards(docs)).collect()}
+    assert len(out) == 20
+    for i in range(20):
+        body = f"tar body {i} " * (1 + i % 2)
+        assert out[i].method == -1 and out[i].crc_ok
+        assert out[i].content_md5 == hashlib.md5(body.encode()).hexdigest()
 
 
 def test_distributed_two_stage_roundtrip(spark):

@@ -76,18 +76,19 @@ def test_checked_window_is_curated():
         "dq_expectations_panel_approx", "sim_mmr_from_ivf",
         "words_total_tokens", "stats_hll_portable",
         "events_hll_sliding_users", "stats_quantile_sketch",
-        # the five queries BORN in r9 (never-checked queries enter the
+        # the six queries BORN in r9 (never-checked queries enter the
         # window the round they are born, keeping the parity story
-        # complete; they displaced five driver-green re-confirms —
+        # complete; they displaced six driver-green re-confirms —
         # q18, eval_ranking_ndcg, multimodal_image_ahash_neardup
-        # r8-green, curation_gopher_gate r7+r8-green, and
-        # streaming_dedup_watermark r4+r8-green; multimodal keeps
-        # eight in-window siblings, curation six, streaming one)
+        # r8-green, curation_gopher_gate r7+r8-green,
+        # streaming_dedup_watermark r4+r8-green, and dedup_minhash_lsh
+        # multi-round-green; multimodal keeps eight in-window siblings,
+        # curation six, dedup two, streaming one)
         "streaming_psi_monitor", "multimodal_decode_tiff",
         "multimodal_decode_jpeg", "multimodal_mp3_frame_walk",
-        "source_zip_shards",
+        "source_zip_shards", "source_tar_shards",
         "q1_pricing_summary",
-        "dedup_minhash_lsh", "text_quality",
+        "text_quality",
         "training_pack_greedy",
         "graph_kcore",
         "recsys_item_similar_topk",
