@@ -80,6 +80,11 @@ QUERIES = [
     ("sim_mmr_from_ivf", "prebuilt-index probe + constant-size greedy"),
     ("multimodal_decode_png", "DEFLATE + row-filter codec mapInPandas"),
     ("multimodal_decode_gif", "LZW codec mapInPandas"),
+    # r9 additions
+    ("multimodal_decode_jpeg", "lossy Huffman+IDCT codec mapInPandas"),
+    ("multimodal_mp3_frame_walk", "frame-sync walk + spec tables"),
+    ("source_zip_shards", "bounded-group pack + DEFLATE walk"),
+    ("source_tar_shards", "bounded-group pack + chksum walk"),
 ]
 
 
