@@ -131,6 +131,25 @@ def test_tar_distributed_roundtrip(spark):
         assert out[i].content_md5 == hashlib.md5(body.encode()).hexdigest()
 
 
+def test_streaming_zip_ingest_matches_batch(spark):
+    """The streaming twin must equal the batch walk value-for-value:
+    micro-batch epochs are written idempotently and the union of
+    per-epoch member rows is micro-batch-invariant. Re-running the
+    query (fixture_root self-cleans) must give the identical result —
+    the at-least-once retry guarantee in miniature."""
+    from python_multiproc_bigdata_spark.registry.advanced import source_zip_shards
+    from python_multiproc_bigdata_spark.registry.streaming import (
+        streaming_zip_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in source_zip_shards(spark, sf).collect()}
+    stream1 = {tuple(r) for r in streaming_zip_ingest(spark, sf).collect()}
+    assert stream1 == batch and len(stream1) == 500
+    stream2 = {tuple(r) for r in streaming_zip_ingest(spark, sf).collect()}
+    assert stream2 == stream1
+
+
 def test_distributed_two_stage_roundtrip(spark):
     import hashlib
 
