@@ -221,6 +221,7 @@ HEADLINE = [
     "multimodal_mp3_frame_walk",
     "source_zip_shards",
     "source_tar_shards",
+    "source_targz_shards",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

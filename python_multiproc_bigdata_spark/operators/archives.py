@@ -219,6 +219,62 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
     raise ValueError("archive ended without terminator blocks")
 
 
+def gzip_wrap(data: bytes, fname: bytes = b"", fcomment: bytes = b"") -> bytes:
+    """RFC 1952 gzip framing around a raw-DEFLATE body: magic, CM=8,
+    FLG with FNAME/FCOMMENT as used, deterministic MTIME=0, XFL=0,
+    OS=255 (unknown), optional zero-terminated name/comment fields,
+    then the CRC-32 + ISIZE trailer (the gzip module deliberately
+    unused — determinism and spec evidence both want explicit bytes)."""
+    flg = (0x08 if fname else 0) | (0x10 if fcomment else 0)
+    out = bytearray(struct.pack("<4BIBB", 0x1F, 0x8B, 8, flg, 0, 0, 255))
+    if fname:
+        out += fname + b"\x00"
+    if fcomment:
+        out += fcomment + b"\x00"
+    co = zlib.compressobj(wbits=-15)
+    out += co.compress(data) + co.flush()
+    out += struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def gzip_unwrap(payload: bytes) -> tuple[bytes, bytes]:
+    """Parse an RFC 1952 gzip member: validate magic/CM, skip the
+    optional FEXTRA/FNAME/FCOMMENT/FHCRC fields per their FLG bits,
+    inflate the raw-DEFLATE body, and VERIFY the CRC-32 + ISIZE
+    trailer. Returns (data, fname). Raises loudly on violations."""
+    if payload[:2] != b"\x1f\x8b":
+        raise ValueError(f"not gzip (magic {payload[:2]!r})")
+    if payload[2] != 8:
+        raise ValueError(f"unsupported gzip compression method {payload[2]}")
+    flg = payload[3]
+    if flg & 0xE0:
+        raise ValueError("reserved FLG bits set")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        (xlen,) = struct.unpack("<H", payload[pos : pos + 2])
+        pos += 2 + xlen
+    fname = b""
+    if flg & 0x08:  # FNAME
+        end = payload.index(b"\x00", pos)
+        fname = payload[pos:end]
+        pos = end + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    d = zlib.decompressobj(wbits=-15)
+    data = d.decompress(payload[pos:])
+    trailer = d.unused_data
+    if len(trailer) != 8:
+        raise ValueError("gzip trailer malformed")
+    crc, isize = struct.unpack("<II", trailer)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise ValueError("gzip CRC-32 mismatch")
+    if (len(data) & 0xFFFFFFFF) != isize:
+        raise ValueError("gzip ISIZE mismatch")
+    return data, fname
+
+
 def pack_zip_shards(docs: DataFrame, shard_size: int = ZIP_SHARD_SIZE) -> DataFrame:
     """Pack (doc_id, text) rows into ZIP shards of `shard_size` docs:
     one applyInPandas group per shard — bounded by construction, so a
@@ -291,6 +347,62 @@ def walk_tar_shards(shards: DataFrame) -> DataFrame:
                     rows["method"].append(-1)
                     rows["n_bytes"].append(len(data))
                     rows["crc_ok"].append(True)  # header checksum verified
+                    rows["content_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(batches, MEMBER_SCHEMA)
+
+
+def pack_targz_shards(docs: DataFrame, shard_size: int = ZIP_SHARD_SIZE) -> DataFrame:
+    """tar.gz — THE archive format training corpora most commonly ship
+    as: the ustar pack gzip-framed (RFC 1952, FNAME + FCOMMENT fields
+    populated so the walker's optional-field skipping is always on the
+    checked path)."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        members = [
+            (f"doc_{int(doc_id):08d}.txt", str(text).encode("utf-8"))
+            for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"]))
+        ]
+        blob = gzip_wrap(
+            pack_tar(members),
+            fname=f"shard_{sid:06d}.tar".encode(),
+            fcomment=b"corpus shard",
+        )
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "archive": [blob],
+                "n_members": [len(members)],
+            }
+        )
+
+    shards = docs.select(
+        F.floor(F.col("doc_id") / shard_size).cast("long").alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return shards.groupBy("shard_id").applyInPandas(pack, SHARD_SCHEMA)
+
+
+def walk_targz_shards(shards: DataFrame) -> DataFrame:
+    """tar.gz walk: gzip unwrap (header-field skip + CRC/ISIZE trailer
+    verification) then the checksum-verified ustar walk — method column
+    = 8 (the gzip DEFLATE layer)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in MEMBER_SCHEMA.fields}
+            for sid, blob in zip(pdf["shard_id"], pdf["archive"]):
+                tar, _fname = gzip_unwrap(bytes(blob))
+                for name, data in tar_members(tar):
+                    rows["shard_id"].append(int(sid))
+                    rows["doc_id"].append(int(name[4:-4]))
+                    rows["method"].append(8)
+                    rows["n_bytes"].append(len(data))
+                    rows["crc_ok"].append(True)  # gzip CRC + tar chksum passed
                     rows["content_md5"].append(hashlib.md5(data).hexdigest())
             yield pd.DataFrame(rows)
 

@@ -766,6 +766,37 @@ FROM documents
 """
 
 
+def source_targz_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar.gz shard round trip (r9) — the archive format training
+    corpora most commonly ship as, composing BOTH from-spec layers:
+    RFC 1952 gzip framing (FNAME/FCOMMENT optional-field skipping on
+    every shard, raw-DEFLATE body, CRC-32 + ISIZE trailer VERIFIED)
+    around the checksum-verified ustar walk
+    (operators/archives.py:gzip_wrap / gzip_unwrap / tar_members; the
+    gzip and tarfile modules deliberately unused in product code). Same
+    bounded two-stage shape and md5 value check as the zip/tar
+    siblings; one flipped bit in either layer moves the hashes."""
+    from python_multiproc_bigdata_spark.operators.archives import (
+        pack_targz_shards,
+        walk_targz_shards,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    return walk_targz_shards(pack_targz_shards(d))
+
+
+# Same layout replay; method = 8 (the gzip DEFLATE layer).
+SQL_TARGZ_SHARDS = """
+SELECT doc_id // 16 AS shard_id,
+       doc_id,
+       CAST(8 AS BIGINT) AS method,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       TRUE AS crc_ok,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
 # One shared spec drives BOTH the Spark panel and its oracle, so the
 # two can never drift: per table, the primary key (composite allowed)
 # and the profiled columns. Only string/integer/date columns are
@@ -1143,4 +1174,5 @@ REGISTRY = {
     "source_xml_roundtrip": QuerySpec(source_xml_roundtrip, SQL_XML_ROUNDTRIP),
     "source_zip_shards": QuerySpec(source_zip_shards, SQL_ZIP_SHARDS),
     "source_tar_shards": QuerySpec(source_tar_shards, SQL_TAR_SHARDS),
+    "source_targz_shards": QuerySpec(source_targz_shards, SQL_TARGZ_SHARDS),
 }

@@ -11,12 +11,16 @@ import zlib
 import pytest
 
 from python_multiproc_bigdata_spark.operators.archives import (
+    gzip_unwrap,
+    gzip_wrap,
     pack_tar,
     pack_tar_shards,
+    pack_targz_shards,
     pack_zip,
     pack_zip_shards,
     tar_members,
     walk_tar_shards,
+    walk_targz_shards,
     walk_zip_shards,
     zip_members,
 )
@@ -128,6 +132,54 @@ def test_tar_distributed_roundtrip(spark):
     for i in range(20):
         body = f"tar body {i} " * (1 + i % 2)
         assert out[i].method == -1 and out[i].crc_ok
+        assert out[i].content_md5 == hashlib.md5(body.encode()).hexdigest()
+
+
+def test_gzip_cross_implementation_and_integrity():
+    """RFC 1952 framing must interoperate with the INDEPENDENT stdlib
+    gzip implementation both directions, skip every optional header
+    field, and verify the CRC/ISIZE trailer loudly."""
+    import gzip as gz
+    import struct as st
+
+    data = b"corpus shard content " * 300
+    blob = gzip_wrap(data, fname=b"shard.tar", fcomment=b"note")
+    # stdlib reads ours
+    assert gz.decompress(blob) == data
+    out, fname = gzip_unwrap(blob)
+    assert out == data and fname == b"shard.tar"
+    # ours reads stdlib's (mtime pinned for determinism; no FNAME)
+    assert gzip_unwrap(gz.compress(data, mtime=0))[0] == data
+    # FEXTRA skipping: inject an extra field and fix FLG
+    extra = bytearray(gzip_wrap(data))
+    extra[3] |= 0x04
+    payload = bytes(extra[:10]) + st.pack("<H", 4) + b"XTRA" + bytes(extra[10:])
+    assert gzip_unwrap(payload)[0] == data
+    # trailer violations are loud
+    bad = bytearray(blob)
+    bad[-4] ^= 0xFF  # ISIZE
+    with pytest.raises(ValueError, match="ISIZE"):
+        gzip_unwrap(bytes(bad))
+    bad = bytearray(blob)
+    bad[-8] ^= 0xFF  # CRC
+    with pytest.raises(ValueError, match="CRC"):
+        gzip_unwrap(bytes(bad))
+    with pytest.raises(ValueError, match="not gzip"):
+        gzip_unwrap(b"PK\x03\x04")
+
+
+def test_targz_distributed_roundtrip(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"tgz body {i} " * (1 + i % 3)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in walk_targz_shards(pack_targz_shards(docs)).collect()}
+    assert len(out) == 20
+    for i in range(20):
+        body = f"tgz body {i} " * (1 + i % 3)
+        assert out[i].method == 8 and out[i].crc_ok
         assert out[i].content_md5 == hashlib.md5(body.encode()).hexdigest()
 
 
