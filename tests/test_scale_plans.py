@@ -500,11 +500,14 @@ def test_image_ahash_banded_equijoin_only(spark):
 
 def test_dq_panel_approx_no_expand(spark):
     """The approx DQ panel exists precisely to avoid the exact panel's
-    Expand node (input x #distinct-columns): profile pass has no
-    distinct aggregates, pk_duplicates is two chained groupBys, and
-    cardinality is portable-HLL registers (map-side-combinable max).
-    The exact panel's Expand is its documented cost; the approx twin
-    must never regress into one."""
+    Expand node (input x #distinct-columns): the profile pass keeps
+    exactly ONE distinct aggregate (the pk-duplicates check, planned
+    via planAggregateWithOneDistinct — chained HashAggregates, never
+    Expand, which only appears with MULTIPLE distinct groups), and
+    per-column cardinality is portable-HLL registers
+    (map-side-combinable max) fused into one kv union across all nine
+    tables. The exact panel's Expand is its documented cost; the approx
+    twin must never regress into one."""
     plan = plan_of(REGISTRY["dq_expectations_panel_approx"].fn(spark, SF_DIR))
     assert "Expand" not in plan, "approx DQ panel planned an Expand node"
     # the exact panel DOES carry Expand (multiple exact count_distincts
