@@ -222,6 +222,7 @@ HEADLINE = [
     "source_zip_shards",
     "source_tar_shards",
     "source_targz_shards",
+    "multimodal_mp4_box_walk",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

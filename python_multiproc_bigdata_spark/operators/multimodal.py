@@ -14,9 +14,12 @@ has a genuinely parsed container and three true codecs exist:
   from DHT, DC prediction + EXTEND, dequantize, zigzag, IDCT, restart
   markers; the first lossy codec, value-checked via the
   exact-roundtrip constant-block construction);
-- audio: RIFF/WAVE PCM16 (`decode_wav`);
+- audio: RIFF/WAVE PCM16 (`decode_wav`) and MPEG-1 Layer III frame
+  structure (operators/mp3.py — sync walk, spec tables, ID3v2 skip);
 - video: RIFF/AVI with uncompressed DIB frames (`decode_avi` — nested
-  LIST walking, avih/strf cross-check, per-frame raster recovery).
+  LIST walking, avih/strf cross-check, per-frame raster recovery) and
+  MP4/ISO-BMFF (operators/mp4.py — strict box descent, largesize/
+  to-EOF/version-1 encodings, handler-typed tracks).
 Only formats whose decoders genuinely need external libraries (MP3's
 MDCT synthesis, compressed video codecs) remain STUBBED:
 `decode_media` raises NotImplementedError; `fake_decode` is the

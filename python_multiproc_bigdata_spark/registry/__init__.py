@@ -479,30 +479,31 @@ CHECKED_FIRST: tuple[str, ...] = (
     # portable-sketch family (shares operators/sketches.py with the
     # two promotions above)
     "stats_hll_portable",
-    # the eight NEW r9 queries (late-r9 swaps so the parity story stays
+    # the nine NEW r9 queries (late-r9 swaps so the parity story stays
     # complete: a never-checked query must enter the window the round
     # it is born; the evicted q18_large_volume_customers r1-green,
     # eval_ranking_ndcg r5-green, multimodal_image_ahash_neardup
     # r8-green, curation_gopher_gate r7+r8-green,
     # streaming_dedup_watermark r4+r8-green, dedup_minhash_lsh
-    # multi-round-green, stats_quantile_sketch r5+r8-green, and
-    # events_hll_sliding_users r8-green re-confirm slots all carry
-    # driver-green history and keep family siblings in-window —
-    # multimodal keeps EIGHT entries here, curation six, dedup two
-    # never-checked tails, streaming keeps streaming_psi_monitor +
-    # streaming_zip_ingest, the sketch family keeps stats_hll_portable
-    # above plus the two promotions)
+    # multi-round-green, stats_quantile_sketch r5+r8-green,
+    # events_hll_sliding_users r8-green, and text_quality
+    # multi-round-green re-confirm slots all carry driver-green history
+    # and keep family siblings in-window — multimodal keeps NINE
+    # entries here, curation six, dedup two never-checked tails, text
+    # keeps text_bpe_encode_stats, streaming keeps
+    # streaming_psi_monitor + streaming_zip_ingest, the sketch family
+    # keeps stats_hll_portable above plus the two promotions)
     "streaming_psi_monitor",
     "streaming_zip_ingest",
     "multimodal_decode_tiff",
     "multimodal_decode_jpeg",
     "multimodal_mp3_frame_walk",
+    "multimodal_mp4_box_walk",
     "source_zip_shards",
     "source_tar_shards",
     "source_targz_shards",
     # one diverse green representative per major family
     "q1_pricing_summary",
-    "text_quality",
     "training_pack_greedy",
     "graph_kcore",
     "recsys_item_similar_topk",

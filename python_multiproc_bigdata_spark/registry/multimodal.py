@@ -40,6 +40,10 @@ from python_multiproc_bigdata_spark.operators.mp3 import (
     attach_mp3,
     mp3_frame_features,
 )
+from python_multiproc_bigdata_spark.operators.mp4 import (
+    attach_mp4,
+    decode_mp4_features,
+)
 from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, table
 
 
@@ -647,9 +651,44 @@ GROUP BY fx.doc_id, nf, sr, tagb
 """
 
 
+def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF box walk over a binary column (r9) — the MODERN
+    video container joining AVI as the second genuinely parsed one
+    (operators/mp4.py; codec payloads stay honestly stubbed, container
+    structure is what ingest must validate/measure): iterative box
+    descent with strict boundary accounting, all three spec size
+    encodings on the checked path every run (32-bit, largesize=1 →
+    64-bit on a quarter of the corpus, size=0 → to-EOF on a fifth),
+    version-0 AND version-1 (64-bit time) mvhd/tkhd/mdhd headers, a
+    `free` box every reader must skip unparsed, handler-typed tracks,
+    and 16.16 fixed-point track dimensions. The oracle replays the
+    synth arithmetic — one wrong size decode shifts every downstream
+    box and the walk fails loudly or the stats move."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_mp4_features(attach_mp4(d))
+
+
+# Replays synth_mp4's arithmetic: tracks = 1 + doc_id%2, boxes = ftyp +
+# free + moov + mvhd + 5 per track + mdat, timescale 600·(1+doc_id%3),
+# duration 600 + doc_id·37, mdat 50 + doc_id%100 bytes, video width
+# 16·(1+doc_id%4), largesize on doc_id%4==0.
+SQL_MP4_BOX_WALK = """
+SELECT doc_id,
+       CAST(5 + 5 * (1 + doc_id % 2) AS BIGINT) AS n_boxes,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+       CAST(600 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+       CAST(600 + doc_id * 37 AS BIGINT) AS duration_units,
+       CAST(50 + doc_id % 100 AS BIGINT) AS mdat_bytes,
+       CAST(16 * (1 + doc_id % 4) AS BIGINT) AS video_width,
+       doc_id % 4 = 0 AS used_largesize
+FROM documents
+"""
+
+
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_jpeg": QuerySpec(multimodal_decode_jpeg, SQL_DECODE_JPEG),
+    "multimodal_mp4_box_walk": QuerySpec(multimodal_mp4_box_walk, SQL_MP4_BOX_WALK),
     "multimodal_mp3_frame_walk": QuerySpec(
         multimodal_mp3_frame_walk, SQL_MP3_FRAME_WALK
     ),

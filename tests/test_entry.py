@@ -75,23 +75,24 @@ def test_checked_window_is_curated():
         "text_bpe_encode_stats", "privacy_dp_noised_counts",
         "dq_expectations_panel_approx", "sim_mmr_from_ivf",
         "words_total_tokens", "stats_hll_portable",
-        # the eight queries BORN in r9 (never-checked queries enter the
+        # the nine queries BORN in r9 (never-checked queries enter the
         # window the round they are born, keeping the parity story
-        # complete; they displaced eight driver-green re-confirms —
+        # complete; they displaced nine driver-green re-confirms —
         # q18, eval_ranking_ndcg, multimodal_image_ahash_neardup
         # r8-green, curation_gopher_gate r7+r8-green,
         # streaming_dedup_watermark r4+r8-green, dedup_minhash_lsh
-        # multi-round-green, stats_quantile_sketch r5+r8-green, and
-        # events_hll_sliding_users r8-green; multimodal keeps eight
-        # in-window siblings, curation six, dedup two, streaming two,
-        # sketches three)
+        # multi-round-green, stats_quantile_sketch r5+r8-green,
+        # events_hll_sliding_users r8-green, and text_quality
+        # multi-round-green; multimodal keeps nine in-window siblings,
+        # curation six, dedup two, streaming two, sketches three, text
+        # keeps text_bpe_encode_stats)
         "streaming_psi_monitor", "streaming_zip_ingest",
         "multimodal_decode_tiff",
         "multimodal_decode_jpeg", "multimodal_mp3_frame_walk",
+        "multimodal_mp4_box_walk",
         "source_zip_shards", "source_tar_shards",
         "source_targz_shards",
         "q1_pricing_summary",
-        "text_quality",
         "training_pack_greedy",
         "graph_kcore",
         "recsys_item_similar_topk",
