@@ -99,14 +99,21 @@ def zip_members(payload: bytes) -> list[tuple[str, int, bytes]]:
     loudly on any structural or integrity violation."""
     n = len(payload)
     lo = max(0, n - 22 - 0xFFFF)
+    # APPNOTE's backward scan: the signature may appear inside the
+    # archive comment bytes, so keep scanning toward `lo` until a
+    # candidate's comment length exactly reaches payload end.
     eocd_at = payload.rfind(b"PK\x05\x06", lo)
-    if eocd_at < 0 or eocd_at + 22 > n:
+    while eocd_at >= 0:
+        if eocd_at + 22 <= n:
+            (clen,) = struct.unpack("<H", payload[eocd_at + 20 : eocd_at + 22])
+            if eocd_at + 22 + clen == n:
+                break
+        eocd_at = payload.rfind(b"PK\x05\x06", lo, eocd_at)
+    if eocd_at < 0:
         raise ValueError("no end-of-central-directory record")
     (_, _, _, _, total, cd_size, cd_off, clen) = struct.unpack(
         "<IHHHHIIH", payload[eocd_at : eocd_at + 22]
     )
-    if eocd_at + 22 + clen != n:
-        raise ValueError("EOCD comment length does not reach payload end")
     pos = cd_off
     out: list[tuple[str, int, bytes]] = []
     for _ in range(total):
@@ -210,11 +217,23 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         if stored != computed:
             raise ValueError(f"header checksum mismatch at {pos}")
         name = hdr[0:100].rstrip(b"\x00").decode("utf-8")
+        prefix = hdr[345:500].rstrip(b"\x00").decode("utf-8")
+        if prefix:
+            name = f"{prefix}/{name}"
         size = int(hdr[124:136].rstrip(b"\x00 ").decode(), 8)
         data = payload[pos + 512 : pos + 512 + size]
         if len(data) != size:
             raise ValueError(f"member {name} truncated")
-        out.append((name, data))
+        typeflag = hdr[156]
+        if typeflag in (0, ord("0")):
+            out.append((name, data))
+        elif typeflag in (ord("1"), ord("2"), ord("3"), ord("4"), ord("5"), ord("6"), ord("x"), ord("g")):
+            # links/devices/directories carry no regular content; PAX
+            # 'x'/'g' extended headers are metadata blocks — all are
+            # skipped (their size-derived data blocks still advance pos).
+            pass
+        else:
+            raise ValueError(f"unsupported ustar typeflag {chr(typeflag)!r} for {name}")
         pos += 512 + size + ((-size) % 512)
     raise ValueError("archive ended without terminator blocks")
 

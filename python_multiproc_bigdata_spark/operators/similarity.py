@@ -700,7 +700,7 @@ def topk_by_group_agg(
 
 
 def topk_bruteforce_np(
-    queries: DataFrame, corpus: DataFrame, k: int = 5
+    queries: DataFrame, corpus: DataFrame, k: int = 5, max_corpus_rows: int = 2_000_000
 ) -> DataFrame:
     """NumPy-vectorized exact top-k: the corpus is broadcast as a dense
     matrix and each Arrow batch of queries does one BLAS matmul against
@@ -710,12 +710,23 @@ def topk_bruteforce_np(
     summation differs from a sequential fold at ulp scale.
 
     Corpus must fit in executor memory as float64 (rows x dims x 8B) —
-    shard the corpus and merge per-shard top-k above that."""
+    shard the corpus and merge per-shard top-k above that. The
+    `max_corpus_rows` guard makes that contract loud: a corpus above
+    the bound raises instead of silently collecting gigabytes to the
+    driver (raise the bound explicitly if the deployment has the RAM)."""
     import numpy as np
     import pandas as pd
 
     out_schema = "query_id long, neighbor_id long, score double, rk int"
     spark = corpus.sparkSession
+    n_corpus = corpus.count()
+    if n_corpus > max_corpus_rows:
+        raise ValueError(
+            f"topk_bruteforce_np collects the corpus to the driver: "
+            f"{n_corpus} rows > max_corpus_rows={max_corpus_rows}; use "
+            f"topk_bruteforce (distributed HOF fold) or an ANN tier, or "
+            f"raise max_corpus_rows deliberately"
+        )
     rows = corpus.select("vec_id", "embedding").collect()
     if not rows:  # 1-D np.array([]) would break axis=1 norms
         return spark.createDataFrame([], out_schema)
@@ -1417,29 +1428,17 @@ def mmr_diversify(
     mmr = λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s), so near-duplicate
     neighbors don't crowd the result list.
 
-    PURE-RELATIONAL greedy: the selection loop is k−1 chained
-    small-frame steps (each an argmax window over ≤ pool rows/query), no
-    Python in the loop — mirrored step-for-step by a k-stage CTE oracle.
-    All comparisons happen on 4dp-ROUNDED scores (rel from the shared
-    _score, pair sims rounded identically, the mmr combination rounded
-    again) with ties → lowest neighbor_id, so both engines walk the
-    identical greedy path.
+    Execution: the brute-force pool feeds mmr_from_candidates, which
+    since r9 runs the whole greedy selection as ONE applyInPandas pass
+    over query_id groups (per-query state is bounded: pool rels + pool
+    embeddings → ≤ pool² pair sims) — see that function's docstring for
+    the job-count rationale and the parity discipline (4dp-rounded
+    scores, ties → lowest neighbor_id, Python re-walking the JVM fold
+    order exactly so the k-stage CTE oracle matches bit-for-bit).
 
     Scale shape: the expensive part is candidate generation (any ANN
-    tier); this stage touches pool rows + pool² pair sims per query —
-    constant in corpus size. BOTH small relations are materialized once
-    and coalesced to 1 partition (they are ≤ |queries|·pool² rows):
-    `cand` via an eager localCheckpoint — every greedy step references
-    it twice, and unpersisted the |corpus|×|queries| candidate crossJoin
-    replayed per step (measured 15.4 s → 5.5 s total at sf0.1) —
-    `pairsim` via persist; each step's pick is also localCheckpointed so
-    step N+1's job starts from N's tiny result, not the whole chained
-    plan. r8 adds a checkpoint on the cand+embedding relation (`ce`) so
-    the pairsim self-pairing no longer scans the corpus twice —
-    steady-state total 6.8 s → 3.8 s at sf0.1 (~1.1 s candidates,
-    ~2.7 s greedy loop, the latter CONSTANT in corpus size; a
-    pairsim-first broadcast reorder was tried and measured SLOWER,
-    7.6 s, per-step broadcast builds)."""
+    tier); the greedy stage touches pool rows + pool² pair sims per
+    query — constant in corpus size."""
     cand = topk_bruteforce(queries, corpus, k=pool).select(
         "query_id", "neighbor_id", F.col("score").alias("rel")
     )

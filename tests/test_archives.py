@@ -71,7 +71,9 @@ def test_integrity_violations_rejected():
     bad[30 + 16 + 2] ^= 0xFF
     with pytest.raises(Exception):  # zlib.error or ValueError(CRC)
         zip_members(bytes(bad))
-    with pytest.raises(ValueError, match="comment length"):
+    # a truncated comment means no candidate satisfies the backward
+    # scan's "comment reaches payload end" test → no EOCD found
+    with pytest.raises(ValueError, match="no end-of-central-directory"):
         zip_members(blob[:-1])
     with pytest.raises(ValueError, match="no end-of-central-directory"):
         zip_members(b"PK\x03\x04" + bytes(40))
@@ -83,6 +85,57 @@ def test_integrity_violations_rejected():
     struct.pack_into("<I", bad, pos + 16, 0xDEADBEEF)
     with pytest.raises(ValueError, match="CRC-32 mismatch"):
         zip_members(bytes(bad))
+
+
+def test_eocd_signature_inside_comment():
+    """APPNOTE's backward scan: a comment containing the literal EOCD
+    signature bytes must not derail the walk — the scan continues past
+    the false hit until a candidate's comment length reaches payload
+    end."""
+    blob = pack_zip(MEMBERS, comment=b"decoy PK\x05\x06 inside comment")
+    out = zip_members(blob)
+    assert [n for n, _, _ in out] == [n for n, _, _ in MEMBERS]
+
+
+def test_tar_typeflags_and_prefix():
+    """Archives the repo did NOT create: directory ('5') and symlink
+    ('2') entries are skipped, PAX 'x' metadata blocks are skipped
+    (their data advances the cursor), unknown typeflags raise, and the
+    ustar prefix field rejoins long paths."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    deep = "p/" * 60 + "leaf.txt"  # >100 chars → stdlib uses prefix field
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("adir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        s = tarfile.TarInfo("alink")
+        s.type = tarfile.SYMTYPE
+        s.linkname = "target"
+        tf.addfile(s)
+        f = tarfile.TarInfo(deep)
+        f.size = 4
+        tf.addfile(f, io.BytesIO(b"data"))
+    got = tar_members(buf.getvalue())
+    assert got == [(deep, b"data")]
+    # PAX extended headers: stdlib PAX_FORMAT emits 'x' blocks before
+    # each member — the walker must skip them and return just the file
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        f = tarfile.TarInfo("doc.txt")
+        f.size = 3
+        f.pax_headers = {"comment": "meta"}
+        tf.addfile(f, io.BytesIO(b"abc"))
+    assert tar_members(buf.getvalue()) == [("doc.txt", b"abc")]
+    # unknown typeflag is loud
+    blob = bytearray(pack_tar([("f.txt", b"z")]))
+    blob[156] = ord("Z")
+    chk = sum(blob[:148]) + 8 * ord(" ") + sum(blob[156:512])
+    blob[148:156] = f"{chk:06o}\x00 ".encode()
+    with pytest.raises(ValueError, match="typeflag"):
+        tar_members(bytes(blob))
 
 
 def test_tar_roundtrip_against_stdlib_and_integrity():
