@@ -77,11 +77,72 @@ def apply_merge(syms_col: str, a: str, b: str) -> Column:
     return F.aggregate(syms_col, init, step, finish)
 
 
+def _accept_batch(
+    rows,
+    tail: int,
+    known_merged: set[str],
+    batch_k: int,
+) -> list[tuple[str, str, int]]:
+    """From one snapshot of the top pair counts (ordered c DESC, a ASC,
+    b ASC), accept the longest PROVABLY-sequential prefix of merges —
+    the batch is valid iff replaying it one-at-a-time would pick the
+    exact same pairs in the exact same order. Pure driver-side logic on
+    ≤ topk rows; no Spark.
+
+    Proof obligations per candidate i (vs the accepted j < i):
+    - its snapshot count is still exact: {a_i, b_i} shares no symbol
+      with any accepted pair, and neither side equals an accepted
+      merged string (a collision would CREATE occurrences of a_i/b_i);
+    - nothing that merge j changed or created can beat it: every
+      changed pair involves a_j or b_j, and every NEW pair (x, a_j b_j)
+      arises from a snapshot pair (x, a_j) / (b_j, y) — all bounded by
+      d = max snapshot count over collected pairs touching an accepted
+      symbol, or by `tail` (the last collected count bounds every
+      uncollected pair). Strict c_i > d keeps tie order intact;
+    - no merged string collides with an existing symbol (the initial
+      alphabet is single chars, so every multi-char symbol is a prior
+      merge — known_merged is the exact collision set): a collision
+      would conflate new pairs with surviving ones and break the bound.
+    The first candidate that cannot be proven stops the batch (the next
+    aggregation round re-derives exact counts)."""
+    accepted: list[tuple[str, str, int]] = []
+    acc_syms: set[str] = set()
+    acc_merged: set[str] = set()
+    for row in rows:
+        if len(accepted) >= batch_k:
+            break
+        a, b, c = row["a"], row["b"], int(row["c"])
+        if accepted:
+            if a in acc_syms or b in acc_syms or a in acc_merged or b in acc_merged:
+                break
+            d = tail
+            for r in rows:
+                ra, rb = r["a"], r["b"]
+                if (ra, rb) in {(x, y) for x, y, _ in accepted}:
+                    continue
+                if ra in acc_syms or rb in acc_syms:
+                    d = max(d, int(r["c"]))
+            if c <= d:
+                break
+        if a + b in known_merged or a + b in acc_merged:
+            # collision: accept this merge alone-terminated (it is the
+            # true argmax — exact snapshot count — but nothing after it
+            # can be proven once conflation is possible)
+            accepted.append((a, b, c))
+            break
+        accepted.append((a, b, c))
+        acc_syms |= {a, b}
+        acc_merged.add(a + b)
+    return accepted
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     lowercase: bool = True,
+    batch_k: int = 8,
+    topk: int = 64,
 ) -> list[tuple[int, str, str, int]]:
     """Learn the first `n_merges` BPE merges; returns
     [(rank, left_sym, right_sym, pair_freq), ...].
@@ -89,7 +150,20 @@ def bpe_train_merges(
     Ties break deterministically by (pair_freq DESC, left ASC, right ASC)
     — binary string order, identical in Spark (UTF-8 byte order) and any
     replayer comparing code points, since UTF-8 order equals code-point
-    order."""
+    order.
+
+    Batched driver rounds (r10): instead of one Spark aggregation + one
+    argmax collect PER MERGE, each round collects the top-`topk` pair
+    counts once and accepts the longest prefix of merges that is
+    PROVABLY identical to the sequential greedy (_accept_batch — symbol
+    disjointness + a strict dominance bound over everything a prior
+    merge in the batch could have changed), then applies the whole
+    batch as chained JVM folds with ONE eager checkpoint. The merge
+    SEQUENCE is bit-identical to one-at-a-time training by
+    construction; only the job count drops (|merges| + |merges|/4
+    jobs → ~2 per round, with round count corpus-dependent — Zipfian
+    pair tables with well-separated counts batch several merges per
+    round, adversarial ties degrade gracefully to one)."""
     wf = word_frequencies(df, text_col, lowercase)
     # The vocab relation is small (Heaps' law) — 8 partitions keeps each
     # iteration's task count (and so its scheduling overhead) bounded;
@@ -97,55 +171,56 @@ def bpe_train_merges(
     cur = (
         wf.select("freq", F.split("word", "").alias("syms"))
         .repartition(8)
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            pairs = (
-                cur.filter(F.size("syms") >= 2)
-                .select(
-                    "freq",
-                    F.explode(
-                        F.arrays_zip(
-                            F.slice("syms", 1, F.size("syms") - 1).alias("a"),
-                            F.slice("syms", 2, F.size("syms") - 1).alias("b"),
-                        )
-                    ).alias("p"),
-                )
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("freq").alias("c"))
+    while len(merges) < n_merges:
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
             )
-            # ONE action per iteration: the argmax collect materializes
-            # `cur`'s persist; only then is the previous generation safe
-            # to drop (unpersisting earlier would force a full lineage
-            # recompute from the corpus).
-            best = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if not best or best[0]["c"] is None:
-                break
-            a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
-            merges.append((rank, a, b, c))
-            if rank < n_merges:
-                nxt = cur.withColumn("syms", apply_merge("syms", a, b))
-                # every 4th generation localCheckpoints instead of
-                # persisting: the logical plan otherwise accretes one
-                # nested F.aggregate fold per merge and analysis/
-                # optimization re-walks the whole chain each iteration —
-                # checkpointing truncates it (measured 5.2 s → below at
-                # sf0.1, and the effect compounds with n_merges)
-                if rank % 4 == 0:
-                    nxt = nxt.localCheckpoint(eager=True)
-                else:
-                    nxt = nxt.persist()
-                prev, cur = cur, nxt
-    finally:
-        cur.unpersist()
-        if prev is not None:
-            prev.unpersist()
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        rows = [
+            r
+            for r in pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(topk)
+            .collect()
+            if r["c"] is not None
+        ]
+        if not rows:
+            break
+        # every uncollected pair's count is bounded by the last
+        # collected one; a short page means we saw the whole relation
+        tail = int(rows[-1]["c"]) if len(rows) == topk else 0
+        known_merged = {a + b for _, a, b, _ in merges}
+        batch = _accept_batch(
+            rows, tail, known_merged, min(batch_k, n_merges - len(merges))
+        )
+        base = len(merges)
+        merges.extend(
+            (base + i, a, b, c) for i, (a, b, c) in enumerate(batch, start=1)
+        )
+        if len(merges) < n_merges:
+            nxt = cur
+            for a, b, _c in batch:
+                nxt = nxt.withColumn("syms", apply_merge("syms", a, b))
+            # one eager checkpoint per ROUND: truncates the accreting
+            # fold plan and materializes the new generation (the r8
+            # form paid a collect plus a persist/checkpoint per MERGE).
+            # A lazy checkpoint here (folding the materialization into
+            # the next round's collect job) was tried and measured
+            # SLOWER (3.7 s vs 2.7 s median at sf0.1) — the fused job's
+            # serial critical path beats the two short parallel jobs.
+            cur = nxt.localCheckpoint(eager=True)
     return merges
 
 

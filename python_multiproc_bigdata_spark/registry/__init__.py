@@ -424,91 +424,78 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # green representative per major family (TPC-H ×2, dedup, text,
 # streaming, training, eval, graph, recsys, multimodal, curation,
 # func/Arabic — SURVEY's #1 named correctness risk).
+# Round-10 rotation (VERDICT r9 ask #4): r9 went 50/50 green and every
+# one of the 300 registered queries now has a driver-green row EVER —
+# so the window's new job is keeping green records FRESH. All 49
+# non-anchor r9 slots rotate out (each r9-green on record in
+# CORRECTNESS_r09.json, pinned by tests/test_entry.py) and the slots
+# go to the queries with the OLDEST latest-green rounds: the entire
+# r1-green cohort (26) and r2-green cohort (6), plus 15 family-diverse
+# members of the r3-green cohort (TPC-H veterans, the early dedup/
+# events/similarity spine, CDC, as-of, streaming join, text quality),
+# plus the two queries BORN this round (the sampled-cutoff scale
+# variants — never-checked queries enter the window the round they are
+# born). Post-r10 ledger math: latest-green distribution becomes
+# r10:50, r9:50, r8:46, r7:44, ... → median green-age 3 rounds.
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",
-    # the r7/r8 driver-red, kept a THIRD round to prove the r9 forensic
-    # fix (oracle HUGEINT → CAST AS BIGINT; see registry/stats.py)
-    "stats_psi_drift",
-    # ---- the 28 never-driver-checked queries (backlog clears here) ----
-    # the four r8 real decoders (PNG/GIF/BMP/AVI)
-    "multimodal_decode_png",
-    "multimodal_decode_gif",
-    "multimodal_decode_bmp",
-    "multimodal_decode_avi",
-    # similarity tail
-    "sim_topk_filtered",
-    "sim_cluster_profile",
-    "sim_jl_project",
-    # dedup tail
-    "dedup_cluster_size_report",
-    "dedup_incremental_novelty",
-    # advanced tail
-    "asof_click_to_next_view",
-    # the two r9 sketch promotions (rows-only → portable-sketch oracles)
-    "approx_distinct_stats",
-    "stats_hll_users_per_type",
-    # stats tail
-    "stats_pareto_cutoffs",
-    "stats_ab_ttest",
-    "stats_top_types_sketch",
-    "stats_price_histogram",
-    "stats_argminmax_orders",
-    "global_index_orders",
-    "map_status_counts",
-    # privacy tail
-    "privacy_k_anonymity",
-    # curation / corpus tail
-    "curation_badwords_gate",
-    "curation_line_dedup",
-    "curation_dup_ngram_fraction",
-    "curation_active_learning",
-    "curation_unigram_logprob",
-    "curation_boilerplate_ngrams",
-    "corpus_version_diff",
-    "decontaminate_fraction",
-    # ---- 20 re-confirmation slots (all r8-or-earlier driver-green) ----
-    # r9 oracle-CAST edits (DECIMAL → DOUBLE, the gate.py dtype class)
-    "text_bpe_encode_stats",
-    "privacy_dp_noised_counts",
-    # r9 code-touched compositions
-    "dq_expectations_panel_approx",
-    "sim_mmr_from_ivf",
-    # words flagship pair (r9 perf polish target)
-    "words_total_tokens",
-    # portable-sketch family (shares operators/sketches.py with the
-    # two promotions above)
-    "stats_hll_portable",
-    # the nine NEW r9 queries (late-r9 swaps so the parity story stays
-    # complete: a never-checked query must enter the window the round
-    # it is born; the evicted q18_large_volume_customers r1-green,
-    # eval_ranking_ndcg r5-green, multimodal_image_ahash_neardup
-    # r8-green, curation_gopher_gate r7+r8-green,
-    # streaming_dedup_watermark r4+r8-green, dedup_minhash_lsh
-    # multi-round-green, stats_quantile_sketch r5+r8-green,
-    # events_hll_sliding_users r8-green, and text_quality
-    # multi-round-green re-confirm slots all carry driver-green history
-    # and keep family siblings in-window — multimodal keeps NINE
-    # entries here, curation six, dedup two never-checked tails, text
-    # keeps text_bpe_encode_stats, streaming keeps
-    # streaming_psi_monitor + streaming_zip_ingest, the sketch family
-    # keeps stats_hll_portable above plus the two promotions)
-    "streaming_psi_monitor",
-    "streaming_zip_ingest",
-    "multimodal_decode_tiff",
-    "multimodal_decode_jpeg",
-    "multimodal_mp3_frame_walk",
-    "multimodal_mp4_box_walk",
-    "source_zip_shards",
-    "source_tar_shards",
-    "source_targz_shards",
-    # one diverse green representative per major family
-    "q1_pricing_summary",
-    "training_pack_greedy",
-    "graph_kcore",
-    "recsys_item_similar_topk",
-    "func_arabic_tokenize",
+    # born in r10: the prescribed sample-cutoff scale variants of the
+    # two global-NTILE queries (exact siblings stay oracle anchors)
+    "events_rfm_segmentation_sampled",
+    "curation_ccnet_tiers_sampled",
+    # ---- the r1-green cohort: stalest driver records in the ledger ----
+    "anti_join_customers",
+    "broadcast_dim_join",
+    "count_distinct_segments",
+    "dedup_minhash_signatures",
+    "events_cumulative_value",
+    "events_funnel",
+    "events_interarrival",
+    "events_json_extract",
+    "events_sliding_window",
+    "in_subquery_customers",
+    "part_supplier_join",
+    "pivot_status_by_priority",
+    "q18_large_volume_customers",
+    "q2_cheapest_part_per_brand",
+    "rollup_order_priority",
+    "scalar_subquery_above_avg",
+    "semi_join_customers",
+    "setop_except_customers",
+    "setop_intersect_customers",
+    "string_agg_nations",
+    "text_fingerprint",
+    "unpivot_lineitem_measures",
+    "window_rank_functions",
+    "window_top3_orders",
+    "words_distinct_files",
+    "words_top20",
+    # ---- the r2-green cohort ----
+    "dedup_ngram_jaccard_capped",
+    "sim_topk_lsh",
+    "split_train_test_documents",
+    "text_token_count",
+    "words_no_dupes",
+    "words_v1_length_filter",
+    # ---- 15 family-diverse members of the r3-green cohort ----
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_sessionize",
+    "events_tumbling_window",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_sq8",
+    "text_quality",
+    "cdc_latest_per_key",
+    "asof_click_to_view",
+    "streaming_click_view_join",
+    "profile_documents",
 )
+
 
 _missing = [n for n in CHECKED_FIRST if n not in _ALL]
 if _missing:

@@ -472,6 +472,128 @@ FROM perdoc p JOIN documents d USING (doc_id)
 )
 
 
+def curation_ccnet_tiers_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_ccnet_tiers' 100 TB form — CCNet's ACTUAL recipe
+    (Wenzek et al. §3.2 bucket the corpus by perplexity cutoffs
+    computed once, not by sorting every shard): per-language tercile
+    CUTOFFS derived from a bounded deterministic sample and broadcast,
+    bucketing map-side, so no per-language sort of the full corpus
+    runs. The exact-NTILE sibling stays registered as the oracle
+    anchor (the dq_panel / dq_panel_approx pairing).
+
+    Sample = docs whose md5(doc_id) hex starts with '0' (~1/16,
+    engine-portable md5 slice); each language's 2 cutoffs are the
+    (xent2_nats, doc_id) tuples at rank ceil(q·n/3) of its ASC-sorted
+    sample — tuples preserve the exact form's total order, so tiering
+    is tie-free on both engines. tier = tail if beyond cutoff 2,
+    middle if beyond cutoff 1, else head; a language absent from the
+    sample has NULL cutoffs and everything lands in head (both engines
+    COALESCE the comparison to false).
+
+    Scale shape: the LM tower is unchanged (two bounded groupBys); the
+    only window runs over the md5-filtered sample; cutoffs collect as
+    ≤ 2·|languages| rows and re-enter as a broadcast-joined literal
+    table, so the full-corpus plan is Window-free with a
+    BroadcastHashJoin (pinned in test_scale_plans.py)."""
+    from pyspark.sql import Window
+
+    from python_multiproc_bigdata_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    perdoc = bigram_logprob_score(d)
+    j = perdoc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "xent2_nats"
+    )
+    samp = j.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("xent2_nats"), F.asc("doc_id"))
+    ranked = samp.select(
+        "lang",
+        "xent2_nats",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    cut_rows = (
+        ranked.withColumn("q", F.explode(F.array(F.lit(1), F.lit(2))))
+        .filter(F.expr("rn = (q * n + 2) div 3"))
+        .select("lang", "q", "xent2_nats", "doc_id")
+        .collect()  # bounded: ≤ 2 × |languages|
+    )
+    by_lang: dict[str, dict[int, tuple[float, int]]] = {}
+    for r in cut_rows:
+        by_lang.setdefault(r.lang, {})[int(r.q)] = (float(r.xent2_nats), int(r.doc_id))
+    cut_df = F.broadcast(
+        j.sparkSession.createDataFrame(
+            [
+                (
+                    lang,
+                    qs.get(1, (None, None))[0],
+                    qs.get(1, (None, None))[1],
+                    qs.get(2, (None, None))[0],
+                    qs.get(2, (None, None))[1],
+                )
+                for lang, qs in sorted(by_lang.items())
+            ],
+            "lang string, c1x double, c1d bigint, c2x double, c2d bigint",
+        )
+    )
+
+    def beyond(cx: str, cd: str):
+        return F.coalesce(
+            (F.col("xent2_nats") > F.col(cx))
+            | ((F.col("xent2_nats") == F.col(cx)) & (F.col("doc_id") > F.col(cd))),
+            F.lit(False),
+        )
+
+    return j.join(cut_df, "lang", "left").select(
+        "doc_id",
+        "lang",
+        "xent2_nats",
+        F.when(beyond("c2x", "c2d"), "tail")
+        .when(beyond("c1x", "c1d"), "middle")
+        .otherwise("head")
+        .alias("tier"),
+    )
+
+
+SQL_CCNET_TIERS_SAMPLED = (
+    "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n)"
+    + r""", j AS (
+  SELECT p.doc_id, d.lang, p.xent2_nats FROM perdoc p JOIN documents d USING (doc_id)
+), samp AS (
+  SELECT * FROM j WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+), ranked AS (
+  SELECT lang, xent2_nats, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY xent2_nats, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp
+), cuts AS (
+  SELECT lang, q, xent2_nats AS cx, doc_id AS cd
+  FROM ranked, (SELECT unnest(range(1, 3)) AS q) qs
+  WHERE rn = (q * n + 2) // 3
+), cutp AS (
+  SELECT lang,
+         max(CASE WHEN q = 1 THEN cx END) AS c1x,
+         max(CASE WHEN q = 1 THEN cd END) AS c1d,
+         max(CASE WHEN q = 2 THEN cx END) AS c2x,
+         max(CASE WHEN q = 2 THEN cd END) AS c2d
+  FROM cuts GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.xent2_nats,
+       CASE WHEN COALESCE(j.xent2_nats > c.c2x
+                 OR (j.xent2_nats = c.c2x AND j.doc_id > c.c2d), FALSE) THEN 'tail'
+            WHEN COALESCE(j.xent2_nats > c.c1x
+                 OR (j.xent2_nats = c.c1x AND j.doc_id > c.c1d), FALSE) THEN 'middle'
+            ELSE 'head' END AS tier
+FROM j LEFT JOIN cutp c USING (lang)
+"""
+)
+
+
 def curation_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph quality signal: 3-iteration PageRank over the
     symmetrized part↔supplier bipartite graph (stand-in for a web-crawl
@@ -1784,6 +1906,9 @@ REGISTRY = {
         curation_unigram_logprob, SQL_UNIGRAM_LOGPROB
     ),
     "curation_ccnet_tiers": QuerySpec(curation_ccnet_tiers, SQL_CCNET_TIERS),
+    "curation_ccnet_tiers_sampled": QuerySpec(
+        curation_ccnet_tiers_sampled, SQL_CCNET_TIERS_SAMPLED
+    ),
     "curation_bigram_logprob": QuerySpec(
         curation_bigram_logprob, SQL_BIGRAM_LOGPROB
     ),

@@ -1915,6 +1915,148 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+def events_rfm_segmentation_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_rfm_segmentation's 100 TB form — the one its own
+    docstring prescribes: quintile CUTOFFS derived from a bounded
+    deterministic sample and broadcast, scoring map-side, so NO global
+    NTILE sort over the full |customers| relation ever runs (the
+    dq_panel / dq_panel_approx pairing applied to segmentation; the
+    exact-NTILE sibling stays registered as the oracle anchor).
+
+    Sample = customers whose md5(custkey) hex starts with '0' (a
+    deterministic ~1/16 slice, engine-portable like every md5 sample in
+    this repo). Each metric's 4 cutoffs are the (value, custkey) tuples
+    at rank ceil(q·n/5) of the ASC-sorted sample — TUPLES, not bare
+    values, so the total (metric, custkey) order the exact NTILE uses
+    is preserved and scoring is tie-free on both engines. Scores are
+    1 + #{cutoffs strictly below the customer's tuple}; duplicate
+    cutoff positions (tiny n) count once per q on both sides.
+
+    Scale shape: the full relation is touched by ONE partial-agg
+    groupBy; the only sorts are windows over the md5-filtered sample
+    (|customers|/16 — and a 100 TB deployment tightens the prefix to 2+
+    hex chars for 1/256 etc.); cutoff collection is ≤12 rows to the
+    driver, embedded as literal score predicates — the scored scan is
+    Window-free and exchange-free (pinned in test_scale_plans.py).
+    Dates are compared as integer days-since-epoch (identical on both
+    engines); spend stays exact integer cents."""
+    o = table(prep(spark), sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("cents"),
+    )
+    vals = per_cust.select(
+        "custkey",
+        "cents",
+        F.datediff(F.col("last_date"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("r_val"),
+        F.col("n_orders").cast("bigint").alias("f_val"),
+        F.col("cents").alias("m_val"),
+    )
+    samp = vals.filter(
+        F.substring(F.md5(F.col("custkey").cast("string")), 1, 1) == "0"
+    )
+    melt = samp.select(
+        "custkey",
+        F.expr("stack(3, 'r', r_val, 'f', f_val, 'm', m_val) AS (metric, value)"),
+    )
+    w = Window.partitionBy("metric").orderBy(F.asc("value"), F.asc("custkey"))
+    ranked = melt.select(
+        "metric",
+        "value",
+        "custkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("metric")).alias("n"),
+    )
+    cut_rows = (
+        ranked.withColumn("q", F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])))
+        .filter(F.expr("rn = (q * n + 4) div 5"))
+        .select("metric", "q", "value", "custkey")
+        .collect()  # bounded: ≤ 3 metrics × 4 quantiles
+    )
+    cuts: dict[str, list[tuple[int, int]]] = {"r": [], "f": [], "m": []}
+    for r in cut_rows:
+        cuts[r.metric].append((int(r.value), int(r.custkey)))
+
+    def score(val_col: str, metric: str):
+        e = F.lit(1)
+        for v, ck in cuts[metric]:
+            e = e + (
+                (F.col(val_col) > F.lit(v))
+                | ((F.col(val_col) == F.lit(v)) & (F.col("custkey") > F.lit(ck)))
+            ).cast("int")
+        return e.cast("int")
+
+    scored = vals.select(
+        "custkey",
+        "cents",
+        score("r_val", "r").alias("r_score"),
+        score("f_val", "f").alias("f_score"),
+        score("m_val", "m").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0)),
+            4,
+        ).alias("avg_spend"),
+    )
+
+
+def _rfm_sampled_score_sql(metric: str, val: str) -> str:
+    return f"""1 + (SELECT count(*) FROM cuts c WHERE c.metric = '{metric}'
+         AND (v.{val} > c.value OR (v.{val} = c.value AND v.custkey > c.custkey)))"""
+
+
+SQL_RFM_SAMPLED = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), vals AS (
+  SELECT custkey, cents,
+         CAST(last_date - DATE '1970-01-01' AS BIGINT) AS r_val,
+         CAST(n_orders AS BIGINT) AS f_val,
+         CAST(cents AS BIGINT) AS m_val
+  FROM per_cust
+), samp AS (
+  SELECT * FROM vals WHERE substr(md5(CAST(custkey AS VARCHAR)), 1, 1) = '0'
+), melt AS (
+  SELECT 'r' AS metric, r_val AS value, custkey FROM samp
+  UNION ALL SELECT 'f', f_val, custkey FROM samp
+  UNION ALL SELECT 'm', m_val, custkey FROM samp
+), ranked AS (
+  SELECT metric, value, custkey,
+         row_number() OVER (PARTITION BY metric ORDER BY value, custkey) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM melt
+), cuts AS (
+  SELECT metric, q, value, custkey
+  FROM ranked, (SELECT unnest(range(1, 5)) AS q) qs
+  WHERE rn = (q * n + 4) // 5
+), scored AS (
+  SELECT v.custkey, v.cents,
+    CAST({_rfm_sampled_score_sql("r", "r_val")} AS INTEGER) AS r_score,
+    CAST({_rfm_sampled_score_sql("f", "f_val")} AS INTEGER) AS f_score,
+    CAST({_rfm_sampled_score_sql("m", "m_val")} AS INTEGER) AS m_score
+  FROM vals v
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(cents) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration panel over customer lifetime spend: the
     Gini coefficient plus the top-1% / top-10% revenue shares — the
@@ -2594,6 +2736,9 @@ FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
 REGISTRY = {
     "stats_bootstrap_ci": QuerySpec(stats_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "events_rfm_segmentation": QuerySpec(events_rfm_segmentation, SQL_RFM),
+    "events_rfm_segmentation_sampled": QuerySpec(
+        events_rfm_segmentation_sampled, SQL_RFM_SAMPLED
+    ),
     "stats_gini_concentration": QuerySpec(stats_gini_concentration, SQL_GINI),
     "stats_ks_two_sample": QuerySpec(stats_ks_two_sample, SQL_KS_TWO_SAMPLE),
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u, SQL_MANNWHITNEY),

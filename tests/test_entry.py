@@ -33,8 +33,8 @@ def test_oracle_keys_subset():
 
 def test_checked_window_is_curated():
     # the driver's correctness gate checks the FIRST 50 registry entries;
-    # this pins the curated window (every family driver-verified) so a
-    # refactor can't silently push the LLM-pipeline surface past the cap
+    # this pins the curated window so a refactor can't silently reorder
+    # the registry past the cap
     from python_multiproc_bigdata_spark.registry import CHECKED_FIRST
 
     q = list(e.queries())
@@ -43,100 +43,53 @@ def test_checked_window_is_curated():
     must_be_checked = {
         # the permanent anchor: the reference's flagship ETL spine
         "words_pipeline",
-        # round-9 rotation (r8 went 49/50: every green non-anchor slot
-        # except five deliberate keepers rotated out — each demotion is
-        # r8-green on record in CORRECTNESS_r08.json, asserted below.
-        # stats_psi_drift stays a THIRD round carrying the r9 forensic
-        # fix: the oracle's bare sum(CASE...) was a DuckDB HUGEINT,
-        # float64 under a pandas/arrow driver fetch vs Spark's int64 —
-        # now CAST AS BIGINT, and tools/gate.py scans every oracle for
-        # the class. All 28 remaining never-driver-checked queries
-        # enter, so a green r9 completes 293/293 driver-checked-ever.)
-        "stats_psi_drift",
-        # the four r8 real decoders
-        "multimodal_decode_png", "multimodal_decode_gif",
-        "multimodal_decode_bmp", "multimodal_decode_avi",
-        # never-checked tails
-        "sim_topk_filtered", "sim_cluster_profile", "sim_jl_project",
-        "dedup_cluster_size_report", "dedup_incremental_novelty",
-        "asof_click_to_next_view",
-        # the two r9 sketch promotions (rows-only → portable oracles)
-        "approx_distinct_stats", "stats_hll_users_per_type",
-        "stats_pareto_cutoffs", "stats_ab_ttest",
-        "stats_top_types_sketch", "stats_price_histogram",
-        "stats_argminmax_orders", "global_index_orders",
-        "map_status_counts", "privacy_k_anonymity",
-        "curation_badwords_gate", "curation_line_dedup",
-        "curation_dup_ngram_fraction", "curation_active_learning",
-        "curation_unigram_logprob", "curation_boilerplate_ngrams",
-        "corpus_version_diff", "decontaminate_fraction",
-        # re-confirmation slots: r9 oracle-CAST edits + code-touched
-        # compositions + the sketch family + diverse representatives
-        "text_bpe_encode_stats", "privacy_dp_noised_counts",
-        "dq_expectations_panel_approx", "sim_mmr_from_ivf",
-        "words_total_tokens", "stats_hll_portable",
-        # the nine queries BORN in r9 (never-checked queries enter the
-        # window the round they are born, keeping the parity story
-        # complete; they displaced nine driver-green re-confirms —
-        # q18, eval_ranking_ndcg, multimodal_image_ahash_neardup
-        # r8-green, curation_gopher_gate r7+r8-green,
-        # streaming_dedup_watermark r4+r8-green, dedup_minhash_lsh
-        # multi-round-green, stats_quantile_sketch r5+r8-green,
-        # events_hll_sliding_users r8-green, and text_quality
-        # multi-round-green; multimodal keeps nine in-window siblings,
-        # curation six, dedup two, streaming two, sketches three, text
-        # keeps text_bpe_encode_stats)
-        "streaming_psi_monitor", "streaming_zip_ingest",
-        "multimodal_decode_tiff",
-        "multimodal_decode_jpeg", "multimodal_mp3_frame_walk",
-        "multimodal_mp4_box_walk",
-        "source_zip_shards", "source_tar_shards",
-        "source_targz_shards",
-        "q1_pricing_summary",
-        "training_pack_greedy",
-        "graph_kcore",
-        "recsys_item_similar_topk",
-        "func_arabic_tokenize",
+        # born in r10: the sampled-cutoff scale variants (a
+        # never-checked query enters the window the round it is born)
+        "events_rfm_segmentation_sampled", "curation_ccnet_tiers_sampled",
+        # round-10 rotation (r9 went 50/50 and the cumulative ledger hit
+        # 300/300 driver-green-ever, so the window's job flips from
+        # clearing the never-checked backlog to REFRESHING the stalest
+        # green records): the entire r1-green cohort ...
+        "anti_join_customers", "broadcast_dim_join",
+        "count_distinct_segments", "dedup_minhash_signatures",
+        "events_cumulative_value", "events_funnel", "events_interarrival",
+        "events_json_extract", "events_sliding_window",
+        "in_subquery_customers", "part_supplier_join",
+        "pivot_status_by_priority", "q18_large_volume_customers",
+        "q2_cheapest_part_per_brand", "rollup_order_priority",
+        "scalar_subquery_above_avg", "semi_join_customers",
+        "setop_except_customers", "setop_intersect_customers",
+        "string_agg_nations", "text_fingerprint",
+        "unpivot_lineitem_measures", "window_rank_functions",
+        "window_top3_orders", "words_distinct_files", "words_top20",
+        # ... the entire r2-green cohort ...
+        "dedup_ngram_jaccard_capped", "sim_topk_lsh",
+        "split_train_test_documents", "text_token_count",
+        "words_no_dupes", "words_v1_length_filter",
+        # ... and 15 family-diverse members of the r3-green cohort
+        "q3_shipping_priority", "q5_region_revenue", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_simhash", "events_sessionize",
+        "events_tumbling_window", "sim_topk_bruteforce", "sim_topk_ivf",
+        "sim_topk_sq8", "text_quality", "cdc_latest_per_key",
+        "asof_click_to_view", "streaming_click_view_join",
+        "profile_documents",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
-    # every name demoted in the r9 rotation must carry an r8 driver-green
-    # record — the rotation invariant (checked across ALL committed
-    # CORRECTNESS files by tools/parity_ledger.py; pinned here for r9)
-    r9_demotions = {
-        "func_array_library", "dq_expectations_panel",
-        "events_velocity_gate", "split_temporal_holdout",
-        "privacy_t_closeness", "text_heaps_law",
-        "eval_minhash_calibration", "recsys_eval_hitrate_loo",
-        "source_xml_roundtrip",
-        "streaming_click_view_left_join", "streaming_sliding_counts",
-        "streaming_tumbling_counts", "streaming_quantile_monitor",
-        "streaming_topk_serving", "streaming_enriched_counts",
-        "events_attribution_touch", "events_max_concurrency",
-        "events_transition_matrix", "events_top_session_paths",
-        "events_time_decayed_value", "events_interarrival_profile",
-        "events_anomaly_zscore", "events_linear_attribution",
-        "events_props_variant", "events_hierarchical_rollup",
-        "events_incremental_merge", "events_mad_outliers",
-        "events_daily_active_users", "events_ltv_cohorts",
-        "split_stratified_eval", "split_kfold_assign",
-        "split_leakage_safe",
-        "training_shard_manifest", "training_length_batches",
-        "training_source_caps", "training_chunk_windows",
-        "training_weighted_sample",
-        "text_context_trim", "text_unigram_fertility",
-        "text_vocab_coverage", "text_token_entropy",
-        "eval_langid_f1", "dedup_source_overlap",
-    }
+    # every name demoted in the r10 rotation must carry an r9
+    # driver-green record — the rotation invariant (checked across ALL
+    # committed CORRECTNESS files by tools/parity_ledger.py); r10
+    # demotes every r9 slot except the anchor, so assert against the
+    # whole r9 artifact
     import json
     import os
 
-    r8 = json.load(
-        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json"))
+    r9 = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r09.json"))
     )
-    for name in r9_demotions:
-        rec = r8.get(name)
-        assert rec and rec["rows_match"] and rec["hash_match"], (
-            f"demoted without driver-green: {name}"
+    assert len(r9) == 50
+    for name, rec in r9.items():
+        assert rec["rows_match"] and rec["schema_match"] and rec["hash_match"], (
+            f"r10 demotion without r9 driver-green: {name}"
         )
 
 

@@ -514,3 +514,31 @@ def test_dq_panel_approx_no_expand(spark):
     # in one pass) — pin the contrast so the two never silently swap
     exact_plan = plan_of(REGISTRY["dq_expectations_panel"].fn(spark, SF_DIR))
     assert "Expand" in exact_plan
+
+
+def test_rfm_sampled_no_global_ntile_sort(spark):
+    """The sampled RFM variant exists precisely to avoid the exact
+    form's three global NTILE windows (each a SinglePartition sort of
+    the full |customers| relation): cutoffs come from the bounded md5
+    sample (separate jobs, collected as literals), so the FINAL scored
+    plan must carry no Window and no SinglePartition exchange at all —
+    and the exact sibling must keep its Window so the pair never
+    silently swaps."""
+    plan = plan_of(REGISTRY["events_rfm_segmentation_sampled"].fn(spark, SF_DIR))
+    assert "Window" not in plan, "sampled RFM planned a window"
+    assert "SinglePartition" not in plan, "sampled RFM planned a global funnel"
+    exact_plan = plan_of(REGISTRY["events_rfm_segmentation"].fn(spark, SF_DIR))
+    assert "Window" in exact_plan
+
+
+def test_ccnet_sampled_no_full_corpus_window(spark):
+    """The sampled CCNet variant buckets map-side against broadcast
+    per-language cutoff literals: the final plan must be Window-free
+    (the only window ran over the md5 sample in the separate cutoff
+    jobs) with the cutoff table entering via BroadcastHashJoin; the
+    exact-NTILE sibling keeps its Window."""
+    plan = plan_of(REGISTRY["curation_ccnet_tiers_sampled"].fn(spark, SF_DIR))
+    assert "Window" not in plan, "sampled ccnet planned a window"
+    assert "BroadcastHashJoin" in plan
+    exact_plan = plan_of(REGISTRY["curation_ccnet_tiers"].fn(spark, SF_DIR))
+    assert "Window" in exact_plan

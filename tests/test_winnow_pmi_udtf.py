@@ -137,6 +137,73 @@ def test_bpe_merges_hand_computed(spark):
     assert out == ["aa", "a"]
 
 
+def _sequential_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Independent one-merge-at-a-time reference (the textbook loop the
+    batched trainer must reproduce bit-for-bit)."""
+    syms = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            sq = syms[w]
+            for i in range(len(sq) - 1):
+                pc[(sq[i], sq[i + 1])] = pc.get((sq[i], sq[i + 1]), 0) + f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, c))
+        for w, sq in syms.items():
+            out, i = [], 0
+            while i < len(sq):
+                if i + 1 < len(sq) and sq[i] == a and sq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def test_bpe_batched_equals_sequential_adversarial(spark):
+    """The r10 batched trainer accepts multiple merges per aggregation
+    round only when provably identical to sequential greedy — pin that
+    claim on corpora built to stress every stop condition: heavy ties,
+    chained merges (the new symbol immediately participates), repeated
+    chars (greedy-overlap semantics), and a merged-string collision
+    with a pre-existing symbol."""
+    import re
+
+    from python_multiproc_bigdata_spark.operators.bpe import bpe_train_merges
+
+    corpora = [
+        # ties everywhere: all pair counts equal
+        " ".join(["ab"] * 4 + ["cd"] * 4 + ["ef"] * 4),
+        # chaining: es -> est -> west dominate successively
+        " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),
+        # repeated single char: (a,a) merges cascade, aa+aa collides
+        # with nothing yet aaaa = (aa)+(aa) reuses merged symbols
+        " ".join(["aaaaaaaa"] * 5 + ["aaab"] * 3),
+        # collision course: 'xy' appears both as a word (so symbol pair
+        # x,y) and inside longer words; merged 'xy' then pairs again
+        " ".join(["xy"] * 10 + ["xyz"] * 6 + ["zxy"] * 4 + ["zz"] * 8),
+        # skew: one dominant pair, then a cliff of equal-count pairs
+        " ".join(["qu"] * 50 + ["qa"] * 3 + ["qb"] * 3 + ["qc"] * 3),
+    ]
+    for text in corpora:
+        wf: dict[str, int] = {}
+        for w in re.split(r"\s+", text):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+        want = _sequential_bpe(wf, 6)
+        df = spark.createDataFrame([(text,)], ["text"])
+        # exercise both a generous and a tiny collected page (tail-bound
+        # logic differs when the page is complete vs truncated)
+        for topk in (64, 3):
+            got = bpe_train_merges(df, "text", n_merges=6, topk=topk)
+            assert got == want, f"corpus={text[:40]}... topk={topk}"
+
+
 def test_pca_core_and_project(spark):
     import numpy as np
 
