@@ -341,28 +341,69 @@ def _dqt_segment(tq: int, quant: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
 
 
+_SUBSAMPLE_HV = {
+    # luma (H, V); chroma is always (1, 1)
+    "4:4:4": (1, 1),
+    "4:2:2": (2, 1),
+    "4:2:0": (2, 2),
+}
+
+
+def _box_downsample(p: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Mean-of-box chroma downsampling (the conventional encoder
+    filter): pad to factor multiples by edge replication, then average
+    each fv×fh cell and round half-up like every other sample in the
+    pipeline."""
+    if fh == 1 and fv == 1:
+        return p
+    h, w0 = p.shape
+    p = np.pad(p, ((0, (-h) % fv), (0, (-w0) % fh)), mode="edge")
+    acc = p.astype(np.float64).reshape(p.shape[0] // fv, fv, p.shape[1] // fh, fh)
+    return np.clip(np.floor(acc.mean(axis=(1, 3)) + 0.5), 0, 255).astype(np.uint8)
+
+
 def encode_jpeg(
     img: np.ndarray,
     restart_interval: int = 0,
+    subsample: str = "4:4:4",
 ) -> bytes:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG (H=V=1 for all components — 4:4:4). Dimensions
-    are padded to multiples of 8 by edge replication, per the usual
-    practice; the SOF records the true dimensions. Annex K tables; the
-    luminance Huffman pair serves all components (legal — components
-    just reference table 0)."""
+    baseline JFIF JPEG. `subsample` picks the color layout: 4:4:4
+    (every component H=V=1), 4:2:2 (luma H=2 — chroma halved
+    horizontally), or 4:2:0 (luma H=V=2 — chroma halved both ways, the
+    dominant real-world layout). Grayscale ignores `subsample`.
+    Dimensions are padded to MCU multiples by edge replication; the SOF
+    records the true dimensions. Annex K tables; the luminance Huffman
+    pair serves all components (legal — components just reference
+    table 0). Interleaved MCUs per T.81 A.2.3: each MCU carries
+    Hi×Vi data units per component in raster order."""
     gray = img.ndim == 2
     h, w0 = img.shape[:2]
-    planes = (
-        [img] if gray else [_rgb_to_ycbcr(img)[..., i] for i in range(3)]
-    )
-    quants = [QUANT_LUMA] if gray else [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
-    qids = [0] if gray else [0, 1, 1]
+    if subsample not in _SUBSAMPLE_HV:
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    yh, yv = (1, 1) if gray else _SUBSAMPLE_HV[subsample]
+    ncomp = 1 if gray else 3
+    hvs = [(yh, yv)] + [(1, 1)] * (ncomp - 1)
+    quants = [QUANT_LUMA] + [QUANT_CHROMA] * (ncomp - 1)
+    qids = [0] + [1] * (ncomp - 1)
 
-    pad_h = (-h) % 8
-    pad_w = (-w0) % 8
-    planes = [np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes]
-    bh, bw = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    if gray:
+        full = [img]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        full = [ycc[..., 0]] + [
+            _box_downsample(ycc[..., i], yh, yv) for i in (1, 2)
+        ]
+    # pad every plane to its own MCU-multiple block grid
+    mcu_w, mcu_h = 8 * yh, 8 * yv
+    mcux = (w0 + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for p, (ch, cv) in zip(full, hvs):
+        th, tw = mcuy * 8 * cv, mcux * 8 * ch
+        planes.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
 
     dc_codes = canonical_codes(DC_BITS, DC_VALS)
     ac_codes = canonical_codes(AC_BITS, AC_VALS)
@@ -375,10 +416,10 @@ def encode_jpeg(
     out += _dqt_segment(0, QUANT_LUMA)
     if not gray:
         out += _dqt_segment(1, QUANT_CHROMA)
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w0, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])  # id, H=V=1, quant table
+        ch, cv = hvs[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, qids[ci]])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0, 0, DC_BITS, DC_VALS)
     out += _dht_segment(1, 0, AC_BITS, AC_VALS)
@@ -394,8 +435,8 @@ def encode_jpeg(
     preds = [0] * ncomp
     rst = 0
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.align()
                 out += wtr.out
@@ -404,10 +445,17 @@ def encode_jpeg(
                 rst += 1
                 preds = [0] * ncomp
             for ci in range(ncomp):
-                blk = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(
-                    wtr, blk, quants[ci], preds[ci], dc_codes, ac_codes
-                )
+                ch, cv = hvs[ci]
+                for bv in range(cv):
+                    for bh_ in range(ch):
+                        by = my * cv + bv
+                        bx = mx * ch + bh_
+                        blk = planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ]
+                        preds[ci] = _encode_block(
+                            wtr, blk, quants[ci], preds[ci], dc_codes, ac_codes
+                        )
             mcu += 1
     wtr.align()
     out += wtr.out
@@ -420,12 +468,15 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-def jpeg_raster(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline JFIF JPEG to (width, height, raster): raster is
-    (h, w) uint8 for grayscale, (h, w, 3) uint8 RGB for 4:4:4 color.
-    Subsampled chroma raises — honestly out of scope (no upsampling
-    filter implemented); everything this module's encoder emits, plus
-    any other baseline H=V=1 stream, decodes."""
+def jpeg_component_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a baseline JFIF JPEG to (width, height, [component
+    planes]): each plane upsampled to full resolution and cropped to
+    (h, w) — YCbCr order for 3-component streams, [Y] for grayscale.
+    Handles arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0,
+    and any other Hi,Vi ≤ 4 whose ratios divide the maxima) per T.81
+    A.2.3 interleaved MCUs; chroma upsampling is pixel replication
+    (box) — the exact inverse of the conventional mean-of-box encoder
+    filter wherever chroma is locally constant."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG (magic {payload[:2]!r})")
     pos = 2
@@ -471,12 +522,10 @@ def jpeg_raster(payload: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError(
-                        "subsampled chroma (H,V != 1,1) not supported — "
-                        "baseline 4:4:4 / grayscale only"
-                    )
-                comps.append((cid, tq))
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"sampling factors {ch}x{cv} out of range")
+                comps.append((cid, ch, cv, tq))
             sof = (h, w0, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF marker 0xff{marker:02x}")
@@ -487,59 +536,97 @@ def jpeg_raster(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("SOS before SOF")
             h, w0, comps = sof
             ns = body[0]
+            if ns != len(comps):
+                raise ValueError("non-interleaved multi-scan not supported")
             scan = []  # (comp_index, dc_lut, ac_lut, quant)
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
                 td, ta = tables >> 4, tables & 0x0F
-                idx = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
-                scan.append(
-                    (idx, huff[(0, td)], huff[(1, ta)], quant_tables[comps[idx][1]])
+                idx = next(
+                    i for i, (cid, _, _, _) in enumerate(comps) if cid == cs
                 )
-            bh, bw = (h + 7) // 8, (w0 + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
+                scan.append(
+                    (idx, huff[(0, td)], huff[(1, ta)], quant_tables[comps[idx][3]])
+                )
+            hmax = max(ch for _, ch, _, _ in comps)
+            vmax = max(cv for _, _, cv, _ in comps)
+            for _, ch, cv, _ in comps:
+                if hmax % ch or vmax % cv:
+                    raise ValueError(
+                        f"fractional sampling ratio {ch}x{cv} vs {hmax}x{vmax}"
+                    )
+            mcux = (w0 + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcuy * 8 * cv, mcux * 8 * ch), dtype=np.uint8)
+                for _, ch, cv, _ in comps
+            ]
             rdr = BitReader(payload, pos)
             preds = [0] * len(comps)
             rst = 0
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         rdr.restart(rst)
                         rst += 1
                         preds = [0] * len(comps)
                     for idx, dc_lut, ac_lut, quant in scan:
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(rdr, dc_lut)
-                        diff = _extend(rdr.receive(t), t)
-                        preds[idx] += diff
-                        zz[0] = preds[idx]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(rdr, ac_lut)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            t = sym & 0x0F
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(rdr.receive(t), t)
-                            k += 1
-                        coef = np.zeros((8, 8), dtype=np.float64)
-                        coef[ZIG_ROWS, ZIG_COLS] = zz * quant[ZIG_ROWS, ZIG_COLS]
-                        spatial = DCT_M.T @ coef @ DCT_M + 128.0
-                        planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-                        )
+                        _, ch, cv, _ = comps[idx]
+                        for bv in range(cv):
+                            for bh_ in range(ch):
+                                zz = np.zeros(64, dtype=np.int64)
+                                t = _huff_decode(rdr, dc_lut)
+                                diff = _extend(rdr.receive(t), t)
+                                preds[idx] += diff
+                                zz[0] = preds[idx]
+                                k = 1
+                                while k < 64:
+                                    sym = _huff_decode(rdr, ac_lut)
+                                    if sym == 0x00:  # EOB
+                                        break
+                                    if sym == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += sym >> 4
+                                    t = sym & 0x0F
+                                    if k > 63:
+                                        raise ValueError("AC run past block end")
+                                    zz[k] = _extend(rdr.receive(t), t)
+                                    k += 1
+                                coef = np.zeros((8, 8), dtype=np.float64)
+                                coef[ZIG_ROWS, ZIG_COLS] = (
+                                    zz * quant[ZIG_ROWS, ZIG_COLS]
+                                )
+                                spatial = DCT_M.T @ coef @ DCT_M + 128.0
+                                by = my * cv + bv
+                                bx = mx * ch + bh_
+                                planes[idx][
+                                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                                ] = np.clip(np.round(spatial), 0, 255).astype(
+                                    np.uint8
+                                )
                     mcu += 1
-            if len(comps) == 1:
-                return w0, h, planes[0][:h, :w0]
-            ycc = np.stack([p[:h, :w0] for p in planes], axis=-1)
-            return w0, h, _ycbcr_to_rgb(ycc)
+            out_planes = []
+            for (ci, ch, cv, _), p in zip(comps, planes):
+                if ch < hmax or cv < vmax:
+                    p = np.repeat(
+                        np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1
+                    )
+                out_planes.append(p[:h, :w0])
+            return w0, h, out_planes
         # APPn / COM / anything else: skipped via seg_len
     raise ValueError("no SOS segment found")
+
+
+def jpeg_raster(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline JFIF JPEG to (width, height, raster): raster is
+    (h, w) uint8 for grayscale, (h, w, 3) uint8 RGB for color (4:4:4,
+    4:2:2, or 4:2:0 — see jpeg_component_planes)."""
+    w0, h, planes = jpeg_component_planes(payload)
+    if len(planes) == 1:
+        return w0, h, planes[0]
+    return w0, h, _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -572,10 +659,12 @@ def synth_jpeg(doc_id: int) -> bytes:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     """Full decode → integer stats (width, height, n_blocks, n_pixels,
-    sum_y, min_y, max_y) — integer sums for bit-exact engine parity."""
-    w, h, px = jpeg_raster(payload)
-    if px.ndim == 3:
-        px = px[..., 0]
+    sum_y, min_y, max_y) — integer sums for bit-exact engine parity.
+    sum/min/max are over the LUMA plane taken BEFORE any YCbCr→RGB
+    conversion (ADVICE r9: the old form read channel 0 of the converted
+    raster, which is RED for color images)."""
+    w, h, planes = jpeg_component_planes(payload)
+    px = planes[0]
     return (
         w,
         h,

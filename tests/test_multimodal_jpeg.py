@@ -127,11 +127,20 @@ def test_malformed_payloads_rejected():
     good[sof_at + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         jpeg_raster(bytes(good))
-    # 4:2:0 subsampling honestly unsupported
+    # zero sampling factor is structurally invalid
+    sub = bytearray(_hand_jpeg(bytes([0x96, 0xBF])))
+    sof_at = sub.find(b"\xff\xc0")
+    sub[sof_at + 4 + 6 + 1] = 0x02  # component H=0
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg_raster(bytes(sub))
+    # a grayscale stream re-marked H=V=2 claims 4 data units per MCU
+    # the entropy segment does not contain — must fail loudly, not
+    # return garbage (r10: subsampling is now SUPPORTED, so the failure
+    # moved from the SOF gate to the entropy walk)
     sub = bytearray(_hand_jpeg(bytes([0x96, 0xBF])))
     sof_at = sub.find(b"\xff\xc0")
     sub[sof_at + 4 + 6 + 1] = 0x22  # component H=V=2
-    with pytest.raises(ValueError, match="subsampled"):
+    with pytest.raises(ValueError, match="exhausted|sync|run past"):
         jpeg_raster(bytes(sub))
     # truncated entropy segment
     trunc = _hand_jpeg(b"")[:-2]  # no entropy bits, EOI stripped
@@ -190,6 +199,75 @@ def test_lossy_roundtrip_tolerance_gray_color_odd_dims():
     w, h, outc = jpeg_raster(encode_jpeg(color))
     assert outc.shape == (24, 40, 3)
     assert np.abs(outc.astype(int) - color.astype(int)).mean() < 12
+
+
+def test_subsampled_constant_chroma_matches_444_exactly():
+    """r10 chroma subsampling: for an image whose chroma is spatially
+    CONSTANT (r=g=b → Cb=Cr=128 everywhere), the mean-of-box
+    downsample and the replication upsample are both lossless, so the
+    4:2:0 and 4:2:2 decodes must equal the 4:4:4 decode BIT-EXACTLY —
+    any indexing slip in the MCU interleave or the upsample shows up
+    as a hard mismatch, not a tolerance blur."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = np.clip(
+        128 + 70 * np.sin(xx / 5.0) * np.cos(yy / 7.0) + rng.normal(0, 5, (24, 40)),
+        0, 255,
+    ).astype(np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    _, _, base = jpeg_raster(encode_jpeg(img, subsample="4:4:4"))
+    for mode in ("4:2:0", "4:2:2"):
+        w, h, out = jpeg_raster(encode_jpeg(img, subsample=mode))
+        assert (w, h) == (40, 24)
+        assert np.array_equal(out, base), mode
+    # odd (non-MCU-multiple) dims: SOF keeps true size, padding crops off
+    for mode in ("4:2:0", "4:2:2"):
+        w, h, out = jpeg_raster(encode_jpeg(img[:21, :37], subsample=mode))
+        assert (w, h) == (37, 21) and out.shape == (21, 37, 3), mode
+
+
+def test_subsampled_color_tolerance_and_dri():
+    """Full-color 4:2:0/4:2:2: smooth chroma stays within quantization+
+    subsampling tolerance of the source, restart intervals don't change
+    the decode, and the luma stats (decode_jpeg) come from the Y plane
+    — identical across subsampling modes for the same image (Y is
+    never subsampled), which the old red-channel stats bug would fail
+    for any colorful image."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    color = np.clip(
+        np.stack(
+            [128 + 80 * np.sin(xx / 9), 128 + 80 * np.cos(yy / 8),
+             128 + 60 * np.sin((xx + yy) / 13)],
+            axis=-1,
+        ),
+        0, 255,
+    ).astype(np.uint8)
+    stats = {}
+    for mode in ("4:4:4", "4:2:2", "4:2:0"):
+        payload = encode_jpeg(color, subsample=mode)
+        _, _, out = jpeg_raster(payload)
+        err = np.abs(out.astype(int) - color.astype(int))
+        assert err.mean() < 14, (mode, err.mean())
+        _, _, out_rst = jpeg_raster(
+            encode_jpeg(color, restart_interval=2, subsample=mode)
+        )
+        assert np.array_equal(out_rst, out), mode
+        stats[mode] = decode_jpeg(payload)
+    # width/height/n_pixels identical; sum_y within DCT rounding noise
+    # across modes (subsampling touches only chroma)
+    for mode in ("4:2:2", "4:2:0"):
+        assert stats[mode][:2] == stats["4:4:4"][:2]
+        assert stats[mode][3] == stats["4:4:4"][3]
+        drift = abs(stats[mode][4] - stats["4:4:4"][4]) / stats["4:4:4"][4]
+        assert drift < 0.01, (mode, drift)
+    # luma stats really are luma: a pure-red image has RED mean 255 but
+    # Y ≈ 76 — the r9 bug read channel 0 post-conversion and would
+    # report ~255 here
+    red = np.zeros((16, 16, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    s = decode_jpeg(encode_jpeg(red))
+    mean_y = s[4] / s[3]
+    assert 70 <= mean_y <= 82, mean_y
 
 
 def test_byte_stuffing_occurs_and_decodes():
