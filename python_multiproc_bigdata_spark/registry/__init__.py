@@ -441,9 +441,12 @@ CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",
     # born in r10: the prescribed sample-cutoff scale variants of the
-    # two global-NTILE queries (exact siblings stay oracle anchors)
+    # two global-NTILE queries (exact siblings stay oracle anchors) and
+    # the tar.gz streaming ingest twin (second archive family at
+    # batch+streaming parity)
     "events_rfm_segmentation_sampled",
     "curation_ccnet_tiers_sampled",
+    "streaming_targz_ingest",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -493,7 +496,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "cdc_latest_per_key",
     "asof_click_to_view",
     "streaming_click_view_join",
-    "profile_documents",
 )
 
 

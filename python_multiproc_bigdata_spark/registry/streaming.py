@@ -774,6 +774,68 @@ def _zip_ingest_oracle() -> str:
     return SQL_ZIP_SHARDS
 
 
+def streaming_targz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_targz_shards' streaming twin (r10) — the SECOND archive
+    family promoted to batch+streaming parity, completing the pairing
+    streaming_zip_ingest started: tar.gz shards (gzip unwrap with
+    CRC/ISIZE trailer verification, then the checksum-verified ustar
+    walk) arrive as a two-wave stream and each micro-batch walks its
+    archives inside foreachBatch, writing per-member integrity rows
+    epoch-keyed so at-least-once retries stay idempotent. Per-member
+    rows are micro-batch-invariant, so the unioned result equals the
+    batch query value-for-value and the SAME md5 oracle checks both.
+    Scale: per-batch state is the batch's own members; nothing
+    accumulates, nothing touches the driver."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.archives import (
+        pack_targz_shards,
+        walk_targz_shards,
+    )
+
+    spark = prep(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = pack_targz_shards(d)
+
+    root = fixture_root("targzingest", sf_dir)
+    sdir = os.path.join(root, "shards")
+    mdir = os.path.join(root, "members")
+    for m in (0, 1):  # two arrival waves
+        shards.filter(F.col("shard_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+
+    def walk_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        walk_targz_shards(batch_df).write.mode("overwrite").parquet(
+            os.path.join(mdir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .writeStream.foreachBatch(walk_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    return spark.read.parquet(mdir).select(
+        "shard_id", "doc_id", "method", "n_bytes", "crc_ok", "content_md5"
+    )
+
+
+def _targz_ingest_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.advanced import SQL_TARGZ_SHARDS
+
+    return SQL_TARGZ_SHARDS
+
+
 REGISTRY = {
     # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
     # per-query top-k is micro-batch-invariant, so the streamed union
@@ -809,6 +871,9 @@ REGISTRY = {
     # bit-identically to the one-shot batch sketch
     # same shared-readback proof as the quantile monitor: merged partial
     # PSI counts read back bit-identically to the one-shot batch query
+    "streaming_targz_ingest": QuerySpec(
+        streaming_targz_ingest, _targz_ingest_oracle
+    ),
     "streaming_zip_ingest": QuerySpec(
         streaming_zip_ingest, _zip_ingest_oracle
     ),

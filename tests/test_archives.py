@@ -255,6 +255,25 @@ def test_streaming_zip_ingest_matches_batch(spark):
     assert stream2 == stream1
 
 
+def test_streaming_targz_ingest_matches_batch(spark):
+    """tar.gz streaming twin (r10): same epoch-idempotent foreachBatch
+    walk as the ZIP twin — the streamed union must equal the batch walk
+    value-for-value, and a re-run (fixture_root self-cleans, fresh
+    checkpoint) must reproduce it exactly (at-least-once recovery in
+    miniature)."""
+    from python_multiproc_bigdata_spark.registry.advanced import source_targz_shards
+    from python_multiproc_bigdata_spark.registry.streaming import (
+        streaming_targz_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in source_targz_shards(spark, sf).collect()}
+    stream1 = {tuple(r) for r in streaming_targz_ingest(spark, sf).collect()}
+    assert stream1 == batch and len(stream1) == 500
+    stream2 = {tuple(r) for r in streaming_targz_ingest(spark, sf).collect()}
+    assert stream2 == stream1
+
+
 def test_distributed_two_stage_roundtrip(spark):
     import hashlib
 

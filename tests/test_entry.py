@@ -46,6 +46,7 @@ def test_checked_window_is_curated():
         # born in r10: the sampled-cutoff scale variants (a
         # never-checked query enters the window the round it is born)
         "events_rfm_segmentation_sampled", "curation_ccnet_tiers_sampled",
+        "streaming_targz_ingest",
         # round-10 rotation (r9 went 50/50 and the cumulative ledger hit
         # 300/300 driver-green-ever, so the window's job flips from
         # clearing the never-checked backlog to REFRESHING the stalest
@@ -72,7 +73,6 @@ def test_checked_window_is_curated():
         "events_tumbling_window", "sim_topk_bruteforce", "sim_topk_ivf",
         "sim_topk_sq8", "text_quality", "cdc_latest_per_key",
         "asof_click_to_view", "streaming_click_view_join",
-        "profile_documents",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
     # every name demoted in the r10 rotation must carry an r9
