@@ -223,6 +223,14 @@ HEADLINE = [
     "source_tar_shards",
     "source_targz_shards",
     "multimodal_mp4_box_walk",
+    # r10 additions: the sampled-cutoff scale variants (map-side
+    # scoring against broadcast sample-derived quantile cutoffs — the
+    # 100 TB form of the two global-NTILE queries; their exact-NTILE
+    # siblings already bench via the stats/curation families). The
+    # tar.gz streaming twin stays out of HEADLINE like the other
+    # fixture-staging streaming queries.
+    "events_rfm_segmentation_sampled",
+    "curation_ccnet_tiers_sampled",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a
