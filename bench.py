@@ -231,6 +231,8 @@ HEADLINE = [
     # fixture-staging streaming queries.
     "events_rfm_segmentation_sampled",
     "curation_ccnet_tiers_sampled",
+    # r10: the subsampled-JPEG decode (4:2:0/4:2:2 corpus)
+    "multimodal_decode_jpeg_sub",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

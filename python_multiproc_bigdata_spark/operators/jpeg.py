@@ -657,6 +657,52 @@ def synth_jpeg(doc_id: int) -> bytes:
     return encode_jpeg(img, restart_interval=1 if doc_id % 3 == 0 else 0)
 
 
+def synth_jpeg_sub(doc_id: int) -> bytes:
+    """Deterministic COLOR baseline JPEG with chroma subsampling —
+    4:2:0 for even doc_ids, 4:2:2 for odd — built for EXACT roundtrip
+    of the luma stats: every pixel has r=g=b=v(b) with the same
+    per-block constant v as synth_jpeg, so the Y plane is bit-identical
+    to the grayscale synth (even values → DC multiples of the Annex-K
+    step) and Cb=Cr are the constant 128 (BT.601 of r=g=b is exactly
+    (v,128,128); a constant plane survives mean-of-box downsampling,
+    zero-coefficient quantization, and replication upsampling
+    unchanged). decode_jpeg's stats read the luma plane, so the SAME
+    arithmetic oracle as the 4:4:4 corpus (SQL_DECODE_JPEG) checks the
+    whole subsampled pipeline end-to-end. DRI=1 for doc_id%3==0 puts
+    RSTn resync on the checked path via the 4:2:2 two-MCU docs
+    (doc_id ≡ 3 mod 6)."""
+    wb = 1 + doc_id % 3
+    hb = 1 + doc_id % 2
+    img = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+    for b in range(wb * hb):
+        v = 2 * ((doc_id * 7 + b * 9) % 96) + 32
+        by, bx = divmod(b, wb)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+    mode = "4:2:0" if doc_id % 2 == 0 else "4:2:2"
+    return encode_jpeg(
+        img, restart_interval=1 if doc_id % 3 == 0 else 0, subsample=mode
+    )
+
+
+def attach_jpeg_sub(df: DataFrame) -> DataFrame:
+    """Synthesize the SUBSAMPLED color JPEG payload column (doc_id →
+    media) in Arrow batches — attach_jpeg's 4:2:0/4:2:2 sibling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_jpeg_sub(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     """Full decode → integer stats (width, height, n_blocks, n_pixels,
     sum_y, min_y, max_y) — integer sums for bit-exact engine parity.

@@ -447,6 +447,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "events_rfm_segmentation_sampled",
     "curation_ccnet_tiers_sampled",
     "streaming_targz_ingest",
+    "multimodal_decode_jpeg_sub",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -486,7 +487,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "q5_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "events_sessionize",
     "events_tumbling_window",
     "sim_topk_bruteforce",

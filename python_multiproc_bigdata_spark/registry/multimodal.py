@@ -34,6 +34,7 @@ from python_multiproc_bigdata_spark.operators.multimodal import (
 )
 from python_multiproc_bigdata_spark.operators.jpeg import (
     attach_jpeg,
+    attach_jpeg_sub,
     decode_jpeg_features,
 )
 from python_multiproc_bigdata_spark.operators.mp3 import (
@@ -594,6 +595,23 @@ GROUP BY doc_id, wb, hb
 """
 
 
+def multimodal_decode_jpeg_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-SUBSAMPLED baseline-JPEG decode (r10) — the dominant
+    real-world JPEG layout on the driver-gated path: the corpus
+    alternates 4:2:0 (even doc_ids) and 4:2:2 (odd), exercising
+    per-component sampling factors, T.81 A.2.3 interleaved MCUs,
+    chroma downsample/replication-upsample, and RSTn resync inside
+    multi-MCU frames. The constant-chroma construction
+    (operators/jpeg.py:synth_jpeg_sub — r=g=b pixels make Cb=Cr exactly
+    128 at every stage) keeps the LUMA stats bit-exact, so this query
+    shares SQL_DECODE_JPEG with the 4:4:4 corpus: matching it IS the
+    proof that subsampling reproduces the same luma values — general
+    lossy color behavior is tolerance-tested in
+    tests/test_multimodal_jpeg.py."""
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_jpeg_features(attach_jpeg_sub(d))
+
+
 def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 (MPEG-1 Layer III) frame-structure walk over a binary column
     (r9) — spec-level audio introspection for the one format whose full
@@ -688,6 +706,9 @@ FROM documents
 REGISTRY = {
     "multimodal_features": QuerySpec(multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_jpeg": QuerySpec(multimodal_decode_jpeg, SQL_DECODE_JPEG),
+    "multimodal_decode_jpeg_sub": QuerySpec(
+        multimodal_decode_jpeg_sub, SQL_DECODE_JPEG
+    ),
     "multimodal_mp4_box_walk": QuerySpec(multimodal_mp4_box_walk, SQL_MP4_BOX_WALK),
     "multimodal_mp3_frame_walk": QuerySpec(
         multimodal_mp3_frame_walk, SQL_MP3_FRAME_WALK

@@ -46,7 +46,7 @@ def test_checked_window_is_curated():
         # born in r10: the sampled-cutoff scale variants (a
         # never-checked query enters the window the round it is born)
         "events_rfm_segmentation_sampled", "curation_ccnet_tiers_sampled",
-        "streaming_targz_ingest",
+        "streaming_targz_ingest", "multimodal_decode_jpeg_sub",
         # round-10 rotation (r9 went 50/50 and the cumulative ledger hit
         # 300/300 driver-green-ever, so the window's job flips from
         # clearing the never-checked backlog to REFRESHING the stalest
@@ -69,7 +69,7 @@ def test_checked_window_is_curated():
         "words_no_dupes", "words_v1_length_filter",
         # ... and 15 family-diverse members of the r3-green cohort
         "q3_shipping_priority", "q5_region_revenue", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_simhash", "events_sessionize",
+        "dedup_minhash_lsh", "events_sessionize",
         "events_tumbling_window", "sim_topk_bruteforce", "sim_topk_ivf",
         "sim_topk_sq8", "text_quality", "cdc_latest_per_key",
         "asof_click_to_view", "streaming_click_view_join",
@@ -142,6 +142,11 @@ def test_no_accidental_shared_oracles():
         frozenset({"stats_quantile_sketch", "streaming_quantile_monitor"}),
         # same mergeability proof for the PSI drift monitor (r9)
         frozenset({"stats_psi_drift", "streaming_psi_monitor"}),
+        # deliberate (r10): the subsampled-JPEG corpus is constructed so
+        # its LUMA stats are bit-identical to the 4:4:4 corpus —
+        # matching the same arithmetic oracle IS the proof that the
+        # 4:2:0/4:2:2 pipeline reproduces the same luma values
+        frozenset({"multimodal_decode_jpeg", "multimodal_decode_jpeg_sub"}),
     }
     by_oracle = defaultdict(list)
     for n, s in REGISTRY.items():

@@ -270,6 +270,36 @@ def test_subsampled_color_tolerance_and_dri():
     assert 70 <= mean_y <= 82, mean_y
 
 
+def test_synth_sub_exact_roundtrip_and_modes():
+    """The subsampled driver corpus (synth_jpeg_sub) must reproduce the
+    grayscale synth's stats EXACTLY — the property the shared
+    SQL_DECODE_JPEG oracle relies on — across all dims/DRI/mode
+    combinations, and the streams must really carry the claimed
+    sampling factors."""
+    from python_multiproc_bigdata_spark.operators.jpeg import synth_jpeg_sub
+
+    for d in range(36):
+        payload = synth_jpeg_sub(d)
+        sof_at = payload.find(b"\xff\xc0")
+        hv_y = payload[sof_at + 4 + 6 + 1]
+        assert hv_y == (0x22 if d % 2 == 0 else 0x21), d
+        wb, hb = 1 + d % 3, 1 + d % 2
+        vals = [2 * ((d * 7 + b * 9) % 96) + 32 for b in range(wb * hb)]
+        got = decode_jpeg(payload)
+        want = (
+            wb * 8, hb * 8, wb * hb, wb * hb * 64,
+            sum(64 * v for v in vals), min(vals), max(vals),
+        )
+        assert got == want, (d, got, want)
+        # the decoded RGB raster is the gray image back (r=g=b=v)
+        _, _, px = jpeg_raster(payload)
+        assert px.shape == (hb * 8, wb * 8, 3)
+        for b, v in enumerate(vals):
+            by, bx = divmod(b, wb)
+            blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == v).all(), (d, b)
+
+
 def test_byte_stuffing_occurs_and_decodes():
     """Random blocks eventually emit a 0xFF data byte; the stuffing rule
     (0xFF 0x00) must round-trip. Assert stuffing actually happened
