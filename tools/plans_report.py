@@ -54,6 +54,10 @@ SHOWCASE: dict[str, str] = {
     "stats_quantile_sketch": "sketch build = distributive partial-agg groupBy onto <=256 cells after a 1-row min/max broadcast; readback is |buckets|x|probes| rows",
     "events_hll_sliding_users": "per-day register relation built once; trailing windows merge registers by cell-wise MAX over a days-dimension broadcast — events never rescanned per window",
     "dq_expectations_panel": "one aggregate pass per table (multi-distinct plans through Expand); output is |tables|x|columns| rows",
+    # r10 sampled-cutoff scale variants: cutoffs computed in separate
+    # bounded jobs, so the FINAL plan is the scored scan alone
+    "events_rfm_segmentation_sampled": "quintile scoring as literal predicates over one partial-agg groupBy - no Window, no SinglePartition exchange anywhere in the plan",
+    "curation_ccnet_tiers_sampled": "per-language tercile bucketing via a broadcast cutoff table - Window-free full-corpus plan, BroadcastHashJoin only",
 }
 
 
