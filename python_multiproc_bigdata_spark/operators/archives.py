@@ -196,14 +196,36 @@ def pack_tar(members: list[tuple[str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def _pax_records(data: bytes) -> dict[str, str]:
+    """Parse a PAX extended-header block per POSIX.1-2001: a sequence
+    of '<len> <key>=<value>\\n' records where <len> counts the ENTIRE
+    record including the length digits, the space, and the newline."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.index(b" ", pos)
+        rec_len = int(data[pos:sp])
+        rec = data[pos : pos + rec_len]
+        if not rec.endswith(b"\n"):
+            raise ValueError("PAX record missing newline terminator")
+        key, _, value = rec[sp - pos + 1 : -1].partition(b"=")
+        out[key.decode("utf-8")] = value.decode("utf-8")
+        pos += rec_len
+    return out
+
+
 def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
-    """Walk a ustar archive per spec: 512-byte header blocks, octal
+    """Walk a ustar/PAX archive per spec: 512-byte header blocks, octal
     size decode, CHECKSUM VERIFICATION (sum over the header with the
-    chksum field read as spaces), block-padded content, and the
+    chksum field read as spaces), block-padded content, the ustar
+    prefix field rejoined for long paths, PAX 'x' (per-member) and 'g'
+    (global) extended-header overrides for path and size, and the
     two-zero-block terminator. Raises loudly on violations."""
     out: list[tuple[str, bytes]] = []
     pos = 0
     n = len(payload)
+    pending: dict[str, str] = {}  # next-member 'x' overrides
+    globals_: dict[str, str] = {}  # 'g' defaults for all members
     while pos + 512 <= n:
         hdr = payload[pos : pos + 512]
         if hdr == bytes(512):
@@ -220,17 +242,31 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         prefix = hdr[345:500].rstrip(b"\x00").decode("utf-8")
         if prefix:
             name = f"{prefix}/{name}"
-        size = int(hdr[124:136].rstrip(b"\x00 ").decode(), 8)
+        hdr_size = int(hdr[124:136].rstrip(b"\x00 ").decode(), 8)
+        typeflag = hdr[156]
+        if typeflag in (ord("x"), ord("g")):
+            recs = _pax_records(payload[pos + 512 : pos + 512 + hdr_size])
+            if typeflag == ord("x"):
+                pending.update(recs)
+            else:
+                globals_.update(recs)
+            pos += 512 + hdr_size + ((-hdr_size) % 512)
+            continue
+        # PAX size override governs the DATA length (the octal field may
+        # be a truncated fallback); path override replaces the header name
+        eff = {**globals_, **pending}
+        size = int(eff["size"]) if "size" in eff else hdr_size
+        if "path" in eff:
+            name = eff["path"]
+        pending = {}
         data = payload[pos + 512 : pos + 512 + size]
         if len(data) != size:
             raise ValueError(f"member {name} truncated")
-        typeflag = hdr[156]
         if typeflag in (0, ord("0")):
             out.append((name, data))
-        elif typeflag in (ord("1"), ord("2"), ord("3"), ord("4"), ord("5"), ord("6"), ord("x"), ord("g")):
-            # links/devices/directories carry no regular content; PAX
-            # 'x'/'g' extended headers are metadata blocks — all are
-            # skipped (their size-derived data blocks still advance pos).
+        elif typeflag in (ord("1"), ord("2"), ord("3"), ord("4"), ord("5"), ord("6")):
+            # links/devices/directories carry no regular content — skipped
+            # (their size-derived data blocks still advance pos)
             pass
         else:
             raise ValueError(f"unsupported ustar typeflag {chr(typeflag)!r} for {name}")

@@ -236,6 +236,87 @@ def test_targz_distributed_roundtrip(spark):
         assert out[i].content_md5 == hashlib.md5(body.encode()).hexdigest()
 
 
+def test_zip_members_reads_stdlib_archives_fuzz():
+    """Cross-implementation fuzz: archives written by the INDEPENDENT
+    stdlib zipfile (random member names/sizes/methods, with and without
+    an archive comment containing the EOCD signature bytes) must walk
+    back byte-identical through zip_members."""
+    import io
+    import zipfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name_st = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-./", min_size=1, max_size=40
+    ).filter(lambda s: not s.startswith("/") and ".." not in s)
+    member_st = st.tuples(name_st, st.binary(max_size=2000), st.sampled_from([0, 8]))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(member_st, min_size=1, max_size=8, unique_by=lambda m: m[0]),
+        st.sampled_from([b"", b"plain comment", b"decoy PK\x05\x06 comment"]),
+    )
+    def run(members, comment):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, data, method in members:
+                zf.writestr(
+                    name,
+                    data,
+                    compress_type=(
+                        zipfile.ZIP_DEFLATED if method == 8 else zipfile.ZIP_STORED
+                    ),
+                )
+            zf.comment = comment
+        got = zip_members(buf.getvalue())
+        assert [(n, d) for n, _, d in got] == [(n, d) for n, d, _ in members]
+
+    run()
+
+
+def test_tar_members_reads_stdlib_archives_fuzz():
+    """Same fuzz for the ustar walker: random stdlib-written archives in
+    USTAR and PAX formats (long prefix paths, interleaved directories)
+    must yield exactly the regular-file members."""
+    import io
+    import tarfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=12)
+    name_st = st.lists(seg, min_size=1, max_size=12).map("/".join).filter(
+        lambda s: len(s) <= 140
+    )
+    member_st = st.tuples(name_st, st.binary(max_size=3000), st.booleans())
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(member_st, min_size=1, max_size=6, unique_by=lambda m: m[0]),
+        st.sampled_from([tarfile.USTAR_FORMAT, tarfile.PAX_FORMAT]),
+    )
+    def run(members, fmt):
+        usable = [
+            (n, d) for n, d, _ in members
+            if fmt == tarfile.PAX_FORMAT or len(n) <= 100 or ("/" in n)
+        ]
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for (n, d), (_, _, add_dir) in zip(usable, members):
+                if add_dir:
+                    dinfo = tarfile.TarInfo(n + ".d")
+                    dinfo.type = tarfile.DIRTYPE
+                    tf.addfile(dinfo)
+                info = tarfile.TarInfo(n)
+                info.size = len(d)
+                tf.addfile(info, io.BytesIO(d))
+        got = tar_members(buf.getvalue())
+        assert got == usable
+
+    run()
+
+
 def test_streaming_zip_ingest_matches_batch(spark):
     """The streaming twin must equal the batch walk value-for-value:
     micro-batch epochs are written idempotently and the union of
