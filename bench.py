@@ -231,8 +231,10 @@ HEADLINE = [
     # fixture-staging streaming queries.
     "events_rfm_segmentation_sampled",
     "curation_ccnet_tiers_sampled",
-    # r10: the subsampled-JPEG decode (4:2:0/4:2:2 corpus)
+    # r10: the subsampled-JPEG decode (4:2:0/4:2:2 corpus) and the
+    # DCT-domain perceptual near-dup (aHash's spectral sibling)
     "multimodal_decode_jpeg_sub",
+    "multimodal_image_phash_neardup",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -1654,6 +1654,78 @@ def ahash_bands(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AHASH_SCHEMA)
 
 
+PHASH_N = 32  # resample target for the DCT stage
+PHASH_SCALE = 1 << 14  # fixed-point DCT coefficient scale
+
+
+def dct32_int():
+    """The 32-point DCT-II basis as FIXED-POINT int64: C[u][x] =
+    round(s(u)·cos((2x+1)uπ/64) · 2^14) with s(0)=sqrt(1/32),
+    s(u>0)=sqrt(2/32) — the integer-DCT discipline real codecs use so
+    every downstream comparison is EXACT integer arithmetic (a float
+    DCT would make the median threshold engine-dependent at the ulp;
+    cf. operators/jpeg.py, where the float IDCT is safe only because
+    the corpus construction keeps coefficients on exact grid points)."""
+    import math
+
+    n = PHASH_N
+    return [
+        [
+            round(
+                (math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n))
+                * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+                * PHASH_SCALE
+            )
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+def phash_bands(df: DataFrame) -> DataFrame:
+    """Perceptual DCT-hash (pHash) over the binary PPM column, emitted
+    as 4x16-bit band integers per image — aHash's frequency-domain
+    sibling and the sharper perceptual signature (aHash thresholds raw
+    luminance means; pHash thresholds the low-frequency DCT spectrum,
+    so it survives brightness shifts and high-frequency noise):
+    decode (ppm_raster), nearest-neighbor resample to 32x32 (the same
+    floor-index mapping as resize/aHash), integer grayscale
+    g=(r+g+b)//3, fixed-point 2D DCT D = C·G·Cᵀ with the dct32_int
+    table (all int64 — |D| < 2^47, no overflow), take the top-left 8x8
+    low-frequency block row-major, threshold every coefficient against
+    the MEDIAN of the 63 non-DC values (the 31st order statistic —
+    integer compare, engine-exact), and pack the 64 bits into 4
+    bands. Banding/verify reuse ahash_neardup_pairs — same pigeonhole
+    completeness for Hamming <= 3."""
+    import numpy as np
+
+    c = np.array(dct32_int(), dtype=np.int64)
+    c8 = c[:8]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(PHASH_N)
+        ys = np.arange(PHASH_N)
+        shifts = np.arange(AHASH_BAND_BITS, dtype=np.int64)
+        for pdf in it:
+            out = {"doc_id": [], "band_idx": [], "band_val": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, _maxval, px = ppm_raster(bytes(payload))
+                sx = (xs * w) // PHASH_N
+                sy = (ys * h) // PHASH_N
+                g = (px[np.ix_(sy, sx)].astype(np.int64).sum(axis=2) // 3)
+                d8 = (c8 @ g @ c8.T).reshape(-1)  # row-major t = u*8+v
+                thr = int(np.sort(d8[1:])[31])  # median of 63 non-DC
+                bits = (d8 > thr).astype(np.int64)
+                for b in range(AHASH_BANDS):
+                    seg = bits[b * AHASH_BAND_BITS : (b + 1) * AHASH_BAND_BITS]
+                    out["doc_id"].append(int(doc_id))
+                    out["band_idx"].append(b)
+                    out["band_val"].append(int((seg << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
 def ahash_neardup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded Hamming join + exact verify over an ahash_bands relation:
     candidates from EQUAL-BAND buckets (never all-pairs), then exact

@@ -448,6 +448,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "curation_ccnet_tiers_sampled",
     "streaming_targz_ingest",
     "multimodal_decode_jpeg_sub",
+    "multimodal_image_phash_neardup",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -490,7 +491,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "events_sessionize",
     "events_tumbling_window",
     "sim_topk_bruteforce",
-    "sim_topk_ivf",
     "sim_topk_sq8",
     "text_quality",
     "cdc_latest_per_key",

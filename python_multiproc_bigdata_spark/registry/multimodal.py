@@ -341,6 +341,107 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {AHASH_HAMMING_MAX}
 """
 
 
+def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via DCT-hash (pHash) + banded Hamming
+    join (r10) — the frequency-domain sibling of the aHash query:
+    decode → 32x32 NN resample → integer grayscale → FIXED-POINT 2D
+    DCT (operators/multimodal.py:dct32_int — integer coefficients so
+    the median threshold is engine-exact) → 64-bit low-frequency
+    signature packed as 4x16-bit bands → the same provably-complete
+    equal-band candidate join + exact XOR-popcount verify as aHash.
+    The two hashes catch different near-dup classes (aHash: luminance
+    layout; pHash: spectral shape — robust to brightness shifts and
+    high-frequency noise), which is why image-dedup pipelines run
+    both.
+
+    Oracle: GENERATED — an independent pure-Python replay (its own
+    loop-based fixed-point DCT, no numpy matmuls, no shared hashing
+    code) reconstructs every raster from the synth arithmetic, hashes,
+    and emits all qualifying pairs as a VALUES literal."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_ppm,
+        phash_bands,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    bands = phash_bands(attach_ppm(d)).localCheckpoint(eager=True)
+    return ahash_neardup_pairs(bands, max_hamming=AHASH_HAMMING_MAX)
+
+
+def make_phash_oracle() -> str:
+    """Independent single-node pHash replay: rebuild each raster from
+    synth_ppm's documented arithmetic (byte i = (doc_id·31 + i·7) mod
+    256, w = 4+doc_id%5, h = 3+doc_id%4), NN-resample with the
+    floor-index mapping, grayscale (r+g+b)//3, fixed-point DCT via
+    plain nested loops over an inline cos table (same rounding formula
+    as dct32_int but none of its code), median-of-63 threshold, 64-bit
+    hash, all-pairs popcount — banding is deliberately NOT replayed:
+    emitting every Hamming<=3 pair from the full pair space is exactly
+    the completeness claim the banded join must match."""
+    import math
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    ]
+    n = 32
+    scale = 1 << 14
+    c = [
+        [
+            round(
+                (math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n))
+                * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+                * scale
+            )
+            for x in range(n)
+        ]
+        for u in range(8)
+    ]
+    hashes: dict[int, int] = {}
+    for doc_id in ids:
+        w = 4 + doc_id % 5
+        h = 3 + doc_id % 4
+        gray = [
+            [
+                sum((doc_id * 31 + (3 * (yy * w + xx) + ch) * 7) % 256 for ch in range(3)) // 3
+                for xx in ((x * w) // n for x in range(n))
+            ]
+            for yy in ((y * h) // n for y in range(n))
+        ]
+        t = [[sum(gray[y][x] * c[v][x] for x in range(n)) for v in range(8)] for y in range(n)]
+        d8 = [sum(c[u][y] * t[y][v] for y in range(n)) for u in range(8) for v in range(8)]
+        thr = sorted(d8[1:])[31]
+        bits = 0
+        for pos, val in enumerate(d8):
+            if val > thr:
+                bits |= 1 << pos
+        hashes[doc_id] = bits
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= AHASH_HAMMING_MAX:
+                rows.append((a, b, ham))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,"
+            " CAST(NULL AS INTEGER) AS hamming WHERE FALSE"
+        )
+    values = ",\n".join(f"({a}, {b}, {hm})" for a, b, hm in rows)
+    return (
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,"
+        " CAST(hamming AS INTEGER) AS hamming\n"
+        f"FROM (VALUES {values}) AS t(doc_a, doc_b, hamming)"
+    )
+
+
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP decode over a binary column — the third container
     format (after P6 PPM and RIFF/WAVE), with genuinely different
@@ -720,6 +821,9 @@ REGISTRY = {
     "multimodal_decode_gif": QuerySpec(multimodal_decode_gif, SQL_DECODE_GIF),
     "multimodal_image_ahash_neardup": QuerySpec(
         multimodal_image_ahash_neardup, SQL_IMAGE_AHASH_NEARDUP
+    ),
+    "multimodal_image_phash_neardup": QuerySpec(
+        multimodal_image_phash_neardup, make_phash_oracle
     ),
     "multimodal_resize_ppm": QuerySpec(multimodal_resize_ppm, SQL_RESIZE_PPM),
     "multimodal_audio_frames": QuerySpec(multimodal_audio_frames, SQL_AUDIO_FRAMES),

@@ -1288,3 +1288,73 @@ def test_tiff_decode_real_parser(spark):
     assert rows[9].width == 3 + 9 % 5 and rows[9].height == 2 + 9 % 4
     assert rows[3].n_strips == (2 + 3 % 4 + 1) // 2
     assert rows[1].n_pixels == rows[1].width * rows[1].height
+
+
+def test_image_phash_properties_and_banded_join(spark):
+    """pHash near-dup (r10): the fixed-point DCT signature must (a)
+    mark exact duplicates hamming 0 through the banded join, (b) be
+    invariant to a global brightness shift in every non-DC bit (the
+    63 AC coefficients of a shifted image are IDENTICAL integers —
+    only the DC bit may flip), and (c) find exactly the brute-force
+    Hamming<=3 pair set (same 4-band pigeonhole as aHash)."""
+    import numpy as np
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        AHASH_BAND_BITS,
+        AHASH_BANDS,
+        attach_ppm,
+        ahash_neardup_pairs,
+        dct32_int,
+        phash_bands,
+        ppm_raster,
+        synth_ppm,
+    )
+    from python_multiproc_bigdata_spark.registry.multimodal import AHASH_HAMMING_MAX
+
+    c8 = np.array(dct32_int(), dtype=np.int64)[:8]
+
+    def phash_bits(px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        xs, ys = np.arange(32), np.arange(32)
+        g = px[np.ix_((ys * h) // 32, (xs * w) // 32)].astype(np.int64).sum(axis=2) // 3
+        d8 = (c8 @ g @ c8.T).reshape(-1)
+        thr = int(np.sort(d8[1:])[31])
+        return (d8 > thr).astype(np.int64)
+
+    # (b) brightness shift: +24 on every channel flips at most the DC
+    # bit (halve first so the shift cannot clip — clipping would be a
+    # real image change, not a brightness shift)
+    _w, _h, _m, px = ppm_raster(synth_ppm(11))
+    dim = (px // 2).astype(np.uint8)
+    base = phash_bits(dim)
+    shifted = phash_bits((dim.astype(np.int64) + 24).astype(np.uint8))
+    assert (base[1:] == shifted[1:]).all()
+
+    # (a)+(c): banded join equals brute force; periodic dups at hamming 0
+    doc_ids = list(range(100)) + [5 + 1280, 33 + 1280]
+    bits = {}
+    for d in doc_ids:
+        _, _, _m2, p = ppm_raster(synth_ppm(d))
+        bits[d] = phash_bits(p)
+    truth = {
+        (a, b): int(np.sum(bits[a] != bits[b]))
+        for i, a in enumerate(doc_ids)
+        for b in doc_ids[i + 1 :]
+        if int(np.sum(bits[a] != bits[b])) <= AHASH_HAMMING_MAX
+    }
+    assert truth[(5, 5 + 1280)] == 0 and truth[(33, 33 + 1280)] == 0
+    df = spark.createDataFrame([(d,) for d in doc_ids], ["doc_id"])
+    bands = phash_bands(attach_ppm(df)).localCheckpoint(eager=True)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_neardup_pairs(bands, max_hamming=AHASH_HAMMING_MAX).collect()
+    }
+    assert got == truth
+    # band packing: 4 bands x 16 bits reassemble the bit vector
+    rows = bands.filter(F.col("doc_id") == 5).collect()
+    assert sorted(r.band_idx for r in rows) == list(range(AHASH_BANDS))
+    packed = 0
+    for r in rows:
+        packed |= int(r.band_val) << (r.band_idx * AHASH_BAND_BITS)
+    want = int((bits[5] << np.arange(64, dtype=object)).sum())
+    assert packed == want
