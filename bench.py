@@ -235,6 +235,7 @@ HEADLINE = [
     # DCT-domain perceptual near-dup (aHash's spectral sibling)
     "multimodal_decode_jpeg_sub",
     "multimodal_image_phash_neardup",
+    "multimodal_audio_snippet_match",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

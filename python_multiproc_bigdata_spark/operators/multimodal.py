@@ -41,7 +41,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1652,6 +1652,198 @@ def ahash_bands(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+AUDIO_FP_WIN = 16  # DFT window (samples)
+AUDIO_FP_HOP = 4  # hop (samples) — snippets cut on the hop grid realign
+AUDIO_FP_BINS = 8  # DFT bins 1..8 → 8^3 = 512 landmark keys
+AUDIO_FP_SCALE = 1 << 14  # fixed-point twiddle scale
+AUDIO_FP_SNIPPET_HOPS = 2  # snippet starts this many hops into the source
+
+AUDIO_LM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("t", T.IntegerType()),
+        T.StructField("lm_key", T.IntegerType()),
+    ]
+)
+
+
+def audio_fp_twiddles():
+    """Fixed-point 16-point DFT twiddles for bins k=1..8: (cos, -sin)
+    pairs scaled by 2^14 as int64 — the same integer-transform
+    discipline as dct32_int, so peak-bin decisions are engine-exact."""
+    import math
+
+    n = AUDIO_FP_WIN
+    return [
+        [
+            (
+                round(math.cos(2 * math.pi * k * t / n) * AUDIO_FP_SCALE),
+                round(-math.sin(2 * math.pi * k * t / n) * AUDIO_FP_SCALE),
+            )
+            for t in range(n)
+        ]
+        for k in range(1, AUDIO_FP_BINS + 1)
+    ]
+
+
+def synth_wav_fp(doc_id: int) -> bytes:
+    """Deterministic mono WAV for the fingerprint corpus: PCM16 sample
+    i = ((doc_id·37 + i·11 + i²·13·(1+doc_id%97) + i³·(1+doc_id%11))
+    mod 4001) − 2000 — a doc-dependent integer CHIRP, so spectra
+    genuinely differ across docs (synth_wav's corpus is a phase-shifted
+    sawtooth — every doc the same signal — which no fingerprint can or
+    should tell apart; matching needs per-doc structure). n = 96 +
+    doc_id%31 samples. Framing reuses the RIFF/WAVE layout."""
+    import struct
+
+    n = 96 + doc_id % 31
+    pcm = struct.pack(
+        f"<{n}h",
+        *(
+            ((doc_id * 37 + i * 11 + i * i * 13 * (1 + doc_id % 97)
+              + i * i * i * (1 + doc_id % 11)) % 4001) - 2000
+            for i in range(n)
+        ),
+    )
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_wav_fp(df: DataFrame) -> DataFrame:
+    """Synthesize the fingerprint-corpus WAV payload column (doc_id →
+    media) in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_wav_fp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def _mono_pcm(payload: bytes):
+    """Decode WAV → mono int64 PCM (stereo mixed (L+R)//2 per frame)."""
+    _rate, n_channels, frames = wav_samples(bytes(payload))
+    if n_channels == 1:
+        return frames[:, 0]
+    return (frames[:, 0] + frames[:, 1]) // 2
+
+
+def _landmarks_of(mono) -> list[tuple[int, int]]:
+    """(t, lm_key) spectral landmarks of a mono PCM vector: per
+    hop-grid window, integer DFT energies at bins 1..8 → peak bin
+    (ties → lowest bin); landmark key at anchor t packs THREE
+    consecutive peaks base-8 (512 key values here — the key space
+    scales as bins^3 with window size, the posting-selectivity knob a
+    real deployment turns up). All int64-exact: |re| ≤ 16·2000·2^14 <
+    2^30, energies < 2^61."""
+    tw = audio_fp_twiddles()
+    n = len(mono)
+    peaks = []
+    t0 = 0
+    while t0 + AUDIO_FP_WIN <= n:
+        w = mono[t0 : t0 + AUDIO_FP_WIN]
+        best_k, best_e = 0, -1
+        for ki in range(AUDIO_FP_BINS):
+            re = 0
+            im = 0
+            for t in range(AUDIO_FP_WIN):
+                c, s = tw[ki][t]
+                v = int(w[t])
+                re += v * c
+                im += v * s
+            e = re * re + im * im
+            if e > best_e:
+                best_k, best_e = ki, e
+        peaks.append(best_k)
+        t0 += AUDIO_FP_HOP
+    return [
+        (i, (peaks[i] * AUDIO_FP_BINS + peaks[i + 1]) * AUDIO_FP_BINS + peaks[i + 2])
+        for i in range(len(peaks) - 2)
+    ]
+
+
+def audio_landmarks(df: DataFrame, snippet: bool = False) -> DataFrame:
+    """Spectral-landmark relation over the binary WAV column — the
+    constellation-hash index of audio retrieval (Wang 2003, 'An
+    Industrial-Strength Audio Search Algorithm', re-expressed with
+    integer-exact fixed-point DFT peaks): rows (doc_id, t, lm_key).
+    With snippet=True each doc is first CUT on the hop grid
+    (AUDIO_FP_SNIPPET_HOPS·hop samples dropped), modeling the query
+    clip whose landmarks must realign to the source at a constant
+    time offset. Map-only mapInPandas; at 100 TB the corpus landmark
+    relation is what a deployment materializes (it IS the inverted
+    index — lm_key is the posting key)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cut = AUDIO_FP_SNIPPET_HOPS * AUDIO_FP_HOP
+        for pdf in it:
+            out = {"doc_id": [], "t": [], "lm_key": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                mono = _mono_pcm(payload)
+                if snippet:
+                    mono = mono[cut:]
+                for t, key in _landmarks_of(mono):
+                    out["doc_id"].append(int(doc_id))
+                    out["t"].append(t)
+                    out["lm_key"].append(key)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_LM_SCHEMA)
+
+
+def audio_match_snippets(
+    snippets: DataFrame, corpus: DataFrame, min_votes: int = 2
+) -> DataFrame:
+    """Snippet → source matching by landmark-key join + time-offset
+    voting: candidate (snippet, doc) pairs come ONLY from equal lm_key
+    postings (never all-pairs), each co-occurrence votes for the
+    offset dt = t_corpus − t_snippet, and the winning (doc, dt) per
+    snippet is the hypothesis with the most consistent votes (ties →
+    lowest doc, lowest dt). A true source wins because ALL its
+    landmarks agree on one dt; coincidental key collisions scatter
+    across offsets. Returns (snippet_id, matched_doc, dt, votes) with
+    votes ≥ min_votes. Scale: |snippets|-bounded side broadcasts onto
+    the corpus posting relation; voting is one partial-agg groupBy."""
+    s = snippets.select(
+        F.col("doc_id").alias("snippet_id"),
+        F.col("t").alias("ts"),
+        "lm_key",
+    )
+    c = corpus.select(
+        F.col("doc_id").alias("matched_doc"),
+        F.col("t").alias("tc"),
+        "lm_key",
+    )
+    votes = (
+        c.join(F.broadcast(s), "lm_key")
+        .select(
+            "snippet_id",
+            "matched_doc",
+            (F.col("tc") - F.col("ts")).alias("dt"),
+        )
+        .groupBy("snippet_id", "matched_doc", "dt")
+        .agg(F.count(F.lit(1)).cast("int").alias("votes"))
+    )
+    w = Window.partitionBy("snippet_id").orderBy(
+        F.desc("votes"), F.asc("matched_doc"), F.asc("dt")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") == 1) & (F.col("votes") >= min_votes))
+        .select("snippet_id", "matched_doc", "dt", "votes")
+    )
 
 
 PHASH_N = 32  # resample target for the DCT stage

@@ -449,6 +449,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "streaming_targz_ingest",
     "multimodal_decode_jpeg_sub",
     "multimodal_image_phash_neardup",
+    "multimodal_audio_snippet_match",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -489,7 +490,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "events_sessionize",
-    "events_tumbling_window",
     "sim_topk_bruteforce",
     "sim_topk_sq8",
     "text_quality",

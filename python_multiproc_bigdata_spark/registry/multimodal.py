@@ -442,6 +442,132 @@ def make_phash_oracle() -> str:
     )
 
 
+def multimodal_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio snippet → source matching via spectral-landmark hashing
+    (r10) — the constellation-hash retrieval recipe (Wang 2003)
+    re-expressed integer-exact over the chirp fingerprint corpus
+    (synth_wav_fp — per-doc spectral structure; the base WAV corpus is
+    a phase-shifted sawtooth no fingerprint should tell apart): WAV →
+    mono PCM, hop-grid windows get fixed-point-DFT peak bins (16-point
+    DFT, bins 1..8), consecutive-peak triples become 512-value posting
+    keys, and each query snippet (every 5th doc, cut 2 hops into the
+    source — audio_landmarks(snippet=True)) is matched by landmark-key
+    join + time-offset voting (audio_match_snippets): the true source
+    wins because all its landmarks agree on ONE dt (every snippet here
+    resolves to its own source at dt=2) while coincidental key
+    collisions scatter. Candidates come only from equal-key postings —
+    never snippet×corpus all-pairs — and the snippet side broadcasts.
+
+    Oracle: GENERATED — an independent pure-Python replay (mono mix,
+    windowing, DFT peaks, keys, and the full vote count from the synth
+    arithmetic, no shared code) emits the winning (snippet, doc, dt,
+    votes) rows as a VALUES literal."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_wav_fp,
+        audio_landmarks,
+        audio_match_snippets,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    corpus_lm = audio_landmarks(attach_wav_fp(d)).localCheckpoint(eager=True)
+    snips = audio_landmarks(
+        attach_wav_fp(d.filter(F.col("doc_id") % 5 == 0)), snippet=True
+    )
+    return audio_match_snippets(snips, corpus_lm, min_votes=2)
+
+
+def make_audio_snippet_oracle() -> str:
+    """Independent single-node replay of the snippet-match pipeline
+    from synth_wav's documented arithmetic (interleaved sample i =
+    (doc_id·37 + i·11) mod 4001 − 2000; stereo mixed (L+R)//2), with
+    its own twiddle table and plain-loop DFT — then FULL vote counting
+    over every (snippet, doc) key collision and the same
+    (votes DESC, doc ASC, dt ASC) winner rule."""
+    import math
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    ]
+    win, hop, cut, nb = 16, 4, 8, 8
+    tw = [
+        [
+            (
+                round(math.cos(2 * math.pi * k * t / win) * (1 << 14)),
+                round(-math.sin(2 * math.pi * k * t / win) * (1 << 14)),
+            )
+            for t in range(win)
+        ]
+        for k in range(1, nb + 1)
+    ]
+
+    def mono_of(doc_id: int) -> list[int]:
+        n = 96 + doc_id % 31
+        return [
+            ((doc_id * 37 + i * 11 + i * i * 13 * (1 + doc_id % 97)
+              + i * i * i * (1 + doc_id % 11)) % 4001) - 2000
+            for i in range(n)
+        ]
+
+    def landmarks(mono: list[int]) -> list[tuple[int, int]]:
+        peaks = []
+        t0 = 0
+        while t0 + win <= len(mono):
+            best_k, best_e = 0, -1
+            for ki in range(nb):
+                re = sum(mono[t0 + t] * tw[ki][t][0] for t in range(win))
+                im = sum(mono[t0 + t] * tw[ki][t][1] for t in range(win))
+                e = re * re + im * im
+                if e > best_e:
+                    best_k, best_e = ki, e
+            peaks.append(best_k)
+            t0 += hop
+        return [
+            (i, (peaks[i] * nb + peaks[i + 1]) * nb + peaks[i + 2])
+            for i in range(len(peaks) - 2)
+        ]
+
+    corpus = {d: landmarks(mono_of(d)) for d in ids}
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for d, lms in corpus.items():
+        for t, k in lms:
+            by_key.setdefault(k, []).append((d, t))
+    rows = []
+    for sid in ids:
+        if sid % 5:
+            continue
+        votes: Counter = Counter()
+        for ts, k in landmarks(mono_of(sid)[cut:]):
+            for d, tc in by_key.get(k, ()):
+                votes[(d, tc - ts)] += 1
+        if not votes:
+            continue
+        (doc, dt), n = min(
+            votes.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n >= 2:
+            rows.append((sid, doc, dt, n))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS snippet_id, CAST(NULL AS BIGINT) AS matched_doc,"
+            " CAST(NULL AS INTEGER) AS dt, CAST(NULL AS INTEGER) AS votes WHERE FALSE"
+        )
+    values = ",\n".join(f"({s}, {d}, {dt}, {n})" for s, d, dt, n in rows)
+    return (
+        "SELECT CAST(snippet_id AS BIGINT) AS snippet_id,"
+        " CAST(matched_doc AS BIGINT) AS matched_doc,"
+        " CAST(dt AS INTEGER) AS dt, CAST(votes AS INTEGER) AS votes\n"
+        f"FROM (VALUES {values}) AS t(snippet_id, matched_doc, dt, votes)"
+    )
+
+
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP decode over a binary column — the third container
     format (after P6 PPM and RIFF/WAVE), with genuinely different
@@ -824,6 +950,9 @@ REGISTRY = {
     ),
     "multimodal_image_phash_neardup": QuerySpec(
         multimodal_image_phash_neardup, make_phash_oracle
+    ),
+    "multimodal_audio_snippet_match": QuerySpec(
+        multimodal_audio_snippet_match, make_audio_snippet_oracle
     ),
     "multimodal_resize_ppm": QuerySpec(multimodal_resize_ppm, SQL_RESIZE_PPM),
     "multimodal_audio_frames": QuerySpec(multimodal_audio_frames, SQL_AUDIO_FRAMES),
