@@ -236,6 +236,7 @@ HEADLINE = [
     "multimodal_decode_jpeg_sub",
     "multimodal_image_phash_neardup",
     "multimodal_audio_snippet_match",
+    "multimodal_video_shot_boundaries",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

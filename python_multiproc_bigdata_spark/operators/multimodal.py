@@ -1226,6 +1226,131 @@ def avi_frames(payload: bytes):
     return w, h, out
 
 
+SHOT_SCENE_LEN = 4  # frames per scene in the shot corpus
+SHOT_THRESHOLD = 16  # boundary when mean circular pixel distance exceeds this
+
+SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dist", T.LongType()),
+        T.StructField("is_boundary", T.BooleanType()),
+    ]
+)
+
+
+def synth_avi_shots(doc_id: int) -> bytes:
+    """Deterministic AVI with SCENE STRUCTURE for shot-boundary
+    detection: n = 8 + doc_id%5 frames in scenes of SHOT_SCENE_LEN;
+    pixel value v(f, i, ch) = (doc_id·19 + (f // 4)·97 + (f % 4)·3 +
+    i·5 + ch·7) mod 256 — consecutive frames inside a scene drift by
+    +3 per channel value while a scene cut jumps by 97 − 9 = 88, both
+    CONSTANT across pixels (the formula is additive in i and ch), so
+    the circular frame distance is exactly 3 within scenes and 88 at
+    cuts: unambiguous ground truth a SQL oracle states in closed form.
+    Same RIFF/AVI framing as synth_avi (00db DIB frames, bottom-up BGR,
+    stride padding)."""
+    import struct
+
+    w = 4 + doc_id % 3
+    h = 3 + doc_id % 2
+    n_frames = 8 + doc_id % 5
+    stride = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (stride - 3 * w)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                i = y * w + x
+                base = (
+                    doc_id * 19
+                    + (f // SHOT_SCENE_LEN) * 97
+                    + (f % SHOT_SCENE_LEN) * 3
+                    + i * 5
+                )
+                row += bytes(
+                    ((base + 14) % 256, (base + 7) % 256, base % 256)
+                )  # BGR = ch 2,1,0 with ch stride 7
+            rows.append(bytes(row) + pad)
+        frames.append(chunk(b"00db", b"".join(rows)))
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 40000, 0, 0, 0, n_frames, 0, 1, stride * h, w, h, 0, 0, 0, 0
+        ),
+    )
+    strh = chunk(b"strh", b"vids" + b"DIB " + bytes(48))
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_avi_shots(df: DataFrame) -> DataFrame:
+    """Synthesize the scene-structured AVI payload column (doc_id →
+    media) in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_avi_shots(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def avi_shot_transitions(df: DataFrame, threshold: int = SHOT_THRESHOLD) -> DataFrame:
+    """Shot-boundary detection over a binary AVI column — the scene
+    segmentation every video-ingest pipeline runs before frame
+    sampling (sample per shot, not per fixed stride): REAL container
+    decode (avi_frames), then per consecutive-frame pair the total
+    CIRCULAR per-channel pixel distance Σ min(|Δ|, 256−|Δ|) — circular
+    because uint8 frame deltas wrap, and a plain |Δ| would read a
+    253→2 drift as a 251 jump. A transition is a boundary when its
+    MEAN circular distance exceeds `threshold` (strictly greater).
+    1 blob in → n_frames−1 rows out, map-only, zero shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in SHOT_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, frames = avi_frames(bytes(payload))
+                cells = w * h * 3
+                for f in range(1, len(frames)):
+                    d = np.abs(
+                        frames[f].astype(np.int64) - frames[f - 1].astype(np.int64)
+                    )
+                    dist = int(np.minimum(d, 256 - d).sum())
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["dist"].append(dist)
+                    out["is_boundary"].append(dist > threshold * cells)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, SHOT_SCHEMA)
+
+
 def decode_avi(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     """REAL AVI decoder returning (width, height, n_frames,
     n_pixels_total, sum_r, sum_g, sum_b) across all frames — integer

@@ -450,6 +450,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_decode_jpeg_sub",
     "multimodal_image_phash_neardup",
     "multimodal_audio_snippet_match",
+    "multimodal_video_shot_boundaries",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -493,7 +494,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_topk_sq8",
     "text_quality",
-    "cdc_latest_per_key",
     "asof_click_to_view",
     "streaming_click_view_join",
 )

@@ -442,6 +442,53 @@ def make_phash_oracle() -> str:
     )
 
 
+def multimodal_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection (r10) — the scene segmentation a
+    video-ingest pipeline runs before per-shot frame sampling: REAL
+    RIFF/AVI container decode (operators/multimodal.py:avi_frames),
+    then per consecutive-frame pair the total CIRCULAR per-channel
+    pixel distance, boundary where the per-cell mean exceeds the
+    threshold. The scene-structured corpus (synth_avi_shots) drifts +3
+    per value inside 4-frame scenes and jumps 88 at cuts — both
+    constant across pixels by construction, so the oracle states the
+    expected distances in CLOSED FORM while the Spark side must earn
+    them from actual decoded pixels (any decoder/raster/stride slip
+    changes the sums). Map-only, 1 blob → n_frames−1 rows."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_avi_shots,
+        avi_shot_transitions,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return avi_shot_transitions(attach_avi_shots(d))
+
+
+# Closed-form replay of synth_avi_shots: the pixel formula is additive
+# in pixel index and channel, so every cell of transition f shares the
+# same circular delta — 3·(f%4−(f−1)%4) + 97·(f//4−(f−1)//4) mod 256 —
+# and dist = circ(delta) · w·h·3. The Spark side computes the same
+# numbers from decoded rasters.
+SQL_VIDEO_SHOTS = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+         8 + doc_id % 5 AS nf
+  FROM documents
+), tr AS (
+  SELECT doc_id, w, h, CAST(unnest(range(1, nf)) AS INTEGER) AS f FROM dims
+), d AS (
+  SELECT doc_id, w, h, f,
+         ((97 * ((f // 4) - ((f - 1) // 4))
+           + 3 * ((f % 4) - ((f - 1) % 4))) % 256 + 256) % 256 AS delta
+  FROM tr
+)
+SELECT doc_id,
+       f AS frame_idx,
+       CAST(least(delta, 256 - delta) * w * h * 3 AS BIGINT) AS dist,
+       least(delta, 256 - delta) > 16 AS is_boundary
+FROM d
+"""
+
+
 def multimodal_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio snippet → source matching via spectral-landmark hashing
     (r10) — the constellation-hash retrieval recipe (Wang 2003)
@@ -953,6 +1000,9 @@ REGISTRY = {
     ),
     "multimodal_audio_snippet_match": QuerySpec(
         multimodal_audio_snippet_match, make_audio_snippet_oracle
+    ),
+    "multimodal_video_shot_boundaries": QuerySpec(
+        multimodal_video_shot_boundaries, SQL_VIDEO_SHOTS
     ),
     "multimodal_resize_ppm": QuerySpec(multimodal_resize_ppm, SQL_RESIZE_PPM),
     "multimodal_audio_frames": QuerySpec(multimodal_audio_frames, SQL_AUDIO_FRAMES),
