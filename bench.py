@@ -237,6 +237,7 @@ HEADLINE = [
     "multimodal_image_phash_neardup",
     "multimodal_audio_snippet_match",
     "multimodal_video_shot_boundaries",
+    "eval_mrl_truncation_recall",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

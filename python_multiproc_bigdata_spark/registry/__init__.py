@@ -451,6 +451,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_image_phash_neardup",
     "multimodal_audio_snippet_match",
     "multimodal_video_shot_boundaries",
+    "eval_mrl_truncation_recall",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -492,7 +493,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "events_sessionize",
     "sim_topk_bruteforce",
-    "sim_topk_sq8",
     "text_quality",
     "asof_click_to_view",
     "streaming_click_view_join",

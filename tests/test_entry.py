@@ -48,7 +48,7 @@ def test_checked_window_is_curated():
         "events_rfm_segmentation_sampled", "curation_ccnet_tiers_sampled",
         "streaming_targz_ingest", "multimodal_decode_jpeg_sub",
         "multimodal_image_phash_neardup", "multimodal_audio_snippet_match",
-        "multimodal_video_shot_boundaries",
+        "multimodal_video_shot_boundaries", "eval_mrl_truncation_recall",
         # round-10 rotation (r9 went 50/50 and the cumulative ledger hit
         # 300/300 driver-green-ever, so the window's job flips from
         # clearing the never-checked backlog to REFRESHING the stalest
@@ -73,7 +73,7 @@ def test_checked_window_is_curated():
         "q3_shipping_priority", "q5_region_revenue", "dedup_exact",
         "dedup_minhash_lsh", "events_sessionize",
         "sim_topk_bruteforce",
-        "sim_topk_sq8", "text_quality",
+        "text_quality",
         "asof_click_to_view", "streaming_click_view_join",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
