@@ -542,3 +542,22 @@ def test_ccnet_sampled_no_full_corpus_window(spark):
     assert "BroadcastHashJoin" in plan
     exact_plan = plan_of(REGISTRY["curation_ccnet_tiers"].fn(spark, SF_DIR))
     assert "Window" in exact_plan
+
+
+def test_audio_snippet_match_broadcast_and_no_cartesian(spark):
+    """Snippet matching must generate candidates ONLY from the
+    landmark-key equi-join with the bounded snippet side broadcast —
+    a cartesian snippet×corpus pair space would defeat the posting
+    design at scale."""
+    plan = plan_of(REGISTRY["multimodal_audio_snippet_match"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_video_shots_map_only(spark):
+    """Shot-boundary detection is decode + per-blob frame math: the
+    plan must carry no shuffle at all (a join or aggregation here
+    would mean the operator stopped being embarrassingly parallel)."""
+    plan = plan_of(REGISTRY["multimodal_video_shot_boundaries"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
