@@ -496,7 +496,7 @@ def multimodal_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFram
     (synth_wav_fp — per-doc spectral structure; the base WAV corpus is
     a phase-shifted sawtooth no fingerprint should tell apart): WAV →
     mono PCM, hop-grid windows get fixed-point-DFT peak bins (16-point
-    DFT, bins 1..8), consecutive-peak triples become 512-value posting
+    DFT, bins 1..8), consecutive-peak quads become 4096-value posting
     keys, and each query snippet (every 5th doc, cut 2 hops into the
     source — audio_landmarks(snippet=True)) is matched by landmark-key
     join + time-offset voting (audio_match_snippets): the true source
@@ -577,8 +577,12 @@ def make_audio_snippet_oracle() -> str:
             peaks.append(best_k)
             t0 += hop
         return [
-            (i, (peaks[i] * nb + peaks[i + 1]) * nb + peaks[i + 2])
-            for i in range(len(peaks) - 2)
+            (
+                i,
+                ((peaks[i] * nb + peaks[i + 1]) * nb + peaks[i + 2]) * nb
+                + peaks[i + 3],
+            )
+            for i in range(len(peaks) - 3)
         ]
 
     corpus = {d: landmarks(mono_of(d)) for d in ids}

@@ -883,17 +883,55 @@ def eval_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point is that a d'-dim scan moves d'/d of the bytes). The
     oracle replays every tower with DuckDB list slices and the same
     rounding/tie discipline."""
+    from pyspark.sql import Window
+
+    from python_multiproc_bigdata_spark.functions.vectors import dot, l2_norm
+    from python_multiproc_bigdata_spark.operators.similarity import _score
+
     emb = table(prep(spark), sf_dir, "embeddings")
+
+    def side(df, id_alias, emb_alias, pre):
+        # per-prefix norms precomputed ONCE per row (the _with_norm
+        # lesson: folding norms inside the crossJoin re-folds per pair)
+        cols = [F.col("vec_id").alias(id_alias), F.col("embedding").alias(emb_alias)]
+        for w in MRL_WIDTHS:
+            cols.append(l2_norm(F.slice("embedding", 1, w)).alias(f"{pre}n{w}"))
+        return df.select(*cols)
+
+    q = side(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qe", "q")
+    c = side(emb, "neighbor_id", "ce", "c")
+    # ONE crossJoin carrying every width's score (the r10 first-cut ran
+    # four separate brute-force towers — 4 crossJoins and 12.4 s at
+    # sf0.1; each width's slice dot must stay an independent left fold,
+    # NOT an incremental segment sum, or the 4dp rounding diverges from
+    # list_dot_product on prefix slices)
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    score_cols = [
+        _score(
+            dot(F.slice("qe", 1, w), F.slice("ce", 1, w)),
+            F.col(f"qn{w}"),
+            F.col(f"cn{w}"),
+        ).alias(f"s{w}")
+        for w in MRL_WIDTHS
+    ]
+    scored = pairs.select(
+        "query_id", "neighbor_id", *score_cols
+    ).localCheckpoint(eager=True)
+
+    def top3(w):
+        win = Window.partitionBy("query_id").orderBy(
+            F.desc(f"s{w}"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(win))
+            .filter(F.col("_r") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = top3(MRL_WIDTHS[-1])
     out = None
-    exact = topk_bruteforce(
-        emb.filter(F.col("vec_id") < N_QUERIES), emb, k=3
-    ).select("query_id", "neighbor_id")
     for w in MRL_WIDTHS:
-        t = emb.select("vec_id", F.slice("embedding", 1, w).alias("embedding"))
-        trunc = topk_bruteforce(
-            t.filter(F.col("vec_id") < N_QUERIES), t, k=3
-        ).select("query_id", "neighbor_id")
-        hits = exact.join(trunc, ["query_id", "neighbor_id"]).agg(
+        hits = exact.join(top3(w), ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).alias("n_hits")
         )
         totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
