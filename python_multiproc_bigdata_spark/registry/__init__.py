@@ -430,13 +430,17 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # non-anchor r9 slots rotate out (each r9-green on record in
 # CORRECTNESS_r09.json, pinned by tests/test_entry.py) and the slots
 # go to the queries with the OLDEST latest-green rounds: the entire
-# r1-green cohort (26) and r2-green cohort (6), plus 15 family-diverse
+# r1-green cohort (26) and r2-green cohort (6), plus family-diverse
 # members of the r3-green cohort (TPC-H veterans, the early dedup/
-# events/similarity spine, CDC, as-of, streaming join, text quality),
-# plus the two queries BORN this round (the sampled-cutoff scale
-# variants — never-checked queries enter the window the round they are
-# born). Post-r10 ledger math: latest-green distribution becomes
-# r10:50, r9:50, r8:46, r7:44, ... → median green-age 3 rounds.
+# events/similarity spine, as-of, streaming join, text quality), plus
+# the EIGHT queries BORN this round (never-checked queries enter the
+# window the round they are born: the two sampled-cutoff scale
+# variants, the tar.gz streaming twin, the subsampled-JPEG decode,
+# pHash image near-dup, audio snippet matching, video shot boundaries,
+# and the MRL truncation recall curve — each displacing one r3-green
+# re-confirm whose family keeps in-window siblings). Post-r10 ledger
+# math: latest-green distribution becomes r10:50, r9:50, r8:46,
+# r7:44, ... → median green-age 3 rounds.
 CHECKED_FIRST: tuple[str, ...] = (
     # words ETL spine (reference flagship — the permanent anchor)
     "words_pipeline",
