@@ -238,6 +238,7 @@ HEADLINE = [
     "multimodal_audio_snippet_match",
     "multimodal_video_shot_boundaries",
     "eval_mrl_truncation_recall",
+    "training_budget_select",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -456,6 +456,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_audio_snippet_match",
     "multimodal_video_shot_boundaries",
     "eval_mrl_truncation_recall",
+    "training_budget_select",
     # ---- the r1-green cohort: stalest driver records in the ledger ----
     "anti_join_customers",
     "broadcast_dim_join",
@@ -494,7 +495,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_region_revenue",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "events_sessionize",
     "sim_topk_bruteforce",
     "text_quality",

@@ -700,6 +700,101 @@ FROM r GROUP BY source
 """
 
 
+BUDGET_FRAC = 0.25  # token budget as a fraction of the corpus
+BUDGET_SRC_FRAC = 0.4  # per-source cap as a fraction of the budget
+
+
+def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection under a TOKEN BUDGET (r10) — the
+    decision a data team actually makes ('we can afford 25% of the
+    corpus this run: which docs?'): docs are taken in quality order
+    (bigram-LM cross entropy ASC — the CCNet 'head' discipline, doc_id
+    tiebreak) through two deterministic gates: (1) a per-source cap
+    (no source may contribute more than BUDGET_SRC_FRAC of the budget
+    — the diversity guard, applied FIRST so one fluent source cannot
+    monopolize), then (2) the global budget cut over the capped set.
+    One summary row per source: kept docs/tokens and the kept-quality
+    envelope (min/max xent — order-exact, no float summation).
+
+    Composes the oracle-checked LM tower; the quality rank and both
+    running sums use (xent, doc_id) total orders, so both engines walk
+    the identical greedy. Scale note: the per-source running sum is a
+    source-partitioned window; the global cut is a single-task sort
+    over the capped |docs| relation — post-aggregation, like
+    stats_gini; at 100 TB swap it for broadcast sample-derived
+    quality cutoffs (the events_rfm_segmentation_sampled pattern) and
+    accept approximate budget adherence."""
+    from python_multiproc_bigdata_spark.operators.curation import (
+        bigram_logprob_score,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    perdoc = bigram_logprob_score(d)
+    ws = F.size(F.filter(F.split("text", WHITESPACE_RE), lambda w: F.length(w) > 0))
+    toks = d.select("doc_id", "source", ws.alias("n_tokens")).join(perdoc, "doc_id")
+    total = toks.agg(F.sum("n_tokens").alias("_tot"))
+    t = toks.crossJoin(F.broadcast(total)).select(
+        "*",
+        F.floor(F.col("_tot") * F.lit(BUDGET_FRAC)).cast("long").alias("budget"),
+        F.floor(F.col("_tot") * F.lit(BUDGET_FRAC) * F.lit(BUDGET_SRC_FRAC))
+        .cast("long")
+        .alias("src_cap"),
+    )
+    w_src = Window.partitionBy("source").orderBy(F.asc("xent2_nats"), F.asc("doc_id"))
+    capped = t.withColumn("src_run", F.sum("n_tokens").over(w_src)).filter(
+        F.col("src_run") <= F.col("src_cap")
+    )
+    w_glob = Window.orderBy(F.asc("xent2_nats"), F.asc("doc_id"))
+    kept = capped.withColumn("glob_run", F.sum("n_tokens").over(w_glob)).filter(
+        F.col("glob_run") <= F.col("budget")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.min("xent2_nats").alias("min_xent"),
+        F.max("xent2_nats").alias("max_xent"),
+        F.max("budget").alias("budget_tokens"),
+        F.max("src_cap").alias("src_cap_tokens"),
+    )
+
+
+def _budget_select_sql() -> str:
+    from python_multiproc_bigdata_spark.registry.curation import SQL_BIGRAM_LOGPROB
+
+    return (
+        "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n)"
+        + rf""", toks AS (
+  SELECT d.doc_id, d.source, p.xent2_nats,
+         len(list_filter(string_split_regex(d.text, '[ \t\n\r\f\x0B]+'),
+             x -> length(x) > 0)) AS n_tokens
+  FROM documents d JOIN perdoc p USING (doc_id)
+), tot AS (
+  SELECT sum(n_tokens) AS t FROM toks
+), lim AS (
+  SELECT CAST(floor(t * {BUDGET_FRAC}) AS BIGINT) AS budget,
+         CAST(floor(t * {BUDGET_FRAC} * {BUDGET_SRC_FRAC}) AS BIGINT) AS src_cap
+  FROM tot
+), capped AS (
+  SELECT toks.*, lim.budget, lim.src_cap
+  FROM toks, lim
+  QUALIFY sum(n_tokens) OVER (PARTITION BY source
+                              ORDER BY xent2_nats, doc_id) <= lim.src_cap
+), kept AS (
+  SELECT * FROM capped
+  QUALIFY sum(n_tokens) OVER (ORDER BY xent2_nats, doc_id) <= budget
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       min(xent2_nats) AS min_xent,
+       max(xent2_nats) AS max_xent,
+       max(budget) AS budget_tokens,
+       max(src_cap) AS src_cap_tokens
+FROM kept GROUP BY source
+"""
+    )
+
+
 def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-shard planning manifest: assign every document to one of
     16 shards by hash-mod (shard = md5(doc_id) first 4 hex chars mod
@@ -814,6 +909,7 @@ REGISTRY = {
         training_length_batches, SQL_LENGTH_BATCHES
     ),
     "training_source_caps": QuerySpec(training_source_caps, SQL_SOURCE_CAPS),
+    "training_budget_select": QuerySpec(training_budget_select, _budget_select_sql),
     "training_temperature_mix": QuerySpec(
         training_temperature_mix, SQL_TEMPERATURE_MIX
     ),

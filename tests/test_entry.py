@@ -49,6 +49,7 @@ def test_checked_window_is_curated():
         "streaming_targz_ingest", "multimodal_decode_jpeg_sub",
         "multimodal_image_phash_neardup", "multimodal_audio_snippet_match",
         "multimodal_video_shot_boundaries", "eval_mrl_truncation_recall",
+        "training_budget_select",
         # round-10 rotation (r9 went 50/50 and the cumulative ledger hit
         # 300/300 driver-green-ever, so the window's job flips from
         # clearing the never-checked backlog to REFRESHING the stalest
@@ -71,7 +72,7 @@ def test_checked_window_is_curated():
         "words_no_dupes", "words_v1_length_filter",
         # ... and 15 family-diverse members of the r3-green cohort
         "q3_shipping_priority", "q5_region_revenue", "dedup_exact",
-        "dedup_minhash_lsh", "events_sessionize",
+        "events_sessionize",
         "sim_topk_bruteforce",
         "text_quality",
         "asof_click_to_view", "streaming_click_view_join",
