@@ -232,8 +232,15 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
             if payload[pos + 512 : pos + 1024] != bytes(512):
                 raise ValueError("single zero block without terminator pair")
             return out
-        if hdr[257:262] != b"ustar":
-            raise ValueError(f"not a ustar header at {pos}")
+        # The prefix field at 345-500 only exists in POSIX ustar
+        # (magic 'ustar\0' + version '00'); GNU tar ('ustar  \0')
+        # stores atime/ctime there, so rejoining would corrupt names.
+        # Raise loudly on any magic we don't parse exactly.
+        if hdr[257:265] != b"ustar\x0000":
+            raise ValueError(
+                f"unsupported tar magic/version {hdr[257:265]!r} at {pos} "
+                "(only POSIX ustar 'ustar\\x0000' is parsed)"
+            )
         stored = int(hdr[148:156].rstrip(b"\x00 ").decode() or "0", 8)
         computed = sum(hdr[:148]) + 8 * ord(" ") + sum(hdr[156:])
         if stored != computed:
@@ -245,6 +252,8 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         hdr_size = int(hdr[124:136].rstrip(b"\x00 ").decode(), 8)
         typeflag = hdr[156]
         if typeflag in (ord("x"), ord("g")):
+            if pos + 512 + hdr_size > n:
+                raise ValueError(f"PAX header truncated at {pos}")
             recs = _pax_records(payload[pos + 512 : pos + 512 + hdr_size])
             if typeflag == ord("x"):
                 pending.update(recs)

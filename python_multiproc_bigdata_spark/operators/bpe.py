@@ -106,6 +106,7 @@ def _accept_batch(
     The first candidate that cannot be proven stops the batch (the next
     aggregation round re-derives exact counts)."""
     accepted: list[tuple[str, str, int]] = []
+    acc_pairs: set[tuple[str, str]] = set()
     acc_syms: set[str] = set()
     acc_merged: set[str] = set()
     for row in rows:
@@ -118,7 +119,7 @@ def _accept_batch(
             d = tail
             for r in rows:
                 ra, rb = r["a"], r["b"]
-                if (ra, rb) in {(x, y) for x, y, _ in accepted}:
+                if (ra, rb) in acc_pairs:
                     continue
                 if ra in acc_syms or rb in acc_syms:
                     d = max(d, int(r["c"]))
@@ -131,6 +132,7 @@ def _accept_batch(
             accepted.append((a, b, c))
             break
         accepted.append((a, b, c))
+        acc_pairs.add((a, b))
         acc_syms |= {a, b}
         acc_merged.add(a + b)
     return accepted

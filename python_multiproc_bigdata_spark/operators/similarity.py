@@ -719,15 +719,17 @@ def topk_bruteforce_np(
 
     out_schema = "query_id long, neighbor_id long, score double, rk int"
     spark = corpus.sparkSession
-    n_corpus = corpus.count()
-    if n_corpus > max_corpus_rows:
+    # One scan, not two: collect the projection with a limit one past
+    # the bound — an oversize corpus is detected from the collected
+    # length without a separate count() action over the full corpus.
+    rows = corpus.select("vec_id", "embedding").limit(max_corpus_rows + 1).collect()
+    if len(rows) > max_corpus_rows:
         raise ValueError(
             f"topk_bruteforce_np collects the corpus to the driver: "
-            f"{n_corpus} rows > max_corpus_rows={max_corpus_rows}; use "
+            f">{max_corpus_rows} rows (max_corpus_rows={max_corpus_rows}); use "
             f"topk_bruteforce (distributed HOF fold) or an ANN tier, or "
             f"raise max_corpus_rows deliberately"
         )
-    rows = corpus.select("vec_id", "embedding").collect()
     if not rows:  # 1-D np.array([]) would break axis=1 norms
         return spark.createDataFrame([], out_schema)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)

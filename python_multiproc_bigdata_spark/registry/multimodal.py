@@ -525,8 +525,10 @@ def multimodal_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFram
 
 def make_audio_snippet_oracle() -> str:
     """Independent single-node replay of the snippet-match pipeline
-    from synth_wav's documented arithmetic (interleaved sample i =
-    (doc_id·37 + i·11) mod 4001 − 2000; stereo mixed (L+R)//2), with
+    from synth_wav_fp's documented arithmetic — the MONO integer chirp
+    sample i = ((doc_id·37 + i·11 + i²·13·(1+doc_id%97) +
+    i³·(1+doc_id%11)) mod 4001) − 2000 over n = 96 + doc_id%31 samples
+    (no stereo mix: the fingerprint corpus is single-channel) — with
     its own twiddle table and plain-loop DFT — then FULL vote counting
     over every (snippet, doc) key collision and the same
     (votes DESC, doc ASC, dt ASC) winner rule."""
