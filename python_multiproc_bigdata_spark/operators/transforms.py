@@ -118,9 +118,10 @@ def project_values_path(
 
 def with_global_index(
     df: DataFrame,
-    order_by: str,
+    order_by,
     out_col: str = "idx",
     n_buckets: int = 32,
+    cumsum: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Global 0-based dense index by a unique orderable key WITHOUT a
     single-partition sort (the scalable zipWithIndex: training-shard
@@ -133,50 +134,77 @@ def with_global_index(
     (3) bucket counts — n_buckets rows — cumsum into offsets broadcast
     back as a literal map. idx = offset[bucket] + rank - 1. Boundaries
     only steer bucket sizes; any boundary skew changes parallelism, not
-    correctness. Requires a NUMERIC `order_by` (approxQuantile) with
-    unique values for a deterministic total order (ties would make
-    ranks retry-unstable).
+    correctness.
 
-    Two jobs read the bucketed frame (the bucket counts and the final
-    ranked materialization — the quantiles run on `df` before it
-    exists, and the cuts only steer bucket SIZES, never correctness),
-    so it is persisted while both run: on a non-deterministic input
-    (sample(), re-read mutable source) separate recomputations could
-    disagree between counts/offsets and ranks, breaking the
-    density/uniqueness guarantee. The RESULT is persisted and eagerly
-    materialized (still inside the bucketed cache's lifetime), then the
-    internal cache is released — so the operator leaks nothing the
-    caller can't free: unpersist the RETURNED frame when done with it.
-    Inputs must still be deterministic BETWEEN calls."""
+    `order_by` is a column name or a LIST of names forming the total
+    order, all ascending (pre-negate a numeric column for DESC legs).
+    The FIRST column must be NUMERIC (approxQuantile learns cuts on it;
+    ties on it are fine — equal values land in one bucket) and the full
+    tuple must be UNIQUE (ties across the whole key would make ranks
+    retry-unstable).
+
+    `cumsum` optionally maps value-column → output-column: each gets
+    the running INCLUSIVE sum in the same global order, by the same
+    split (within-bucket window sum + broadcast per-bucket sum offsets)
+    — the scalable form of `sum().over(orderBy(...).rowsBetween(
+    unboundedPreceding, 0))` for Pareto/coverage curves.
+
+    Two jobs read the bucketed frame (the bucket count/sum stats and
+    the final ranked materialization — the quantiles run on `df` before
+    it exists, and the cuts only steer bucket SIZES, never
+    correctness), so it is persisted while both run: on a
+    non-deterministic input (sample(), re-read mutable source) separate
+    recomputations could disagree between offsets and ranks, breaking
+    the density/uniqueness guarantee. The RESULT is persisted and
+    eagerly materialized (still inside the bucketed cache's lifetime),
+    then the internal cache is released — so the operator leaks nothing
+    the caller can't free: unpersist the RETURNED frame when done with
+    it. Inputs must still be deterministic BETWEEN calls."""
     from pyspark.sql import Window
 
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    key = cols[0]
+    cums = dict(cumsum or {})
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(df.approxQuantile(order_by, qs, 0.001)))
+    cuts = sorted(set(df.approxQuantile(key, qs, 0.001)))
     bucket = F.lit(0)
     for i, c in enumerate(cuts):
-        bucket = F.when(F.col(order_by) > F.lit(c), i + 1).otherwise(bucket)
+        bucket = F.when(F.col(key) > F.lit(c), i + 1).otherwise(bucket)
     b = df.withColumn("_gb", bucket).persist()
-    w = Window.partitionBy("_gb").orderBy(order_by)
+    w = Window.partitionBy("_gb").orderBy(*[F.asc(c) for c in cols])
     ranked = b.withColumn("_rk", F.row_number().over(w))
-    counts = sorted(
-        (r._gb, r.n)
-        for r in b.groupBy("_gb").agg(F.count(F.lit(1)).alias("n")).collect()
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    for val, out in cums.items():
+        ranked = ranked.withColumn(f"_cs_{out}", F.sum(val).over(running))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(val).alias(f"_s_{out}") for val, out in cums.items()
+    ]
+    stats = sorted(
+        (r["_gb"], r) for r in b.groupBy("_gb").agg(*aggs).collect()
     )
-    offsets, acc = {}, 0
-    for gb, n in counts:
+    offsets: dict[int, int] = {}
+    sum_offsets: dict[str, dict[int, int]] = {out: {} for out in cums.values()}
+    acc = 0
+    sum_acc = {out: 0 for out in cums.values()}
+    for gb, row in stats:
         offsets[gb] = acc
-        acc += n
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+        acc += row["_n"]
+        for out in cums.values():
+            sum_offsets[out][gb] = sum_acc[out]
+            sum_acc[out] += row[f"_s_{out}"] or 0
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    result = ranked.withColumn(
+        out_col,
+        (F.element_at(omap, F.col("_gb")) + F.col("_rk") - 1).cast("long"),
     )
-    result = (
-        ranked.withColumn(
-            out_col,
-            (F.element_at(omap, F.col("_gb")) + F.col("_rk") - 1).cast("long"),
+    for out in cums.values():
+        smap = F.create_map(
+            *[F.lit(x) for kv in sum_offsets[out].items() for x in kv]
         )
-        .drop("_gb", "_rk")
-        .persist()
-    )
+        result = result.withColumn(
+            out, F.element_at(smap, F.col("_gb")) + F.col(f"_cs_{out}")
+        ).drop(f"_cs_{out}")
+    result = result.drop("_gb", "_rk").persist()
     result.count()  # materialize while b's cache is live → consistent
     b.unpersist()
     return result

@@ -2074,19 +2074,21 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with custkey tiebreak. Top-k% cutoffs use k = ceil(n·pct) worst-case
     integer arithmetic ((n + 99) // 100), never float thresholds.
 
-    Scale note: the global row_number is a single-task sort over the
-    |customers| relation (fine to ~1e8 rows); at 100 TB rank via a
-    distributed sort + per-partition offsets (zipWithIndex-style) or
-    quantile cutoffs — the sums are partial-aggregated either way."""
+    Scale note: the global rank runs through with_global_index
+    (operators/transforms.py — bucketed parallel sort + broadcast
+    offsets, NO single-partition window), ordered (cents, custkey) with
+    quantile cuts on cents; the sums are partial-aggregated either
+    way."""
+    from python_multiproc_bigdata_spark.operators.transforms import with_global_index
+
     o = table(prep(spark), sf_dir, "orders").select("o_custkey", "o_totalprice")
     cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(cents).alias("cents")
     )
-    w = Window.orderBy(F.asc("cents"), F.asc("custkey"))
-    ranked = per_cust.select(
-        "cents", F.row_number().over(w).alias("i")
-    )
+    ranked = with_global_index(
+        per_cust, ["cents", "custkey"], out_col="i0"
+    ).select("cents", (F.col("i0") + 1).alias("i"))
     dec = "decimal(38,0)"
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2581,21 +2583,24 @@ def stats_pareto_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     actionable cuts). Exactness: customers ranked by (cents DESC,
     custkey), a running cents sum, and the threshold test
     cum·100 ≥ thr·total on exact integers — the cutoff is the MIN rank
-    passing it (one min-agg per threshold). Scale note: the global
-    rank/running-sum window is single-task over |customers| (swap for
-    distributed sort + partition offsets at 100 TB, like the Gini)."""
+    passing it (one min-agg per threshold). Scale note: both the global
+    rank AND the running revenue sum run through with_global_index's
+    bucketed split (cents DESC expressed as ascending −cents; cumsum
+    via within-bucket window sums + broadcast per-bucket sum offsets) —
+    no single-task window anywhere in the plan."""
+    from python_multiproc_bigdata_spark.operators.transforms import with_global_index
+
     o = table(prep(spark), sf_dir, "orders").select("o_custkey", "o_totalprice")
     cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(cents).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("custkey"))
-    ranked = per_cust.select(
-        F.row_number().over(w).alias("rk"),
-        F.sum("cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-    )
+    ranked = with_global_index(
+        per_cust.withColumn("neg_cents", -F.col("cents")),
+        ["neg_cents", "custkey"],
+        out_col="i0",
+        cumsum={"cents": "cum"},
+    ).select((F.col("i0") + 1).alias("rk"), "cum")
     tot = per_cust.agg(
         F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_customers")
     )

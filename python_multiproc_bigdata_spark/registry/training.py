@@ -704,26 +704,11 @@ BUDGET_FRAC = 0.25  # token budget as a fraction of the corpus
 BUDGET_SRC_FRAC = 0.4  # per-source cap as a fraction of the budget
 
 
-def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data selection under a TOKEN BUDGET (r10) — the
-    decision a data team actually makes ('we can afford 25% of the
-    corpus this run: which docs?'): docs are taken in quality order
-    (bigram-LM cross entropy ASC — the CCNet 'head' discipline, doc_id
-    tiebreak) through two deterministic gates: (1) a per-source cap
-    (no source may contribute more than BUDGET_SRC_FRAC of the budget
-    — the diversity guard, applied FIRST so one fluent source cannot
-    monopolize), then (2) the global budget cut over the capped set.
-    One summary row per source: kept docs/tokens and the kept-quality
-    envelope (min/max xent — order-exact, no float summation).
-
-    Composes the oracle-checked LM tower; the quality rank and both
-    running sums use (xent, doc_id) total orders, so both engines walk
-    the identical greedy. Scale note: the per-source running sum is a
-    source-partitioned window; the global cut is a single-task sort
-    over the capped |docs| relation — post-aggregation, like
-    stats_gini; at 100 TB swap it for broadcast sample-derived
-    quality cutoffs (the events_rfm_segmentation_sampled pattern) and
-    accept approximate budget adherence."""
+def _budget_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front of the budget-select pair: quality-scored tokenized
+    docs with broadcast budget/src_cap literals, gated by the
+    per-source running-token cap (source-PARTITIONED window — scales;
+    the two variants differ only in how the global budget cut runs)."""
     from python_multiproc_bigdata_spark.operators.curation import (
         bigram_logprob_score,
     )
@@ -741,13 +726,41 @@ def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("src_cap"),
     )
     w_src = Window.partitionBy("source").orderBy(F.asc("xent2_nats"), F.asc("doc_id"))
-    capped = t.withColumn("src_run", F.sum("n_tokens").over(w_src)).filter(
+    return t.withColumn("src_run", F.sum("n_tokens").over(w_src)).filter(
         F.col("src_run") <= F.col("src_cap")
     )
-    w_glob = Window.orderBy(F.asc("xent2_nats"), F.asc("doc_id"))
-    kept = capped.withColumn("glob_run", F.sum("n_tokens").over(w_glob)).filter(
-        F.col("glob_run") <= F.col("budget")
-    )
+
+
+def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection under a TOKEN BUDGET (r10) — the
+    decision a data team actually makes ('we can afford 25% of the
+    corpus this run: which docs?'): docs are taken in quality order
+    (bigram-LM cross entropy ASC — the CCNet 'head' discipline, doc_id
+    tiebreak) through two deterministic gates: (1) a per-source cap
+    (no source may contribute more than BUDGET_SRC_FRAC of the budget
+    — the diversity guard, applied FIRST so one fluent source cannot
+    monopolize), then (2) the global budget cut over the capped set.
+    One summary row per source: kept docs/tokens and the kept-quality
+    envelope (min/max xent — order-exact, no float summation).
+
+    Composes the oracle-checked LM tower; the quality rank and both
+    running sums use (xent, doc_id) total orders, so both engines walk
+    the identical greedy. Scale note: the per-source running sum is a
+    source-partitioned window; the global running sum goes through
+    with_global_index's bucketed split (quantile cuts on xent,
+    within-bucket window sums + broadcast per-bucket sum offsets) — no
+    single-task window. Exact budget adherence still serializes the
+    ORDER logically; for approximate adherence at extreme scale see
+    training_budget_select_sampled (broadcast sample-derived cutoff)."""
+    from python_multiproc_bigdata_spark.operators.transforms import with_global_index
+
+    capped = _budget_capped(spark, sf_dir)
+    kept = with_global_index(
+        capped,
+        ["xent2_nats", "doc_id"],
+        out_col="_gi",
+        cumsum={"n_tokens": "glob_run"},
+    ).filter(F.col("glob_run") <= F.col("budget"))
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").alias("kept_tokens"),
@@ -758,12 +771,7 @@ def training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _budget_select_sql() -> str:
-    from python_multiproc_bigdata_spark.registry.curation import SQL_BIGRAM_LOGPROB
-
-    return (
-        "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n)"
-        + rf""", toks AS (
+_BUDGET_CAPPED_SQL = rf"""toks AS (
   SELECT d.doc_id, d.source, p.xent2_nats,
          len(list_filter(string_split_regex(d.text, '[ \t\n\r\f\x0B]+'),
              x -> length(x) > 0)) AS n_tokens
@@ -779,11 +787,9 @@ def _budget_select_sql() -> str:
   FROM toks, lim
   QUALIFY sum(n_tokens) OVER (PARTITION BY source
                               ORDER BY xent2_nats, doc_id) <= lim.src_cap
-), kept AS (
-  SELECT * FROM capped
-  QUALIFY sum(n_tokens) OVER (ORDER BY xent2_nats, doc_id) <= budget
-)
-SELECT source,
+)"""
+
+_BUDGET_SUMMARY_SQL = """SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs_kept,
        CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
        min(xent2_nats) AS min_xent,
@@ -792,6 +798,101 @@ SELECT source,
        max(src_cap) AS src_cap_tokens
 FROM kept GROUP BY source
 """
+
+
+def _budget_select_sql() -> str:
+    from python_multiproc_bigdata_spark.registry.curation import SQL_BIGRAM_LOGPROB
+
+    return (
+        "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n), "
+        + _BUDGET_CAPPED_SQL
+        + """, kept AS (
+  SELECT * FROM capped
+  QUALIFY sum(n_tokens) OVER (ORDER BY xent2_nats, doc_id) <= budget
+)
+"""
+        + _BUDGET_SUMMARY_SQL
+    )
+
+
+def training_budget_select_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_budget_select's 100 TB form — the one its own docstring
+    prescribes (the events_rfm_segmentation_sampled pattern): the
+    global budget cut becomes a broadcast QUALITY CUTOFF derived from a
+    bounded deterministic sample, so no ordered pass over the full
+    capped relation ever runs — exact budget adherence traded for a
+    sample-estimated one (±sampling error on the kept-token total; the
+    exact sibling stays registered as the oracle anchor).
+
+    Sample = capped docs whose md5(doc_id) hex starts with '0' (a
+    deterministic ~1/16 slice, engine-portable like every md5 sample in
+    this repo). The sample is walked in quality order (xent ASC, doc_id
+    tiebreak) with a running token sum s; the cutoff is the LAST sample
+    tuple with 16·s ≤ budget — a TUPLE (xent, doc_id), not a bare
+    value, so the keep predicate is tie-free on both engines. Kept =
+    capped docs lexicographically ≤ the cutoff; same per-source summary
+    as the exact form.
+
+    Scale shape: the full relation is touched by the source-PARTITIONED
+    cap window and one map-side filter + partial-agg groupBy; the only
+    ordered pass is over the 1/16 sample (a 100 TB deployment tightens
+    the prefix to 2+ hex chars for 1/256 etc.); cutoff collection is
+    ONE row to the driver, embedded as a literal predicate — the kept
+    scan carries no unpartitioned window (pinned in
+    test_scale_plans.py)."""
+    capped = _budget_capped(spark, sf_dir)
+    samp = capped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    w_s = Window.orderBy(F.asc("xent2_nats"), F.asc("doc_id"))
+    run = samp.withColumn("s", F.sum("n_tokens").over(w_s))
+    cut = (
+        run.filter(F.col("s") * 16 <= F.col("budget"))
+        .agg(F.max(F.struct("xent2_nats", "doc_id")).alias("c"))
+        .collect()[0]["c"]
+    )  # bounded: ONE row to the driver
+    if cut is None:
+        keep = F.lit(False)
+    else:
+        cx, cd = float(cut["xent2_nats"]), int(cut["doc_id"])
+        keep = (F.col("xent2_nats") < F.lit(cx)) | (
+            (F.col("xent2_nats") == F.lit(cx)) & (F.col("doc_id") <= F.lit(cd))
+        )
+    kept = capped.filter(keep)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.min("xent2_nats").alias("min_xent"),
+        F.max("xent2_nats").alias("max_xent"),
+        F.max("budget").alias("budget_tokens"),
+        F.max("src_cap").alias("src_cap_tokens"),
+    )
+
+
+def _budget_select_sampled_sql() -> str:
+    from python_multiproc_bigdata_spark.registry.curation import SQL_BIGRAM_LOGPROB
+
+    return (
+        "WITH perdoc AS (\n" + SQL_BIGRAM_LOGPROB + "\n), "
+        + _BUDGET_CAPPED_SQL
+        + """, samp AS (
+  SELECT * FROM capped
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+), run AS (
+  SELECT xent2_nats, doc_id, budget,
+         sum(n_tokens) OVER (ORDER BY xent2_nats, doc_id) AS s
+  FROM samp
+), cut AS (
+  SELECT xent2_nats AS cx, doc_id AS cd FROM run
+  WHERE s * 16 <= budget
+  ORDER BY xent2_nats DESC, doc_id DESC LIMIT 1
+), kept AS (
+  SELECT c.* FROM capped c, cut
+  WHERE c.xent2_nats < cut.cx
+     OR (c.xent2_nats = cut.cx AND c.doc_id <= cut.cd)
+)
+"""
+        + _BUDGET_SUMMARY_SQL
     )
 
 
@@ -910,6 +1011,9 @@ REGISTRY = {
     ),
     "training_source_caps": QuerySpec(training_source_caps, SQL_SOURCE_CAPS),
     "training_budget_select": QuerySpec(training_budget_select, _budget_select_sql),
+    "training_budget_select_sampled": QuerySpec(
+        training_budget_select_sampled, _budget_select_sampled_sql
+    ),
     "training_temperature_mix": QuerySpec(
         training_temperature_mix, SQL_TEMPERATURE_MIX
     ),

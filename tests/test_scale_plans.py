@@ -561,3 +561,53 @@ def test_video_shots_map_only(spark):
     would mean the operator stopped being embarrassingly parallel)."""
     plan = plan_of(REGISTRY["multimodal_video_shot_boundaries"].fn(spark, SF_DIR))
     assert "Exchange" not in plan, plan
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) whose FIRST argument is an ordering
+    leg (col ASC/DESC ...) — i.e. a window with an empty PARTITION BY:
+    the single-task global sort shape the bucketed primitives exist to
+    forbid. Partitioned specs lead with bare partition columns."""
+    import re
+
+    return re.findall(r"windowspecdefinition\([^,()]+ (?:ASC|DESC)", plan)
+
+
+def test_gini_rank_is_bucketed_not_single_task(spark):
+    """stats_gini_concentration's global revenue rank runs through
+    with_global_index (bucketed parallel sort + broadcast offsets): the
+    plan keeps its windows but every one must be partitioned by the
+    range bucket — never an unpartitioned row_number over the whole
+    |customers| relation."""
+    plan = plan_of(REGISTRY["stats_gini_concentration"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert not _unpartitioned_windows(plan), plan
+
+
+def test_pareto_rank_and_cumsum_bucketed(spark):
+    """stats_pareto_cutoffs needs BOTH a global rank and a global
+    running revenue sum — both must come from with_global_index's
+    bucketed split (within-bucket windows + broadcast sum offsets),
+    with no unpartitioned window anywhere."""
+    plan = plan_of(REGISTRY["stats_pareto_cutoffs"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert not _unpartitioned_windows(plan), plan
+
+
+def test_budget_select_global_cut_bucketed(spark):
+    """training_budget_select's global budget cut (running token sum in
+    quality order) runs through with_global_index's cumsum split; the
+    per-source cap window stays source-partitioned. No unpartitioned
+    window may appear."""
+    plan = plan_of(REGISTRY["training_budget_select"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert not _unpartitioned_windows(plan), plan
+
+
+def test_budget_select_sampled_no_global_pass(spark):
+    """The sampled budget variant derives ONE cutoff tuple from the md5
+    sample in a separate bounded job: the final plan keeps only the
+    source-partitioned cap window — no unpartitioned window (the
+    sample's ordered walk never touches the returned plan)."""
+    plan = plan_of(REGISTRY["training_budget_select_sampled"].fn(spark, SF_DIR))
+    assert not _unpartitioned_windows(plan), plan

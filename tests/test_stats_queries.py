@@ -91,6 +91,37 @@ def test_global_index_is_dense_and_parallel(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_global_index_multicol_and_cumsum(spark):
+    """The r11 extension: composite (tie-broken) ordering plus running
+    sums must reproduce the single-sort window exactly — checked
+    against a driver-side replay on a relation with heavy first-key
+    ties (so ties genuinely cross the quantile-cut code path)."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.transforms import with_global_index
+
+    o = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 7).alias("k"),  # ~heavy ties on the quantile key
+            (F.col("o_orderkey") % 13 + 1).alias("v"),
+        )
+    )
+    out = with_global_index(
+        o, ["k", "o_orderkey"], out_col="idx", n_buckets=8, cumsum={"v": "run"}
+    )
+    rows = sorted((r.k, r.o_orderkey, r.idx, r.v, r.run) for r in out.collect())
+    acc = 0
+    for i, (_k, _ok, idx, v, run) in enumerate(rows):
+        acc += v
+        assert idx == i, (i, rows[i])
+        assert run == acc, (i, rows[i])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    out.unpersist()
+
+
 def test_approx_top_k_exact_below_capacity_only(spark):
     """The full-hash oracle for stats_top_types_sketch is legitimate
     only because capacity exceeds cardinality: verify counts are exact
