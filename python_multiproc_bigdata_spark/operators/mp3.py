@@ -203,3 +203,270 @@ def mp3_frame_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, MP3_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Layer III side information (ISO/IEC 11172-3 §2.4.1.7) — the next layer
+# below the frame walk: per-granule Huffman/scalefactor bookkeeping. Full
+# MDCT sample synthesis stays behind the documented stub (library-bound);
+# the side info is pure bit-packed integers, so the parser is exact and a
+# DuckDB oracle replays the synth corpus's field arithmetic. Mono frames:
+# 17 side-info bytes after the 4-byte header (no CRC), 2 granules.
+# ---------------------------------------------------------------------------
+
+
+def _pack_bits(pairs: list[tuple[int, int]]) -> bytes:
+    """MSB-first bit packer: (value, n_bits) fields → bytes; total must
+    be byte-aligned (the 136-bit mono side-info block is)."""
+    acc, nb = 0, 0
+    for val, n in pairs:
+        if not 0 <= val < (1 << n):
+            raise ValueError(f"field {val} does not fit in {n} bits")
+        acc = (acc << n) | val
+        nb += n
+    if nb % 8:
+        raise ValueError(f"side-info block not byte-aligned: {nb} bits")
+    return acc.to_bytes(nb // 8, "big")
+
+
+class _BitReader:
+    """MSB-first bit reader over a bytes slice."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def get(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+MAX_BIG_VALUES = 288  # spec bound: big_values <= 288 (§2.4.2.7)
+
+
+def _si_fields(d: int, f: int, g: int) -> dict:
+    """The synth corpus's per-granule field arithmetic — one place, so
+    synth, test replay, and the SQL oracle all cite the same formulas."""
+    wsf = (d + f + g) % 2
+    out = {
+        "p23": (d * 13 + f * 5 + g * 9) % 4096,
+        "bv": (d * 3 + f + 2 * g) % (MAX_BIG_VALUES + 1),
+        "gg": (d * 7 + f * 3 + g) % 256,
+        "sfc": (d + f + g) % 16,
+        "wsf": wsf,
+        "pre": (d // 3 + f + g) % 2,
+        "sfs": (d // 5 + f + g) % 2,
+        "c1t": (d // 7 + f + g) % 2,
+    }
+    if wsf:
+        out["bt"] = 1 + (d + g) % 3
+        out["mixed"] = (d + f) % 2
+        out["ts"] = [(d * 5 + f + g + i) % 32 for i in (0, 1)]
+        out["sbg"] = [(d + f + g + i) % 8 for i in range(3)]
+    else:
+        out["ts"] = [(d * 5 + f + g + i) % 32 for i in range(3)]
+        out["r0"] = (d + f) % 16
+        out["r1"] = (d + g) % 8
+    return out
+
+
+def _side_info_block(d: int, f: int) -> bytes:
+    """Pack one mono side-info block (17 bytes / 136 bits): 9-bit
+    main_data_begin, 5 private bits, 4-bit scfsi, then 59 bits per
+    granule (37 fixed + 22 branch — both window layouts exercised)."""
+    pairs: list[tuple[int, int]] = [
+        ((d * 31 + f * 7) % 512, 9),
+        (0, 5),
+        ((d + f) % 16, 4),
+    ]
+    for g in (0, 1):
+        x = _si_fields(d, f, g)
+        pairs += [
+            (x["p23"], 12),
+            (x["bv"], 9),
+            (x["gg"], 8),
+            (x["sfc"], 4),
+            (x["wsf"], 1),
+        ]
+        if x["wsf"]:
+            pairs += [(x["bt"], 2), (x["mixed"], 1)]
+            pairs += [(t, 5) for t in x["ts"]]
+            pairs += [(s, 3) for s in x["sbg"]]
+        else:
+            pairs += [(t, 5) for t in x["ts"]]
+            pairs += [(x["r0"], 4), (x["r1"], 3)]
+        pairs += [(x["pre"], 1), (x["sfs"], 1), (x["c1t"], 1)]
+    return _pack_bits(pairs)
+
+
+def synth_mp3_si(doc_id: int) -> bytes:
+    """Deterministic MONO MP3 whose frames carry REAL side-info blocks:
+    nf = 2 + doc_id%3 frames, bitrate/samplerate/padding reusing
+    synth_mp3's table-covering formulas, mode bits 11 (single channel),
+    the 17-byte side-info block packed from _si_fields, then non-0xFF
+    filler (main data stays honest filler — only the side info is
+    claimed decoded)."""
+    out = bytearray()
+    n_frames = 2 + doc_id % 3
+    sr_idx = doc_id % 3
+    for f in range(n_frames):
+        br_idx = 1 + (doc_id * 3 + f * 5) % 14
+        pad = (doc_id + f) % 2
+        ln = frame_length(BITRATE_KBPS[br_idx], SAMPLE_RATES[sr_idx], pad)
+        hdr = bytearray(_header(br_idx, sr_idx, pad))
+        hdr[3] = 0b11000000  # mono (mode 11)
+        si = _side_info_block(doc_id, f)
+        out += hdr + si + bytes([(doc_id + f) % 0xFE] * (ln - 4 - len(si)))
+    return bytes(out)
+
+
+def mp3_side_info(payload: bytes) -> list[dict]:
+    """Walk a MONO MP3 payload and bit-decode every frame's side-info
+    block: returns one dict per frame with main_data_begin, scfsi, and
+    a 2-tuple of granule dicts. Validates sync, mono mode, the spec
+    big_values <= 288 bound, and block_type != 0 under window
+    switching — raising loudly, same gate posture as mp3_frames."""
+    pos = 0
+    n = len(payload)
+    frames: list[dict] = []
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError(f"truncated frame header at {pos}")
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at {pos}")
+        if (b1 >> 3) & 0x03 != 0b11 or (b1 >> 1) & 0x03 != 0b01:
+            raise ValueError(f"not MPEG-1 Layer III at {pos}")
+        if (b3 >> 6) & 0x03 != 0b11:
+            raise ValueError(f"side-info walker requires mono frames at {pos}")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        pad = (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"reserved header field at {pos}")
+        ln = frame_length(BITRATE_KBPS[br_idx], SAMPLE_RATES[sr_idx], pad)
+        if pos + ln > n or ln < 4 + 17:
+            raise ValueError(f"frame at {pos} cannot hold mono side info")
+        r = _BitReader(payload[pos + 4 : pos + 4 + 17])
+        fr = {"main_data_begin": r.get(9), "_priv": r.get(5), "scfsi": r.get(4)}
+        grans = []
+        for g in range(2):
+            gr = {
+                "part2_3_length": r.get(12),
+                "big_values": r.get(9),
+                "global_gain": r.get(8),
+                "scalefac_compress": r.get(4),
+                "window_switching": r.get(1),
+            }
+            if gr["big_values"] > MAX_BIG_VALUES:
+                raise ValueError(
+                    f"big_values {gr['big_values']} > {MAX_BIG_VALUES} at {pos} g{g}"
+                )
+            if gr["window_switching"]:
+                gr["block_type"] = r.get(2)
+                if gr["block_type"] == 0:
+                    raise ValueError(f"reserved block_type 0 under switching at {pos}")
+                gr["mixed_block"] = r.get(1)
+                gr["table_select"] = [r.get(5) for _ in range(2)]
+                gr["subblock_gain"] = [r.get(3) for _ in range(3)]
+            else:
+                gr["table_select"] = [r.get(5) for _ in range(3)]
+                gr["region0_count"] = r.get(4)
+                gr["region1_count"] = r.get(3)
+            gr["preflag"] = r.get(1)
+            gr["scalefac_scale"] = r.get(1)
+            gr["count1table_select"] = r.get(1)
+            grans.append(gr)
+        fr["granules"] = grans
+        frames.append(fr)
+        pos += ln
+    return frames
+
+
+MP3_SI_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_main_data_begin", T.LongType()),
+        T.StructField("sum_scfsi", T.LongType()),
+        T.StructField("sum_part23", T.LongType()),
+        T.StructField("sum_big_values", T.LongType()),
+        T.StructField("sum_global_gain", T.LongType()),
+        T.StructField("sum_scalefac_compress", T.LongType()),
+        T.StructField("n_switched", T.LongType()),
+        T.StructField("sum_block_type", T.LongType()),
+        T.StructField("n_mixed", T.LongType()),
+        T.StructField("sum_table_select", T.LongType()),
+        T.StructField("sum_subblock_gain", T.LongType()),
+        T.StructField("sum_region0", T.LongType()),
+        T.StructField("sum_region1", T.LongType()),
+        T.StructField("n_preflag", T.LongType()),
+        T.StructField("n_scalefac_scale", T.LongType()),
+        T.StructField("n_count1", T.LongType()),
+    ]
+)
+
+
+def _si_stats(payload: bytes) -> tuple:
+    fr = mp3_side_info(payload)
+    gs = [g for f in fr for g in f["granules"]]
+    sw = [g for g in gs if g["window_switching"]]
+    no = [g for g in gs if not g["window_switching"]]
+    return (
+        len(fr),
+        sum(f["main_data_begin"] for f in fr),
+        sum(f["scfsi"] for f in fr),
+        sum(g["part2_3_length"] for g in gs),
+        sum(g["big_values"] for g in gs),
+        sum(g["global_gain"] for g in gs),
+        sum(g["scalefac_compress"] for g in gs),
+        len(sw),
+        sum(g["block_type"] for g in sw),
+        sum(g["mixed_block"] for g in sw),
+        sum(t for g in gs for t in g["table_select"]),
+        sum(s for g in sw for s in g["subblock_gain"]),
+        sum(g["region0_count"] for g in no),
+        sum(g["region1_count"] for g in no),
+        sum(g["preflag"] for g in gs),
+        sum(g["scalefac_scale"] for g in gs),
+        sum(g["count1table_select"] for g in gs),
+    )
+
+
+def attach_mp3_si(df: DataFrame) -> DataFrame:
+    """Synthesize the mono side-info MP3 payload column in Arrow
+    batches — attach_mp3's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_mp3_si(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def mp3_sideinfo_features(df: DataFrame) -> DataFrame:
+    """Side-info-walk a binary MP3 column via mapInPandas: 1 blob in →
+    1 integer-stats row out, map-only, zero shuffle."""
+    names = [f.name for f in MP3_SI_SCHEMA.fields[1:]]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_si_stats(bytes(p)) for p in pdf["media"]]
+            cols = {"doc_id": pdf["doc_id"]}
+            for i, nm in enumerate(names):
+                cols[nm] = [d[i] for d in decoded]
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(batches, MP3_SI_SCHEMA)

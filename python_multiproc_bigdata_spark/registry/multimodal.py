@@ -39,7 +39,9 @@ from python_multiproc_bigdata_spark.operators.jpeg import (
 )
 from python_multiproc_bigdata_spark.operators.mp3 import (
     attach_mp3,
+    attach_mp3_si,
     mp3_frame_features,
+    mp3_sideinfo_features,
 )
 from python_multiproc_bigdata_spark.operators.mp4 import (
     attach_mp4,
@@ -911,6 +913,83 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp3_frame_features(attach_mp3(d))
 
 
+def multimodal_mp3_sideinfo_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Layer III SIDE-INFORMATION decode (r11) — one layer below
+    the r9 frame walk (ISO 11172-3 §2.4.1.7): each mono frame's 17-byte
+    side-info block is bit-decoded into main_data_begin, scfsi, and
+    per-granule part2_3_length / big_values / global_gain /
+    scalefac_compress / window-switching branch (block_type, mixed
+    flag, 2 table_selects + 3 subblock gains) vs the normal branch
+    (3 table_selects + region counts), preflag / scalefac_scale /
+    count1table_select — the Huffman/scalefactor bookkeeping a real
+    decoder reads before touching main data (MDCT synthesis stays the
+    documented library-bound stub). The walker validates mono mode,
+    the spec big_values ≤ 288 bound, and the reserved block_type 0
+    under switching. The synth corpus packs BOTH window branches every
+    few granules, so every field path round-trips through real bit
+    packing; the oracle replays the field arithmetic
+    (operators/mp3.py:_si_fields) in exact integer SQL. Map-only,
+    zero shuffle — same plan shape as the frame walk."""
+    d = table(prep(spark), sf_dir, "documents")
+    return mp3_sideinfo_features(attach_mp3_si(d))
+
+
+# Replays synth_mp3_si's field arithmetic (operators/mp3.py:_si_fields)
+# over nf = 2 + doc_id%3 frames × 2 granules: per-frame fields counted
+# once (g=0 filter), branch fields under their window_switching guard.
+SQL_MP3_SIDEINFO = """
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+), fr AS (
+  SELECT doc_id, nf, unnest(range(nf)) AS f FROM dims
+), gr AS (
+  SELECT doc_id, nf, f, unnest(range(2)) AS g FROM fr
+), fx AS (
+  SELECT doc_id, nf, f, g,
+    (doc_id*31 + f*7) % 512 AS mdb,
+    (doc_id + f) % 16 AS scfsi,
+    (doc_id*13 + f*5 + g*9) % 4096 AS p23,
+    (doc_id*3 + f + 2*g) % 289 AS bv,
+    (doc_id*7 + f*3 + g) % 256 AS gg,
+    (doc_id + f + g) % 16 AS sfc,
+    (doc_id + f + g) % 2 AS wsf,
+    1 + (doc_id + g) % 3 AS bt,
+    (doc_id + f) % 2 AS mixed,
+    (doc_id*5 + f + g) % 32 AS t0,
+    (doc_id*5 + f + g + 1) % 32 AS t1,
+    (doc_id*5 + f + g + 2) % 32 AS t2,
+    (doc_id + f + g) % 8 AS s0,
+    (doc_id + f + g + 1) % 8 AS s1,
+    (doc_id + f + g + 2) % 8 AS s2,
+    (doc_id + f) % 16 AS r0,
+    (doc_id + g) % 8 AS r1,
+    (doc_id // 3 + f + g) % 2 AS pre,
+    (doc_id // 5 + f + g) % 2 AS sfs,
+    (doc_id // 7 + f + g) % 2 AS c1t
+  FROM gr
+)
+SELECT doc_id,
+  CAST(max(nf) AS BIGINT) AS n_frames,
+  CAST(sum(CASE WHEN g = 0 THEN mdb ELSE 0 END) AS BIGINT) AS sum_main_data_begin,
+  CAST(sum(CASE WHEN g = 0 THEN scfsi ELSE 0 END) AS BIGINT) AS sum_scfsi,
+  CAST(sum(p23) AS BIGINT) AS sum_part23,
+  CAST(sum(bv) AS BIGINT) AS sum_big_values,
+  CAST(sum(gg) AS BIGINT) AS sum_global_gain,
+  CAST(sum(sfc) AS BIGINT) AS sum_scalefac_compress,
+  CAST(sum(wsf) AS BIGINT) AS n_switched,
+  CAST(sum(CASE WHEN wsf = 1 THEN bt ELSE 0 END) AS BIGINT) AS sum_block_type,
+  CAST(sum(CASE WHEN wsf = 1 THEN mixed ELSE 0 END) AS BIGINT) AS n_mixed,
+  CAST(sum(t0 + t1 + CASE WHEN wsf = 0 THEN t2 ELSE 0 END) AS BIGINT) AS sum_table_select,
+  CAST(sum(CASE WHEN wsf = 1 THEN s0 + s1 + s2 ELSE 0 END) AS BIGINT) AS sum_subblock_gain,
+  CAST(sum(CASE WHEN wsf = 0 THEN r0 ELSE 0 END) AS BIGINT) AS sum_region0,
+  CAST(sum(CASE WHEN wsf = 0 THEN r1 ELSE 0 END) AS BIGINT) AS sum_region1,
+  CAST(sum(pre) AS BIGINT) AS n_preflag,
+  CAST(sum(sfs) AS BIGINT) AS n_scalefac_scale,
+  CAST(sum(c1t) AS BIGINT) AS n_count1
+FROM fx GROUP BY doc_id
+"""
+
+
 # Replays synth_mp3's arithmetic: nf = 3 + doc_id%4 frames, sample rate
 # by doc_id%3, ID3v2 tag 10 + (doc_id%5)·7 bytes on even docs, frame f
 # bitrate index 1 + (doc_id·3 + f·5) % 14 via the spec table, padding
@@ -992,6 +1071,9 @@ REGISTRY = {
     "multimodal_mp4_box_walk": QuerySpec(multimodal_mp4_box_walk, SQL_MP4_BOX_WALK),
     "multimodal_mp3_frame_walk": QuerySpec(
         multimodal_mp3_frame_walk, SQL_MP3_FRAME_WALK
+    ),
+    "multimodal_mp3_sideinfo_walk": QuerySpec(
+        multimodal_mp3_sideinfo_walk, SQL_MP3_SIDEINFO
     ),
     "multimodal_decode_avi": QuerySpec(multimodal_decode_avi, SQL_DECODE_AVI),
     "multimodal_decode_tiff": QuerySpec(multimodal_decode_tiff, SQL_DECODE_TIFF),

@@ -89,3 +89,129 @@ def test_distributed_shape(spark):
     assert rows[11].n_frames == 3 + 11 % 4
     assert rows[0].tag_bytes == 10 and rows[5].tag_bytes == 0
     assert rows[5].total_samples == 1152 * rows[5].n_frames
+
+
+# ---- r11: Layer III side-info decode ----
+
+
+def test_sideinfo_hand_built_block():
+    """A side-info block written bit-by-bit from the spec layout (no
+    shared packer, so a pack/parse-symmetric bug cannot hide):
+    main_data_begin=5, scfsi=0b1010, granule0 normal window
+    (p23=100, bv=288, gg=200, sfc=7, tables 1/2/3, r0=4, r1=5,
+    pre=1, sfs=0, c1t=1), granule1 switched (bt=2, mixed=1,
+    tables 30/31, subblock gains 1/2/3, pre=0, sfs=1, c1t=0)."""
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        frame_length,
+        mp3_side_info,
+    )
+
+    bits = ""
+    bits += format(5, "09b") + "00000" + "1010"
+    # granule 0: normal
+    bits += format(100, "012b") + format(288, "09b") + format(200, "08b")
+    bits += format(7, "04b") + "0"
+    bits += format(1, "05b") + format(2, "05b") + format(3, "05b")
+    bits += format(4, "04b") + format(5, "03b") + "1" + "0" + "1"
+    # granule 1: switched
+    bits += format(101, "012b") + format(7, "09b") + format(9, "08b")
+    bits += format(3, "04b") + "1"
+    bits += "10" + "1" + format(30, "05b") + format(31, "05b")
+    bits += format(1, "03b") + format(2, "03b") + format(3, "03b")
+    bits += "0" + "1" + "0"
+    assert len(bits) == 136
+    si = int(bits, 2).to_bytes(17, "big")
+    # mono header, 128 kbps @ 44100, no pad
+    ln = frame_length(128, 44100, 0)
+    payload = bytes((0xFF, 0xFB, 0x90, 0xC0)) + si + bytes([1] * (ln - 21))
+    (fr,) = mp3_side_info(payload)
+    assert fr["main_data_begin"] == 5 and fr["scfsi"] == 0b1010
+    g0, g1 = fr["granules"]
+    assert g0 == {
+        "part2_3_length": 100, "big_values": 288, "global_gain": 200,
+        "scalefac_compress": 7, "window_switching": 0,
+        "table_select": [1, 2, 3], "region0_count": 4, "region1_count": 5,
+        "preflag": 1, "scalefac_scale": 0, "count1table_select": 1,
+    }
+    assert g1 == {
+        "part2_3_length": 101, "big_values": 7, "global_gain": 9,
+        "scalefac_compress": 3, "window_switching": 1,
+        "block_type": 2, "mixed_block": 1, "table_select": [30, 31],
+        "subblock_gain": [1, 2, 3],
+        "preflag": 0, "scalefac_scale": 1, "count1table_select": 0,
+    }
+
+
+def test_sideinfo_synth_parity_and_branch_coverage():
+    """Pack→parse roundtrip equals the _si_fields arithmetic for 60
+    docs, and BOTH window branches occur (the oracle's CASE guards are
+    genuinely exercised)."""
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        _si_fields,
+        mp3_side_info,
+        synth_mp3_si,
+    )
+
+    saw_sw = saw_no = False
+    for d in range(60):
+        frames = mp3_side_info(synth_mp3_si(d))
+        assert len(frames) == 2 + d % 3
+        for f, fr in enumerate(frames):
+            assert fr["main_data_begin"] == (d * 31 + f * 7) % 512
+            assert fr["scfsi"] == (d + f) % 16
+            for g, gr in enumerate(fr["granules"]):
+                x = _si_fields(d, f, g)
+                assert gr["part2_3_length"] == x["p23"]
+                assert gr["big_values"] == x["bv"]
+                assert gr["global_gain"] == x["gg"]
+                assert gr["window_switching"] == x["wsf"]
+                assert gr["table_select"] == x["ts"]
+                if x["wsf"]:
+                    saw_sw = True
+                    assert gr["block_type"] == x["bt"]
+                    assert gr["subblock_gain"] == x["sbg"]
+                else:
+                    saw_no = True
+                    assert gr["region0_count"] == x["r0"]
+                    assert gr["region1_count"] == x["r1"]
+    assert saw_sw and saw_no
+
+
+def test_sideinfo_malformed_rejected():
+    import struct
+
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        mp3_side_info,
+        synth_mp3_si,
+    )
+
+    good = bytearray(synth_mp3_si(4))  # doc 4: frame 0 granule 0 normal
+    # stereo frames are a different (32-byte) side-info layout — reject
+    stereo = bytearray(good)
+    stereo[3] = 0x40
+    with pytest.raises(ValueError, match="mono"):
+        mp3_side_info(bytes(stereo))
+    # big_values > 288: bits 18..26 of the side info (after 9+5+4 header
+    # fields, the granule starts at bit 18+12=30 for bv) — force all 9
+    # bv bits to 1 (511)
+    bad = bytearray(good)
+    # side info starts at byte 4; bv field spans bits 30..38 of it
+    for bit in range(30, 39):
+        bad[4 + (bit >> 3)] |= 0x80 >> (bit & 7)
+    with pytest.raises(ValueError, match="big_values"):
+        mp3_side_info(bytes(bad))
+    struct  # silence linters; struct used by sibling tests
+
+
+def test_sideinfo_distributed_shape(spark):
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        attach_mp3_si,
+        mp3_sideinfo_features,
+    )
+
+    df = spark.createDataFrame([(0,), (7,), (13,)], ["doc_id"])
+    out = mp3_sideinfo_features(attach_mp3_si(df))
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[13].n_frames == 2 + 13 % 3
+    assert rows[0].n_switched + rows[0].sum_region0 >= 0  # schema smoke

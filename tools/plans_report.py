@@ -58,6 +58,13 @@ SHOWCASE: dict[str, str] = {
     # bounded jobs, so the FINAL plan is the scored scan alone
     "events_rfm_segmentation_sampled": "quintile scoring as literal predicates over one partial-agg groupBy - no Window, no SinglePartition exchange anywhere in the plan",
     "curation_ccnet_tiers_sampled": "per-language tercile bucketing via a broadcast cutoff table - Window-free full-corpus plan, BroadcastHashJoin only",
+    # r11: the last three single-task global-rank stages rewired to
+    # with_global_index (bucketed parallel sort + broadcast offsets)
+    "stats_gini_concentration": "global revenue rank via with_global_index: every window partitioned by the range bucket - no unpartitioned row_number over |customers|",
+    "stats_pareto_cutoffs": "global rank AND running revenue sum via with_global_index's cumsum split (within-bucket windows + broadcast per-bucket sum offsets) - no unpartitioned window",
+    "training_budget_select": "global budget cut = bucketed running token sum; per-source cap stays a source-partitioned window - no unpartitioned window",
+    "training_budget_select_sampled": "budget cut as ONE broadcast literal tuple from the md5-sample job - final plan keeps only the source-partitioned cap window",
+    "multimodal_mp3_sideinfo_walk": "bit-level side-info decode is map-only mapInPandas - zero shuffle, one Arrow stage",
 }
 
 
