@@ -836,6 +836,139 @@ def _targz_ingest_oracle() -> str:
     return SQL_TARGZ_SHARDS
 
 
+def phash_epoch_matcher(spark: SparkSession, store: str, pdir: str):
+    """Build the foreachBatch closure of streaming_phash_neardup — one
+    incremental epoch of the banded perceptual matcher: pHash-band the
+    batch, candidate-join NEW bands vs (store ∪ new) on equal bands
+    (never store×store), XOR-popcount verify, then land pairs AND the
+    batch's bands epoch-keyed (overwrite per epoch; store read excludes
+    the current epoch) so at-least-once retries are idempotent.
+    Module-level so the checkpoint-recovery test drives the identical
+    logic the registry query runs."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.multimodal import phash_bands
+    from python_multiproc_bigdata_spark.registry.multimodal import AHASH_HAMMING_MAX
+
+    def match_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_b = phash_bands(batch_df).localCheckpoint(eager=True)
+        try:
+            old_b = (
+                spark.read.parquet(store)
+                .filter(F.col("epoch") < epoch_id)
+                .select("doc_id", "band_idx", "band_val")
+            )
+        except Exception:  # noqa: BLE001 — first epoch: no store yet
+            old_b = spark.createDataFrame([], new_b.schema)
+        all_b = new_b.withColumn("is_new", F.lit(True)).unionByName(
+            old_b.withColumn("is_new", F.lit(False))
+        )
+        a = new_b.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+        b = all_b.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", "band_val", "is_new"
+        )
+        cand = (
+            a.join(b, ["band_idx", "band_val"])
+            .filter((~F.col("is_new")) | (F.col("doc_a") < F.col("doc_b")))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        x = all_b.select(
+            F.col("doc_id").alias("doc_a"), "band_idx", F.col("band_val").alias("va")
+        )
+        y = all_b.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", F.col("band_val").alias("vb")
+        )
+        pairs = (
+            cand.join(x, "doc_a")
+            .join(y, ["doc_b", "band_idx"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+                .cast("int")
+                .alias("hamming")
+            )
+            .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "hamming",
+            )
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(pdir, f"epoch={epoch_id}"))
+        new_b.write.mode("overwrite").parquet(os.path.join(store, f"epoch={epoch_id}"))
+
+    return match_batch
+
+
+def streaming_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_image_phash_neardup's INCREMENTAL twin (r11) — what a
+    live image-ingest pipeline actually runs: images arrive in waves
+    and each micro-batch is matched against the ACCUMULATED signature
+    store (the dedup_incremental_novelty posture on the perceptual
+    surface), so yesterday's corpus is never re-paired.
+
+    Per foreachBatch epoch: (1) pHash-band the batch's images
+    (operators/multimodal.py:phash_bands), (2) candidates from the
+    equal-band equi-join of NEW bands vs (store ∪ new) — never
+    store×store, so per-epoch join work tracks the batch, not history;
+    within-batch pairs keep doc_a < doc_b, cross-batch pairs keep the
+    new-vs-old orientation, so every unordered pair is emitted EXACTLY
+    once, in the epoch its later member arrives, (3) exact XOR-popcount
+    verify (Hamming ≤ 3, complete under the 4×16-bit band pigeonhole),
+    (4) results AND the batch's bands land epoch-keyed (overwrite per
+    epoch; the store read excludes the current epoch), so at-least-once
+    retries stay idempotent for both the output and the store. The
+    union across epochs therefore equals the batch query
+    value-for-value and the SAME generated pure-Python replay oracle
+    (make_phash_oracle) checks both. Recovery is exercised in
+    tests/test_streaming_recovery.py. Scale: state = the band store
+    (4 rows/image, partition-pruned by epoch), per-epoch shuffle keyed
+    on (band_idx, band_val) — the posting-list shape, never all-pairs."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.multimodal import attach_ppm
+
+    spark = prep(spark)
+    d = table(spark, sf_dir, "documents")
+    imgs = attach_ppm(d)
+
+    root = fixture_root("phashstream", sf_dir)
+    sdir = os.path.join(root, "images")
+    store = os.path.join(root, "bands")
+    pdir = os.path.join(root, "pairs")
+    for m in (0, 1):  # two arrival waves
+        imgs.filter(F.col("doc_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+
+    match_batch = phash_epoch_matcher(spark, store, pdir)
+
+    q = (
+        spark.readStream.schema(imgs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    return spark.read.parquet(pdir).select("doc_a", "doc_b", "hamming")
+
+
+def _phash_stream_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.multimodal import make_phash_oracle
+
+    return make_phash_oracle()
+
+
 REGISTRY = {
     # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
     # per-query top-k is micro-batch-invariant, so the streamed union
@@ -849,6 +982,12 @@ REGISTRY = {
         streaming_classifier_serving, _classifier_serving_oracle
     ),
     "streaming_cdc_merge": QuerySpec(streaming_cdc_merge, SQL_STREAM_CDC),
+    # same generated pure-Python pHash replay as the batch near-dup:
+    # every unordered pair is emitted exactly once (in its later
+    # member's epoch), so the epoch union equals the batch answer
+    "streaming_phash_neardup": QuerySpec(
+        streaming_phash_neardup, _phash_stream_oracle
+    ),
     "streaming_transition_counts": QuerySpec(
         streaming_transition_counts, SQL_STREAM_TRANSITIONS
     ),

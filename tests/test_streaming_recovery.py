@@ -115,3 +115,69 @@ def test_stream_stream_left_outer_emits_unmatched(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_phash_neardup_restart_no_reprocessing(spark, tmp_path):
+    """Checkpoint recovery for the incremental perceptual matcher
+    (streaming_phash_neardup): wave 1 is matched under checkpoint C,
+    the query stops, wave 2 lands, a NEW query resumes under the SAME
+    C. Exactly-once across the restart means (a) the pair union equals
+    the one-shot batch answer value-for-value, and (b) the signature
+    store holds each image's 4 bands exactly once — a reprocessed
+    epoch would double wave 1's bands and corrupt later Hamming sums."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_ppm,
+        phash_bands,
+    )
+    from python_multiproc_bigdata_spark.registry.multimodal import AHASH_HAMMING_MAX
+    from python_multiproc_bigdata_spark.registry.streaming import phash_epoch_matcher
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    imgs = attach_ppm(docs)
+    src = str(tmp_path / "imgs")
+    store = str(tmp_path / "bands")
+    pdir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema(imgs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(phash_epoch_matcher(spark, store, pdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    imgs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    run()
+    n_epochs_first = len(
+        spark.read.parquet(store).select("epoch").distinct().collect()
+    )
+    imgs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    # (b) store integrity: every doc's bands exactly once
+    band_counts = (
+        spark.read.parquet(store).groupBy("doc_id").count().collect()
+    )
+    assert len(band_counts) == docs.count()
+    assert all(r["count"] == 4 for r in band_counts)
+    assert n_epochs_first == 1  # wave 1 was one epoch, not re-run
+
+    # (a) pair union equals the one-shot batch answer
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(pdir).select("doc_a", "doc_b", "hamming").collect()
+    )
+    bands = phash_bands(imgs).localCheckpoint(eager=True)
+    want = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in ahash_neardup_pairs(bands, max_hamming=AHASH_HAMMING_MAX).collect()
+    )
+    assert got == want and len(want) > 0
