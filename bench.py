@@ -239,6 +239,15 @@ HEADLINE = [
     "multimodal_video_shot_boundaries",
     "eval_mrl_truncation_recall",
     "training_budget_select",
+    # r11 additions: the sampled budget-select sibling (broadcast
+    # quality-cutoff, the 100 TB form of the exact budget cut) and the
+    # MP3 Layer III side-info decode (bit-level, map-only). The
+    # incremental pHash twin stays out of HEADLINE like the other
+    # fixture-staging streaming queries.
+    "training_budget_select_sampled",
+    "multimodal_mp3_sideinfo_walk",
+    "multimodal_mp3_scalefac_walk",
+    "multimodal_decode_png_adam7",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -470,3 +470,312 @@ def mp3_sideinfo_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return df.mapInPandas(batches, MP3_SI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Layer III scalefactors (ISO/IEC 11172-3 §2.4.2.7) — the first MAIN-DATA
+# field, one layer below the side info: per-granule scalefactor bit fields
+# whose widths come from the scalefac_compress → (slen1, slen2) table and
+# whose layout depends on the window mode (21 long bands / 12 short bands
+# × 3 windows / the 8+9·3 mixed split), with granule-1 bands skipped per
+# the scfsi copy groups. Huffman spectrum decode + MDCT synthesis stay
+# behind the documented library-bound stub; scalefactors are fixed-width
+# integers, so the parser is exact and replayable. Supported subset kept
+# honest: main_data_begin must be 0 (no bit-reservoir backpointer — the
+# synth corpus writes none), asserted loudly.
+# ---------------------------------------------------------------------------
+
+# scalefac_compress → (slen1, slen2), ISO 11172-3 table B.6
+SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+# scfsi copy groups over the 21 long scalefactor bands
+SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def _sf_layout(wsf: int, bt: int, mixed: int) -> list[tuple[str, int, int]]:
+    """Band layout for one granule: list of (kind, band, which_slen)
+    rows in bitstream order — kind 'l' long band, 's' short (band
+    encodes sfb*4 + window so rows stay unique and SQL-replayable)."""
+    if not wsf or bt != 2:
+        return [("l", b, 1 if b < 11 else 2) for b in range(21)]
+    if mixed:
+        rows = [("l", b, 1) for b in range(8)]
+        for sfb in range(3, 12):
+            for w in range(3):
+                rows.append(("s", sfb * 4 + w, 1 if sfb < 6 else 2))
+        return rows
+    rows = []
+    for sfb in range(12):
+        for w in range(3):
+            rows.append(("s", sfb * 4 + w, 1 if sfb < 6 else 2))
+    return rows
+
+
+def _sf_value(d: int, f: int, g: int, band: int, slen: int) -> int:
+    """Synth corpus scalefactor arithmetic — cited by the oracle."""
+    return (d + f + g * 7 + band * 3) % (1 << slen) if slen else 0
+
+
+def synth_mp3_sf(doc_id: int) -> bytes:
+    """Deterministic MONO MP3 whose frames carry real side info AND
+    real main-data scalefactor fields (main_data_begin = 0, so each
+    frame's main data starts right after its side info — the
+    no-reservoir subset the parser supports): nf = 2 + doc_id%3 frames;
+    granule window mode wsf = ((doc_id + f + g) // 2) % 2 (both-long,
+    both-short, and mixed frames all occur), block_type
+    1 + (doc_id + f + g) % 3 when switching (short only at 2), mixed
+    flag (doc_id + f) % 2; scfsi = (doc_id + f) % 16 when BOTH granules
+    are long else 0 (spec: scfsi copies are long-block-only), granule-1
+    bands in set scfsi groups omitted from the bitstream; scalefactors
+    from _sf_value; part2_3_length = the true scalefactor bit count
+    plus an 8 + (doc_id + f + g) % 25 bit filler 'part3' of
+    alternating bits."""
+    out = bytearray()
+    d = doc_id
+    n_frames = 2 + d % 3
+    sr_idx = d % 3
+    for f in range(n_frames):
+        br_idx = 1 + (d * 3 + f * 5) % 14
+        pad = (d + f) % 2
+        ln = frame_length(BITRATE_KBPS[br_idx], SAMPLE_RATES[sr_idx], pad)
+        gmeta = []
+        for g in (0, 1):
+            wsf = ((d + f + g) // 2) % 2
+            bt = 1 + (d + f + g) % 3 if wsf else 0
+            mixed = (d + f) % 2 if wsf else 0
+            gmeta.append((wsf, bt, mixed))
+        both_long = all(not w or b != 2 for w, b, _ in gmeta)
+        scfsi = (d + f) % 16 if both_long else 0
+        main_bits: list[tuple[int, int]] = []
+        p23 = []
+        for g in (0, 1):
+            wsf, bt, mixed = gmeta[g]
+            sf_bits = 0
+            sfc = (d + f + g) % 16
+            s1, s2 = SLEN[sfc]
+            for kind, band, which in _sf_layout(wsf, bt, mixed):
+                if g == 1 and kind == "l":
+                    grp = next(
+                        i for i, (lo, hi) in enumerate(SCFSI_GROUPS) if lo <= band < hi
+                    )
+                    if (scfsi >> (3 - grp)) & 1:
+                        continue  # copied from granule 0 — not in stream
+                slen = s1 if which == 1 else s2
+                if slen:
+                    main_bits.append((_sf_value(d, f, g, band, slen), slen))
+                sf_bits += slen
+            filler = 8 + (d + f + g) % 25
+            for i in range(filler):
+                main_bits.append((i & 1, 1))
+            p23.append(sf_bits + filler)
+        # side info: same field layout as synth_mp3_si but with the
+        # REAL part2_3_length and this corpus's window metadata
+        pairs: list[tuple[int, int]] = [(0, 9), (0, 5), (scfsi, 4)]
+        for g in (0, 1):
+            wsf, bt, mixed = gmeta[g]
+            sfc = (d + f + g) % 16
+            pairs += [
+                (p23[g], 12),
+                ((d * 3 + f + 2 * g) % (MAX_BIG_VALUES + 1), 9),
+                ((d * 7 + f * 3 + g) % 256, 8),
+                (sfc, 4),
+                (wsf, 1),
+            ]
+            if wsf:
+                pairs += [(bt, 2), (mixed, 1)]
+                pairs += [((d * 5 + f + g + i) % 32, 5) for i in (0, 1)]
+                pairs += [((d + f + g + i) % 8, 3) for i in range(3)]
+            else:
+                pairs += [((d * 5 + f + g + i) % 32, 5) for i in range(3)]
+                pairs += [((d + f) % 16, 4), ((d + g) % 8, 3)]
+            pairs += [
+                ((d // 3 + f + g) % 2, 1),
+                ((d // 5 + f + g) % 2, 1),
+                ((d // 7 + f + g) % 2, 1),
+            ]
+        si = _pack_bits(pairs)
+        # main data: bit-packed scalefactors + fillers, byte-padded
+        acc, nb = 0, 0
+        for val, n in main_bits:
+            acc = (acc << n) | val
+            nb += n
+        padbits = (-nb) % 8
+        acc <<= padbits
+        nb += padbits
+        md = acc.to_bytes(nb // 8, "big") if nb else b""
+        body_len = ln - 4 - len(si) - len(md)
+        if body_len < 0:
+            raise ValueError(f"frame too small for main data at doc {d} frame {f}")
+        hdr = bytearray(_header(br_idx, sr_idx, pad))
+        hdr[3] = 0b11000000  # mono
+        out += hdr + si + md + bytes([(d + f) % 0xFE] * body_len)
+    return bytes(out)
+
+
+def mp3_scalefactors(payload: bytes) -> list[dict]:
+    """Walk a MONO, reservoir-free MP3 payload and decode every
+    granule's SCALEFACTORS from main data: side info first (reusing
+    mp3_side_info's field layout via a fresh parse), then, asserting
+    main_data_begin == 0 (the documented no-reservoir subset — a
+    nonzero backpointer raises), bit-read each granule's scalefactor
+    fields per the window-mode layout with slen widths from the
+    scalefac_compress table, honoring scfsi copy groups for granule 1
+    (copied bands repeat granule 0's value, consuming no bits), and
+    skip the remaining part2_3_length bits as spectrum data. Returns
+    one dict per frame: scfsi + per-granule {'long': {band: sf},
+    'short': {(sfb, window): sf}, 'part2_bits': n}."""
+    frames_si = mp3_side_info(payload)
+    # re-walk the frame boundaries to slice main data per frame
+    pos = 0
+    n = len(payload)
+    out: list[dict] = []
+    fi = 0
+    while pos < n:
+        b2 = payload[pos + 2]
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        pad = (b2 >> 1) & 0x01
+        ln = frame_length(BITRATE_KBPS[br_idx], SAMPLE_RATES[sr_idx], pad)
+        si = frames_si[fi]
+        if si["main_data_begin"] != 0:
+            raise ValueError(
+                "bit-reservoir backpointer unsupported: main_data_begin="
+                f"{si['main_data_begin']} at frame {fi} (this walker decodes "
+                "the reservoir-free subset)"
+            )
+        r = _BitReader(payload[pos + 4 + 17 : pos + ln])
+        scfsi = si["scfsi"]
+        grans = []
+        g0_long: dict[int, int] = {}
+        for g, gr in enumerate(si["granules"]):
+            wsf = gr["window_switching"]
+            bt = gr.get("block_type", 0)
+            mixed = gr.get("mixed_block", 0)
+            s1, s2 = SLEN[gr["scalefac_compress"]]
+            longs: dict[int, int] = {}
+            shorts: dict[tuple[int, int], int] = {}
+            bits_read = 0
+            for kind, band, which in _sf_layout(wsf, bt, mixed):
+                slen = s1 if which == 1 else s2
+                if g == 1 and kind == "l":
+                    grp = next(
+                        i for i, (lo, hi) in enumerate(SCFSI_GROUPS) if lo <= band < hi
+                    )
+                    if (scfsi >> (3 - grp)) & 1:
+                        if wsf and bt == 2:
+                            raise ValueError(
+                                f"scfsi copy into short-block granule at frame {fi}"
+                            )
+                        longs[band] = g0_long[band]
+                        continue
+                v = r.get(slen) if slen else 0
+                bits_read += slen
+                if kind == "l":
+                    longs[band] = v
+                else:
+                    shorts[(band // 4, band % 4)] = v
+            if g == 0:
+                g0_long = longs
+            part3 = gr["part2_3_length"] - bits_read
+            if part3 < 0:
+                raise ValueError(
+                    f"part2_3_length {gr['part2_3_length']} smaller than "
+                    f"scalefactor bits {bits_read} at frame {fi} g{g}"
+                )
+            r.pos += part3  # spectrum (Huffman) data — not decoded here
+            grans.append(
+                {"long": longs, "short": shorts, "part2_bits": bits_read}
+            )
+        out.append({"scfsi": scfsi, "granules": grans})
+        pos += ln
+        fi += 1
+    return out
+
+
+MP3_SF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_long_granules", T.LongType()),
+        T.StructField("n_short_granules", T.LongType()),
+        T.StructField("n_mixed_granules", T.LongType()),
+        T.StructField("sum_long_sf", T.LongType()),
+        T.StructField("sum_short_sf", T.LongType()),
+        T.StructField("n_copied_bands", T.LongType()),
+        T.StructField("sum_part2_bits", T.LongType()),
+        T.StructField("sum_scfsi", T.LongType()),
+    ]
+)
+
+
+def _sf_stats(payload: bytes) -> tuple:
+    si = mp3_side_info(payload)
+    sf = mp3_scalefactors(payload)
+    n_long = n_short = n_mixed = 0
+    sum_long = sum_short = copied = part2 = 0
+    for fsi, fsf in zip(si, sf):
+        for g, (gsi, gsf) in enumerate(zip(fsi["granules"], fsf["granules"])):
+            wsf = gsi["window_switching"]
+            bt = gsi.get("block_type", 0)
+            mixed = gsi.get("mixed_block", 0)
+            if not wsf or bt != 2:
+                n_long += 1
+            elif mixed:
+                n_mixed += 1
+            else:
+                n_short += 1
+            sum_long += sum(gsf["long"].values())
+            sum_short += sum(gsf["short"].values())
+            part2 += gsf["part2_bits"]
+            if g == 1 and (not wsf or bt != 2):
+                for grp, (lo, hi) in enumerate(SCFSI_GROUPS):
+                    if (fsf["scfsi"] >> (3 - grp)) & 1:
+                        copied += hi - lo
+    return (
+        len(sf),
+        n_long,
+        n_short,
+        n_mixed,
+        sum_long,
+        sum_short,
+        copied,
+        part2,
+        sum(f["scfsi"] for f in sf),
+    )
+
+
+def attach_mp3_sf(df: DataFrame) -> DataFrame:
+    """Synthesize the scalefactor-corpus MP3 payload column in Arrow
+    batches — attach_mp3_si's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_mp3_sf(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def mp3_scalefactor_features(df: DataFrame) -> DataFrame:
+    """Scalefactor-walk a binary MP3 column via mapInPandas: 1 blob in
+    → 1 integer-stats row out, map-only, zero shuffle."""
+    names = [f.name for f in MP3_SF_SCHEMA.fields[1:]]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_sf_stats(bytes(p)) for p in pdf["media"]]
+            cols = {"doc_id": pdf["doc_id"]}
+            for i, nm in enumerate(names):
+                cols[nm] = [x[i] for x in decoded]
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(batches, MP3_SF_SCHEMA)

@@ -728,17 +728,65 @@ def png_raster(payload: bytes):
     if ihdr is None or not ended:
         raise ValueError("missing IHDR or IEND")
     w, h, bit_depth, color_type, comp, filt, interlace = ihdr
-    if (bit_depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (bit_depth, color_type, comp, filt) != (8, 2, 0, 0) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG variant (depth={bit_depth} color={color_type} "
             f"interlace={interlace})"
         )
     stream = zlib.decompress(bytes(idat))
-    bpp = 3
-    rowlen = 3 * w
-    if len(stream) != h * (1 + rowlen):
-        raise ValueError(f"decompressed size {len(stream)} != {h * (1 + rowlen)}")
-    out = np.zeros((h, rowlen), dtype=np.uint8)
+    if interlace == 0:
+        rowlen = 3 * w
+        if len(stream) != h * (1 + rowlen):
+            raise ValueError(f"decompressed size {len(stream)} != {h * (1 + rowlen)}")
+        rows = _png_defilter(stream, h, rowlen)
+        out = np.zeros((h, rowlen), dtype=np.uint8)
+        for y, row in enumerate(rows):
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        return w, h, out.reshape(h, w, 3)
+    # Adam7 (PNG spec §8.2): seven passes, each an independently
+    # FILTERED sub-image (prev-row resets per pass; empty passes emit
+    # no bytes, not even filter bytes), de-interlaced onto the grid
+    # (x0 + i·dx, y0 + j·dy).
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    pos2 = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rowlen = 3 * pw
+        need = ph * (1 + rowlen)
+        if pos2 + need > len(stream):
+            raise ValueError("Adam7 pass data truncated")
+        rows = _png_defilter(stream[pos2 : pos2 + need], ph, rowlen)
+        pos2 += need
+        for j, row in enumerate(rows):
+            px = np.frombuffer(bytes(row), dtype=np.uint8).reshape(pw, 3)
+            out[y0 + j * dy, x0 : x0 + (pw - 1) * dx + 1 : dx] = px
+    if pos2 != len(stream):
+        raise ValueError(
+            f"Adam7 stream has {len(stream) - pos2} trailing bytes"
+        )
+    return w, h, out
+
+
+# Adam7 pass grid (x_start, y_start, x_step, y_step), PNG spec §8.2
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_defilter(stream: bytes, h: int, rowlen: int, bpp: int = 3) -> list[bytearray]:
+    """Reverse the five PNG row filters over one filtered sub-image
+    (h rows of 1 filter byte + rowlen data bytes; prev row starts
+    zeroed — each Adam7 pass calls this independently per spec)."""
+    rows: list[bytearray] = []
     prev = bytearray(rowlen)
     for y in range(h):
         f = stream[y * (1 + rowlen)]
@@ -760,9 +808,9 @@ def png_raster(payload: bytes):
                 row[i] = (row[i] + _paeth(left, prev[i], ul)) % 256
         elif f != 0:
             raise ValueError(f"bad filter type {f} on row {y}")
-        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        rows.append(row)
         prev = row
-    return w, h, out.reshape(h, w, 3)
+    return rows
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, int, int, int]:
@@ -771,6 +819,140 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int, int]:
     w, h, px = png_raster(payload)
     sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
     return w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def synth_png_i7(doc_id: int) -> bytes:
+    """Deterministic ADAM7-INTERLACED 8-bit RGB PNG: the seven passes
+    are extracted on the spec grid, each pass filtered independently
+    (type = (doc_id + pass + row) mod 5 — all five filters appear
+    WITHIN passes across the corpus; empty passes emit nothing), the
+    concatenation DEFLATE-compressed, IHDR interlace = 1. w = 3 +
+    doc_id % 8, h = 3 + doc_id % 7 — small sizes make passes 2-4
+    genuinely EMPTY on part of the corpus, so the no-bytes rule is on
+    the checked path. Pixel i = y·w + x has R/G/B = (doc_id·29 + i·13
+    + {0, 7, 14}) mod 256 — replayed exactly by the SQL oracle."""
+    import struct
+    import zlib
+
+    d = doc_id
+    w = 3 + d % 8
+    h = 3 + d % 7
+    bpp = 3
+
+    def pix(x: int, y: int) -> bytes:
+        base = d * 29 + (y * w + x) * 13
+        return bytes((base % 256, (base + 7) % 256, (base + 14) % 256))
+
+    stream = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(ADAM7_PASSES, start=1):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rowlen = 3 * pw
+        prev = bytes(rowlen)
+        for j in range(ph):
+            raw = b"".join(pix(x0 + i * dx, y0 + j * dy) for i in range(pw))
+            f = (d + p + j) % 5
+            stream.append(f)
+            for i in range(rowlen):
+                left = raw[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    stream.append(raw[i])
+                elif f == 1:
+                    stream.append((raw[i] - left) % 256)
+                elif f == 2:
+                    stream.append((raw[i] - up) % 256)
+                elif f == 3:
+                    stream.append((raw[i] - (left + up) // 2) % 256)
+                else:
+                    stream.append((raw[i] - _paeth(left, up, ul)) % 256)
+            prev = raw
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_adam7(payload: bytes) -> tuple:
+    """Decode an interlaced PNG and return POSITION-SENSITIVE integer
+    stats: (width, height, n_pixels, sum_r, sum_g, sum_b, wsum_r,
+    wsum_g, wsum_b) where wsum_c = Σ (i+1)·c over raster order
+    i = y·w + x — the weighted sums catch a de-interlace bug that
+    merely permutes pixels (plain channel sums would not)."""
+    import numpy as np
+
+    w, h, px = png_raster(payload)
+    flat = px.reshape(-1, 3).astype("int64")
+    weights = np.arange(1, w * h + 1, dtype="int64")[:, None]
+    sums = flat.sum(axis=0)
+    wsums = (flat * weights).sum(axis=0)
+    return (w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]),
+            int(wsums[0]), int(wsums[1]), int(wsums[2]))
+
+
+def attach_png_i7(df: DataFrame) -> DataFrame:
+    """Synthesize the interlaced-PNG payload column in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_png_i7(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+PNG_I7_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("wsum_r", T.LongType()),
+        T.StructField("wsum_g", T.LongType()),
+        T.StructField("wsum_b", T.LongType()),
+    ]
+)
+
+
+def decode_png_adam7_features(df: DataFrame) -> DataFrame:
+    """Decode a binary interlaced-PNG column via mapInPandas: 1 blob →
+    1 integer-stats row, map-only, zero shuffle."""
+    names = [f.name for f in PNG_I7_SCHEMA.fields[1:]]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_png_adam7(bytes(p)) for p in pdf["media"]]
+            cols = {"doc_id": pdf["doc_id"]}
+            for i, nm in enumerate(names):
+                cols[nm] = [x[i] for x in decoded]
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(batches, PNG_I7_SCHEMA)
 
 
 def attach_png(df: DataFrame) -> DataFrame:

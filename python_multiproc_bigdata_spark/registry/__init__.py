@@ -441,65 +441,79 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # re-confirm whose family keeps in-window siblings). Post-r10 ledger
 # math: latest-green distribution becomes r10:50, r9:50, r8:46,
 # r7:44, ... → median green-age 3 rounds.
+# Round-11 rotation (VERDICT r10 ask #6): r10 went 50/50, so the window
+# keeps refreshing the STALEST green records. Slots: the permanent
+# words_pipeline anchor; the THREE queries born in r11
+# (training_budget_select_sampled — the prescribed approximate-budget
+# sibling, multimodal_mp3_sideinfo_walk — the Layer III side-info
+# decode, streaming_phash_neardup — the incremental perceptual matcher;
+# never-checked queries enter the window the round they are born); the
+# THREE queries whose execution paths were REWIRED this round to
+# with_global_index's bucketed rank/cumsum (stats_gini_concentration,
+# stats_pareto_cutoffs, training_budget_select — code-touched queries
+# re-confirm the round they change, the r9 precedent); the ENTIRE
+# r3-latest-green cohort (28 — computed from CORRECTNESS_r*.json, the
+# oldest records in the ledger after r10 re-greened the r1/r2 block);
+# and 12 family-diverse members of the r4-latest-green cohort
+# (asof/bloom/calendar/cdc/cube/curation/dedup/dq/events families).
+# Post-r11 ledger math: stalest surviving record becomes the remaining
+# r4 cohort (34) → median green-age ≤ 4 rounds, per the r10 ask.
 CHECKED_FIRST: tuple[str, ...] = (
-    # words ETL spine (reference flagship — the permanent anchor)
+    # the permanent anchor
     "words_pipeline",
-    # born in r10: the prescribed sample-cutoff scale variants of the
-    # two global-NTILE queries (exact siblings stay oracle anchors) and
-    # the tar.gz streaming ingest twin (second archive family at
-    # batch+streaming parity)
-    "events_rfm_segmentation_sampled",
-    "curation_ccnet_tiers_sampled",
-    "streaming_targz_ingest",
-    "multimodal_decode_jpeg_sub",
-    "multimodal_image_phash_neardup",
-    "multimodal_audio_snippet_match",
-    "multimodal_video_shot_boundaries",
-    "eval_mrl_truncation_recall",
+    # born in r11
+    "training_budget_select_sampled",
+    "multimodal_mp3_sideinfo_walk",
+    "multimodal_mp3_scalefac_walk",
+    "multimodal_decode_png_adam7",
+    "streaming_phash_neardup",
+    "streaming_audio_snippet_match",
+    # rewired in r11 (bucketed global rank/cumsum) — re-confirm
+    "stats_gini_concentration",
+    "stats_pareto_cutoffs",
     "training_budget_select",
-    # ---- the r1-green cohort: stalest driver records in the ledger ----
-    "anti_join_customers",
-    "broadcast_dim_join",
-    "count_distinct_segments",
-    "dedup_minhash_signatures",
-    "events_cumulative_value",
-    "events_funnel",
-    "events_interarrival",
-    "events_json_extract",
-    "events_sliding_window",
-    "in_subquery_customers",
-    "part_supplier_join",
-    "pivot_status_by_priority",
-    "q18_large_volume_customers",
-    "q2_cheapest_part_per_brand",
-    "rollup_order_priority",
-    "scalar_subquery_above_avg",
-    "semi_join_customers",
-    "setop_except_customers",
-    "setop_intersect_customers",
-    "string_agg_nations",
-    "text_fingerprint",
-    "unpivot_lineitem_measures",
-    "window_rank_functions",
-    "window_top3_orders",
-    "words_distinct_files",
-    "words_top20",
-    # ---- the r2-green cohort ----
-    "dedup_ngram_jaccard_capped",
-    "sim_topk_lsh",
-    "split_train_test_documents",
-    "text_token_count",
-    "words_no_dupes",
-    "words_v1_length_filter",
-    # ---- 15 family-diverse members of the r3-green cohort ----
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "dedup_exact",
-    "events_sessionize",
-    "sim_topk_bruteforce",
-    "text_quality",
-    "asof_click_to_view",
-    "streaming_click_view_join",
+    # ---- the r3-latest-green cohort: stalest records in the ledger ----
+    "cdc_latest_per_key",
+    "cdc_upsert_customers",
+    "curation_repetition_signals",
+    "decontaminate_train_eval",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_from_json_struct",
+    "events_tumbling_window",
+    "grouping_sets_orders",
+    "profile_documents",
+    "quota_sample_per_lang",
+    "range_join_close_events",
+    "semantic_only_neardups",
+    "sim_knn_classify",
+    "sim_neardup_cosine",
+    "sim_topk_ivf",
+    "sim_topk_sq8",
+    "stats_lineitem_moments",
+    "stats_price_percentiles",
+    "text_tfidf_top_terms",
+    "training_mix_by_lang",
+    "training_pack_chunks",
+    "training_temperature_mix",
+    "udaf_median_acctbal",
+    "words_doc_frequency",
+    "words_duplicate_occurrences",
+    "words_first_position",
+    # ---- 12 family-diverse members of the r4-latest-green cohort ----
+    "asof_click_to_nearest_view",
+    "bloom_filtered_join",
+    "bloom_pruned_urgent_revenue",
+    "calendar_month_order_counts",
+    "cdc_snapshot_asof",
+    "cube_orders",
+    "curation_bigram_logprob",
+    "curation_pagerank_quality",
+    "dedup_components_canonical",
+    "dedup_edit_distance_blocked",
+    "dedup_prefix_filter_jaccard",
+    "dq_check_orders",
 )
 
 

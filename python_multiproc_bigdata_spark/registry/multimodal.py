@@ -990,6 +990,186 @@ FROM fx GROUP BY doc_id
 """
 
 
+def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG ADAM7 interlaced decode (r11) — the progressive-transmission
+    mode of the r8 PNG codec (PNG spec §8.2): seven passes extracted on
+    the spec grid, each pass an independently FILTERED sub-image
+    (prev-row resets per pass; genuinely EMPTY passes on the small end
+    of the corpus emit no bytes — the rule that breaks naive decoders),
+    de-interlaced back onto the raster. The synth corpus cycles all
+    five row filters WITHIN passes and both empty and full pass sets.
+    Output adds POSITION-WEIGHTED channel sums Σ(i+1)·c to the plain
+    sums, so a de-interlace bug that merely permutes pixels (which
+    plain sums cannot see) hash-fails. Map-only mapInPandas; oracle
+    replays the pixel arithmetic in exact integer SQL."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_png_i7,
+        decode_png_adam7_features,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return decode_png_adam7_features(attach_png_i7(d))
+
+
+# Replays synth_png_i7's pixel arithmetic: pixel i of doc d has
+# R/G/B = (d·29 + i·13 + {0,7,14}) mod 256 over w·h pixels — the
+# interlacing itself must cancel out, and the weighted sums pin it.
+SQL_DECODE_PNG_I7 = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 8 AS w, 3 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+), ch AS (
+  SELECT doc_id, w, h, i,
+         (doc_id*29 + i*13) % 256 AS r,
+         (doc_id*29 + i*13 + 7) % 256 AS g,
+         (doc_id*29 + i*13 + 14) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+  CAST(max(w) AS BIGINT) AS width,
+  CAST(max(h) AS BIGINT) AS height,
+  CAST(count(*) AS BIGINT) AS n_pixels,
+  CAST(sum(r) AS BIGINT) AS sum_r,
+  CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b,
+  CAST(sum((i + 1) * r) AS BIGINT) AS wsum_r,
+  CAST(sum((i + 1) * g) AS BIGINT) AS wsum_g,
+  CAST(sum((i + 1) * b) AS BIGINT) AS wsum_b
+FROM ch GROUP BY doc_id
+"""
+
+
+def multimodal_mp3_scalefac_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Layer III SCALEFACTOR decode (r11) — the first MAIN-DATA
+    layer, one below the side-info walk (ISO 11172-3 §2.4.2.7): each
+    granule's scalefactor fields are bit-read from the frame's main
+    data with widths from the scalefac_compress → (slen1, slen2) table
+    and the window-mode band layout (21 long bands / 12 short × 3
+    windows / the 8+9×3 mixed split), honoring scfsi copy groups for
+    granule 1 (copied bands repeat granule 0's value and consume no
+    bits — enforced long-block-only per spec) and skipping the
+    remaining part2_3_length bits as spectrum data. The supported
+    subset is documented and loud: main_data_begin must be 0 (no
+    bit-reservoir backpointer); Huffman spectrum + MDCT synthesis stay
+    the library-bound stub. The synth corpus hits all three layouts
+    and real scfsi copies; the oracle is an INDEPENDENT pure-Python
+    replay (own slen table, own layout loops, no shared code) emitted
+    as a VALUES literal. Map-only, zero shuffle."""
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        attach_mp3_sf,
+        mp3_scalefactor_features,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return mp3_scalefactor_features(attach_mp3_sf(d))
+
+
+def make_mp3_scalefac_oracle() -> str:
+    """Independent replay of synth_mp3_sf's documented arithmetic with
+    its OWN slen table and band-layout loops (nothing imported from
+    operators/mp3.py): per doc, nf = 2 + doc_id%3 frames × 2 granules;
+    wsf = ((d+f+g)//2)%2, bt = 1+(d+f+g)%3 under switching, mixed =
+    (d+f)%2; scfsi = (d+f)%16 only when both granules are long;
+    scalefactor value (d + f + g·7 + band·3) mod 2^slen; granule-1
+    bands in set scfsi groups copy granule 0 (with granule 0's slen);
+    part2 bits summed from the layout; filler 8+(d+f+g)%25 ignored
+    (it is part3). Emits the per-doc stats rows as a VALUES literal."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    ]
+    slen_tab = [
+        (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+    ]
+    groups = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+    def layout(wsf, bt, mixed):
+        if not wsf or bt != 2:
+            return [("l", b, 1 if b < 11 else 2) for b in range(21)]
+        rows = []
+        if mixed:
+            rows += [("l", b, 1) for b in range(8)]
+            sfbs = range(3, 12)
+        else:
+            sfbs = range(12)
+        for sfb in sfbs:
+            for w in range(3):
+                rows.append(("s", sfb * 4 + w, 1 if sfb < 6 else 2))
+        return rows
+
+    rows_out = []
+    for d in ids:
+        nf = 2 + d % 3
+        n_long = n_short = n_mixed = 0
+        sum_long = sum_short = copied = part2 = scfsi_sum = 0
+        for f in range(nf):
+            gmeta = []
+            for g in (0, 1):
+                wsf = ((d + f + g) // 2) % 2
+                bt = 1 + (d + f + g) % 3 if wsf else 0
+                mixed = (d + f) % 2 if wsf else 0
+                gmeta.append((wsf, bt, mixed))
+            both_long = all(not w or b != 2 for w, b, _ in gmeta)
+            scfsi = (d + f) % 16 if both_long else 0
+            scfsi_sum += scfsi
+            g0_vals = {}
+            for g in (0, 1):
+                wsf, bt, mixed = gmeta[g]
+                if not wsf or bt != 2:
+                    n_long += 1
+                elif mixed:
+                    n_mixed += 1
+                else:
+                    n_short += 1
+                s1, s2 = slen_tab[(d + f + g) % 16]
+                for kind, band, which in layout(wsf, bt, mixed):
+                    slen = s1 if which == 1 else s2
+                    if g == 1 and kind == "l":
+                        grp = next(
+                            i for i, (lo, hi) in enumerate(groups) if lo <= band < hi
+                        )
+                        if (scfsi >> (3 - grp)) & 1:
+                            sum_long += g0_vals[band]
+                            copied += 1
+                            continue
+                    v = (d + f + g * 7 + band * 3) % (1 << slen) if slen else 0
+                    part2 += slen
+                    if kind == "l":
+                        sum_long += v
+                        if g == 0:
+                            g0_vals[band] = v
+                    else:
+                        sum_short += v
+        rows_out.append(
+            f"({d},{nf},{n_long},{n_short},{n_mixed},{sum_long},"
+            f"{sum_short},{copied},{part2},{scfsi_sum})"
+        )
+    values = ",".join(rows_out)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_frames AS BIGINT) AS n_frames, "
+        "CAST(n_long_granules AS BIGINT) AS n_long_granules, "
+        "CAST(n_short_granules AS BIGINT) AS n_short_granules, "
+        "CAST(n_mixed_granules AS BIGINT) AS n_mixed_granules, "
+        "CAST(sum_long_sf AS BIGINT) AS sum_long_sf, "
+        "CAST(sum_short_sf AS BIGINT) AS sum_short_sf, "
+        "CAST(n_copied_bands AS BIGINT) AS n_copied_bands, "
+        "CAST(sum_part2_bits AS BIGINT) AS sum_part2_bits, "
+        "CAST(sum_scfsi AS BIGINT) AS sum_scfsi "
+        f"FROM (VALUES {values}) AS t(doc_id, n_frames, n_long_granules, "
+        "n_short_granules, n_mixed_granules, sum_long_sf, sum_short_sf, "
+        "n_copied_bands, sum_part2_bits, sum_scfsi)"
+    )
+
+
 # Replays synth_mp3's arithmetic: nf = 3 + doc_id%4 frames, sample rate
 # by doc_id%3, ID3v2 tag 10 + (doc_id%5)·7 bytes on even docs, frame f
 # bitrate index 1 + (doc_id·3 + f·5) % 14 via the spec table, padding
@@ -1074,6 +1254,12 @@ REGISTRY = {
     ),
     "multimodal_mp3_sideinfo_walk": QuerySpec(
         multimodal_mp3_sideinfo_walk, SQL_MP3_SIDEINFO
+    ),
+    "multimodal_mp3_scalefac_walk": QuerySpec(
+        multimodal_mp3_scalefac_walk, make_mp3_scalefac_oracle
+    ),
+    "multimodal_decode_png_adam7": QuerySpec(
+        multimodal_decode_png_adam7, SQL_DECODE_PNG_I7
     ),
     "multimodal_decode_avi": QuerySpec(multimodal_decode_avi, SQL_DECODE_AVI),
     "multimodal_decode_tiff": QuerySpec(multimodal_decode_tiff, SQL_DECODE_TIFF),

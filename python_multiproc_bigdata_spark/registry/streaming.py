@@ -969,6 +969,76 @@ def _phash_stream_oracle() -> str:
     return make_phash_oracle()
 
 
+def streaming_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_audio_snippet_match's streaming twin (r11) — query
+    clips arriving continuously against the MATERIALIZED landmark index
+    (the streaming_topk_serving posture on the audio surface; the
+    corpus landmark relation IS the inverted index a deployment keeps
+    hot): snippet WAVs land in two waves, each foreachBatch epoch cuts
+    its snippets' landmarks and runs the landmark-key join +
+    time-offset voting against the static corpus relation, writing
+    per-snippet winners epoch-keyed so at-least-once retries stay
+    idempotent. Each snippet's winner depends only on its own landmarks
+    vs the corpus — micro-batch-INVARIANT — so the epoch union equals
+    the batch answer value-for-value and the SAME generated
+    pure-Python replay oracle (make_audio_snippet_oracle) checks both.
+    Scale: per-epoch work = |batch snippets| broadcast onto the corpus
+    posting lists; nothing accumulates."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_wav_fp,
+        audio_landmarks,
+        audio_match_snippets,
+    )
+
+    spark = prep(spark)
+    d = table(spark, sf_dir, "documents")
+    corpus_lm = audio_landmarks(attach_wav_fp(d)).localCheckpoint(eager=True)
+    snip_wavs = attach_wav_fp(d.filter(F.col("doc_id") % 5 == 0))
+
+    root = fixture_root("audiosnipstream", sf_dir)
+    sdir = os.path.join(root, "snippets")
+    mdir = os.path.join(root, "matches")
+    for m in (0, 1):  # two arrival waves
+        snip_wavs.filter((F.col("doc_id") % 10 == 5 * m)).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+
+    def match_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        snips = audio_landmarks(batch_df, snippet=True)
+        audio_match_snippets(snips, corpus_lm, min_votes=2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(mdir, f"epoch={epoch_id}"))
+
+    q = (
+        spark.readStream.schema(snip_wavs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    return spark.read.parquet(mdir).select(
+        "snippet_id", "matched_doc", "dt", "votes"
+    )
+
+
+def _audio_snippet_stream_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.multimodal import (
+        make_audio_snippet_oracle,
+    )
+
+    return make_audio_snippet_oracle()
+
+
 REGISTRY = {
     # same generated centroid-literal oracle as sim_topk_ivf_kmeans:
     # per-query top-k is micro-batch-invariant, so the streamed union
@@ -987,6 +1057,11 @@ REGISTRY = {
     # member's epoch), so the epoch union equals the batch answer
     "streaming_phash_neardup": QuerySpec(
         streaming_phash_neardup, _phash_stream_oracle
+    ),
+    # micro-batch-invariant serving twin: same generated replay oracle
+    # as the batch snippet matcher
+    "streaming_audio_snippet_match": QuerySpec(
+        streaming_audio_snippet_match, _audio_snippet_stream_oracle
     ),
     "streaming_transition_counts": QuerySpec(
         streaming_transition_counts, SQL_STREAM_TRANSITIONS

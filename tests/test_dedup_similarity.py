@@ -1358,3 +1358,104 @@ def test_image_phash_properties_and_banded_join(spark):
         packed |= int(r.band_val) << (r.band_idx * AHASH_BAND_BITS)
     want = int((bits[5] << np.arange(64, dtype=object)).sum())
     assert packed == want
+
+
+def test_png_adam7_hand_built_and_malformed():
+    """Adam7 de-interlace (r11) checked against a HAND-laid-out 2x2
+    interlaced stream (pass membership worked out manually from the
+    PNG spec §8.2 grid — pass 1 holds (0,0), pass 6 holds (1,0),
+    pass 7 holds the y=1 row; passes 2-5 are EMPTY and must emit no
+    bytes), so a synth/decoder-symmetric pass-table bug cannot hide.
+    Trailing bytes after the last pass and a truncated pass raise."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.multimodal import png_raster
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    def png_of(stream, w=2, h=2):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+
+    # intended: (0,0)=(10,20,30) (1,0)=(40,50,60)
+    #           (0,1)=(70,80,90) (1,1)=(100,110,120)
+    # pass1: one row [(10,20,30)], filter None
+    # pass6: one row [(40,50,60)], filter Sub (first px → literal)
+    # pass7: one row [(70,80,90),(100,110,120)], filter Up with a FRESH
+    #        zero prev row (per-pass reset — the spec subtlety): deltas
+    #        are the raw bytes themselves
+    stream = bytes(
+        [0, 10, 20, 30]
+        + [1, 40, 50, 60]
+        + [2, 70, 80, 90, 100, 110, 120]
+    )
+    w, h, px = png_raster(png_of(stream))
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [
+        [[10, 20, 30], [40, 50, 60]],
+        [[70, 80, 90], [100, 110, 120]],
+    ]
+    with _pytest.raises(ValueError, match="trailing"):
+        png_raster(png_of(stream + b"\x00"))
+    with _pytest.raises(ValueError, match="truncated"):
+        png_raster(png_of(stream[:-2]))
+
+
+def test_png_adam7_synth_roundtrip_and_weighted_sums(spark):
+    """synth→decode parity with direct arithmetic for docs covering
+    empty AND full pass sets; the weighted sums differ from what a
+    row-major MISREAD of the interlaced stream would produce (the
+    permutation-sensitivity claim), and the distributed stage is
+    shuffle-free."""
+    from python_multiproc_bigdata_spark.operators.multimodal import (
+        attach_png_i7,
+        decode_png_adam7,
+        decode_png_adam7_features,
+        synth_png_i7,
+    )
+
+    for d in (0, 1, 5, 9, 12, 27, 40):
+        w, h = 3 + d % 8, 3 + d % 7
+        n = w * h
+        got = decode_png_adam7(synth_png_i7(d))
+        want = (
+            w, h, n,
+            sum((d * 29 + i * 13) % 256 for i in range(n)),
+            sum((d * 29 + i * 13 + 7) % 256 for i in range(n)),
+            sum((d * 29 + i * 13 + 14) % 256 for i in range(n)),
+            sum((i + 1) * ((d * 29 + i * 13) % 256) for i in range(n)),
+            sum((i + 1) * ((d * 29 + i * 13 + 7) % 256) for i in range(n)),
+            sum((i + 1) * ((d * 29 + i * 13 + 14) % 256) for i in range(n)),
+        )
+        assert got == want, (d, got, want)
+        # permutation sensitivity: interlaced pixel order != raster
+        # order for these sizes, so weights over the PASS order differ
+        perm = []
+        from python_multiproc_bigdata_spark.operators.multimodal import ADAM7_PASSES
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            for y in range(y0, h, dy):
+                for x in range(x0, w, dx):
+                    perm.append(y * w + x)
+        wsum_pass_order = sum(
+            (k + 1) * ((d * 29 + perm[k] * 13) % 256) for k in range(n)
+        )
+        assert wsum_pass_order != got[6]
+
+    df = spark.createDataFrame([(0,), (9,), (27,)], ["doc_id"])
+    out = decode_png_adam7_features(attach_png_i7(df))
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[27].width == 3 + 27 % 8 and rows[27].n_pixels == rows[27].width * rows[27].height

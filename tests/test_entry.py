@@ -43,56 +43,55 @@ def test_checked_window_is_curated():
     must_be_checked = {
         # the permanent anchor: the reference's flagship ETL spine
         "words_pipeline",
-        # born in r10: the sampled-cutoff scale variants (a
-        # never-checked query enters the window the round it is born)
-        "events_rfm_segmentation_sampled", "curation_ccnet_tiers_sampled",
-        "streaming_targz_ingest", "multimodal_decode_jpeg_sub",
-        "multimodal_image_phash_neardup", "multimodal_audio_snippet_match",
-        "multimodal_video_shot_boundaries", "eval_mrl_truncation_recall",
+        # born in r11 (never-checked queries enter the window the round
+        # they are born)
+        "training_budget_select_sampled", "multimodal_mp3_sideinfo_walk",
+        "multimodal_mp3_scalefac_walk", "streaming_phash_neardup",
+        "streaming_audio_snippet_match", "multimodal_decode_png_adam7",
+        # rewired in r11 to with_global_index's bucketed rank/cumsum —
+        # code-touched queries re-confirm the round they change
+        "stats_gini_concentration", "stats_pareto_cutoffs",
         "training_budget_select",
-        # round-10 rotation (r9 went 50/50 and the cumulative ledger hit
-        # 300/300 driver-green-ever, so the window's job flips from
-        # clearing the never-checked backlog to REFRESHING the stalest
-        # green records): the entire r1-green cohort ...
-        "anti_join_customers", "broadcast_dim_join",
-        "count_distinct_segments", "dedup_minhash_signatures",
-        "events_cumulative_value", "events_funnel", "events_interarrival",
-        "events_json_extract", "events_sliding_window",
-        "in_subquery_customers", "part_supplier_join",
-        "pivot_status_by_priority", "q18_large_volume_customers",
-        "q2_cheapest_part_per_brand", "rollup_order_priority",
-        "scalar_subquery_above_avg", "semi_join_customers",
-        "setop_except_customers", "setop_intersect_customers",
-        "string_agg_nations", "text_fingerprint",
-        "unpivot_lineitem_measures", "window_rank_functions",
-        "window_top3_orders", "words_distinct_files", "words_top20",
-        # ... the entire r2-green cohort ...
-        "dedup_ngram_jaccard_capped", "sim_topk_lsh",
-        "split_train_test_documents", "text_token_count",
-        "words_no_dupes", "words_v1_length_filter",
-        # ... and 15 family-diverse members of the r3-green cohort
-        "q3_shipping_priority", "q5_region_revenue", "dedup_exact",
-        "events_sessionize",
-        "sim_topk_bruteforce",
-        "text_quality",
-        "asof_click_to_view", "streaming_click_view_join",
+        # round-11 rotation: the entire r3-latest-green cohort (the
+        # stalest records after r10 re-greened the r1/r2 block) ...
+        "cdc_latest_per_key", "cdc_upsert_customers",
+        "curation_repetition_signals", "decontaminate_train_eval",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "events_from_json_struct", "events_tumbling_window",
+        "grouping_sets_orders", "profile_documents",
+        "quota_sample_per_lang", "range_join_close_events",
+        "semantic_only_neardups", "sim_knn_classify",
+        "sim_neardup_cosine", "sim_topk_ivf", "sim_topk_sq8",
+        "stats_lineitem_moments", "stats_price_percentiles",
+        "text_tfidf_top_terms", "training_mix_by_lang",
+        "training_pack_chunks", "training_temperature_mix",
+        "udaf_median_acctbal", "words_doc_frequency",
+        "words_duplicate_occurrences", "words_first_position",
+        # ... and 12 family-diverse members of the r4 cohort
+        "asof_click_to_nearest_view", "bloom_filtered_join",
+        "bloom_pruned_urgent_revenue", "calendar_month_order_counts",
+        "cdc_snapshot_asof", "cube_orders", "curation_bigram_logprob",
+        "curation_pagerank_quality", "dedup_components_canonical",
+        "dedup_edit_distance_blocked",
+        "dedup_prefix_filter_jaccard",
+        "dq_check_orders",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
-    # every name demoted in the r10 rotation must carry an r9
+    # every name demoted in the r11 rotation must carry an r10
     # driver-green record — the rotation invariant (checked across ALL
-    # committed CORRECTNESS files by tools/parity_ledger.py); r10
-    # demotes every r9 slot except the anchor, so assert against the
-    # whole r9 artifact
+    # committed CORRECTNESS files by tools/parity_ledger.py); r11
+    # demotes every r10 slot except the anchor, so assert against the
+    # whole r10 artifact
     import json
     import os
 
-    r9 = json.load(
-        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r09.json"))
+    r10 = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"))
     )
-    assert len(r9) == 50
-    for name, rec in r9.items():
+    assert len(r10) == 50
+    for name, rec in r10.items():
         assert rec["rows_match"] and rec["schema_match"] and rec["hash_match"], (
-            f"r10 demotion without r9 driver-green: {name}"
+            f"r11 demotion without r10 driver-green: {name}"
         )
 
 

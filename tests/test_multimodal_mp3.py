@@ -215,3 +215,133 @@ def test_sideinfo_distributed_shape(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[13].n_frames == 2 + 13 % 3
     assert rows[0].n_switched + rows[0].sum_region0 >= 0  # schema smoke
+
+
+# ---- r11: Layer III scalefactor decode (first main-data layer) ----
+
+
+def test_scalefac_hand_built_long_granules():
+    """Frame with both granules long, scfsi=0b1000 (group 0 copied):
+    side info + main data written bit-by-bit from the spec layout (no
+    shared packer). scalefac_compress=9 → slen (2,2): 21 bands × 2
+    bits per granule, but granule 1 skips bands 0-5 (copied)."""
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        frame_length,
+        mp3_scalefactors,
+    )
+
+    g0_sf = [(3 * b + 1) % 4 for b in range(21)]
+    g1_sf = [(2 * b + 3) % 4 for b in range(21)]
+    bits = format(0, "09b") + "00000" + "1000"  # mdb=0, scfsi group 0
+    for g in (0, 1):
+        n_sf_bits = 42 if g == 0 else 42 - 12  # granule 1: 6 bands copied
+        part23 = n_sf_bits + 5  # 5 filler spectrum bits
+        bits += format(part23, "012b") + format(10, "09b") + format(99, "08b")
+        bits += format(9, "04b") + "0"  # sfc=9, no switching
+        bits += format(7, "05b") * 3 + format(2, "04b") + format(1, "03b")
+        bits += "0" + "0" + "0"
+    si = int(bits, 2).to_bytes(17, "big")
+    mbits = "".join(format(v, "02b") for v in g0_sf) + "11111"
+    mbits += "".join(format(v, "02b") for v in g1_sf[6:]) + "10101"
+    mbits += "0" * ((-len(mbits)) % 8)
+    md = int(mbits, 2).to_bytes(len(mbits) // 8, "big")
+    ln = frame_length(128, 44100, 0)
+    payload = (
+        bytes((0xFF, 0xFB, 0x90, 0xC0)) + si + md
+        + bytes([1] * (ln - 4 - 17 - len(md)))
+    )
+    (fr,) = mp3_scalefactors(payload)
+    assert fr["scfsi"] == 0b1000
+    got0, got1 = fr["granules"]
+    assert got0["long"] == {b: g0_sf[b] for b in range(21)}
+    assert got0["part2_bits"] == 42
+    # bands 0-5 copied FROM GRANULE 0; 6-20 read from the stream
+    want1 = {b: g0_sf[b] for b in range(6)} | {b: g1_sf[b] for b in range(6, 21)}
+    assert got1["long"] == want1
+    assert got1["part2_bits"] == 30
+
+
+def test_scalefac_synth_parity_and_layout_coverage():
+    """Pack→parse roundtrip equals the documented arithmetic for 80
+    docs and ALL THREE layouts (long / pure-short / mixed) plus real
+    scfsi copies occur — the oracle's branches are exercised."""
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        SLEN,
+        _sf_layout,
+        _sf_value,
+        mp3_scalefactors,
+        mp3_side_info,
+        synth_mp3_sf,
+    )
+
+    saw = {"long": 0, "short": 0, "mixed": 0, "copied": 0}
+    for d in range(80):
+        payload = synth_mp3_sf(d)
+        si = mp3_side_info(payload)
+        sf = mp3_scalefactors(payload)
+        for f, (fsi, fsf) in enumerate(zip(si, sf)):
+            for g, (gsi, gsf) in enumerate(zip(fsi["granules"], fsf["granules"])):
+                wsf = gsi["window_switching"]
+                bt = gsi.get("block_type", 0)
+                mixed = gsi.get("mixed_block", 0)
+                if not wsf or bt != 2:
+                    saw["long"] += 1
+                elif mixed:
+                    saw["mixed"] += 1
+                else:
+                    saw["short"] += 1
+                s1, s2 = SLEN[gsi["scalefac_compress"]]
+                scfsi = fsf["scfsi"]
+                for kind, band, which in _sf_layout(wsf, bt, mixed):
+                    slen = s1 if which == 1 else s2
+                    if kind == "s":
+                        assert gsf["short"][(band // 4, band % 4)] == _sf_value(
+                            d, f, g, band, slen
+                        )
+                        continue
+                    grp = 0 if band < 6 else 1 if band < 11 else 2 if band < 16 else 3
+                    if g == 1 and (scfsi >> (3 - grp)) & 1:
+                        # copied band: granule 0's value with ITS slen
+                        saw["copied"] += 1
+                        s1g0, s2g0 = SLEN[(d + f) % 16]
+                        slen0 = s1g0 if band < 11 else s2g0
+                        assert gsf["long"][band] == _sf_value(d, f, 0, band, slen0)
+                    else:
+                        assert gsf["long"][band] == _sf_value(d, f, g, band, slen)
+    assert all(v > 0 for v in saw.values()), saw
+
+
+def test_scalefac_reservoir_and_underflow_rejected():
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        mp3_scalefactors,
+        synth_mp3_sf,
+    )
+
+    good = bytearray(synth_mp3_sf(3))
+    # force a nonzero main_data_begin (first 9 side-info bits)
+    bad = bytearray(good)
+    bad[4] |= 0x80
+    with pytest.raises(ValueError, match="bit-reservoir"):
+        mp3_scalefactors(bytes(bad))
+    # force part2_3_length below the scalefactor bit count: zero the
+    # 12-bit field at side-info bits 18..29
+    bad2 = bytearray(good)
+    for bit in range(18, 30):
+        bad2[4 + (bit >> 3)] &= ~(0x80 >> (bit & 7)) & 0xFF
+    with pytest.raises(ValueError, match="part2_3_length"):
+        mp3_scalefactors(bytes(bad2))
+
+
+def test_scalefac_distributed_shape(spark):
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        attach_mp3_sf,
+        mp3_scalefactor_features,
+    )
+
+    df = spark.createDataFrame([(0,), (7,), (13,)], ["doc_id"])
+    out = mp3_scalefactor_features(attach_mp3_sf(df))
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[13].n_frames == 2 + 13 % 3
+    for r in rows.values():
+        assert r.n_long_granules + r.n_short_granules + r.n_mixed_granules == 2 * r.n_frames
