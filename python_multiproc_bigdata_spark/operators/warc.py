@@ -1,0 +1,323 @@
+"""WARC (ISO 28500) crawl-archive ingest + from-spec HTML main-text
+extraction — the FRONT DOOR of a web-crawl training-data pipeline
+(Common Crawl ships WARC; the 'WET' text the LLM pipelines consume is
+exactly extract(strip(HTML))). Both layers are parsed from their public
+specs with the repo's loud-gate posture:
+
+- WARC: version line `WARC/1.0`, named-field headers terminated by a
+  blank line, `Content-Length` octet-exact payload slicing, the
+  mandatory `\r\n\r\n` record terminator, required-field validation
+  (WARC-Type / WARC-Record-ID / WARC-Date / Content-Length), and
+  non-response records (warcinfo, request) on the checked skip path.
+- HTML: a strict tokenizer over the spec surface an extractor needs —
+  tags with quoted attribute values (a `>` inside quotes must not
+  close the tag), `<!-- -->` comments (including `--` runs inside),
+  `<!DOCTYPE>`/`<?...?>` declarations, raw-text `script`/`style`
+  elements (their content is NOT character data and may contain fake
+  tags), and character references (the five predefined named entities
+  plus decimal `&#NN;` and hex `&#xHH;`). Character data is
+  whitespace-collapsed to single spaces, the WET convention. Strict
+  subset, loudly enforced: unterminated comments/tags/entities and
+  unknown named entities raise rather than guess — this is an ingest
+  QUALITY GATE, not a lenient browser.
+
+Reference parity note: the reference walks files as opaque payloads
+(v2/core/extractors/files.py); crawl-archive ingest is beyond-reference
+surface, sibling to the ZIP/ustar/tar.gz shard walkers
+(operators/archives.py).
+
+Cross-implementation check: tests/test_warc_html.py replays extraction
+through stdlib html.parser + html.unescape (code this module never
+touches) and asserts equality on the synth corpus and hand cases.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SHARD_SIZE = 16
+
+NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+}
+
+RAW_TEXT_TAGS = ("script", "style")
+
+
+def synth_html(doc_id: int, text: str) -> bytes:
+    """Deterministic HTML page wrapping a doc's text, with every trap
+    the extractor must survive ON the checked path: entities in title
+    and footer, a script whose body contains `<p>` markup and bare
+    `<`/`>`/`&&`, a style with comment-ish content, a quoted attribute
+    value containing `>`, an HTML comment with `--` runs and fake
+    tags, and decimal + hex character references. The whole page is a
+    concat of literals + doc_id + text, so the DuckDB oracle rebuilds
+    it (and the expected extraction) in plain SQL."""
+    return (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>Doc {doc_id} &amp; friends</title>\n"
+        "<style>body { color: #fff; } /* a > b < c */</style>\n"
+        '<script>if (a < b && c > d) { s = "<p>not text</p>"; }</script>\n'
+        "</head><body>\n"
+        "<nav><a href=\"/h?a=1&amp;b=2\" data-x='q>u'>Home &gt; Index</a></nav>\n"
+        f"<!-- hidden <em>markup</em> -- {doc_id} -->\n"
+        f'<h1 id="t{doc_id}">Doc &#72;eading &#x21;</h1>\n'
+        f"<p>{text}</p>\n"
+        "<footer>&quot;fin&quot; &lt;eof&gt;</footer>\n"
+        "</body></html>\n"
+    ).encode("utf-8")
+
+
+def html_to_text(html: str) -> str:
+    """From-spec strict HTML → text: walk tags/comments/declarations,
+    skip raw-text script/style content, decode character references in
+    character data, and collapse all whitespace runs to single spaces
+    (WET convention). Raises loudly on the malformed cases the module
+    docstring names."""
+    out: list[str] = []
+    i = 0
+    n = len(html)
+    while i < n:
+        c = html[i]
+        if c == "<":
+            if html.startswith("<!--", i):
+                end = html.find("-->", i + 4)
+                if end < 0:
+                    raise ValueError(f"unterminated comment at {i}")
+                i = end + 3
+                continue
+            if html.startswith("<!", i) or html.startswith("<?", i):
+                end = html.find(">", i)
+                if end < 0:
+                    raise ValueError(f"unterminated declaration at {i}")
+                i = end + 1
+                continue
+            # tag: find the true '>', honoring quoted attribute values
+            j = i + 1
+            closing = j < n and html[j] == "/"
+            if closing:
+                j += 1
+            k = j
+            while k < n and (html[k].isalnum() or html[k] in "-_"):
+                k += 1
+            name = html[j:k].lower()
+            if not name:
+                raise ValueError(f"bare '<' at {i} (not a tag)")
+            quote = ""
+            end = -1
+            while k < n:
+                ch = html[k]
+                if quote:
+                    if ch == quote:
+                        quote = ""
+                elif ch in "\"'":
+                    quote = ch
+                elif ch == ">":
+                    end = k
+                    break
+                k += 1
+            if end < 0:
+                raise ValueError(f"unterminated tag <{name} at {i}")
+            self_closing = html[end - 1] == "/"
+            i = end + 1
+            if not closing and not self_closing and name in RAW_TEXT_TAGS:
+                low = html.lower()
+                close = low.find(f"</{name}", i)
+                if close < 0:
+                    raise ValueError(f"unterminated raw-text <{name}> at {i}")
+                gt = html.find(">", close)
+                if gt < 0:
+                    raise ValueError(f"unterminated </{name}> at {close}")
+                i = gt + 1
+            continue
+        if c == "&":
+            semi = html.find(";", i + 1)
+            if semi < 0 or semi - i > 32:
+                raise ValueError(f"unterminated character reference at {i}")
+            body = html[i + 1 : semi]
+            if body.startswith("#x") or body.startswith("#X"):
+                out.append(chr(int(body[2:], 16)))
+            elif body.startswith("#"):
+                out.append(chr(int(body[1:], 10)))
+            elif body in NAMED_ENTITIES:
+                out.append(NAMED_ENTITIES[body])
+            else:
+                raise ValueError(f"unknown named entity &{body}; at {i}")
+            i = semi + 1
+            continue
+        out.append(c)
+        i += 1
+    return " ".join("".join(out).split())
+
+
+def expected_extraction(doc_id: int, text: str) -> str:
+    """The closed-form extraction of synth_html — what html_to_text
+    must earn by parsing. Cited by the SQL oracle."""
+    joined = f'Doc {doc_id} & friends Home > Index Doc Heading ! {text} "fin" <eof>'
+    return " ".join(joined.split())
+
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("archive", T.BinaryType()),
+        T.StructField("n_records", T.LongType()),
+    ]
+)
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n"
+    for k, v in headers:
+        head += f"{k}: {v}\r\n".encode()
+    head += f"Content-Length: {len(payload)}\r\n".encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def pack_warc_shards(docs: DataFrame, shard_size: int = WARC_SHARD_SIZE) -> DataFrame:
+    """Pack (doc_id, text) rows into WARC shards of `shard_size` docs:
+    one bounded applyInPandas group per shard (the zip-shard shape).
+    Each shard leads with a warcinfo record and a request record —
+    non-response types the walker must SKIP — then one response record
+    per doc (sorted by doc_id) whose payload is the synth_html page."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        blob = bytearray()
+        blob += _warc_record(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Record-ID", f"<urn:info:{sid}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ],
+            b"software: pmb-spark-warc\r\n",
+        )
+        blob += _warc_record(
+            [
+                ("WARC-Type", "request"),
+                ("WARC-Record-ID", f"<urn:req:{sid}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", f"http://example.com/shard/{sid}"),
+            ],
+            b"GET / HTTP/1.1\r\n",
+        )
+        count = 0
+        for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+            payload = synth_html(int(doc_id), str(text))
+            blob += _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:doc:{int(doc_id)}>"),
+                    ("WARC-Date", "2024-01-01T00:00:00Z"),
+                    ("WARC-Target-URI", f"http://example.com/doc/{int(doc_id)}"),
+                    ("Content-Type", "text/html"),
+                ],
+                payload,
+            )
+            count += 1
+        return pd.DataFrame(
+            {"shard_id": [sid], "archive": [bytes(blob)], "n_records": [count]}
+        )
+
+    shards = docs.select(
+        F.floor(F.col("doc_id") / shard_size).cast("long").alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return shards.groupBy("shard_id").applyInPandas(pack, _SHARD_SCHEMA)
+
+
+def warc_records(payload: bytes) -> list[tuple[dict, bytes]]:
+    """Walk a WARC blob per ISO 28500: version line, header fields to
+    the blank line, Content-Length payload slice, `\\r\\n\\r\\n`
+    terminator, required-field validation. Returns every record as
+    (headers, payload) — callers filter by WARC-Type. Raises loudly on
+    framing violations."""
+    out: list[tuple[dict, bytes]] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError(f"missing version line terminator at {pos}")
+        version = payload[pos:eol]
+        if version != b"WARC/1.0":
+            raise ValueError(f"unsupported WARC version {version!r} at {pos}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = payload.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError(f"unterminated header block at {pos}")
+            line = payload[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            key, sep, value = line.partition(b": ")
+            if not sep:
+                raise ValueError(f"malformed header line {line!r}")
+            headers[key.decode()] = value.decode()
+        for req in ("WARC-Type", "WARC-Record-ID", "WARC-Date", "Content-Length"):
+            if req not in headers:
+                raise ValueError(f"record missing required field {req}")
+        length = int(headers["Content-Length"])
+        body = payload[pos : pos + length]
+        if len(body) != length:
+            raise ValueError("record payload truncated")
+        pos += length
+        if payload[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("missing record terminator")
+        pos += 4
+        out.append((headers, body))
+    return out
+
+
+def walk_warc_shards(shards: DataFrame) -> DataFrame:
+    """Walk binary WARC shards via mapInPandas: 1 blob in → one row per
+    RESPONSE record out (warcinfo/request records skipped on the
+    checked path), with the payload md5 AND the extracted-text md5 +
+    length, so the oracle value-checks both the WARC framing and the
+    HTML extraction byte-for-byte. Map-only, zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WARC_RECORD_SCHEMA.fields}
+            for sid, blob in zip(pdf["shard_id"], pdf["archive"]):
+                for headers, body in warc_records(bytes(blob)):
+                    if headers["WARC-Type"] != "response":
+                        continue
+                    uri = headers["WARC-Target-URI"]
+                    doc_id = int(uri.rsplit("/", 1)[1])
+                    text = html_to_text(body.decode("utf-8"))
+                    rows["shard_id"].append(int(sid))
+                    rows["doc_id"].append(doc_id)
+                    rows["n_bytes"].append(len(body))
+                    rows["content_md5"].append(hashlib.md5(body).hexdigest())
+                    rows["text_md5"].append(
+                        hashlib.md5(text.encode("utf-8")).hexdigest()
+                    )
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(batches, WARC_RECORD_SCHEMA)

@@ -797,6 +797,68 @@ FROM documents
 """
 
 
+def source_warc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest + HTML text extraction round trip
+    (r11) — the web-crawl front door (operators/warc.py): the corpus
+    is packed into ISO 28500 WARC shards (warcinfo + request records
+    lead each shard so the non-response SKIP path is always checked,
+    then one response record per doc whose payload is a deterministic
+    HTML page full of extractor traps — raw-text script/style bodies
+    with fake tags, a quoted attribute value containing '>', comments
+    with '--' runs, named + decimal + hex character references), then
+    WALKED: version line, header fields, Content-Length framing, the
+    record terminator — and each response payload runs through the
+    from-spec strict HTML→text extractor (WET convention: tags
+    stripped, raw-text elements dropped, entities decoded, whitespace
+    collapsed). The oracle rebuilds BOTH the exact page bytes and the
+    closed-form expected extraction in SQL, so one wrong byte in the
+    framing OR one mis-parsed entity moves a hash. Two bounded stages:
+    applyInPandas pack per 16 docs, mapInPandas walk — embarrassingly
+    parallel, nothing on the driver."""
+    from python_multiproc_bigdata_spark.operators.warc import (
+        pack_warc_shards,
+        walk_warc_shards,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    return walk_warc_shards(pack_warc_shards(d))
+
+
+# Rebuilds synth_html's exact bytes (dollar-quoted literal segments +
+# doc_id + text) and expected_extraction's closed form, then hashes
+# both — operators/warc.py cites these as the replayed arithmetic.
+SQL_WARC_SHARDS = """
+WITH page AS (
+  SELECT doc_id,
+    concat(
+      $s$<!DOCTYPE html>
+<html><head><title>Doc $s$, CAST(doc_id AS VARCHAR), $s$ &amp; friends</title>
+<style>body { color: #fff; } /* a > b < c */</style>
+<script>if (a < b && c > d) { s = "<p>not text</p>"; }</script>
+</head><body>
+<nav><a href="/h?a=1&amp;b=2" data-x='q>u'>Home &gt; Index</a></nav>
+<!-- hidden <em>markup</em> -- $s$, CAST(doc_id AS VARCHAR), $s$ -->
+<h1 id="t$s$, CAST(doc_id AS VARCHAR), $s$">Doc &#72;eading &#x21;</h1>
+<p>$s$, text, $s$</p>
+<footer>&quot;fin&quot; &lt;eof&gt;</footer>
+</body></html>
+$s$) AS payload,
+    trim(regexp_replace(
+      concat('Doc ', CAST(doc_id AS VARCHAR), ' & friends Home > Index Doc Heading ! ',
+             text, ' "fin" <eof>'),
+      '[ \t\n\r]+', ' ', 'g')) AS extracted
+  FROM documents
+)
+SELECT doc_id // 16 AS shard_id,
+       doc_id,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+       md5(payload) AS content_md5,
+       md5(extracted) AS text_md5,
+       CAST(length(extracted) AS BIGINT) AS n_chars
+FROM page
+"""
+
+
 # One shared spec drives BOTH the Spark panel and its oracle, so the
 # two can never drift: per table, the primary key (composite allowed)
 # and the profiled columns. Only string/integer/date columns are
@@ -1175,4 +1237,5 @@ REGISTRY = {
     "source_zip_shards": QuerySpec(source_zip_shards, SQL_ZIP_SHARDS),
     "source_tar_shards": QuerySpec(source_tar_shards, SQL_TAR_SHARDS),
     "source_targz_shards": QuerySpec(source_targz_shards, SQL_TARGZ_SHARDS),
+    "source_warc_shards": QuerySpec(source_warc_shards, SQL_WARC_SHARDS),
 }

@@ -1,0 +1,149 @@
+"""WARC walker + strict HTML extractor tests (operators/warc.py, r11):
+stdlib html.parser cross-implementation equality (code the module never
+touches), hand-built records and pages so a synth/walker-symmetric bug
+cannot hide, loud rejection of malformed framing, and the map-only
+distributed shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_multiproc_bigdata_spark.operators.warc import (
+    _warc_record,
+    expected_extraction,
+    html_to_text,
+    pack_warc_shards,
+    synth_html,
+    walk_warc_shards,
+    warc_records,
+)
+
+
+def _stdlib_extract(html: str) -> str:
+    """Independent extraction via stdlib html.parser (convert_charrefs
+    decodes entities; script/style content skipped by tag depth)."""
+    from html.parser import HTMLParser
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.buf: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.buf.append(data)
+
+    p = P()
+    p.feed(html)
+    p.close()
+    return " ".join("".join(p.buf).split())
+
+
+def test_html_extract_matches_stdlib_on_synth_corpus():
+    for d in range(60):
+        html = synth_html(d, f"words for doc {d} here").decode()
+        ours = html_to_text(html)
+        assert ours == _stdlib_extract(html), (d, ours)
+        assert ours == expected_extraction(d, f"words for doc {d} here")
+
+
+def test_html_extract_hand_cases():
+    # quoted '>' must not close the tag; entities decode; comments with
+    # '--' runs and fake tags vanish; script body with fake tags vanishes
+    cases = [
+        ('<a href="x>y">A</a>', "A"),
+        ("<p data-q='1>2'>B&amp;C</p>", "B&C"),
+        ("x<!-- <p>no</p> -- -- -->y", "xy"),
+        ("<script>var a = '<p>no</p>';</script>ok", "ok"),
+        ("<style>a>b { x: 1 }</style>ok", "ok"),
+        ("A&#66;&#x43;", "ABC"),
+        ("a  \n\t b", "a b"),
+        ("<br/>solo<img src='x'/>", "solo"),
+        ("<SCRIPT>x</SCRIPT>after", "after"),
+    ]
+    for html, want in cases:
+        assert html_to_text(html) == want, (html, html_to_text(html))
+        assert html_to_text(html) == _stdlib_extract(html), html
+
+
+def test_html_strict_rejections():
+    with pytest.raises(ValueError, match="unterminated comment"):
+        html_to_text("<!-- never closed")
+    with pytest.raises(ValueError, match="unterminated tag"):
+        html_to_text("<a href='x")
+    with pytest.raises(ValueError, match="unknown named entity"):
+        html_to_text("&bogus;")
+    with pytest.raises(ValueError, match="unterminated character reference"):
+        html_to_text("a & b")
+    with pytest.raises(ValueError, match="unterminated raw-text"):
+        html_to_text("<script>var x = 1;")
+    with pytest.raises(ValueError, match="bare '<'"):
+        html_to_text("1 < 2")
+
+
+def test_warc_framing_and_rejections():
+    rec = _warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", "<urn:doc:5>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ("WARC-Target-URI", "http://example.com/doc/5"),
+        ],
+        b"<p>hi</p>",
+    )
+    info = _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", "<urn:info:0>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ],
+        b"software: x\r\n",
+    )
+    recs = warc_records(info + rec)
+    assert [h["WARC-Type"] for h, _ in recs] == ["warcinfo", "response"]
+    assert recs[1][1] == b"<p>hi</p>"
+
+    with pytest.raises(ValueError, match="unsupported WARC version"):
+        warc_records(b"WARC/0.9\r\n\r\n")
+    with pytest.raises(ValueError, match="missing required field"):
+        warc_records(
+            b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        )
+    # Content-Length lies long → truncation detected
+    bad = bytearray(rec)
+    idx = bad.index(b"Content-Length: ")
+    bad[idx + 16 : idx + 17] = b"9" + bad[idx + 16 : idx + 17]
+    with pytest.raises(ValueError, match="truncated"):
+        warc_records(bytes(bad))
+    # terminator clipped
+    with pytest.raises(ValueError, match="terminator"):
+        warc_records(rec[:-2])
+
+
+def test_warc_roundtrip_distributed(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (17, "delta  words")],
+        ["doc_id", "text"],
+    )
+    out = walk_warc_shards(pack_warc_shards(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # pack groups by shard (one exchange); the walk adds none on top
+    assert plan.count("Exchange") <= 1, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 1, 17}
+    assert rows[17].shard_id == 1
+    import hashlib
+
+    want = expected_extraction(17, "delta  words")
+    assert rows[17].text_md5 == hashlib.md5(want.encode()).hexdigest()
+    assert rows[17].n_chars == len(want)
+    assert rows[0].content_md5 == hashlib.md5(synth_html(0, "alpha beta")).hexdigest()
