@@ -249,6 +249,7 @@ HEADLINE = [
     "multimodal_mp3_scalefac_walk",
     "multimodal_decode_png_adam7",
     "source_warc_shards",
+    "source_warcgz_shards",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -339,6 +339,49 @@ def gzip_unwrap(payload: bytes) -> tuple[bytes, bytes]:
     return data, fname
 
 
+def gzip_members(payload: bytes) -> list[bytes]:
+    """Split a MULTI-MEMBER gzip stream (RFC 1952 §2.2: members are
+    plain concatenation — the warc.gz convention stores one record per
+    member so a reader can seek to any record without inflating the
+    whole file) and inflate each member with full CRC-32 + ISIZE
+    trailer verification. Returns the decompressed members in order;
+    raises loudly on any framing violation."""
+    out: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"not a gzip member at {pos}")
+        if payload[pos + 2] != 8:
+            raise ValueError(f"unsupported gzip method {payload[pos + 2]} at {pos}")
+        flg = payload[pos + 3]
+        if flg & 0xE0:
+            raise ValueError(f"reserved FLG bits set at {pos}")
+        p = pos + 10
+        if flg & 0x04:  # FEXTRA
+            (xlen,) = struct.unpack("<H", payload[p : p + 2])
+            p += 2 + xlen
+        if flg & 0x08:  # FNAME
+            p = payload.index(b"\x00", p) + 1
+        if flg & 0x10:  # FCOMMENT
+            p = payload.index(b"\x00", p) + 1
+        if flg & 0x02:  # FHCRC
+            p += 2
+        d = zlib.decompressobj(wbits=-15)
+        data = d.decompress(payload[p:])
+        rest = d.unused_data
+        if len(rest) < 8:
+            raise ValueError(f"gzip member at {pos} missing trailer")
+        crc, isize = struct.unpack("<II", rest[:8])
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"gzip CRC-32 mismatch in member at {pos}")
+        if (len(data) & 0xFFFFFFFF) != isize:
+            raise ValueError(f"gzip ISIZE mismatch in member at {pos}")
+        out.append(data)
+        pos = p + (n - p - len(rest)) + 8
+    return out
+
+
 def pack_zip_shards(docs: DataFrame, shard_size: int = ZIP_SHARD_SIZE) -> DataFrame:
     """Pack (doc_id, text) rows into ZIP shards of `shard_size` docs:
     one applyInPandas group per shard — bounded by construction, so a

@@ -293,6 +293,94 @@ def warc_records(payload: bytes) -> list[tuple[dict, bytes]]:
     return out
 
 
+def pack_warcgz_shards(
+    docs: DataFrame, shard_size: int = WARC_SHARD_SIZE
+) -> DataFrame:
+    """warc.gz sibling of pack_warc_shards — the format Common Crawl
+    actually ships: ONE gzip member per record (RFC 1952 multi-member
+    concatenation, so a reader can seek to a record without inflating
+    the file), each member wrapping one full WARC record, built with
+    the from-spec gzip_wrap (operators/archives.py)."""
+    from python_multiproc_bigdata_spark.operators.archives import gzip_wrap
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        blob = bytearray()
+        blob += gzip_wrap(
+            _warc_record(
+                [
+                    ("WARC-Type", "warcinfo"),
+                    ("WARC-Record-ID", f"<urn:info:{sid}>"),
+                    ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ],
+                b"software: pmb-spark-warc\r\n",
+            ),
+            fname=f"info_{sid}.warc".encode(),
+        )
+        count = 0
+        for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+            payload = synth_html(int(doc_id), str(text))
+            rec = _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:doc:{int(doc_id)}>"),
+                    ("WARC-Date", "2024-01-01T00:00:00Z"),
+                    ("WARC-Target-URI", f"http://example.com/doc/{int(doc_id)}"),
+                    ("Content-Type", "text/html"),
+                ],
+                payload,
+            )
+            blob += gzip_wrap(rec)
+            count += 1
+        return pd.DataFrame(
+            {"shard_id": [sid], "archive": [bytes(blob)], "n_records": [count]}
+        )
+
+    shards = docs.select(
+        F.floor(F.col("doc_id") / shard_size).cast("long").alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return shards.groupBy("shard_id").applyInPandas(pack, _SHARD_SCHEMA)
+
+
+def walk_warcgz_shards(shards: DataFrame) -> DataFrame:
+    """Walk warc.gz shards: split the multi-member gzip stream
+    (operators/archives.py:gzip_members — CRC/ISIZE verified per
+    member), require EXACTLY one WARC record per member (the seekable
+    convention), then the same response-record extraction rows as
+    walk_warc_shards. Map-only, zero shuffle."""
+    from python_multiproc_bigdata_spark.operators.archives import gzip_members
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WARC_RECORD_SCHEMA.fields}
+            for sid, blob in zip(pdf["shard_id"], pdf["archive"]):
+                for member in gzip_members(bytes(blob)):
+                    recs = warc_records(member)
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"warc.gz member holds {len(recs)} records (want 1)"
+                        )
+                    headers, body = recs[0]
+                    if headers["WARC-Type"] != "response":
+                        continue
+                    uri = headers["WARC-Target-URI"]
+                    doc_id = int(uri.rsplit("/", 1)[1])
+                    text = html_to_text(body.decode("utf-8"))
+                    rows["shard_id"].append(int(sid))
+                    rows["doc_id"].append(doc_id)
+                    rows["n_bytes"].append(len(body))
+                    rows["content_md5"].append(hashlib.md5(body).hexdigest())
+                    rows["text_md5"].append(
+                        hashlib.md5(text.encode("utf-8")).hexdigest()
+                    )
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(batches, WARC_RECORD_SCHEMA)
+
+
 def walk_warc_shards(shards: DataFrame) -> DataFrame:
     """Walk binary WARC shards via mapInPandas: 1 blob in → one row per
     RESPONSE record out (warcinfo/request records skipped on the

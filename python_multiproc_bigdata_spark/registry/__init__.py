@@ -454,10 +454,10 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # re-confirm the round they change, the r9 precedent); the ENTIRE
 # r3-latest-green cohort (28 — computed from CORRECTNESS_r*.json, the
 # oldest records in the ledger after r10 re-greened the r1/r2 block);
-# and 11 family-diverse members of the r4-latest-green cohort
+# and 9 family-diverse members of the r4-latest-green cohort
 # (asof/bloom/calendar/cdc/cube/curation/dedup/dq/events families).
 # Post-r11 ledger math: stalest surviving record becomes the remaining
-# r4 cohort (35) → median green-age ≤ 4 rounds, per the r10 ask.
+# r4 cohort (37) → median green-age ≤ 4 rounds, per the r10 ask.
 CHECKED_FIRST: tuple[str, ...] = (
     # the permanent anchor
     "words_pipeline",
@@ -467,6 +467,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_mp3_scalefac_walk",
     "multimodal_decode_png_adam7",
     "source_warc_shards",
+    "source_warcgz_shards",
+    "streaming_warcgz_ingest",
     "streaming_phash_neardup",
     "streaming_audio_snippet_match",
     # rewired in r11 (bucketed global rank/cumsum) — re-confirm
@@ -502,15 +504,13 @@ CHECKED_FIRST: tuple[str, ...] = (
     "words_doc_frequency",
     "words_duplicate_occurrences",
     "words_first_position",
-    # ---- 11 family-diverse members of the r4-latest-green cohort ----
+    # ---- 9 family-diverse members of the r4-latest-green cohort ----
     "asof_click_to_nearest_view",
     "bloom_filtered_join",
-    "bloom_pruned_urgent_revenue",
     "calendar_month_order_counts",
     "cdc_snapshot_asof",
     "cube_orders",
     "curation_bigram_logprob",
-    "curation_pagerank_quality",
     "dedup_components_canonical",
     "dedup_prefix_filter_jaccard",
     "dq_check_orders",

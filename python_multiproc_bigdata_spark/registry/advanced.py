@@ -859,6 +859,26 @@ FROM page
 """
 
 
+def source_warcgz_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc.gz round trip (r11) — the format Common Crawl actually
+    ships: ONE gzip member per WARC record (RFC 1952 multi-member
+    concatenation, seekable by construction), composed entirely from
+    this repo's from-spec layers — gzip_wrap framing with CRC-32/ISIZE
+    trailers per member, the multi-member splitter
+    (operators/archives.py:gzip_members, every member's trailer
+    VERIFIED), the ISO 28500 record walk, and the strict HTML→text
+    extraction. Content is unchanged through the compression layer, so
+    the SAME byte-exact oracle as source_warc_shards checks it — one
+    flipped bit in any member's DEFLATE stream moves a hash."""
+    from python_multiproc_bigdata_spark.operators.warc import (
+        pack_warcgz_shards,
+        walk_warcgz_shards,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    return walk_warcgz_shards(pack_warcgz_shards(d))
+
+
 # One shared spec drives BOTH the Spark panel and its oracle, so the
 # two can never drift: per table, the primary key (composite allowed)
 # and the profiled columns. Only string/integer/date columns are
@@ -1238,4 +1258,5 @@ REGISTRY = {
     "source_tar_shards": QuerySpec(source_tar_shards, SQL_TAR_SHARDS),
     "source_targz_shards": QuerySpec(source_targz_shards, SQL_TARGZ_SHARDS),
     "source_warc_shards": QuerySpec(source_warc_shards, SQL_WARC_SHARDS),
+    "source_warcgz_shards": QuerySpec(source_warcgz_shards, SQL_WARC_SHARDS),
 }

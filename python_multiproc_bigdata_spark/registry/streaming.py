@@ -904,6 +904,68 @@ def phash_epoch_matcher(spark: SparkSession, store: str, pdir: str):
     return match_batch
 
 
+def streaming_warcgz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_warcgz_shards' streaming twin (r11) — crawl archives
+    arriving continuously, the THIRD archive family at batch+streaming
+    parity (after zip and tar.gz): warc.gz shards land as a two-wave
+    stream, each micro-batch splits the per-record gzip members
+    (CRC/ISIZE verified), walks the ISO 28500 records, extracts the
+    HTML text, and writes per-record integrity+extraction rows
+    epoch-keyed so at-least-once retries stay idempotent. Per-record
+    rows are micro-batch-invariant, so the unioned result equals the
+    batch query value-for-value and the SAME byte-exact oracle checks
+    both. Per-batch state is the batch's own records; nothing
+    accumulates, nothing touches the driver."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.warc import (
+        pack_warcgz_shards,
+        walk_warcgz_shards,
+    )
+
+    spark = prep(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = pack_warcgz_shards(d)
+
+    root = fixture_root("warcgzingest", sf_dir)
+    sdir = os.path.join(root, "shards")
+    mdir = os.path.join(root, "records")
+    for m in (0, 1):  # two arrival waves
+        shards.filter(F.col("shard_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+
+    def walk_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        walk_warcgz_shards(batch_df).write.mode("overwrite").parquet(
+            os.path.join(mdir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .writeStream.foreachBatch(walk_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    return spark.read.parquet(mdir).select(
+        "shard_id", "doc_id", "n_bytes", "content_md5", "text_md5", "n_chars"
+    )
+
+
+def _warcgz_ingest_oracle() -> str:
+    from python_multiproc_bigdata_spark.registry.advanced import SQL_WARC_SHARDS
+
+    return SQL_WARC_SHARDS
+
+
 def streaming_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal_image_phash_neardup's INCREMENTAL twin (r11) — what a
     live image-ingest pipeline actually runs: images arrive in waves
@@ -1062,6 +1124,11 @@ REGISTRY = {
     # as the batch snippet matcher
     "streaming_audio_snippet_match": QuerySpec(
         streaming_audio_snippet_match, _audio_snippet_stream_oracle
+    ),
+    # third archive family at batch+streaming parity: same byte-exact
+    # page/extraction oracle as the batch warc.gz walk
+    "streaming_warcgz_ingest": QuerySpec(
+        streaming_warcgz_ingest, _warcgz_ingest_oracle
     ),
     "streaming_transition_counts": QuerySpec(
         streaming_transition_counts, SQL_STREAM_TRANSITIONS

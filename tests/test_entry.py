@@ -48,7 +48,8 @@ def test_checked_window_is_curated():
         "training_budget_select_sampled", "multimodal_mp3_sideinfo_walk",
         "multimodal_mp3_scalefac_walk", "streaming_phash_neardup",
         "streaming_audio_snippet_match", "multimodal_decode_png_adam7",
-        "source_warc_shards",
+        "source_warc_shards", "source_warcgz_shards",
+        "streaming_warcgz_ingest",
         # rewired in r11 to with_global_index's bucketed rank/cumsum —
         # code-touched queries re-confirm the round they change
         "stats_gini_concentration", "stats_pareto_cutoffs",
@@ -68,11 +69,11 @@ def test_checked_window_is_curated():
         "training_pack_chunks", "training_temperature_mix",
         "udaf_median_acctbal", "words_doc_frequency",
         "words_duplicate_occurrences", "words_first_position",
-        # ... and 11 family-diverse members of the r4 cohort
+        # ... and 9 family-diverse members of the r4 cohort
         "asof_click_to_nearest_view", "bloom_filtered_join",
-        "bloom_pruned_urgent_revenue", "calendar_month_order_counts",
+        "calendar_month_order_counts",
         "cdc_snapshot_asof", "cube_orders", "curation_bigram_logprob",
-        "curation_pagerank_quality", "dedup_components_canonical",
+        "dedup_components_canonical",
         "dedup_prefix_filter_jaccard",
         "dq_check_orders",
     }

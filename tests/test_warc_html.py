@@ -147,3 +147,77 @@ def test_warc_roundtrip_distributed(spark):
     assert rows[17].text_md5 == hashlib.md5(want.encode()).hexdigest()
     assert rows[17].n_chars == len(want)
     assert rows[0].content_md5 == hashlib.md5(synth_html(0, "alpha beta")).hexdigest()
+
+
+def test_gzip_multimember_split_and_rejections():
+    """gzip_members must split RFC 1952 concatenated members (with and
+    without optional FNAME fields), verify every member's CRC/ISIZE, and be
+    cross-readable by stdlib gzip (which also concatenates members)."""
+    import gzip as stdgzip
+
+    import pytest as _pytest
+
+    from python_multiproc_bigdata_spark.operators.archives import (
+        gzip_members,
+        gzip_wrap,
+    )
+
+    parts = [b"first record", b"", b"third " * 100]
+    blob = (
+        gzip_wrap(parts[0], fname=b"a.rec")
+        + gzip_wrap(parts[1])
+        + gzip_wrap(parts[2], fcomment=b"note")
+    )
+    assert gzip_members(blob) == parts
+    # stdlib reads the same stream as the concatenation of all members
+    assert stdgzip.decompress(blob) == b"".join(parts)
+    # and our splitter reads stdlib-written members
+    assert gzip_members(stdgzip.compress(b"x") + stdgzip.compress(b"y")) == [
+        b"x",
+        b"y",
+    ]
+    bad = bytearray(blob)
+    bad[-6] ^= 0xFF  # corrupt the LAST member's ISIZE field
+    with _pytest.raises(ValueError, match="ISIZE|CRC"):
+        gzip_members(bytes(bad))
+    with _pytest.raises(ValueError, match="not a gzip member"):
+        gzip_members(blob + b"JUNK")
+
+
+def test_warcgz_roundtrip_one_record_per_member(spark):
+    import hashlib
+
+    from python_multiproc_bigdata_spark.operators.archives import (
+        gzip_members,
+        gzip_wrap,
+    )
+    from python_multiproc_bigdata_spark.operators.warc import (
+        pack_warcgz_shards,
+        walk_warcgz_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (3, "gamma"), (21, "delta words")],
+        ["doc_id", "text"],
+    )
+    out = walk_warcgz_shards(pack_warcgz_shards(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 3, 21}
+    assert rows[0].content_md5 == hashlib.md5(synth_html(0, "alpha beta")).hexdigest()
+    assert rows[0].text_md5 == hashlib.md5(
+        expected_extraction(0, "alpha beta").encode()
+    ).hexdigest()
+    # a member holding TWO records violates the seekable convention
+    rec = _warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", "<urn:doc:1>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ("WARC-Target-URI", "http://example.com/doc/1"),
+        ],
+        synth_html(1, "x"),
+    )
+    two = gzip_wrap(rec + rec)
+    bad = spark.createDataFrame([(0, two, 2)], "shard_id long, archive binary, n_records long")
+    with pytest.raises(Exception, match="holds 2 records"):
+        walk_warcgz_shards(bad).collect()
