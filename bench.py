@@ -250,6 +250,7 @@ HEADLINE = [
     "multimodal_decode_png_adam7",
     "source_warc_shards",
     "source_warcgz_shards",
+    "curation_url_normalize",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

@@ -683,3 +683,67 @@ def gopher_quality_gate(
             & F.col("ok_stopwords")
         ).alias("keep"),
     )
+
+
+def normalize_url(url):
+    """RFC 3986 syntax-based URL normalization as PURE JVM column
+    expressions (§6.2.2 case normalization, §6.2.3 scheme-based
+    default-port removal and empty-path → '/', §5.2.4 dot-segment
+    removal via an F.aggregate push/pop fold — a higher-order function
+    that stays inside codegen, no Python anywhere), plus the two
+    conventional crawl-dedup extras: query parameters sorted and the
+    fragment dropped. Input column (or name) → struct(norm_url, host).
+
+    Supported subset, loudly bounded by construction: absolute http(s)
+    URLs with a host (the crawl-ingest case). Percent-encoding
+    re-normalization is out of scope for the synthetic corpus (no
+    encoded octets are generated); userinfo is not parsed."""
+    from pyspark.sql import functions as F
+
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    after = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(after, r"^([^:]*)", 1))
+    port = F.regexp_extract(after, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    raw_path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # dot-segment removal (RFC 3986 §5.2.4), segment-level: '.' skips,
+    # '..' pops (no-op at root), others push; a trailing '.'/'..'/'/'
+    # leaves the normalized path directory-form (trailing slash)
+    segs = F.filter(F.split(raw_path, "/"), lambda s: s != "")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    last = F.element_at(segs, -1)
+    trailing = (F.size(segs) > 0) & (
+        raw_path.endswith("/") | (last == ".") | (last == "..")
+    )
+    norm_path = F.when(F.size(folded) == 0, F.lit("/")).otherwise(
+        F.concat(
+            F.lit("/"),
+            F.array_join(folded, "/"),
+            F.when(trailing, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+    norm_query = F.when(
+        query == "", F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.sort_array(F.split(query, "&")), "&")))
+    norm_url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        norm_path,
+        norm_query,
+    )
+    return F.struct(norm_url.alias("norm_url"), host.alias("host"))

@@ -1866,6 +1866,87 @@ ORDER BY d.doc_id
 """
 
 
+
+def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization for crawl dedup (r11) — the step BEFORE text
+    dedup in a crawl pipeline (identical pages hide behind differently-
+    written URLs): RFC 3986 syntax-based normalization implemented as
+    pure JVM column expressions (operators/curation.py:normalize_url —
+    case normalization, scheme default-port removal, §5.2.4
+    dot-segment removal via an F.aggregate push/pop fold that stays in
+    codegen, empty path → '/'), plus sorted query parameters and
+    fragment drop (the conventional crawl-dedup extras). The synthetic
+    URL corpus cycles mixed-case schemes/hosts, default and non-default
+    ports, five path shapes including '.'/'..' segments and trailing
+    dots, unsorted query strings, and fragments — every normalization
+    rule is on the checked path. The oracle CASE-replays the expected
+    output per residue class, so it shares NO normalization logic with
+    the engine. Map-only; zero Python in the plan."""
+    from python_multiproc_bigdata_spark.operators.curation import normalize_url
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id")
+    url = F.concat(
+        F.when(m % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Site"), (m % 7).cast("string"), F.lit(".ExAmple.COM"),
+        F.when(m % 5 == 0, F.lit(":80"))
+        .when(m % 5 == 1, F.lit(":443"))
+        .when(m % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(m % 6 == 0, F.lit(""))
+        .when(m % 6 == 1, F.lit("/a/b"))
+        .when(m % 6 == 2, F.lit("/a/./b"))
+        .when(m % 6 == 3, F.lit("/a/b/../c"))
+        .when(m % 6 == 4, F.lit("/a/b/"))
+        .otherwise(F.lit("/x/./../y/.")),
+        F.when(m % 4 == 1, F.lit("?b=2&a=1"))
+        .when(m % 4 == 2, F.lit("?z=9"))
+        .when(m % 4 == 3, F.lit("?b=2&a=1&c=3"))
+        .otherwise(F.lit("")),
+        F.when(m % 3 == 1, F.lit("#frag"))
+        .when(m % 3 == 2, F.lit("#x"))
+        .otherwise(F.lit("")),
+    )
+    out = d.select("doc_id", url.alias("url"), normalize_url(url).alias("n"))
+    return out.select(
+        "doc_id", "url", F.col("n.norm_url").alias("norm_url"),
+        F.col("n.host").alias("host"),
+    )
+
+
+# CASE-replay of the expected normalization per residue class — no
+# shared logic with normalize_url (the engine must EARN each rule).
+SQL_URL_NORMALIZE = """
+SELECT doc_id,
+  concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END,
+    '://WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmple.COM',
+    CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+         WHEN 2 THEN ':8080' ELSE '' END,
+    CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/./b'
+         WHEN 3 THEN '/a/b/../c' WHEN 4 THEN '/a/b/' ELSE '/x/./../y/.' END,
+    CASE doc_id % 4 WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?z=9'
+         WHEN 3 THEN '?b=2&a=1&c=3' ELSE '' END,
+    CASE doc_id % 3 WHEN 1 THEN '#frag' WHEN 2 THEN '#x' ELSE '' END
+  ) AS url,
+  concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
+    '://www.site', CAST(doc_id % 7 AS VARCHAR), '.example.com',
+    -- port survives only when non-default FOR the scheme
+    CASE WHEN doc_id % 5 = 2 THEN ':8080'
+         WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
+         WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN ':443'
+         ELSE '' END,
+    CASE doc_id % 6 WHEN 0 THEN '/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/b'
+         WHEN 3 THEN '/a/c' WHEN 4 THEN '/a/b/' ELSE '/y/' END,
+    CASE doc_id % 4 WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?z=9'
+         WHEN 3 THEN '?a=1&b=2&c=3' ELSE '' END
+  ) AS norm_url,
+  concat('www.site', CAST(doc_id % 7 AS VARCHAR), '.example.com') AS host
+FROM documents
+"""
+
+
 REGISTRY = {
     "curation_line_dedup": QuerySpec(curation_line_dedup, SQL_LINE_DEDUP),
     "corpus_datasheet": QuerySpec(corpus_datasheet, SQL_DATASHEET),
@@ -1925,4 +2006,5 @@ REGISTRY = {
         dedup_components_canonical, SQL_COMPONENTS
     ),
     "split_leakage_safe": QuerySpec(split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
+    "curation_url_normalize": QuerySpec(curation_url_normalize, SQL_URL_NORMALIZE),
 }

@@ -785,3 +785,39 @@ def test_active_learning_selects_boundary_docs(spark):
     # equal-margin docs; with the doc_id tiebreak the sets are equal
     assert {r.doc_id for r in got} == want
     assert max(r.margin for r in got) == allm[49][0]
+
+
+def test_url_normalize_rules_and_jvm_only(spark):
+    """RFC 3986 normalization hand cases (each rule isolated) and the
+    plan claim: normalize_url is column expressions + an aggregate HOF
+    — no Python evaluation stage anywhere."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.curation import normalize_url
+
+    cases = [
+        # (input, expected norm_url, expected host)
+        ("HTTP://WWW.X.COM:80/a/b", "http://www.x.com/a/b", "www.x.com"),
+        ("https://x.com:443/", "https://x.com/", "x.com"),
+        ("http://x.com:443/p", "http://x.com:443/p", "x.com"),  # non-default kept
+        ("https://x.com:8080", "https://x.com:8080/", "x.com"),
+        ("http://x.com/a/./b", "http://x.com/a/b", "x.com"),
+        ("http://x.com/a/b/../c", "http://x.com/a/c", "x.com"),
+        ("http://x.com/a/..", "http://x.com/", "x.com"),
+        ("http://x.com/a/../../..", "http://x.com/", "x.com"),
+        ("http://x.com/x/./../y/.", "http://x.com/y/", "x.com"),
+        ("http://x.com/p?b=2&a=1#frag", "http://x.com/p?a=1&b=2", "x.com"),
+        ("http://x.com?z=1", "http://x.com/?z=1", "x.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    out = df.select("url", normalize_url("url").alias("n")).collect()
+    got = {r.url: (r.n.norm_url, r.n.host) for r in out}
+    for u, want_url, want_host in cases:
+        assert got[u] == (want_url, want_host), (u, got[u])
+    plan = (
+        df.select(normalize_url("url").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan, plan
