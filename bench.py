@@ -251,6 +251,7 @@ HEADLINE = [
     "source_warc_shards",
     "source_warcgz_shards",
     "curation_url_normalize",
+    "curation_robots_gate",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

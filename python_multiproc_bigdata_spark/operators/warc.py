@@ -409,3 +409,131 @@ def walk_warc_shards(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return shards.mapInPandas(batches, WARC_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — the crawl-side ADMISSION gate that runs before
+# any fetch enters a WARC: group selection by user-agent (the most
+# specific matching group wins; '*' is the fallback; a group with no
+# match allows everything), then per-URL rule matching with
+# LONGEST-MATCH precedence and allow-wins-ties. Patterns supported:
+# plain path prefixes and the '$' end anchor (the RFC's '*' wildcard is
+# not generated by the synth corpus and is rejected loudly — strict
+# subset, not silent wrong answers). Parsing runs in Arrow batches (the
+# per-host robots dim is small); URL matching stays JVM-side as a
+# broadcast join + max_by argmax.
+# ---------------------------------------------------------------------------
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("path_pattern", T.StringType()),
+        T.StructField("allow", T.BooleanType()),
+    ]
+)
+
+
+def parse_robots(body: str, agent: str) -> list[tuple[str, bool]]:
+    """Parse a robots.txt body per RFC 9309 for one product token:
+    comments stripped, blank-line-tolerant, consecutive User-agent
+    lines share a group, and the EFFECTIVE rule set is the
+    exact-match group's if one exists else the '*' group's (empty if
+    neither). Returns (path_pattern, allow) rules; '*' wildcards in
+    patterns raise (unsupported subset, loud)."""
+    agent = agent.lower()
+    specific: list[tuple[str, bool]] = []
+    star: list[tuple[str, bool]] = []
+    cur_agents: list[str] = []
+    last_was_rule = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if last_was_rule:
+                cur_agents = []
+            cur_agents.append(value.lower())
+            last_was_rule = False
+        elif field in ("allow", "disallow"):
+            last_was_rule = True
+            if not value and field == "disallow":
+                continue  # 'Disallow:' (empty) = allow all, no rule
+            if "*" in value:
+                raise ValueError(f"unsupported '*' wildcard in rule {raw!r}")
+            rule = (value, field == "allow")
+            if agent in cur_agents:
+                specific.append(rule)
+            if "*" in cur_agents:
+                star.append(rule)
+        else:
+            last_was_rule = True  # unknown fields end the UA run (RFC)
+    return specific if specific else star
+
+
+def robots_rules(robots: DataFrame, agent: str) -> DataFrame:
+    """(host, robots_txt) → exploded effective rule rows for `agent`
+    (host, path_pattern, allow) via mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"host": [], "path_pattern": [], "allow": []}
+            for host, body in zip(pdf["host"], pdf["robots_txt"]):
+                for pattern, allow in parse_robots(str(body), agent):
+                    rows["host"].append(str(host))
+                    rows["path_pattern"].append(pattern)
+                    rows["allow"].append(allow)
+            yield pd.DataFrame(rows)
+
+    return robots.mapInPandas(batches, ROBOTS_SCHEMA)
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Admission verdict per (host, path) row under RFC 9309 matching,
+    all JVM-side: rules broadcast onto the URL relation by host, a
+    rule matches if the path starts with its pattern (or equals it,
+    for '$'-anchored patterns), and the verdict is the matched rule
+    with the LONGEST pattern (allow wins length ties); no match →
+    allowed. Adds an `allowed` boolean."""
+    anchored = F.col("path_pattern").endswith("$")
+    pat = F.when(
+        anchored, F.expr("substring(path_pattern, 1, length(path_pattern) - 1)")
+    ).otherwise(F.col("path_pattern"))
+    r = rules.select(
+        "host",
+        pat.alias("_pat"),
+        anchored.alias("_anchored"),
+        F.col("allow").alias("_allow"),
+    )
+    joined = urls.join(F.broadcast(r), "host", "left")
+    matches = joined.withColumn(
+        "_hit",
+        F.when(
+            F.col("_pat").isNull(), F.lit(False)
+        ).otherwise(
+            F.when(F.col("_anchored"), F.col("path") == F.col("_pat")).otherwise(
+                F.col("path").startswith(F.col("_pat"))
+            )
+        ),
+    )
+    key_cols = [c for c in urls.columns]
+    verdict = (
+        matches.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.col("_allow"),
+                F.when(
+                    F.col("_hit"),
+                    F.struct(
+                        F.length("_pat").alias("l"),
+                        F.col("_allow").cast("int").alias("a"),
+                    ),
+                ),
+            ).alias("_best")
+        )
+        .withColumn("allowed", F.coalesce(F.col("_best"), F.lit(True)))
+        .drop("_best")
+    )
+    return verdict

@@ -1947,6 +1947,96 @@ FROM documents
 """
 
 
+
+ROBOTS_G0 = """# fallback group only
+User-agent: *
+Disallow: /a
+Allow: /a/b
+"""
+
+ROBOTS_G1 = """User-agent: pmb-bot
+Disallow: /
+Allow: /a
+
+User-agent: *
+Allow: /
+"""
+
+ROBOTS_G2 = """User-agent: foo-bot
+User-agent: pmb-bot
+Disallow: /a/b$
+"""
+
+
+def curation_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission gate (r11) — RFC 9309, the decision a
+    crawler makes BEFORE a fetch ever reaches the WARC: per-host robots
+    bodies are parsed in Arrow batches (operators/warc.py:parse_robots
+    — comment stripping, consecutive User-agent lines sharing a group,
+    exact-agent group preferred over '*', empty-Disallow = no rule),
+    then every (host, path) URL row gets the RFC verdict JVM-side
+    (operators/warc.py:robots_gate — broadcast rules join, longest
+    pattern wins, allow wins ties, '$' end anchor, no-match = allow).
+    The synth corpus exercises all three group-selection shapes (star
+    fallback, specific-beats-star, a shared two-agent group) and both
+    precedence rules. The oracle CASE-replays the expected verdict per
+    residue class — no shared logic with the parser or matcher."""
+    from python_multiproc_bigdata_spark.operators.warc import (
+        robots_gate,
+        robots_rules,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("www.site"), (m % 7).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(m % 5 == 0, F.lit("/"))
+        .when(m % 5 == 1, F.lit("/a/b"))
+        .when(m % 5 == 2, F.lit("/a/c"))
+        .when(m % 5 == 3, F.lit("/a/b/"))
+        .otherwise(F.lit("/y/"))
+        .alias("path"),
+    )
+    hid = F.col("hid")
+    hosts = (
+        d.select((m % 7).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("www.site"), hid.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.when(hid % 3 == 0, F.lit(ROBOTS_G0))
+            .when(hid % 3 == 1, F.lit(ROBOTS_G1))
+            .otherwise(F.lit(ROBOTS_G2))
+            .alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(hosts, agent="pmb-bot")
+    return robots_gate(urls, rules)
+
+
+# Expected verdicts per (host-group, path) residue class, derived by
+# hand from RFC 9309 precedence — shares nothing with the engine:
+#   group 0 ('*': Disallow /a, Allow /a/b): only '/a/c' blocked
+#   group 1 (specific: Disallow /, Allow /a): only '/a/...' allowed
+#   group 2 (shared group: Disallow /a/b$): only exactly '/a/b' blocked
+SQL_ROBOTS_GATE = """
+SELECT doc_id,
+  concat('www.site', CAST(doc_id % 7 AS VARCHAR), '.example.com') AS host,
+  CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/c'
+       WHEN 3 THEN '/a/b/' ELSE '/y/' END AS path,
+  CASE (doc_id % 7) % 3
+    WHEN 0 THEN doc_id % 5 != 2
+    WHEN 1 THEN doc_id % 5 IN (1, 2, 3)
+    ELSE doc_id % 5 != 1
+  END AS allowed
+FROM documents
+"""
+
+
 REGISTRY = {
     "curation_line_dedup": QuerySpec(curation_line_dedup, SQL_LINE_DEDUP),
     "corpus_datasheet": QuerySpec(corpus_datasheet, SQL_DATASHEET),
@@ -2007,4 +2097,5 @@ REGISTRY = {
     ),
     "split_leakage_safe": QuerySpec(split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
     "curation_url_normalize": QuerySpec(curation_url_normalize, SQL_URL_NORMALIZE),
+    "curation_robots_gate": QuerySpec(curation_robots_gate, SQL_ROBOTS_GATE),
 }

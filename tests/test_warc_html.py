@@ -221,3 +221,89 @@ def test_warcgz_roundtrip_one_record_per_member(spark):
     bad = spark.createDataFrame([(0, two, 2)], "shard_id long, archive binary, n_records long")
     with pytest.raises(Exception, match="holds 2 records"):
         walk_warcgz_shards(bad).collect()
+
+
+def test_robots_parser_group_selection_and_rules():
+    from python_multiproc_bigdata_spark.operators.warc import parse_robots
+
+    body = (
+        "# top comment\n"
+        "User-agent: other\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: foo\n"
+        "User-agent: pmb-bot  # inline comment\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Crawl-delay: 10\n"
+        "User-agent: late\n"
+        "Disallow: /x\n"
+    )
+    # exact group wins; the unknown field ends the UA run, so 'late'
+    # starts a NEW group whose rules do not leak into ours
+    assert parse_robots(body, "PMB-Bot") == [
+        ("/private", False),
+        ("/private/ok", True),
+    ]
+    # no specific group -> '*' fallback; empty Disallow emits no rule
+    star = "User-agent: *\nDisallow:\nAllow: /a\n"
+    assert parse_robots(star, "pmb-bot") == [("/a", True)]
+    # neither group -> empty rules (allow-all)
+    assert parse_robots("User-agent: other\nDisallow: /\n", "pmb-bot") == []
+    with pytest.raises(ValueError, match="wildcard"):
+        parse_robots("User-agent: *\nDisallow: /a*\n", "pmb-bot")
+
+
+def test_robots_gate_precedence(spark):
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.warc import robots_gate
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "/a", False),
+            ("h", "/a/b", True),
+            ("h", "/a/b/c$", False),
+            ("h", "/d", False),
+            ("h", "/d/", True),  # same effective length as below
+        ],
+        ["host", "path_pattern", "allow"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h", "/"),        # no match -> allowed
+            ("h", "/a/x"),     # /a disallow
+            ("h", "/a/b/x"),   # /a/b allow (longest)
+            ("h", "/a/b/c"),   # anchored exact disallow (longest)
+            ("h", "/a/b/cc"),  # anchor does NOT match -> /a/b allow
+            ("nohost", "/a"),  # host without rules -> allowed
+        ],
+        ["host", "path"],
+    )
+    got = {
+        (r.host, r.path): r.allowed
+        for r in robots_gate(urls, rules).collect()
+    }
+    assert got == {
+        ("h", "/"): True,
+        ("h", "/a/x"): False,
+        ("h", "/a/b/x"): True,
+        ("h", "/a/b/c"): False,
+        ("h", "/a/b/cc"): True,
+        ("nohost", "/a"): True,
+    }
+    # allow-wins-ties: /d vs /d/ on '/d/' -- allow pattern is longer
+    # here, so craft a true tie: equal-length allow and disallow
+    tie = spark.createDataFrame(
+        [("h", "/t1", False), ("h", "/t2", True)], ["host", "path_pattern", "allow"]
+    )
+    t = spark.createDataFrame(
+        [("h", "/t1"), ("h", "/t2")], ["host", "path"]
+    )
+    gt = {r.path: r.allowed for r in robots_gate(t, tie).collect()}
+    assert gt == {"/t1": False, "/t2": True}
+    eq = spark.createDataFrame(
+        [("h", "/p", False), ("h", "/p", True)], ["host", "path_pattern", "allow"]
+    )
+    e = spark.createDataFrame([("h", "/p/x")], ["host", "path"])
+    assert robots_gate(e, eq).collect()[0].allowed is True
