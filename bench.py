@@ -252,6 +252,7 @@ HEADLINE = [
     "source_warcgz_shards",
     "curation_url_normalize",
     "curation_robots_gate",
+    "crawl_wet_pipeline",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

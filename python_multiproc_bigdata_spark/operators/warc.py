@@ -537,3 +537,36 @@ def robots_gate(urls: DataFrame, rules: DataFrame) -> DataFrame:
         .drop("_best")
     )
     return verdict
+
+
+WARC_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def warc_texts(shards: DataFrame) -> DataFrame:
+    """walk_warc_shards' text-bearing sibling: response records →
+    (shard_id, doc_id, host, extracted_text) rows — the WET stage a
+    downstream curation pipeline consumes directly (the md5 walker is
+    the integrity gate; this one hands the text on). Map-only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WARC_TEXT_SCHEMA.fields}
+            for sid, blob in zip(pdf["shard_id"], pdf["archive"]):
+                for headers, body in warc_records(bytes(blob)):
+                    if headers["WARC-Type"] != "response":
+                        continue
+                    uri = headers["WARC-Target-URI"]
+                    rows["shard_id"].append(int(sid))
+                    rows["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                    rows["host"].append(uri.split("/")[2])
+                    rows["text"].append(html_to_text(body.decode("utf-8")))
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(batches, WARC_TEXT_SCHEMA)

@@ -859,6 +859,77 @@ FROM page
 """
 
 
+def crawl_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl→WET→curation composition (r11) — the whole
+    front half of a training-data pipeline as ONE lazy DataFrame: pack
+    the corpus into WARC shards, walk the records, run the strict HTML
+    extraction (operators/warc.py:warc_texts — the WET stage handing
+    TEXT downstream, not just integrity hashes), token-count the
+    extracted text JVM-side, apply a length-window quality gate (the
+    Gopher-style bounds discipline on the post-extraction token count),
+    and roll up per source: docs seen / kept, kept tokens, kept chars.
+    Every stage is a bounded group or map-only; the one shuffle pair is
+    the pack's groupBy(shard) and the final per-source rollup. The
+    oracle composes the closed-form extraction (SQL_WARC_SHARDS' page
+    replay) with the same token arithmetic — so a mis-parsed entity or
+    a dropped record moves the per-source sums."""
+    from python_multiproc_bigdata_spark.operators.warc import (
+        pack_warc_shards,
+        warc_texts,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text", "source")
+    texts = warc_texts(pack_warc_shards(d.select("doc_id", "text")))
+    toks = texts.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    gated = toks.withColumn(
+        "kept", F.col("n_tokens").between(40, 90)
+    ).join(d.select("doc_id", "source"), "doc_id")
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+    )
+
+
+# Composes the closed-form extraction with the same token arithmetic:
+# the extracted text is 'Doc {id} & friends Home > Index Doc Heading !
+# {collapsed doc text} "fin" <eof>' — 12 template tokens around the
+# doc's own whitespace tokens.
+SQL_CRAWL_WET = r"""
+WITH ex AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(
+      concat('Doc ', CAST(doc_id AS VARCHAR), ' & friends Home > Index Doc Heading ! ',
+             text, ' "fin" <eof>'),
+      '[ 	
+]+', ' ', 'g')) AS extracted
+  FROM documents
+), toks AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(extracted, ' '), x -> length(x) > 0)) AS n_tokens,
+    length(extracted) AS n_chars
+  FROM ex
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_tokens BETWEEN 40 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN n_tokens BETWEEN 40 AND 90 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+  CAST(sum(CASE WHEN n_tokens BETWEEN 40 AND 90 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM toks GROUP BY source
+"""
+
+
 def source_warcgz_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """warc.gz round trip (r11) — the format Common Crawl actually
     ships: ONE gzip member per WARC record (RFC 1952 multi-member
@@ -1259,4 +1330,5 @@ REGISTRY = {
     "source_targz_shards": QuerySpec(source_targz_shards, SQL_TARGZ_SHARDS),
     "source_warc_shards": QuerySpec(source_warc_shards, SQL_WARC_SHARDS),
     "source_warcgz_shards": QuerySpec(source_warcgz_shards, SQL_WARC_SHARDS),
+    "crawl_wet_pipeline": QuerySpec(crawl_wet_pipeline, SQL_CRAWL_WET),
 }
