@@ -253,6 +253,7 @@ HEADLINE = [
     "curation_url_normalize",
     "curation_robots_gate",
     "crawl_wet_pipeline",
+    "text_wordpiece_merges",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a

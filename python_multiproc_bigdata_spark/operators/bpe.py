@@ -43,14 +43,16 @@ def word_frequencies(
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
-def apply_merge(syms_col: str, a: str, b: str) -> Column:
+def apply_merge(syms_col: str, a: str, b: str, merged: str | None = None) -> Column:
     """Greedy left-to-right non-overlapping replacement of the adjacent
-    symbol pair (a, b) with the merged symbol a||b — one F.aggregate fold
-    per row, JVM-side. The accumulator carries the output prefix plus the
-    one pending symbol the scan hasn't committed yet; after a merge the
-    merged symbol is committed immediately, so it can't chain as the left
-    element of another (a, b) hit in the same pass (textbook BPE)."""
-    merged = a + b
+    symbol pair (a, b) with the merged symbol (a||b unless overridden —
+    WordPiece strips b's '##' continuation prefix) — one F.aggregate
+    fold per row, JVM-side. The accumulator carries the output prefix
+    plus the one pending symbol the scan hasn't committed yet; after a
+    merge the merged symbol is committed immediately, so it can't chain
+    as the left element of another (a, b) hit in the same pass
+    (textbook BPE)."""
+    merged = merged if merged is not None else a + b
     init = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("pend"),
@@ -249,3 +251,93 @@ def bpe_symbol_counts(
         if i % 4 == 0:
             cur = cur.localCheckpoint(eager=True)
     return cur.select("word", F.size("syms").alias("n_syms"))
+
+
+def wordpiece_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    lowercase: bool = True,
+) -> list[tuple[int, str, str, int, int]]:
+    """Learn the first `n_merges` WORDPIECE merges (Schuster & Nakajima
+    2012 — BPE's likelihood-scored sibling and the third member of the
+    tokenizer-training family beside BPE and unigram-LM): words split
+    as [c0, ##c1, ##c2, ...] and each round merges the adjacent pair
+    maximizing score = count(ab) / (count(a)·count(b)) instead of raw
+    count (a pair of RARE symbols that always co-occur beats a pair of
+    common ones that co-occur incidentally — the LM-likelihood-gain
+    argmax). Returns [(rank, left, right, pair_freq, score_q)].
+
+    Determinism contract (the cross-engine exactness trick): the score
+    is compared as the QUANTIZED integer q = (c·10¹²) div (ca·cb) —
+    exact integer arithmetic on both engines (Spark DECIMAL(38,0)
+    integral div ≡ Python //), ties broken (a ASC, b ASC). A float
+    ratio would be argmax-unstable across engines at near-equal scores;
+    the quantization IS the training rule, stated rather than hidden.
+
+    Scale shape = BPE's: ONE corpus-scale word-count shuffle, then
+    per-round work on the vocabulary relation — a pair-count agg, a
+    symbol-count agg (WordPiece's extra denominator input, also
+    vocab-bounded), two broadcast joins, and a 1-row argmax collect.
+    Merge application reuses the JVM apply_merge fold with the '##'
+    prefix stripped from the right symbol."""
+    wf = word_frequencies(df, text_col, lowercase)
+    chars = F.split("word", "")
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+    )
+    cur = (
+        wf.select("freq", syms.alias("syms"))
+        .repartition(8)
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        scounts = (
+            cur.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").alias("sc"))
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(scounts.select(F.col("s").alias("a"), F.col("sc").alias("ca"))),
+                "a",
+            )
+            .join(
+                F.broadcast(scounts.select(F.col("s").alias("b"), F.col("sc").alias("cb"))),
+                "b",
+            )
+            .withColumn(
+                "q",
+                F.expr(
+                    "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000) div "
+                    "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"
+                ),
+            )
+        )
+        top = scored.orderBy(F.desc("q"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, c, qv = top[0]["a"], top[0]["b"], int(top[0]["c"]), int(top[0]["q"])
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((rank, a, b, c, qv))
+        if rank < n_merges:
+            cur = cur.withColumn("syms", apply_merge("syms", a, b, merged))
+            if rank % 4 == 0:
+                cur = cur.localCheckpoint(eager=True)
+    return merges

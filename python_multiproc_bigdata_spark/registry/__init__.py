@@ -454,10 +454,12 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # re-confirm the round they change, the r9 precedent); the ENTIRE
 # r3-latest-green cohort (28 — computed from CORRECTNESS_r*.json, the
 # oldest records in the ledger after r10 re-greened the r1/r2 block);
-# and 6 family-diverse members of the r4-latest-green cohort
+# and 5 family-diverse members of the r4-latest-green cohort
 # (asof/bloom/calendar/cdc/cube/curation/dedup/dq/events families).
 # Post-r11 ledger math: stalest surviving record becomes the remaining
-# r4 cohort (40) → median green-age ≤ 4 rounds, per the r10 ask.
+# r4 cohort (41) → median green-age ≤ 4 rounds, per the r10 ask
+# (the in-window budget-select pair re-composes the bigram tower, so
+# curation_bigram_logprob keeps indirect coverage).
 CHECKED_FIRST: tuple[str, ...] = (
     # the permanent anchor
     "words_pipeline",
@@ -472,6 +474,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     "curation_url_normalize",
     "curation_robots_gate",
     "crawl_wet_pipeline",
+    "text_wordpiece_merges",
     "streaming_phash_neardup",
     "streaming_audio_snippet_match",
     # rewired in r11 (bucketed global rank/cumsum) — re-confirm
@@ -507,11 +510,10 @@ CHECKED_FIRST: tuple[str, ...] = (
     "words_doc_frequency",
     "words_duplicate_occurrences",
     "words_first_position",
-    # ---- 6 family-diverse members of the r4-latest-green cohort ----
+    # ---- 5 family-diverse members of the r4-latest-green cohort ----
     "asof_click_to_nearest_view",
     "bloom_filtered_join",
     "calendar_month_order_counts",
-    "curation_bigram_logprob",
     "dedup_components_canonical",
     "dq_check_orders",
 )

@@ -731,6 +731,95 @@ def _bpe_replay(sf_dir: str):
     return merges, syms, per_lang_tokens
 
 
+def text_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 WORDPIECE merges learned from the corpus (operators/
+    bpe.py:wordpiece_train_merges) — the likelihood-scored third member
+    of the tokenizer-training family (BPE counts, unigram-LM prunes,
+    WordPiece maximizes count(ab)/(count(a)·count(b))). Words split as
+    [c0, ##c1, ...]; the argmax runs on the QUANTIZED integer score
+    q = (c·10¹²) div (ca·cb) so both engines compare exact integers
+    (the determinism contract, stated in the operator docstring). Same
+    scale shape as BPE: one corpus shuffle, vocab-bounded rounds, 1-row
+    argmax collects."""
+    from python_multiproc_bigdata_spark.operators.bpe import wordpiece_train_merges
+
+    d = table(prep(spark), sf_dir, "documents")
+    merges = wordpiece_train_merges(d, "text", n_merges=8, lowercase=True)
+    return prep(spark).createDataFrame(
+        merges,
+        schema="merge_rank int, left_sym string, right_sym string, "
+        "pair_freq long, score_q long",
+    )
+
+
+def make_wordpiece_oracle() -> str:
+    """Generate the text_wordpiece_merges oracle by replaying WordPiece
+    training in an INDEPENDENT single-node Python implementation
+    (dict/Counter, '##' continuation splitting, the same quantized
+    integer score via // — no Spark, no shared code) and embedding the
+    learned table as a VALUES literal."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    for (t,) in rows:
+        for w in re.split("[ \t\n\r\f\x0b]+", t):
+            if w.strip():
+                wf[w] += 1
+    syms = {w: tuple([w[0]] + ["##" + ch for ch in w[1:]]) for w in wf}
+    merges: list[tuple[int, str, str, int, int]] = []
+    for rank in range(1, 9):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, f in wf.items():
+            sq = syms[w]
+            for s in sq:
+                sc[s] += f
+            for i in range(len(sq) - 1):
+                pc[(sq[i], sq[i + 1])] += f
+        if not pc:
+            break
+        best = min(
+            (
+                (-((c * 10**12) // (sc[a] * sc[b])), a, b, c)
+                for (a, b), c in pc.items()
+            ),
+        )
+        qv, a, b, c = -best[0], best[1], best[2], best[3]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((rank, a, b, c, qv))
+        for w, sq in syms.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sq):
+                if i + 1 < len(sq) and sq[i] == a and sq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({r}, {q(a)}, {q(b)}, {c}, {qv})" for r, a, b, c, qv in merges
+    )
+    return (
+        "SELECT merge_rank, left_sym, right_sym, pair_freq, score_q\n"
+        f"FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_freq, score_q)\n"
+        "ORDER BY merge_rank"
+    )
+
+
 def make_bpe_encode_oracle() -> str:
     import os
     from collections import defaultdict
@@ -1453,6 +1542,7 @@ REGISTRY = {
     "profile_documents": QuerySpec(profile_documents, SQL_PROFILE),
     "text_pmi_collocations": QuerySpec(text_pmi_collocations, SQL_PMI),
     "text_bpe_merges": QuerySpec(text_bpe_merges, make_bpe_oracle),
+    "text_wordpiece_merges": QuerySpec(text_wordpiece_merges, make_wordpiece_oracle),
     "text_bpe_encode_stats": QuerySpec(text_bpe_encode_stats, make_bpe_encode_oracle),
     "text_vocab_coverage": QuerySpec(text_vocab_coverage, SQL_VOCAB_COVERAGE),
     "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),

@@ -51,6 +51,7 @@ def test_checked_window_is_curated():
         "source_warc_shards", "source_warcgz_shards",
         "streaming_warcgz_ingest", "curation_url_normalize",
         "curation_robots_gate", "crawl_wet_pipeline",
+        "text_wordpiece_merges",
         # rewired in r11 to with_global_index's bucketed rank/cumsum —
         # code-touched queries re-confirm the round they change
         "stats_gini_concentration", "stats_pareto_cutoffs",
@@ -70,10 +71,9 @@ def test_checked_window_is_curated():
         "training_pack_chunks", "training_temperature_mix",
         "udaf_median_acctbal", "words_doc_frequency",
         "words_duplicate_occurrences", "words_first_position",
-        # ... and 6 family-diverse members of the r4 cohort
+        # ... and 5 family-diverse members of the r4 cohort
         "asof_click_to_nearest_view", "bloom_filtered_join",
         "calendar_month_order_counts",
-        "curation_bigram_logprob",
         "dedup_components_canonical",
         "dq_check_orders",
     }

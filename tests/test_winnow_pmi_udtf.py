@@ -259,3 +259,29 @@ def test_bpe_encode_stats_hand_computed(spark, tmp_path):
     assert en.n_tokens == 3 and en.n_symbols == 3
     de = out["de"]
     assert de.n_tokens == 2 and de.n_symbols == 2
+
+
+def test_wordpiece_merges_likelihood_beats_raw_count(spark):
+    """WordPiece on a corpus engineered so the raw-count argmax and the
+    likelihood argmax DIFFER: 'xy' appears 20x but x,y are everywhere
+    (low score); 'qz' appears 6x and q,z appear nowhere else (score 1
+    bucket) — WordPiece must pick (q, ##z) first where BPE would pick
+    the count winner. Replay cross-checked with exact // arithmetic."""
+    from collections import Counter
+
+    from python_multiproc_bigdata_spark.operators.bpe import (
+        wordpiece_train_merges,
+    )
+
+    docs = [("xy " * 20 + "qz " * 6 + "x y " * 15).strip()]
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    merges = wordpiece_train_merges(df, "text", n_merges=2)
+    # independent arithmetic: counts over words {xy:20, qz:6, x:15, y:15}
+    # symbols: x:35, ##y:20, y:15, q:6, ##z:6
+    # score(q,##z) = 6e12 // 36 >> score(x,##y) = 20e12 // 700
+    assert (merges[0][1], merges[0][2]) == ("q", "##z"), merges
+    assert merges[0][3] == 6  # pair_freq
+    assert merges[0][4] == (6 * 10**12) // (6 * 6)
+    # after merging qz, the next best is (x, ##y)
+    assert (merges[1][1], merges[1][2]) == ("x", "##y"), merges
+    assert merges[1][4] == (20 * 10**12) // (35 * 20)
