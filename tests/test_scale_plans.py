@@ -611,3 +611,29 @@ def test_budget_select_sampled_no_global_pass(spark):
     sample's ordered walk never touches the returned plan)."""
     plan = plan_of(REGISTRY["training_budget_select_sampled"].fn(spark, SF_DIR))
     assert not _unpartitioned_windows(plan), plan
+
+
+def test_crawl_wet_pipeline_bounded_shuffles(spark):
+    """The crawl→WET composition must stay two-shuffle (pack groupBy +
+    per-source rollup; the doc_id join broadcasts or reuses those) and
+    carry no cartesian pair space."""
+    plan = plan_of(REGISTRY["crawl_wet_pipeline"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 4, plan  # pack, rollup, join sides
+
+
+def test_robots_gate_broadcast_rules(spark):
+    """Rule matching must broadcast the (tiny) per-host rule relation —
+    a shuffle join keyed on host would be the wrong shape for a dim
+    this small — and never plan a cartesian."""
+    plan = plan_of(REGISTRY["curation_robots_gate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_normalize_whole_stage_jvm(spark):
+    """URL normalization is the no-UDF claim in operator form: the plan
+    must contain no Python/Arrow evaluation node — everything including
+    the dot-segment aggregate fold runs JVM-side."""
+    plan = plan_of(REGISTRY["curation_url_normalize"].fn(spark, SF_DIR))
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

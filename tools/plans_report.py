@@ -65,6 +65,11 @@ SHOWCASE: dict[str, str] = {
     "training_budget_select": "global budget cut = bucketed running token sum; per-source cap stays a source-partitioned window - no unpartitioned window",
     "training_budget_select_sampled": "budget cut as ONE broadcast literal tuple from the md5-sample job - final plan keeps only the source-partitioned cap window",
     "multimodal_mp3_sideinfo_walk": "bit-level side-info decode is map-only mapInPandas - zero shuffle, one Arrow stage",
+    # r11 crawl-ingest family
+    "source_warc_shards": "WARC pack = one bounded groupBy(shard); walk+extract = map-only Arrow stage - two stages, no driver involvement",
+    "crawl_wet_pipeline": "crawl->WET->gate->rollup composition stays within the pack shuffle + per-source rollup; no cartesian anywhere",
+    "curation_url_normalize": "RFC 3986 normalization fully JVM-side - the dot-segment fold is an aggregate HOF inside codegen, zero Python nodes",
+    "curation_robots_gate": "rule matching = broadcast join of the tiny per-host rule dim + max_by argmax; no shuffle keyed on host",
 }
 
 
