@@ -368,7 +368,9 @@ def gzip_members(payload: bytes) -> list[bytes]:
         if flg & 0x02:  # FHCRC
             p += 2
         d = zlib.decompressobj(wbits=-15)
-        data = d.decompress(payload[p:])
+        # memoryview: no tail copy per member (a shard with many
+        # members would otherwise pay O(members^2) byte copies)
+        data = d.decompress(memoryview(payload)[p:])
         rest = d.unused_data
         if len(rest) < 8:
             raise ValueError(f"gzip member at {pos} missing trailer")

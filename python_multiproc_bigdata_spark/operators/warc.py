@@ -87,6 +87,7 @@ def html_to_text(html: str) -> str:
     out: list[str] = []
     i = 0
     n = len(html)
+    low = html.lower()  # once — raw-text close-tag scans reuse it
     while i < n:
         c = html[i]
         if c == "<":
@@ -131,7 +132,6 @@ def html_to_text(html: str) -> str:
             self_closing = html[end - 1] == "/"
             i = end + 1
             if not closing and not self_closing and name in RAW_TEXT_TAGS:
-                low = html.lower()
                 close = low.find(f"</{name}", i)
                 if close < 0:
                     raise ValueError(f"unterminated raw-text <{name}> at {i}")
