@@ -307,3 +307,72 @@ def test_robots_gate_precedence(spark):
     )
     e = spark.createDataFrame([("h", "/p/x")], ["host", "path"])
     assert robots_gate(e, eq).collect()[0].allowed is True
+
+
+def test_fuzz_html_extraction_vs_stdlib():
+    """Property fuzz: random well-formed pages (random text, attribute
+    values with '>', nested-ish comments, random entities) must extract
+    identically to stdlib html.parser — 60 adversarial examples per
+    run."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abcdefg hij", min_size=1, max_size=8), min_size=0, max_size=6
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        words,
+        st.integers(0, 999),
+        st.sampled_from(["&amp;", "&lt;", "&gt;", "&#65;", "&#x42;", ""]),
+        st.text(alphabet="abc>x y", min_size=0, max_size=6),
+    )
+    def case(ws, n, ent, attr):
+        attr_q = attr.replace('"', "")
+        html = (
+            f"<html><body><p id=\"a{n}\" data-v=\"{attr_q}\">"
+            + " ".join(ws)
+            + ent
+            + f"</p><script>var x = '<q>{n}</q>';</script>"
+            + f"<!-- c {n} <fake> -->tail</body></html>"
+        )
+        assert html_to_text(html) == _stdlib_extract(html)
+
+    case()
+
+
+def test_fuzz_warc_roundtrip():
+    """Property fuzz: random record sets (binary payloads incl. CRLF
+    runs and empty bodies, mixed record types) must frame and re-walk
+    exactly — payload bytes identical, order preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["response", "request", "metadata"]),
+                st.binary(min_size=0, max_size=200),
+            ),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    def case(recs):
+        blob = b"".join(
+            _warc_record(
+                [
+                    ("WARC-Type", typ),
+                    ("WARC-Record-ID", f"<urn:r:{i}>"),
+                    ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ],
+                body,
+            )
+            for i, (typ, body) in enumerate(recs)
+        )
+        got = warc_records(blob)
+        assert [(h["WARC-Type"], b) for h, b in got] == recs
+
+    case()
