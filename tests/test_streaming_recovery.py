@@ -181,3 +181,39 @@ def test_phash_neardup_restart_no_reprocessing(spark, tmp_path):
         for r in ahash_neardup_pairs(bands, max_hamming=AHASH_HAMMING_MAX).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_phash_epoch_matcher_retry_idempotent(spark, tmp_path):
+    """The at-least-once contract, exercised directly: re-running the
+    SAME epoch (a foreachBatch retry after a mid-epoch crash — even one
+    that already wrote the store) must leave byte-identical pairs and
+    an unduplicated band store, because both writes are epoch-keyed
+    overwrites and the store read excludes the current epoch."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.multimodal import attach_ppm
+    from python_multiproc_bigdata_spark.registry.streaming import phash_epoch_matcher
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    imgs = attach_ppm(docs)
+    store = str(tmp_path / "bands")
+    pdir = str(tmp_path / "pairs")
+    match = phash_epoch_matcher(spark, store, pdir)
+
+    wave0 = imgs.filter(F.col("doc_id") % 2 == 0)
+    wave1 = imgs.filter(F.col("doc_id") % 2 == 1)
+    match(wave0, 0)
+    match(wave1, 1)
+    first = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(pdir).select("doc_a", "doc_b", "hamming").collect()
+    )
+    # retry epoch 1 AFTER its store write already landed — the worst case
+    match(wave1, 1)
+    second = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(pdir).select("doc_a", "doc_b", "hamming").collect()
+    )
+    assert second == first and len(first) > 0
+    counts = spark.read.parquet(store).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
