@@ -150,6 +150,11 @@ def test_no_accidental_shared_oracles():
         # matching the same arithmetic oracle IS the proof that the
         # 4:2:0/4:2:2 pipeline reproduces the same luma values
         frozenset({"multimodal_decode_jpeg", "multimodal_decode_jpeg_sub"}),
+        # deliberate (r11): warc.gz wraps each record in a verified gzip
+        # member — content is unchanged through the compression layer,
+        # so matching the same byte-exact page/extraction oracle IS the
+        # proof (the zip/targz md5-oracle pattern)
+        frozenset({"source_warc_shards", "source_warcgz_shards"}),
     }
     by_oracle = defaultdict(list)
     for n, s in REGISTRY.items():
