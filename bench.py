@@ -270,6 +270,15 @@ CONFIG_CHANGED: set[str] = {
     # r5: negative draw redesigned from anchors×corpus md5-slice to a
     # broadcast-sized deterministic pool (different negatives by design)
     "training_contrastive_pairs",
+    # r11: the last three global-rank stages rewired through
+    # with_global_index (bucketed parallel sort + broadcast offsets).
+    # The bucketed form runs 3 extra BOUNDED jobs (quantile cuts, bucket
+    # stats, eager materialization) — ~1-2 s of fixed overhead at sf0.1,
+    # purchased deliberately for the no-SinglePartition-window shape
+    # that survives 100 TB (plan-pinned in test_scale_plans.py).
+    "stats_gini_concentration",
+    "stats_pareto_cutoffs",
+    "training_budget_select",
 }
 
 

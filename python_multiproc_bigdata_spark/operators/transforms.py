@@ -165,12 +165,17 @@ def with_global_index(
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     key = cols[0]
     cums = dict(cumsum or {})
+    # Cache the INPUT before the quantile job: approxQuantile is its own
+    # action, and without this an expensive upstream (an LM-scoring
+    # tower, a multi-join) is computed twice — once for the cuts, once
+    # for the bucketed frame.
+    src = df.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(df.approxQuantile(key, qs, 0.001)))
+    cuts = sorted(set(src.approxQuantile(key, qs, 0.001)))
     bucket = F.lit(0)
     for i, c in enumerate(cuts):
         bucket = F.when(F.col(key) > F.lit(c), i + 1).otherwise(bucket)
-    b = df.withColumn("_gb", bucket).persist()
+    b = src.withColumn("_gb", bucket).persist()
     w = Window.partitionBy("_gb").orderBy(*[F.asc(c) for c in cols])
     ranked = b.withColumn("_rk", F.row_number().over(w))
     running = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -207,4 +212,5 @@ def with_global_index(
     result = result.drop("_gb", "_rk").persist()
     result.count()  # materialize while b's cache is live → consistent
     b.unpersist()
+    src.unpersist()
     return result
