@@ -694,10 +694,18 @@ def normalize_url(url):
     conventional crawl-dedup extras: query parameters sorted and the
     fragment dropped. Input column (or name) → struct(norm_url, host).
 
+    Percent-encoding normalization (§6.2.2.2) applies to the PATH:
+    escape hex digits uppercased, escapes of UNRESERVED characters
+    (ALPHA / DIGIT / - . _ ~) decoded — %7e → ~, %41 → A — while
+    reserved octets stay encoded (%2F remains %2F, uppercased); a
+    malformed escape raises via raise_error (the loud gate, kept even
+    inside column expressions). Decoding runs BEFORE dot-segment
+    removal, so %2E composes into the dot rules per the spec order.
+
     Supported subset, loudly bounded by construction: absolute http(s)
-    URLs with a host (the crawl-ingest case). Percent-encoding
-    re-normalization is out of scope for the synthetic corpus (no
-    encoded octets are generated); userinfo is not parsed."""
+    URLs with a host (the crawl-ingest case); userinfo is not parsed;
+    query escapes pass through (only parameter ORDER is normalized
+    there)."""
     from pyspark.sql import functions as F
 
     u = F.col(url) if isinstance(url, str) else url
@@ -709,7 +717,29 @@ def normalize_url(url):
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
     )
-    raw_path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    raw_path0 = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    # §6.2.2.2: '%'-split the path; each tail segment starts with the
+    # 2-hex escape code — uppercase it, decode it iff unreserved
+    parts = F.split(raw_path0, "%")
+    tails = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix_escape(s):
+        hex2 = F.upper(F.substring(s, 1, 2))
+        rest = F.substring(s, 3, 2_000_000)
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
+        decoded = ch.rlike("^[A-Za-z0-9._~-]$")
+        good = F.when(decoded, F.concat(ch, rest)).otherwise(
+            F.concat(F.lit("%"), hex2, rest)
+        )
+        return F.when(s.rlike("^[0-9A-Fa-f]{2}"), good).otherwise(
+            F.raise_error(F.concat(F.lit("malformed percent-escape in path: %"), s))
+        )
+
+    raw_path = F.when(F.size(parts) <= 1, raw_path0).otherwise(
+        F.concat(
+            F.element_at(parts, 1), F.array_join(F.transform(tails, fix_escape), "")
+        )
+    )
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     # dot-segment removal (RFC 3986 §5.2.4), segment-level: '.' skips,
     # '..' pops (no-op at root), others push; a trailing '.'/'..'/'/'

@@ -1879,9 +1879,11 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL corpus cycles mixed-case schemes/hosts, default and non-default
     ports, five path shapes including '.'/'..' segments and trailing
     dots, unsorted query strings, and fragments — every normalization
-    rule is on the checked path. The oracle CASE-replays the expected
-    output per residue class, so it shares NO normalization logic with
-    the engine. Map-only; zero Python in the plan."""
+    rule is on the checked path — including percent-escapes (reserved
+    %2f kept but uppercased, unreserved %7e/%41 decoded). The oracle
+    CASE-replays the expected output per residue class, so it shares NO
+    normalization logic with the engine. Map-only; zero Python in the
+    plan."""
     from python_multiproc_bigdata_spark.operators.curation import normalize_url
 
     d = table(prep(spark), sf_dir, "documents").select("doc_id")
@@ -1897,7 +1899,7 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m % 6 == 1, F.lit("/a/b"))
         .when(m % 6 == 2, F.lit("/a/./b"))
         .when(m % 6 == 3, F.lit("/a/b/../c"))
-        .when(m % 6 == 4, F.lit("/a/b/"))
+        .when(m % 6 == 4, F.lit("/a%2fb/%7euser/b%41d/"))
         .otherwise(F.lit("/x/./../y/.")),
         F.when(m % 4 == 1, F.lit("?b=2&a=1"))
         .when(m % 4 == 2, F.lit("?z=9"))
@@ -1924,7 +1926,8 @@ SELECT doc_id,
     CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
          WHEN 2 THEN ':8080' ELSE '' END,
     CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/./b'
-         WHEN 3 THEN '/a/b/../c' WHEN 4 THEN '/a/b/' ELSE '/x/./../y/.' END,
+         WHEN 3 THEN '/a/b/../c' WHEN 4 THEN '/a%2fb/%7euser/b%41d/'
+         ELSE '/x/./../y/.' END,
     CASE doc_id % 4 WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?z=9'
          WHEN 3 THEN '?b=2&a=1&c=3' ELSE '' END,
     CASE doc_id % 3 WHEN 1 THEN '#frag' WHEN 2 THEN '#x' ELSE '' END
@@ -1938,7 +1941,7 @@ SELECT doc_id,
          WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN ':443'
          ELSE '' END,
     CASE doc_id % 6 WHEN 0 THEN '/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/b'
-         WHEN 3 THEN '/a/c' WHEN 4 THEN '/a/b/' ELSE '/y/' END,
+         WHEN 3 THEN '/a/c' WHEN 4 THEN '/a%2Fb/~user/bAd/' ELSE '/y/' END,
     CASE doc_id % 4 WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?z=9'
          WHEN 3 THEN '?a=1&b=2&c=3' ELSE '' END
   ) AS norm_url,

@@ -808,6 +808,11 @@ def test_url_normalize_rules_and_jvm_only(spark):
         ("http://x.com/x/./../y/.", "http://x.com/y/", "x.com"),
         ("http://x.com/p?b=2&a=1#frag", "http://x.com/p?a=1&b=2", "x.com"),
         ("http://x.com?z=1", "http://x.com/?z=1", "x.com"),
+        # §6.2.2.2 percent-encoding: unreserved decoded, reserved kept
+        # (hex uppercased), %2E composes into dot-segment removal
+        ("http://x.com/%7euser/%41b", "http://x.com/~user/Ab", "x.com"),
+        ("http://x.com/a%2fb", "http://x.com/a%2Fb", "x.com"),
+        ("http://x.com/a/%2E%2E/c", "http://x.com/c", "x.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
     out = df.select("url", normalize_url("url").alias("n")).collect()
@@ -821,3 +826,9 @@ def test_url_normalize_rules_and_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "Arrow" not in plan, plan
+    # malformed escape: the loud gate holds even inside column exprs
+    bad = spark.createDataFrame([("http://x.com/a%zzb",)], ["url"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="malformed percent-escape"):
+        bad.select(normalize_url("url").alias("n")).collect()
