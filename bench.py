@@ -254,6 +254,11 @@ HEADLINE = [
     "curation_robots_gate",
     "crawl_wet_pipeline",
     "text_wordpiece_merges",
+    # r12 additions
+    "multimodal_mp3_huffman_walk",
+    "text_wordpiece_encode",
+    "crawl_link_graph",
+    "text_bm25_topk",
 ]
 
 # Queries whose CONFIG deliberately changed this round for quality (not a
@@ -279,6 +284,18 @@ CONFIG_CHANGED: set[str] = {
     "stats_gini_concentration",
     "stats_pareto_cutoffs",
     "training_budget_select",
+    # r12: the last five unpartitioned-window sites rewired —
+    # text_vocab_coverage through with_global_index's bucketed
+    # rank+cumsum (same ~1-2 s bounded-jobs overhead as the r11 trio,
+    # newly benched this round), text_bm25_topk /
+    # stats_countmin_heavy_hitters / events_top_session_paths through
+    # orderBy().limit() (TakeOrderedAndProject — expected neutral or
+    # faster). Plan-pinned in test_scale_plans.py + the registry-wide
+    # guard in test_window_guard.py.
+    "text_vocab_coverage",
+    "text_bm25_topk",
+    "stats_countmin_heavy_hitters",
+    "events_top_session_paths",
 }
 
 

@@ -341,3 +341,88 @@ def wordpiece_train_merges(
             if rank % 4 == 0:
                 cur = cur.localCheckpoint(eager=True)
     return merges
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int, int]],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list[str]:
+    """The WordPiece vocabulary a trained merge list induces: every
+    word-initial / '##'-continuation CHARACTER symbol observed in the
+    training corpus plus the merged symbols, sorted. The alphabet
+    collect is vocab-bounded (distinct symbols, not words — the same
+    boundedness argument as the training loop's 1-row argmax)."""
+    wf = word_frequencies(df, text_col, lowercase)
+    chars = F.split("word", "")
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+    )
+    alphabet = [
+        r["s"]
+        for r in wf.select(F.explode(syms).alias("s")).distinct().collect()
+    ]
+    merged = [a + (b[2:] if b.startswith("##") else b) for _, a, b, _c, _q in merges]
+    return sorted(set(alphabet) | set(merged))
+
+
+def wordpiece_encode_counts(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """WordPiece INFERENCE (greedy longest-match-first, the rule
+    Schuster & Nakajima tokenizers apply at serving time) over the
+    DISTINCT vocabulary of `df`, entirely as a JVM fold — apply_merge's
+    sibling: returns (word, n_pieces, is_unk) where n_pieces is the
+    piece count under maximal munch against `vocab` and is_unk marks a
+    word with an unmatchable position (standard WordPiece maps the
+    WHOLE word to [UNK]).
+
+    The fold runs over character POSITIONS: the accumulator carries
+    (next unmatched position, piece count, unk flag); at each active
+    position an ascending when-chain over candidate lengths 1..L (L =
+    the longest vocab symbol, a driver-known literal) keeps the LAST
+    matching length — ascending order with override IS longest-match.
+    Positions inside a committed piece are skipped. Work is
+    vocab-bounded (distinct words), never per-token; callers join the
+    result back onto the token stream (AQE broadcasts it)."""
+    max_len = max(len(v) - 2 if v.startswith("##") else len(v) for v in vocab)
+    varr = F.array(*[F.lit(v) for v in sorted(vocab)])
+    wf = word_frequencies(df, text_col, lowercase)
+    w = F.col("word")
+    init = F.struct(
+        F.lit(0).alias("nxt"), F.lit(0).alias("np"), F.lit(False).alias("unk")
+    )
+
+    def step(acc, p):
+        active = (~acc.unk) & (p == acc.nxt)
+        mlen = F.lit(0)
+        for ln in range(1, max_len + 1):
+            piece = F.concat(
+                F.when(p == 0, F.lit("")).otherwise(F.lit("##")),
+                F.substring(w, p + 1, F.lit(ln)),
+            )
+            ok = (F.length(w) >= p + ln) & F.array_contains(varr, piece)
+            mlen = F.when(ok, F.lit(ln)).otherwise(mlen)
+        hit = active & (mlen > 0)
+        return F.struct(
+            F.when(hit, p + mlen).otherwise(acc.nxt).alias("nxt"),
+            F.when(hit, acc.np + 1).otherwise(acc.np).alias("np"),
+            (acc.unk | (active & (mlen == 0))).alias("unk"),
+        )
+
+    acc = F.aggregate(
+        F.sequence(F.lit(0), F.length(w) - 1),
+        init,
+        step,
+        lambda a: F.struct(a.np.alias("np"), a.unk.alias("unk")),
+    )
+    return wf.select(
+        "word",
+        acc.np.alias("n_pieces"),
+        acc.unk.alias("is_unk"),
+    )

@@ -690,9 +690,13 @@ def normalize_url(url):
     expressions (§6.2.2 case normalization, §6.2.3 scheme-based
     default-port removal and empty-path → '/', §5.2.4 dot-segment
     removal via an F.aggregate push/pop fold — a higher-order function
-    that stays inside codegen, no Python anywhere), plus the two
-    conventional crawl-dedup extras: query parameters sorted and the
-    fragment dropped. Input column (or name) → struct(norm_url, host).
+    that stays inside codegen, no Python anywhere; EMPTY path segments
+    are preserved through the fold per §5.2.4, so '/a//b' stays
+    '/a//b'), plus the two conventional crawl-dedup extras: query
+    parameters sorted and the fragment dropped (the fragment is
+    stripped before query extraction, so a '?' inside the fragment is
+    never mistaken for a query). Input column (or name) →
+    struct(norm_url, host).
 
     Percent-encoding normalization (§6.2.2.2) applies to the PATH:
     escape hex digits uppercased, escapes of UNRESERVED characters
@@ -740,11 +744,18 @@ def normalize_url(url):
             F.element_at(parts, 1), F.array_join(F.transform(tails, fix_escape), "")
         )
     )
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # fragment is stripped BEFORE query extraction: a '?' inside the
+    # fragment ('http://h/p#a?b=1') is fragment text, not a query
+    prefrag = F.substring_index(u, "#", 1)
+    query = F.regexp_extract(prefrag, r"\?(.*)", 1)
     # dot-segment removal (RFC 3986 §5.2.4), segment-level: '.' skips,
-    # '..' pops (no-op at root), others push; a trailing '.'/'..'/'/'
-    # leaves the normalized path directory-form (trailing slash)
-    segs = F.filter(F.split(raw_path, "/"), lambda s: s != "")
+    # '..' pops (no-op at root), others push — INCLUDING empty segments
+    # ('/a//b' keeps its '//' per §5.2.4; only the leading '' produced
+    # by the root slash is dropped). A trailing '.'/'..' leaves the
+    # normalized path directory-form (trailing slash); a trailing '/'
+    # flows through as a pushed empty segment.
+    parts2 = F.split(raw_path, "/")
+    segs = F.slice(parts2, 2, F.greatest(F.size(parts2) - 1, F.lit(0)))
     folded = F.aggregate(
         segs,
         F.array().cast("array<string>"),
@@ -755,9 +766,7 @@ def normalize_url(url):
         ),
     )
     last = F.element_at(segs, -1)
-    trailing = (F.size(segs) > 0) & (
-        raw_path.endswith("/") | (last == ".") | (last == "..")
-    )
+    trailing = (F.size(segs) > 0) & ((last == ".") | (last == ".."))
     norm_path = F.when(F.size(folded) == 0, F.lit("/")).otherwise(
         F.concat(
             F.lit("/"),

@@ -199,8 +199,6 @@ def bfs_levels(
     cumulative visited union never replays earlier rounds (the
     iterative-lineage doctrine of pagerank/connected_components above;
     at real scale this is a checkpoint to cluster storage)."""
-    from pyspark.sql import Window
-
     # materialize the symmetrized edge list ONCE: without this every
     # round's frontier join replays the caller's full edge-build lineage
     # (measured 10.8 s -> 6.0 s at sf0.1 on the co-purchase build; at
@@ -210,17 +208,18 @@ def bfs_levels(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     if source is None:
+        # argmax-by-degree as a ONE-ROW max_by aggregate (ties → lowest
+        # node id): the old row_number over an unpartitioned window
+        # funneled ALL nodes through one task; max_by partial-aggregates
+        # map-side and never plans a global sort
         source = (
             und.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.orderBy(F.desc("deg"), F.asc("node"))
-                ),
+            .agg(
+                F.max_by(
+                    "node", F.struct(F.col("deg"), (-F.col("node")).alias("nn"))
+                ).alias("node")
             )
-            .filter(F.col("rn") == 1)
-            .select("node")
         )
     visited = source.select(
         F.col("node").cast("long").alias("node"), F.lit(0).alias("level")

@@ -779,3 +779,395 @@ def mp3_scalefactor_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return df.mapInPandas(batches, MP3_SF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Layer III HUFFMAN big-values + count1 decode (r12) — one layer below the
+# scalefactor walk, completing the Layer III chain short of MDCT synthesis
+# (which stays the documented library-bound line). Reference parity:
+# v2/core (no equivalent — beyond-reference multimodal family); spec: ISO
+# 11172-3 §2.4.2.7 (region partitioning via Table B.8 scalefactor-band
+# boundaries) and Table B.7 (Huffman code tables).
+#
+# Supported subset, loudly bounded: mono, main_data_begin = 0 (no bit
+# reservoir), LONG blocks only in the Huffman region (short/mixed region
+# partitioning raises), big-values Huffman tables 0 (zero region, no
+# bits) and 1 (the 2x2 no-linbits table) — table_select 2..31 raises —
+# and count1 table B (the fixed 4-bit quadruple code); count1 table A
+# raises. Every gate is a raise, never a silent zero.
+# ---------------------------------------------------------------------------
+
+# Table B.7 Huffman code table 1: (x, y) -> (hlen, hcod). xlen=ylen=2,
+# no linbits. Complete prefix code (Kraft sum == 1, property-tested).
+HUFF_TABLE_1 = {
+    (0, 0): (1, 0b1),
+    (0, 1): (3, 0b001),
+    (1, 0): (2, 0b01),
+    (1, 1): (3, 0b000),
+}
+# count1 table B (count1table_select = 1): all 16 (v,w,x,y) quadruples
+# at 4 bits, hcod = 15 - (v<<3 | w<<2 | x<<1 | y).
+COUNT1_TABLE_B = {
+    ((n >> 3) & 1, (n >> 2) & 1, (n >> 1) & 1, n & 1): (4, 15 - n)
+    for n in range(16)
+}
+# decode maps: (hlen, hcod) -> symbol
+_HUFF1_DEC = {v: k for k, v in HUFF_TABLE_1.items()}
+_COUNT1B_DEC = {v: k for k, v in COUNT1_TABLE_B.items()}
+_HUFF_MAX_LEN = 4
+
+# Table B.8 long-block scalefactor-band sample boundaries, MPEG-1, by
+# header sr_idx (0=44.1 kHz, 1=48 kHz, 2=32 kHz); 22 bands -> 23 edges,
+# last edge 576. Region0 ends at edge[region0_count+1], region1 at
+# edge[region0_count+region1_count+2] (long blocks, §2.4.2.7).
+SFB_LONG_BOUNDS = (
+    (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+     162, 196, 238, 288, 342, 418, 576),
+    (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+     156, 190, 230, 276, 330, 384, 576),
+    (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+     194, 240, 296, 364, 448, 550, 576),
+)
+
+
+def _hf_pair(d: int, f: int, g: int, i: int) -> tuple[int, int, int, int]:
+    """Synth corpus big-values pair arithmetic for pair i: (x, y,
+    sign_x, sign_y) with x,y in {0,1} and sign 1 = negative — cited by
+    the oracle replay."""
+    return (
+        (d + f + g + i) % 2,
+        (d + 3 * f + i) % 2,
+        (d + i) % 2,
+        (f + i) % 2,
+    )
+
+
+def _hf_quad(d: int, f: int, g: int, i: int) -> tuple:
+    """Synth corpus count1 quadruple arithmetic for quad i: four values
+    in {0,1} plus four sign bits (applied only to nonzero values)."""
+    vals = ((d + i) % 2, (f + i) % 2, (g + i) % 2, (d + f + i) % 2)
+    signs = tuple((d + f + g + i + p) % 2 for p in range(4))
+    return vals, signs
+
+
+def _hf_dims(d: int, f: int, g: int) -> dict:
+    """Per-granule Huffman-corpus side-info arithmetic (long blocks
+    only) — one place for synth, tests, and the oracle replay."""
+    return {
+        "bv": (d * 3 + f + 2 * g) % 17,
+        "r0": (d + f + g) % 4,
+        "r1": (d + 2 * f + g) % 4,
+        "ts": ((d + f + g) % 2, (d + f) % 2, (d + g) % 2),
+        "nq": (d + f + g) % 5,
+        "sfc": (d + f + g) % 16,
+        "gg": (d * 7 + f * 3 + g) % 256,
+    }
+
+
+def synth_mp3_hf(doc_id: int) -> bytes:
+    """Deterministic MONO MP3 whose main data carries real scalefactor
+    fields AND a real Huffman-coded spectrum region: nf = 2 + doc_id%3
+    frames x 2 long-block granules; per granule, big_values pairs from
+    _hf_pair coded with Table B.7 table 1 in table-1 regions (table-0
+    regions emit no bits and decode to zeros), region boundaries from
+    region0/1_count via Table B.8, then nq count1 quadruples from
+    _hf_quad coded with count1 table B; part2_3_length is the EXACT
+    scalefactor + Huffman bit count, so the decoder must land on the
+    boundary bit-perfectly or fail."""
+    out = bytearray()
+    d = doc_id
+    n_frames = 2 + d % 3
+    sr_idx = d % 3
+    bounds = SFB_LONG_BOUNDS[sr_idx]
+    for f in range(n_frames):
+        br_idx = 9 + (d + f) % 5
+        pad = (d + f) % 2
+        ln = frame_length(BITRATE_KBPS[br_idx], SAMPLE_RATES[sr_idx], pad)
+        main_bits: list[tuple[int, int]] = []
+        p23 = []
+        gdims = []
+        for g in (0, 1):
+            dims = _hf_dims(d, f, g)
+            gdims.append(dims)
+            bits = 0
+            s1, s2 = SLEN[dims["sfc"]]
+            for band in range(21):
+                slen = s1 if band < 11 else s2
+                if slen:
+                    main_bits.append((_sf_value(d, f, g, band, slen), slen))
+                bits += slen
+            b0 = min(dims["bv"], bounds[dims["r0"] + 1] // 2)
+            b1 = min(dims["bv"], bounds[dims["r0"] + dims["r1"] + 2] // 2)
+            for i in range(dims["bv"]):
+                region = 0 if i < b0 else (1 if i < b1 else 2)
+                tsel = dims["ts"][region]
+                if tsel == 0:
+                    continue  # zero region: no bits in the stream
+                x, y, sx, sy = _hf_pair(d, f, g, i)
+                hlen, hcod = HUFF_TABLE_1[(x, y)]
+                main_bits.append((hcod, hlen))
+                bits += hlen
+                if x:
+                    main_bits.append((sx, 1))
+                    bits += 1
+                if y:
+                    main_bits.append((sy, 1))
+                    bits += 1
+            for i in range(dims["nq"]):
+                vals, signs = _hf_quad(d, f, g, i)
+                hlen, hcod = COUNT1_TABLE_B[vals]
+                main_bits.append((hcod, hlen))
+                bits += hlen
+                for v, s in zip(vals, signs):
+                    if v:
+                        main_bits.append((s, 1))
+                        bits += 1
+            if dims["bv"] * 2 + dims["nq"] * 4 > 576:
+                raise ValueError("corpus granule exceeds 576 samples")
+            p23.append(bits)
+        # side info: long-block layout, scfsi 0, count1table_select 1
+        pairs: list[tuple[int, int]] = [(0, 9), (0, 5), (0, 4)]
+        for g in (0, 1):
+            dims = gdims[g]
+            pairs += [
+                (p23[g], 12),
+                (dims["bv"], 9),
+                (dims["gg"], 8),
+                (dims["sfc"], 4),
+                (0, 1),  # window_switching = 0: long block
+            ]
+            pairs += [(t, 5) for t in dims["ts"]]
+            pairs += [(dims["r0"], 4), (dims["r1"], 3)]
+            pairs += [(0, 1), (0, 1), (1, 1)]  # preflag, sf_scale, count1 B
+        si = _pack_bits(pairs)
+        acc, nb = 0, 0
+        for val, n in main_bits:
+            acc = (acc << n) | val
+            nb += n
+        padbits = (-nb) % 8
+        acc <<= padbits
+        nb += padbits
+        md = acc.to_bytes(nb // 8, "big") if nb else b""
+        body_len = ln - 4 - len(si) - len(md)
+        if body_len < 0:
+            raise ValueError(f"frame too small for main data at doc {d} frame {f}")
+        hdr = bytearray(_header(br_idx, sr_idx, pad))
+        hdr[3] = 0b11000000  # mono
+        out += hdr + si + md + bytes([(d + f) % 0xFE] * body_len)
+    return bytes(out)
+
+
+def _read_huffman(r: "_BitReader", dec: dict) -> tuple:
+    """Walk one codeword MSB-first through a (hlen, hcod) -> symbol
+    map; raises on a code absent from the table (corrupt stream or an
+    unsupported table — the loud gate)."""
+    code, ln = 0, 0
+    while ln <= _HUFF_MAX_LEN:
+        code = (code << 1) | r.get(1)
+        ln += 1
+        sym = dec.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError(f"no Huffman codeword matches prefix {code:0{ln}b}")
+
+
+def mp3_huffman(payload: bytes) -> list[dict]:
+    """Walk a MONO, reservoir-free MP3 payload and decode every
+    granule's HUFFMAN-CODED spectrum: side info, then scalefactors
+    (long-block layout), then the big-values region pair-by-pair with
+    the region's selected table (region edges from Table B.8 and
+    region0/1_count), sign bits after each nonzero, then count1
+    quadruples with table B until part2_3_length is exhausted — the
+    decode must consume EXACTLY part2_3_length bits or the walk raises.
+    Returns one dict per frame: per-granule {'coeffs': [(idx, val)...]
+    for nonzeros, 'n_pairs': (r0, r1, r2), 'n_quads': n,
+    'huff_bits': n, 'sf_bits': n}."""
+    frames_si = mp3_side_info(payload)
+    pos = 0
+    n = len(payload)
+    out: list[dict] = []
+    fi = 0
+    while pos < n:
+        b2 = payload[pos + 2]
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        pad = (b2 >> 1) & 0x01
+        ln = frame_length(BITRATE_KBPS[br_idx], SAMPLE_RATES[sr_idx], pad)
+        si = frames_si[fi]
+        if si["main_data_begin"] != 0:
+            raise ValueError(
+                f"bit-reservoir backpointer unsupported at frame {fi}"
+            )
+        bounds = SFB_LONG_BOUNDS[sr_idx]
+        r = _BitReader(payload[pos + 4 + 17 : pos + ln])
+        grans = []
+        for g, gr in enumerate(si["granules"]):
+            if gr["window_switching"]:
+                raise ValueError(
+                    "short/mixed-block Huffman region partitioning "
+                    f"unsupported at frame {fi} g{g} (long-only subset)"
+                )
+            start = r.pos
+            s1, s2 = SLEN[gr["scalefac_compress"]]
+            scfsi = si["scfsi"]
+            for band in range(21):
+                slen = s1 if band < 11 else s2
+                if g == 1 and scfsi:
+                    grp = next(
+                        i
+                        for i, (lo, hi) in enumerate(SCFSI_GROUPS)
+                        if lo <= band < hi
+                    )
+                    if (scfsi >> (3 - grp)) & 1:
+                        continue
+                r.pos += slen
+            sf_bits = r.pos - start
+            p23 = gr["part2_3_length"]
+            bv = gr["big_values"]
+            r0, r1 = gr["region0_count"], gr["region1_count"]
+            b0 = min(bv, bounds[r0 + 1] // 2)
+            b1 = min(bv, bounds[r0 + r1 + 2] // 2)
+            coeffs: list[tuple[int, int]] = []
+            n_pairs = [0, 0, 0]
+            for i in range(bv):
+                region = 0 if i < b0 else (1 if i < b1 else 2)
+                n_pairs[region] += 1
+                tsel = gr["table_select"][region]
+                if tsel == 0:
+                    continue
+                if tsel != 1:
+                    raise ValueError(
+                        f"Huffman table {tsel} unsupported (tables 0 and 1 "
+                        f"only — the documented subset) at frame {fi} g{g}"
+                    )
+                x, y = _read_huffman(r, _HUFF1_DEC)
+                if x:
+                    if r.get(1):
+                        x = -x
+                    coeffs.append((2 * i, x))
+                if y:
+                    if r.get(1):
+                        y = -y
+                    coeffs.append((2 * i + 1, y))
+                if r.pos - start > p23:
+                    raise ValueError(
+                        f"big-values decode overran part2_3_length at "
+                        f"frame {fi} g{g}"
+                    )
+            if gr["count1table_select"] != 1:
+                raise ValueError(
+                    "count1 table A unsupported (table B only — the "
+                    f"documented subset) at frame {fi} g{g}"
+                )
+            n_quads = 0
+            sample = 2 * bv
+            while r.pos - start < p23:
+                if sample + 4 > 576:
+                    raise ValueError(
+                        f"count1 region past 576 samples at frame {fi} g{g}"
+                    )
+                vals = _read_huffman(r, _COUNT1B_DEC)
+                for k, v in enumerate(vals):
+                    if v:
+                        if r.get(1):
+                            v = -v
+                        coeffs.append((sample + k, v))
+                sample += 4
+                n_quads += 1
+            if r.pos - start != p23:
+                raise ValueError(
+                    f"granule consumed {r.pos - start} bits, part2_3_length "
+                    f"says {p23} at frame {fi} g{g}"
+                )
+            grans.append(
+                {
+                    "coeffs": coeffs,
+                    "n_pairs": tuple(n_pairs),
+                    "n_quads": n_quads,
+                    "huff_bits": p23 - sf_bits,
+                    "sf_bits": sf_bits,
+                }
+            )
+        out.append({"granules": grans})
+        pos += ln
+        fi += 1
+    return out
+
+
+MP3_HF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_big_values", T.LongType()),
+        T.StructField("sum_r0_pairs", T.LongType()),
+        T.StructField("sum_r1_pairs", T.LongType()),
+        T.StructField("sum_r2_pairs", T.LongType()),
+        T.StructField("sum_abs_coeff", T.LongType()),
+        T.StructField("n_neg_coeff", T.LongType()),
+        T.StructField("sum_quads", T.LongType()),
+        T.StructField("sum_huff_bits", T.LongType()),
+        T.StructField("sum_sf_bits", T.LongType()),
+        T.StructField("coeff_checksum", T.LongType()),
+    ]
+)
+
+
+def _hf_stats(payload: bytes) -> tuple:
+    si = mp3_side_info(payload)
+    hf = mp3_huffman(payload)
+    sum_bv = r0p = r1p = r2p = sabs = nneg = quads = hbits = sfbits = 0
+    chk = 0
+    for fsi, fhf in zip(si, hf):
+        for gsi, ghf in zip(fsi["granules"], fhf["granules"]):
+            sum_bv += gsi["big_values"]
+            a, b, c = ghf["n_pairs"]
+            r0p += a
+            r1p += b
+            r2p += c
+            for idx, v in ghf["coeffs"]:
+                sabs += abs(v)
+                if v < 0:
+                    nneg += 1
+                # order-sensitive checksum: a misplaced coefficient moves it
+                chk = (chk + (idx + 1) * (v + 3)) % 1_000_003
+            quads += ghf["n_quads"]
+            hbits += ghf["huff_bits"]
+            sfbits += ghf["sf_bits"]
+    return (
+        len(hf), sum_bv, r0p, r1p, r2p, sabs, nneg, quads, hbits, sfbits, chk
+    )
+
+
+def attach_mp3_hf(df: DataFrame) -> DataFrame:
+    """Synthesize the Huffman-corpus MP3 payload column in Arrow
+    batches — attach_mp3_sf's sibling fixture stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synth_mp3_hf(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def mp3_huffman_features(df: DataFrame) -> DataFrame:
+    """Huffman-walk a binary MP3 column via mapInPandas: 1 blob in →
+    1 integer-stats row out, map-only, zero shuffle."""
+    names = [f.name for f in MP3_HF_SCHEMA.fields[1:]]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_hf_stats(bytes(p)) for p in pdf["media"]]
+            cols = {"doc_id": pdf["doc_id"]}
+            for i, nm in enumerate(names):
+                cols[nm] = [x[i] for x in decoded]
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(batches, MP3_HF_SCHEMA)

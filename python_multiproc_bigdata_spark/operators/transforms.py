@@ -168,8 +168,12 @@ def with_global_index(
     # Cache the INPUT before the quantile job: approxQuantile is its own
     # action, and without this an expensive upstream (an LM-scoring
     # tower, a multi-join) is computed twice — once for the cuts, once
-    # for the bucketed frame.
-    src = df.persist()
+    # for the bucketed frame. If the caller already cached df, reuse
+    # that cache and do NOT release it on exit — unpersisting an input
+    # we didn't persist would silently consume the caller's cache.
+    lvl = df.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    src = df if caller_cached else df.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = sorted(set(src.approxQuantile(key, qs, 0.001)))
     bucket = F.lit(0)
@@ -212,5 +216,6 @@ def with_global_index(
     result = result.drop("_gb", "_rk").persist()
     result.count()  # materialize while b's cache is live → consistent
     b.unpersist()
-    src.unpersist()
+    if not caller_cached:
+        src.unpersist()
     return result

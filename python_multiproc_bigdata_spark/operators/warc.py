@@ -132,7 +132,15 @@ def html_to_text(html: str) -> str:
             self_closing = html[end - 1] == "/"
             i = end + 1
             if not closing and not self_closing and name in RAW_TEXT_TAGS:
+                # HTML raw-text end-tag rule: '</name' closes only when
+                # followed by '>', '/', or whitespace — '</scripting>'
+                # does NOT end a <script> element
                 close = low.find(f"</{name}", i)
+                stop = len(name) + 2
+                while close >= 0 and (
+                    close + stop < n and low[close + stop] not in ">/ \t\n\r\f"
+                ):
+                    close = low.find(f"</{name}", close + 1)
                 if close < 0:
                     raise ValueError(f"unterminated raw-text <{name}> at {i}")
                 gt = html.find(">", close)
@@ -195,12 +203,17 @@ def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
     return head + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def pack_warc_shards(docs: DataFrame, shard_size: int = WARC_SHARD_SIZE) -> DataFrame:
+def pack_warc_shards(
+    docs: DataFrame, shard_size: int = WARC_SHARD_SIZE, page_fn=None
+) -> DataFrame:
     """Pack (doc_id, text) rows into WARC shards of `shard_size` docs:
     one bounded applyInPandas group per shard (the zip-shard shape).
     Each shard leads with a warcinfo record and a request record —
     non-response types the walker must SKIP — then one response record
-    per doc (sorted by doc_id) whose payload is the synth_html page."""
+    per doc (sorted by doc_id) whose payload is the synth_html page
+    (`page_fn` overrides the page builder — the link-graph corpus
+    passes synth_html_links)."""
+    page_fn = page_fn or synth_html
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["shard_id"].iloc[0])
@@ -224,7 +237,7 @@ def pack_warc_shards(docs: DataFrame, shard_size: int = WARC_SHARD_SIZE) -> Data
         )
         count = 0
         for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"])):
-            payload = synth_html(int(doc_id), str(text))
+            payload = page_fn(int(doc_id), str(text))
             blob += _warc_record(
                 [
                     ("WARC-Type", "response"),
@@ -570,3 +583,222 @@ def warc_texts(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return shards.mapInPandas(batches, WARC_TEXT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Link-graph extraction (r12): hrefs out of the HTML the crawl family
+# already walks — the edge-list stage between WET extraction and the
+# PageRank/robots curation family. Attribute parsing is from-spec
+# (quoted and unquoted values, entity decoding with the same loud
+# unknown-entity gate as html_to_text).
+# ---------------------------------------------------------------------------
+
+
+def decode_char_refs(s: str) -> str:
+    """Decode character references in an attribute value — same rules
+    and loud gates as html_to_text's character-data path (named set,
+    decimal, hex; unknown or unterminated raises)."""
+    out: list[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c != "&":
+            out.append(c)
+            i += 1
+            continue
+        semi = s.find(";", i + 1)
+        if semi < 0 or semi - i > 32:
+            raise ValueError(f"unterminated character reference at {i}")
+        body = s[i + 1 : semi]
+        if body.startswith("#x") or body.startswith("#X"):
+            out.append(chr(int(body[2:], 16)))
+        elif body.startswith("#"):
+            out.append(chr(int(body[1:], 10)))
+        elif body in NAMED_ENTITIES:
+            out.append(NAMED_ENTITIES[body])
+        else:
+            raise ValueError(f"unknown named entity &{body}; at {i}")
+        i = semi + 1
+    return "".join(out)
+
+
+def _tag_attrs(body: str) -> dict:
+    """Parse the attribute region of one tag (everything between the
+    tag name and '>'): name[=value] pairs, values quoted (either
+    quote) or unquoted-to-whitespace, names lowercased, values
+    entity-decoded. First occurrence wins (the HTML duplicate rule)."""
+    attrs: dict[str, str] = {}
+    i = 0
+    n = len(body)
+    while i < n:
+        while i < n and body[i] in " \t\n\r\f/":
+            i += 1
+        if i >= n:
+            break
+        j = i
+        while j < n and body[j] not in "= \t\n\r\f/":
+            j += 1
+        name = body[i:j].lower()
+        k = j
+        while k < n and body[k] in " \t\n\r\f":
+            k += 1
+        if k < n and body[k] == "=":
+            k += 1
+            while k < n and body[k] in " \t\n\r\f":
+                k += 1
+            if k < n and body[k] in "\"'":
+                q = body[k]
+                e = body.find(q, k + 1)
+                if e < 0:
+                    raise ValueError(f"unterminated attribute value at {k}")
+                val = body[k + 1 : e]
+                i = e + 1
+            else:
+                e = k
+                while e < n and body[e] not in " \t\n\r\f":
+                    e += 1
+                val = body[k:e]
+                i = e
+        else:
+            val = ""
+            i = k
+        if name and name not in attrs:
+            attrs[name] = decode_char_refs(val)
+    return attrs
+
+
+def extract_links(html: str) -> list[str]:
+    """All <a href> values of a page in document order, entity-decoded
+    — the same strict tag walk as html_to_text (quoted '>' inside
+    attribute values honored, raw-text script/style bodies skipped,
+    comments/declarations skipped), capturing instead of stripping."""
+    links: list[str] = []
+    i = 0
+    n = len(html)
+    low = html.lower()
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        i = lt
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            if end < 0:
+                raise ValueError(f"unterminated comment at {i}")
+            i = end + 3
+            continue
+        if html.startswith("<!", i) or html.startswith("<?", i):
+            end = html.find(">", i)
+            if end < 0:
+                raise ValueError(f"unterminated declaration at {i}")
+            i = end + 1
+            continue
+        j = i + 1
+        closing = j < n and html[j] == "/"
+        if closing:
+            j += 1
+        k = j
+        while k < n and (html[k].isalnum() or html[k] in "-_"):
+            k += 1
+        name = html[j:k].lower()
+        if not name:
+            raise ValueError(f"bare '<' at {i} (not a tag)")
+        quote = ""
+        end = -1
+        kk = k
+        while kk < n:
+            ch = html[kk]
+            if quote:
+                if ch == quote:
+                    quote = ""
+            elif ch in "\"'":
+                quote = ch
+            elif ch == ">":
+                end = kk
+                break
+            kk += 1
+        if end < 0:
+            raise ValueError(f"unterminated tag <{name} at {i}")
+        self_closing = html[end - 1] == "/"
+        if not closing and name == "a":
+            attrs = _tag_attrs(html[k : end - (1 if self_closing else 0)])
+            if "href" in attrs:
+                links.append(attrs["href"])
+        i = end + 1
+        if not closing and not self_closing and name in RAW_TEXT_TAGS:
+            close = low.find(f"</{name}", i)
+            stop = len(name) + 2
+            while close >= 0 and (
+                close + stop < n and low[close + stop] not in ">/ \t\n\r\f"
+            ):
+                close = low.find(f"</{name}", close + 1)
+            if close < 0:
+                raise ValueError(f"unterminated raw-text <{name}> at {i}")
+            gt = html.find(">", close)
+            if gt < 0:
+                raise ValueError(f"unterminated </{name}> at {close}")
+            i = gt + 1
+    return links
+
+
+def synth_html_links(doc_id: int, text: str) -> bytes:
+    """synth_html plus a deterministic outbound-link block inserted
+    before the footer: 2 + doc_id%3 absolute links with every
+    normalization trap live (mixed-case scheme/host, default and
+    non-default ports, './'+'..' dot segments, entity-coded unsorted
+    query, fragment) targeting hosts t0..t9.example.org, plus one
+    page-relative link ('/local'; synth_html's nav '/h?a=1&b=2' makes
+    two relative hrefs per page). The closed normalized form is
+    replayed by the crawl_link_graph oracle."""
+    base = synth_html(doc_id, text).decode("utf-8")
+    items = []
+    for k in range(2 + doc_id % 3):
+        h = (doc_id * 7 + k * 13) % 10
+        scheme = "HTTP" if (doc_id + k) % 2 == 0 else "https"
+        psel = (doc_id + k) % 3
+        if psel == 0:
+            port = ":80" if scheme == "HTTP" else ":443"
+        elif psel == 1:
+            port = ":8080"
+        else:
+            port = ""
+        query = "?b=2&amp;a=1" if k % 2 == 0 else ""
+        frag = "#s" if k % 3 == 0 else ""
+        items.append(
+            f'<li><a href="{scheme}://T{h}.Example.ORG{port}'
+            f'/l{k}/./d{doc_id % 5}/x/../p{query}{frag}">x</a></li>'
+        )
+    block = '<ul id="links">' + "".join(items) + '<li><a href="/local">y</a></li></ul>\n'
+    return base.replace("<footer>", block + "<footer>", 1).encode("utf-8")
+
+
+WARC_LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("href", T.StringType()),
+    ]
+)
+
+
+def warc_links(shards: DataFrame) -> DataFrame:
+    """Walk WARC shards and emit one (doc_id, href) row per extracted
+    <a href> of every response record — mapInPandas, map-only; the
+    edge-list front of the link-graph family."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            doc_ids: list[int] = []
+            hrefs: list[str] = []
+            for blob in pdf["archive"]:
+                for headers, payload in warc_records(bytes(blob)):
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    rid = headers["WARC-Record-ID"]
+                    doc_id = int(rid.split(":")[2].rstrip(">"))
+                    for href in extract_links(payload.decode("utf-8")):
+                        doc_ids.append(doc_id)
+                        hrefs.append(href)
+            yield pd.DataFrame({"doc_id": doc_ids, "href": hrefs})
+
+    return shards.mapInPandas(batches, WARC_LINK_SCHEMA)

@@ -460,62 +460,85 @@ for mod in (_words, _tpch, _events, _text, _dedup, _similarity, _funcs, _advance
 # r4 cohort (41) → median green-age ≤ 4 rounds, per the r10 ask
 # (the in-window budget-select pair re-composes the bigram tower, so
 # curation_bigram_logprob keeps indirect coverage).
+#
+# Round-12 rotation (VERDICT r11 ask #6): r11 went 50/50; the window is
+# the 4 queries BORN in r12 (MP3 Huffman walk, WordPiece encode, crawl
+# link graph, streaming crawl admission — never-checked queries enter
+# the round they are born), the 12 queries whose execution paths were
+# CODE-TOUCHED in r12 (the five unpartitioned-window rewires —
+# text_vocab_coverage / text_bm25_topk / stats_countmin_heavy_hitters /
+# events_top_session_paths / graph_bfs_levels; curation_url_normalize,
+# whose corpus+oracle grew the §5.2.4 empty-segment and fragment-query
+# cases alongside the operator fix; the with_global_index persist-
+# ownership change re-confirming gini/pareto/budget_select; the
+# html_to_text raw-text close-tag fix re-confirming source_warc_shards
+# + crawl_wet_pipeline; the narrowed store-read catch re-confirming
+# streaming_phash_neardup), the permanent anchor, and 33 of the 41-
+# member r4-latest-green cohort — the stalest records in the ledger.
+# The 8 r4 members held for r13 each have a direct in-window or
+# r11-green sibling: dedup_minhash_lsh_materialized (dedup_minhash_lsh
+# r11), func_datetime_parts + func_udtf_char_ngrams (micro-parity
+# twins), sim_topk_sq8_ivf (composes r11-green sq8+ivf),
+# sim_topk_ivf_kmeans (sim_topk_ivf r11), q17_small_quantity_revenue
+# (q8+q21 in window), zorder_lineitem_layout (layout_skipping_stats in
+# window), streaming_session_counts (four streaming siblings in
+# window). Post-r12 ledger math: stalest surviving record = those 8 r4
+# slots + the r6 cohort.
 CHECKED_FIRST: tuple[str, ...] = (
     # the permanent anchor
     "words_pipeline",
-    # born in r11
-    "training_budget_select_sampled",
-    "multimodal_mp3_sideinfo_walk",
-    "multimodal_mp3_scalefac_walk",
-    "multimodal_decode_png_adam7",
-    "source_warc_shards",
-    "source_warcgz_shards",
-    "streaming_warcgz_ingest",
+    # born in r12
+    "multimodal_mp3_huffman_walk",
+    "text_wordpiece_encode",
+    "crawl_link_graph",
+    "streaming_crawl_admission",
+    # code-touched in r12 — re-confirm the round they change
+    "text_vocab_coverage",
+    "text_bm25_topk",
+    "stats_countmin_heavy_hitters",
+    "events_top_session_paths",
+    "graph_bfs_levels",
     "curation_url_normalize",
-    "curation_robots_gate",
-    "crawl_wet_pipeline",
-    "text_wordpiece_merges",
-    "streaming_phash_neardup",
-    "streaming_audio_snippet_match",
-    # rewired in r11 (bucketed global rank/cumsum) — re-confirm
     "stats_gini_concentration",
     "stats_pareto_cutoffs",
     "training_budget_select",
-    # ---- the r3-latest-green cohort: stalest records in the ledger ----
-    "cdc_latest_per_key",
-    "cdc_upsert_customers",
-    "curation_repetition_signals",
-    "decontaminate_train_eval",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_from_json_struct",
-    "events_tumbling_window",
-    "grouping_sets_orders",
-    "profile_documents",
-    "quota_sample_per_lang",
-    "range_join_close_events",
-    "semantic_only_neardups",
-    "sim_knn_classify",
-    "sim_neardup_cosine",
-    "sim_topk_ivf",
-    "sim_topk_sq8",
-    "stats_lineitem_moments",
-    "stats_price_percentiles",
-    "text_tfidf_top_terms",
-    "training_mix_by_lang",
-    "training_pack_chunks",
-    "training_temperature_mix",
-    "udaf_median_acctbal",
-    "words_doc_frequency",
-    "words_duplicate_occurrences",
-    "words_first_position",
-    # ---- 5 family-diverse members of the r4-latest-green cohort ----
-    "asof_click_to_nearest_view",
-    "bloom_filtered_join",
-    "calendar_month_order_counts",
-    "dedup_components_canonical",
-    "dq_check_orders",
+    "source_warc_shards",
+    "crawl_wet_pipeline",
+    "streaming_phash_neardup",
+    # ---- 33 of the r4-latest-green cohort: stalest in the ledger ----
+    "bloom_pruned_urgent_revenue",
+    "cdc_snapshot_asof",
+    "cube_orders",
+    "curation_bigram_logprob",
+    "curation_pagerank_quality",
+    "dedup_edit_distance_blocked",
+    "dedup_prefix_filter_jaccard",
+    "dedup_winnow_pairs",
+    "events_ewma_value",
+    "events_funnel_conversion",
+    "events_linear_trend",
+    "events_retention_cohorts",
+    "events_trailing_1h",
+    "graph_triangle_copurchase",
+    "layout_skipping_stats",
+    "multimodal_features",
+    "q21_suppliers_kept_waiting",
+    "q8_market_share",
+    "sessions_overlap_pairs",
+    "sim_hybrid_rrf",
+    "sim_pca_project",
+    "sim_topk_lsh_banded",
+    "sim_topk_pq",
+    "stats_price_quartiles_ntile",
+    "streaming_cdc_merge",
+    "streaming_dedup_watermark",
+    "streaming_funnel_stages",
+    "streaming_transition_counts",
+    "text_bpe_merges",
+    "text_lang_id",
+    "text_pmi_collocations",
+    "training_corpus_pipeline",
+    "udaf_trimmed_mean_price",
 )
 
 

@@ -930,6 +930,94 @@ FROM toks GROUP BY source
 """
 
 
+def crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph extraction (r12) — the edge-list stage between
+    WET extraction and the PageRank/robots curation family: pack the
+    corpus into WARC shards whose pages carry a deterministic outbound
+    link block (operators/warc.py:synth_html_links — mixed-case
+    schemes/hosts, default + non-default ports, dot segments, an
+    entity-coded unsorted query, fragments, plus two page-RELATIVE
+    hrefs), walk every <a href> with the strict from-spec attribute
+    parser (quoted '>' honored, entities decoded with the loud
+    unknown-entity gate), normalize absolute links with the RFC 3986
+    JVM normalizer (relative hrefs group under '(relative)' — counted,
+    never silently dropped), and roll up per target host: in-degree,
+    distinct normalized pages, distinct linking docs, top-12 by
+    in-degree via orderBy().limit() (TakeOrderedAndProject — the host
+    relation is web-scale at 100 TB, so no unpartitioned window may
+    rank it; rk re-derived post-limit). The oracle replays the closed
+    normalized form per residue class — shared logic: none."""
+    from python_multiproc_bigdata_spark.operators.curation import normalize_url
+    from python_multiproc_bigdata_spark.operators.warc import (
+        pack_warc_shards,
+        synth_html_links,
+        warc_links,
+    )
+
+    d = table(prep(spark), sf_dir, "documents").select("doc_id", "text")
+    links = warc_links(pack_warc_shards(d, page_fn=synth_html_links))
+    is_abs = F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    norm = normalize_url(F.col("href"))
+    rows = links.select(
+        "doc_id",
+        F.when(is_abs, norm["host"]).otherwise(F.lit("(relative)")).alias("host"),
+        F.when(is_abs, norm["norm_url"]).otherwise(F.col("href")).alias(
+            "norm_url"
+        ),
+    )
+    w = Window.orderBy(F.desc("n_edges"), F.asc("host"))
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("norm_url").alias("n_pages"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_edges"), F.asc("host"))
+        .limit(12)
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+# CASE-replays synth_html_links' closed normalized form: per doc,
+# 2 + doc_id%3 absolute links to host t{(doc_id·7+k·13)%10}.example.org
+# (scheme by (doc_id+k)%2, ':8080' kept only when (doc_id+k)%3=1 —
+# default :80/:443 drop, path /l{k}/d{doc_id%5}/p after dot-segment
+# removal, sorted query on even k, fragment dropped) plus two relative
+# hrefs per page under '(relative)'.
+SQL_CRAWL_LINK_GRAPH = """
+WITH ks AS (
+  SELECT doc_id, unnest(range(2 + doc_id % 3)) AS k FROM documents
+), abs_links AS (
+  SELECT doc_id,
+    't' || CAST((doc_id*7 + k*13) % 10 AS VARCHAR) || '.example.org' AS host,
+    concat(
+      CASE WHEN (doc_id + k) % 2 = 0 THEN 'http' ELSE 'https' END,
+      '://t', CAST((doc_id*7 + k*13) % 10 AS VARCHAR), '.example.org',
+      CASE WHEN (doc_id + k) % 3 = 1 THEN ':8080' ELSE '' END,
+      '/l', CAST(k AS VARCHAR), '/d', CAST(doc_id % 5 AS VARCHAR), '/p',
+      CASE WHEN k % 2 = 0 THEN '?a=1&b=2' ELSE '' END
+    ) AS norm_url
+  FROM ks
+), rel_links AS (
+  SELECT doc_id, '(relative)' AS host, href AS norm_url
+  FROM documents, (VALUES ('/h?a=1&b=2'), ('/local')) AS r(href)
+), al AS (
+  SELECT * FROM abs_links UNION ALL SELECT * FROM rel_links
+), per_host AS (
+  SELECT host, count(*) AS n_edges, count(DISTINCT norm_url) AS n_pages,
+         count(DISTINCT doc_id) AS n_docs
+  FROM al GROUP BY host
+)
+SELECT host, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(row_number() OVER (ORDER BY n_edges DESC, host ASC) AS INT) AS rk
+FROM per_host
+ORDER BY rk LIMIT 12
+"""
+
+
 def source_warcgz_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """warc.gz round trip (r11) — the format Common Crawl actually
     ships: ONE gzip member per WARC record (RFC 1952 multi-member
@@ -1331,4 +1419,5 @@ REGISTRY = {
     "source_warc_shards": QuerySpec(source_warc_shards, SQL_WARC_SHARDS),
     "source_warcgz_shards": QuerySpec(source_warcgz_shards, SQL_WARC_SHARDS),
     "crawl_wet_pipeline": QuerySpec(crawl_wet_pipeline, SQL_CRAWL_WET),
+    "crawl_link_graph": QuerySpec(crawl_link_graph, SQL_CRAWL_LINK_GRAPH),
 }

@@ -849,7 +849,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX-DEGREE hub (ties broken by min partkey) — the reachability /
     ego-network primitive graph-exploration and influence pipelines
     start from. Source selection is a one-row distributed plan (degree
-    groupBy + top-1 window) derived INSIDE bfs_levels from the
+    groupBy + max_by aggregate, no global window) derived INSIDE bfs_levels from the
     materialized edge list, so the expensive support-2 pair build runs
     exactly once; each BFS round is frontier⋈edges + distinct +
     anti-join vs visited (operators/graph.py:bfs_levels). The oracle
@@ -1880,7 +1880,10 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ports, five path shapes including '.'/'..' segments and trailing
     dots, unsorted query strings, and fragments — every normalization
     rule is on the checked path — including percent-escapes (reserved
-    %2f kept but uppercased, unreserved %7e/%41 decoded). The oracle
+    %2f kept but uppercased, unreserved %7e/%41 decoded), §5.2.4
+    empty-segment preservation ('/a//./b' → '/a//b'), and a '?' inside
+    the fragment ('#x?fake=1') that must be dropped with the fragment,
+    never parsed as a query. The oracle
     CASE-replays the expected output per residue class, so it shares NO
     normalization logic with the engine. Map-only; zero Python in the
     plan."""
@@ -1897,7 +1900,7 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(m % 6 == 0, F.lit(""))
         .when(m % 6 == 1, F.lit("/a/b"))
-        .when(m % 6 == 2, F.lit("/a/./b"))
+        .when(m % 6 == 2, F.lit("/a//./b"))
         .when(m % 6 == 3, F.lit("/a/b/../c"))
         .when(m % 6 == 4, F.lit("/a%2fb/%7euser/b%41d/"))
         .otherwise(F.lit("/x/./../y/.")),
@@ -1906,7 +1909,7 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m % 4 == 3, F.lit("?b=2&a=1&c=3"))
         .otherwise(F.lit("")),
         F.when(m % 3 == 1, F.lit("#frag"))
-        .when(m % 3 == 2, F.lit("#x"))
+        .when(m % 3 == 2, F.lit("#x?fake=1"))
         .otherwise(F.lit("")),
     )
     out = d.select("doc_id", url.alias("url"), normalize_url(url).alias("n"))
@@ -1925,12 +1928,12 @@ SELECT doc_id,
     '://WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmple.COM',
     CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
          WHEN 2 THEN ':8080' ELSE '' END,
-    CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/./b'
+    CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a//./b'
          WHEN 3 THEN '/a/b/../c' WHEN 4 THEN '/a%2fb/%7euser/b%41d/'
          ELSE '/x/./../y/.' END,
     CASE doc_id % 4 WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?z=9'
          WHEN 3 THEN '?b=2&a=1&c=3' ELSE '' END,
-    CASE doc_id % 3 WHEN 1 THEN '#frag' WHEN 2 THEN '#x' ELSE '' END
+    CASE doc_id % 3 WHEN 1 THEN '#frag' WHEN 2 THEN '#x?fake=1' ELSE '' END
   ) AS url,
   concat(
     CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
@@ -1940,7 +1943,7 @@ SELECT doc_id,
          WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
          WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN ':443'
          ELSE '' END,
-    CASE doc_id % 6 WHEN 0 THEN '/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/b'
+    CASE doc_id % 6 WHEN 0 THEN '/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a//b'
          WHEN 3 THEN '/a/c' WHEN 4 THEN '/a%2Fb/~user/bAd/' ELSE '/y/' END,
     CASE doc_id % 4 WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?z=9'
          WHEN 3 THEN '?a=1&b=2&c=3' ELSE '' END

@@ -525,12 +525,17 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
+    # top-20 via orderBy().limit() (TakeOrderedAndProject): the distinct
+    # session-path relation is NOT bounded (paths explode
+    # combinatorially with activity), so no unpartitioned window may
+    # rank it; rk is re-derived after the cut over the 20-row relation
     wtop = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
         .withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= 20)
     )
 
 

@@ -1170,6 +1170,130 @@ def make_mp3_scalefac_oracle() -> str:
     )
 
 
+def multimodal_mp3_huffman_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Layer III HUFFMAN spectrum decode (r12) — the layer below
+    the scalefactor walk, completing the Layer III chain short of MDCT
+    (the documented library-bound line): each granule's big-values
+    region is decoded pair-by-pair with the region's Table B.7 code
+    table (region edges from region0/1_count via the Table B.8
+    long-block band boundaries), a sign bit after each nonzero, then
+    count1 quadruples with table B until part2_3_length is exhausted —
+    the walk must land on the part2_3 boundary BIT-PERFECTLY or it
+    raises. Supported subset, loudly gated: mono, no bit reservoir,
+    long blocks, tables 0/1 + count1 B (operators/mp3.py:mp3_huffman).
+    The oracle is an independent pure-Python replay (own hlen table,
+    own boundary literals, own region loop) emitted as a VALUES
+    literal; coeff_checksum is ORDER-SENSITIVE (Σ (idx+1)·(val+3) mod
+    1e6+3), so one misplaced or missigned coefficient moves it.
+    Map-only, zero shuffle."""
+    from python_multiproc_bigdata_spark.operators.mp3 import (
+        attach_mp3_hf,
+        mp3_huffman_features,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    return mp3_huffman_features(attach_mp3_hf(d))
+
+
+def make_mp3_huffman_oracle() -> str:
+    """Independent replay of synth_mp3_hf's documented arithmetic with
+    its OWN Huffman length table, Table B.8 boundary literals, and
+    region loop (nothing imported from operators/mp3.py): per doc,
+    nf = 2 + d%3 frames x 2 long granules; bv/r0/r1/ts/nq per
+    _hf_dims' published formulas; pair values (d+f+g+i)%2 /
+    (d+3f+i)%2 with sign bits (d+i)%2 / (f+i)%2; count1 quadruple
+    values and signs per _hf_quad's formulas; table-0 regions decode
+    to nothing. Emits per-doc stats rows as a VALUES literal."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    ]
+    slen_tab = [
+        (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+    ]
+    hlen = {(0, 0): 1, (0, 1): 3, (1, 0): 2, (1, 1): 3}
+    bounds_by_sr = (
+        (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+         162, 196, 238, 288, 342, 418, 576),
+        (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+         156, 190, 230, 276, 330, 384, 576),
+        (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+         194, 240, 296, 364, 448, 550, 576),
+    )
+    rows_out = []
+    for d in ids:
+        nf = 2 + d % 3
+        bounds = bounds_by_sr[d % 3]
+        sum_bv = r0p = r1p = r2p = sabs = nneg = quads = 0
+        hbits = sfbits = chk = 0
+        for f in range(nf):
+            for g in (0, 1):
+                bv = (d * 3 + f + 2 * g) % 17
+                r0 = (d + f + g) % 4
+                r1 = (d + 2 * f + g) % 4
+                ts = ((d + f + g) % 2, (d + f) % 2, (d + g) % 2)
+                nq = (d + f + g) % 5
+                s1, s2 = slen_tab[(d + f + g) % 16]
+                sfbits += s1 * 11 + s2 * 10
+                b0 = min(bv, bounds[r0 + 1] // 2)
+                b1 = min(bv, bounds[r0 + r1 + 2] // 2)
+                sum_bv += bv
+                coeffs = []
+                for i in range(bv):
+                    reg = 0 if i < b0 else (1 if i < b1 else 2)
+                    if reg == 0:
+                        r0p += 1
+                    elif reg == 1:
+                        r1p += 1
+                    else:
+                        r2p += 1
+                    if ts[reg] == 0:
+                        continue
+                    x = (d + f + g + i) % 2
+                    y = (d + 3 * f + i) % 2
+                    hbits += hlen[(x, y)] + (x != 0) + (y != 0)
+                    if x:
+                        coeffs.append((2 * i, -x if (d + i) % 2 else x))
+                    if y:
+                        coeffs.append((2 * i + 1, -y if (f + i) % 2 else y))
+                sample = 2 * bv
+                for i in range(nq):
+                    vals = ((d + i) % 2, (f + i) % 2, (g + i) % 2,
+                            (d + f + i) % 2)
+                    hbits += 4 + sum(vals)
+                    for k, v in enumerate(vals):
+                        if v:
+                            neg = (d + f + g + i + k) % 2
+                            coeffs.append((sample + k, -v if neg else v))
+                    sample += 4
+                quads += nq
+                for idx, v in coeffs:
+                    sabs += abs(v)
+                    if v < 0:
+                        nneg += 1
+                    chk = (chk + (idx + 1) * (v + 3)) % 1_000_003
+        rows_out.append(
+            f"({d},{nf},{sum_bv},{r0p},{r1p},{r2p},{sabs},{nneg},{quads},"
+            f"{hbits},{sfbits},{chk})"
+        )
+    values = ",".join(rows_out)
+    cols = (
+        "doc_id n_frames sum_big_values sum_r0_pairs sum_r1_pairs "
+        "sum_r2_pairs sum_abs_coeff n_neg_coeff sum_quads sum_huff_bits "
+        "sum_sf_bits coeff_checksum"
+    ).split()
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT {sel} FROM (VALUES {values}) AS t({', '.join(cols)})"
+
+
 # Replays synth_mp3's arithmetic: nf = 3 + doc_id%4 frames, sample rate
 # by doc_id%3, ID3v2 tag 10 + (doc_id%5)·7 bytes on even docs, frame f
 # bitrate index 1 + (doc_id·3 + f·5) % 14 via the spec table, padding
@@ -1257,6 +1381,9 @@ REGISTRY = {
     ),
     "multimodal_mp3_scalefac_walk": QuerySpec(
         multimodal_mp3_scalefac_walk, make_mp3_scalefac_oracle
+    ),
+    "multimodal_mp3_huffman_walk": QuerySpec(
+        multimodal_mp3_huffman_walk, make_mp3_huffman_oracle
     ),
     "multimodal_decode_png_adam7": QuerySpec(
         multimodal_decode_png_adam7, SQL_DECODE_PNG_I7

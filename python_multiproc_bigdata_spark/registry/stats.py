@@ -1328,10 +1328,15 @@ def stats_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("token")
     ).filter(F.length("token") > 0)
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    # true top-20 via orderBy().limit() (TakeOrderedAndProject: per-
+    # partition heaps, no unpartitioned window over the token
+    # vocabulary); rk is re-derived AFTER the cut, so its window runs
+    # over a 20-row bounded relation
     wtop = Window.orderBy(F.desc("true_n"), F.asc("token"))
     top = (
-        exact.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= CMS_TOPK)
+        exact.orderBy(F.desc("true_n"), F.asc("token"))
+        .limit(CMS_TOPK)
+        .withColumn("rk", F.row_number().over(wtop))
         .select("token", "true_n", "rk")
     )
     rows = toks.select(

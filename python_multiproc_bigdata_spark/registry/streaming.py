@@ -854,13 +854,20 @@ def phash_epoch_matcher(spark: SparkSession, store: str, pdir: str):
         if batch_df.isEmpty():
             return
         new_b = phash_bands(batch_df).localCheckpoint(eager=True)
+        from pyspark.errors import AnalysisException
+
         try:
             old_b = (
                 spark.read.parquet(store)
                 .filter(F.col("epoch") < epoch_id)
                 .select("doc_id", "band_idx", "band_val")
             )
-        except Exception:  # noqa: BLE001 — first epoch: no store yet
+        except AnalysisException as e:
+            # ONLY the missing-path case means "first epoch"; a
+            # corrupted or unreadable store must fail loudly, not
+            # silently drop all historical signatures from matching
+            if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                raise
             old_b = spark.createDataFrame([], new_b.schema)
         all_b = new_b.withColumn("is_new", F.lit(True)).unionByName(
             old_b.withColumn("is_new", F.lit(False))
@@ -964,6 +971,158 @@ def _warcgz_ingest_oracle() -> str:
     from python_multiproc_bigdata_spark.registry.advanced import SQL_WARC_SHARDS
 
     return SQL_WARC_SHARDS
+
+
+def crawl_admission_matcher(rules: DataFrame, outdir: str):
+    """foreachBatch body for the streaming crawl-admission gate:
+    normalize each raw URL with the RFC 3986 JVM normalizer, derive
+    (host, path), apply the RFC 9309 robots verdict against the
+    broadcast `rules` dimension, and write the batch's verdict rows
+    under epoch={id} with mode('overwrite') — a retried epoch rewrites
+    its own directory (at-least-once → idempotent), never appends.
+    Stateless per row, so rows are micro-batch-invariant and the
+    unioned result equals the one-shot batch answer. Module-level so
+    the checkpoint-recovery test drives the identical logic."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.curation import normalize_url
+    from python_multiproc_bigdata_spark.operators.warc import robots_gate
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n = normalize_url(F.col("url"))
+        rows = (
+            batch_df.select("doc_id", "url", n.alias("_n"))
+            .select(
+                "doc_id",
+                "url",
+                F.col("_n.norm_url").alias("norm_url"),
+                F.col("_n.host").alias("host"),
+            )
+            .withColumn(
+                "path",
+                F.regexp_extract(
+                    "norm_url", r"^[a-z0-9+.\-]+://[^/]*(/[^?#]*)", 1
+                ),
+            )
+        )
+        robots_gate(rows, rules).select(
+            "doc_id", "url", "host", "path", "allowed"
+        ).write.mode("overwrite").parquet(
+            os.path.join(outdir, f"epoch={epoch_id}")
+        )
+
+    return gate_batch
+
+
+def streaming_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl admission (r12) — the incremental twin of
+    curation_url_normalize ∘ curation_robots_gate, completing the
+    streaming crawl story beside the WARC.gz ingest and pHash twins:
+    raw frontier URLs (mixed-case scheme/host, scheme-default ports,
+    './'+'..' dot segments, fragments) arrive as a two-wave stream;
+    each micro-batch normalizes them JVM-side, derives (host, path) —
+    the five path shapes normalize EXACTLY onto the robots corpus's
+    five checked classes — and gates them against the static per-host
+    RFC 9309 rules dimension (parsed once, eagerly materialized,
+    broadcast per batch). Verdict rows land epoch-keyed with per-epoch
+    overwrite, so at-least-once retries are idempotent and the union
+    equals the batch answer value-for-value. The oracle CASE-replays
+    raw URL, normalized (host, path), and verdict per residue class —
+    no shared logic with normalizer, parser, or matcher."""
+    import os
+
+    from python_multiproc_bigdata_spark.operators.warc import robots_rules
+    from python_multiproc_bigdata_spark.registry.curation import (
+        ROBOTS_G0,
+        ROBOTS_G1,
+        ROBOTS_G2,
+    )
+
+    spark = prep(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(m % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://WWW.Site"), (m % 7).cast("string"), F.lit(".ExAmple.COM"),
+            F.when(m % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            F.when(m % 5 == 0, F.lit(""))
+            .when(m % 5 == 1, F.lit("/a/./b"))
+            .when(m % 5 == 2, F.lit("/a/x/../c"))
+            .when(m % 5 == 3, F.lit("/a/b/."))
+            .otherwise(F.lit("/y/z/..")),
+            F.when(m % 3 == 1, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    hid = F.col("hid")
+    hosts = (
+        d.select((m % 7).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("www.site"), hid.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.when(hid % 3 == 0, F.lit(ROBOTS_G0))
+            .when(hid % 3 == 1, F.lit(ROBOTS_G1))
+            .otherwise(F.lit(ROBOTS_G2))
+            .alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(hosts, agent="pmb-bot").localCheckpoint(eager=True)
+
+    root = fixture_root("crawladmission", sf_dir)
+    sdir = os.path.join(root, "urls")
+    mdir = os.path.join(root, "verdicts")
+    for w in (0, 1):  # two arrival waves
+        raw.filter(F.col("doc_id") % 2 == w).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+
+    q = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .writeStream.foreachBatch(crawl_admission_matcher(rules, mdir))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    return spark.read.parquet(mdir).select(
+        "doc_id", "url", "host", "path", "allowed"
+    )
+
+
+# CASE-replays the raw URL concat, the normalized (host, path) — the
+# five raw path shapes fold onto the robots corpus's five classes —
+# and the RFC 9309 verdict per residue class (same hand-derived
+# precedence table as SQL_ROBOTS_GATE).
+SQL_CRAWL_ADMISSION = """
+SELECT doc_id,
+  concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END,
+    '://WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmple.COM',
+    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+    CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/a/./b'
+         WHEN 2 THEN '/a/x/../c' WHEN 3 THEN '/a/b/.' ELSE '/y/z/..' END,
+    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END
+  ) AS url,
+  concat('www.site', CAST(doc_id % 7 AS VARCHAR), '.example.com') AS host,
+  CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/a/c'
+       WHEN 3 THEN '/a/b/' ELSE '/y/' END AS path,
+  CASE (doc_id % 7) % 3
+    WHEN 0 THEN doc_id % 5 != 2
+    WHEN 1 THEN doc_id % 5 IN (1, 2, 3)
+    ELSE doc_id % 5 != 1
+  END AS allowed
+FROM documents
+"""
 
 
 def streaming_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,6 +1288,11 @@ REGISTRY = {
     # page/extraction oracle as the batch warc.gz walk
     "streaming_warcgz_ingest": QuerySpec(
         streaming_warcgz_ingest, _warcgz_ingest_oracle
+    ),
+    # incremental URL-normalize + robots gate: the streaming front of
+    # the crawl family (r12)
+    "streaming_crawl_admission": QuerySpec(
+        streaming_crawl_admission, SQL_CRAWL_ADMISSION
     ),
     "streaming_transition_counts": QuerySpec(
         streaming_transition_counts, SQL_STREAM_TRANSITIONS

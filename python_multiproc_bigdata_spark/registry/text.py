@@ -380,12 +380,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored against every containing doc; top-5 docs per query term.
 
     Plan: tokenize once, two partial-agg groupBys (tf per doc-term, dl
-    per doc), a term-level df rollup whose top-20 slice is a broadcast,
-    a 1-row corpus-stats broadcast (N, avgdl), one row_number cut per
-    term. The global window picking the query terms orders the DISTINCT
-    VOCABULARY (bounded, not corpus-sized); idf = ln((N-df+0.5)/(df+0.5)
-    + 1) keeps the Lucene non-negativity fix. Arithmetic parenthesization
-    mirrors the oracle exactly so the rounded scores are bit-equal."""
+    per doc), a term-level df rollup whose top-20 slice is picked by
+    orderBy().limit() (TakeOrderedAndProject — per-partition top-k
+    heaps, NO unpartitioned window over the Heaps-law vocabulary) and
+    broadcast, a 1-row corpus-stats broadcast (N, avgdl), one
+    row_number cut per term (term-partitioned). idf =
+    ln((N-df+0.5)/(df+0.5) + 1) keeps the Lucene non-negativity fix.
+    Arithmetic parenthesization mirrors the oracle exactly so the
+    rounded scores are bit-equal."""
     d = table(prep(spark), sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.split("text", WHITESPACE_RE)).alias("term")
@@ -396,12 +398,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    wq = Window.orderBy(F.desc("df"), F.asc("term"))
-    queries = (
-        df_.withColumn("qr", F.row_number().over(wq))
-        .filter(F.col("qr") <= BM25_TOP_QUERIES)
-        .drop("qr")
-    )
+    # top-20 query terms via orderBy().limit() → TakeOrderedAndProject
+    # (per-partition top-k + driver merge of 20-row heaps): rank-equal
+    # to the old row_number cut under the deterministic (df, term)
+    # tiebreak, but never funnels the Heaps-law vocabulary (1e8+ terms
+    # at 100 TB) through one unpartitioned-window task
+    queries = df_.orderBy(F.desc("df"), F.asc("term")).limit(BM25_TOP_QUERIES)
     scored = (
         tf.join(F.broadcast(queries), "term")
         .join(dl, "doc_id")
@@ -462,23 +464,35 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic vocab-size/OOV-rate tradeoff decision before training a
     tokenizer.
 
-    One tokenize+groupBy builds (term, freq); the cumulative share is a
-    window prefix-sum over the frequency-ranked VOCABULARY (bounded by
-    distinct terms, not corpus size — the global window is a deliberate
-    single-partition pass over that bounded relation; for a 100M-term
-    web vocabulary switch to the bucketed parallel prefix-sum of
-    transforms.with_global_index); the K cuts read 4 rows from it.
-    Ratio rounded to 6."""
+    One tokenize+groupBy builds (term, freq); the global rank AND the
+    cumulative prefix-sum both run through with_global_index's bucketed
+    split (operators/transforms.py — quantile range buckets, within-
+    bucket windows, broadcast count/sum offsets), so a 100M-term web
+    vocabulary never funnels through a single-partition window; the K
+    cuts read 4 rows from the ranked frame. Ratio rounded to 6."""
     d = table(prep(spark), sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("term")
     ).filter(F.length(F.trim("term")) > 0)
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = freq.select(
-        "c",
-        F.row_number().over(w).alias("rk"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    # global rank + running-sum in desc-frequency order through
+    # with_global_index's bucketed split (quantile range buckets +
+    # broadcast offsets — the cumsum option exists for exactly this
+    # coverage-curve shape): no single-partition window ever sees the
+    # full vocabulary. DESC legs pre-negate (the primitive sorts ASC);
+    # (c, term) is unique so ranks are stable.
+    from python_multiproc_bigdata_spark.operators.transforms import (
+        with_global_index,
+    )
+
+    ranked = (
+        with_global_index(
+            freq.withColumn("negc", -F.col("c")),
+            ["negc", "term"],
+            out_col="i0",
+            cumsum={"c": "cum"},
+        )
+        .select("c", (F.col("i0") + 1).cast("int").alias("rk"), "cum")
     )
     total = toks.agg(F.count(F.lit(1)).alias("t"))
     nv = freq.agg(F.count(F.lit(1)).alias("n_vocab"))
@@ -817,6 +831,142 @@ def make_wordpiece_oracle() -> str:
         "SELECT merge_rank, left_sym, right_sym, pair_freq, score_q\n"
         f"FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_freq, score_q)\n"
         "ORDER BY merge_rank"
+    )
+
+
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE side (r12, text_wordpiece_merges' consumer —
+    the BPE-encode twin for the likelihood-trained family): learn the
+    8 merges, induce the vocabulary (training alphabet + merged
+    symbols, operators/bpe.py:wordpiece_vocab), then segment the
+    DISTINCT vocabulary with the greedy longest-match-first inference
+    rule as a pure JVM fold (wordpiece_encode_counts — maximal munch
+    via an ascending length when-chain, apply_merge's sibling) and
+    roll the piece counts up per language off the token-stream join
+    (vocab-sized build side, AQE-broadcast). An unmatchable word maps
+    to ONE [UNK] piece, the standard serving rule; same-corpus encode
+    yields zero UNKs (every training character is in the vocab) and
+    the n_unk_tokens column proves it. The oracle replays training AND
+    greedy inference in independent single-node Python."""
+    from python_multiproc_bigdata_spark.operators.bpe import (
+        wordpiece_encode_counts,
+        wordpiece_train_merges,
+        wordpiece_vocab,
+    )
+
+    d = table(prep(spark), sf_dir, "documents")
+    merges = wordpiece_train_merges(d, "text", n_merges=8, lowercase=True)
+    vocab = wordpiece_vocab(d, merges, "text", lowercase=True)
+    counts = wordpiece_encode_counts(d, vocab, "text", lowercase=True)
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("word")
+    ).filter(F.length(F.trim("word")) > 0)
+    pieces = F.when(F.col("is_unk"), F.lit(1)).otherwise(F.col("n_pieces"))
+    return (
+        toks.join(counts, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(pieces).alias("n_pieces"),
+            F.sum(F.when(F.col("is_unk"), 1).otherwise(0)).alias(
+                "n_unk_tokens"
+            ),
+            F.round(F.sum(pieces) / F.count(F.lit(1)), 4).alias(
+                "pieces_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def make_wordpiece_encode_oracle() -> str:
+    """Replay WordPiece training (same independent implementation as
+    make_wordpiece_oracle) plus GREEDY LONGEST-MATCH inference in
+    plain Python (while-loop maximal munch, nothing shared with the
+    Spark fold) and embed the per-language rollup as VALUES."""
+    import os
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT lang, lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    per_lang_tokens: list[tuple[str, str]] = []
+    for lang, t in rows:
+        for w in re.split("[ \t\n\r\f\x0b]+", t):
+            if w.strip():
+                wf[w] += 1
+                per_lang_tokens.append((lang, w))
+    syms = {w: tuple([w[0]] + ["##" + ch for ch in w[1:]]) for w in wf}
+    vocab = set()
+    for sq in syms.values():
+        vocab.update(sq)
+    for _rank in range(1, 9):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, f in wf.items():
+            sq = syms[w]
+            for s in sq:
+                sc[s] += f
+            for i in range(len(sq) - 1):
+                pc[(sq[i], sq[i + 1])] += f
+        if not pc:
+            break
+        best = min(
+            (-((c * 10**12) // (sc[a] * sc[b])), a, b)
+            for (a, b), c in pc.items()
+        )
+        a, b = best[1], best[2]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        vocab.add(merged)
+        for w, sq in syms.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sq):
+                if i + 1 < len(sq) and sq[i] == a and sq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    def encode_len(w: str) -> tuple[int, bool]:
+        i, n_p = 0, 0
+        while i < len(w):
+            best_j = -1
+            for j in range(len(w), i, -1):
+                piece = w[i:j] if i == 0 else "##" + w[i:j]
+                if piece in vocab:
+                    best_j = j
+                    break
+            if best_j < 0:
+                return 1, True
+            n_p += 1
+            i = best_j
+        return n_p, False
+
+    enc = {w: encode_len(w) for w in wf}
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for lang, w in per_lang_tokens:
+        n_p, unk = enc[w]
+        a = agg[lang]
+        a[0] += 1
+        a[1] += n_p
+        a[2] += 1 if unk else 0
+    values = ",\n".join(
+        f"('{lang}', {n}, {s}, {u}, {round(s / n, 4)})"
+        for lang, (n, s, u) in sorted(agg.items())
+    )
+    return (
+        "SELECT lang, n_tokens, n_pieces, n_unk_tokens,"
+        " CAST(pieces_per_token AS DOUBLE) AS pieces_per_token\n"
+        f"FROM (VALUES {values}) AS t(lang, n_tokens, n_pieces,"
+        " n_unk_tokens, pieces_per_token)\nORDER BY lang"
     )
 
 
@@ -1543,6 +1693,9 @@ REGISTRY = {
     "text_pmi_collocations": QuerySpec(text_pmi_collocations, SQL_PMI),
     "text_bpe_merges": QuerySpec(text_bpe_merges, make_bpe_oracle),
     "text_wordpiece_merges": QuerySpec(text_wordpiece_merges, make_wordpiece_oracle),
+    "text_wordpiece_encode": QuerySpec(
+        text_wordpiece_encode, make_wordpiece_encode_oracle
+    ),
     "text_bpe_encode_stats": QuerySpec(text_bpe_encode_stats, make_bpe_encode_oracle),
     "text_vocab_coverage": QuerySpec(text_vocab_coverage, SQL_VOCAB_COVERAGE),
     "text_bm25_topk": QuerySpec(text_bm25_topk, SQL_BM25),

@@ -813,6 +813,15 @@ def test_url_normalize_rules_and_jvm_only(spark):
         ("http://x.com/%7euser/%41b", "http://x.com/~user/Ab", "x.com"),
         ("http://x.com/a%2fb", "http://x.com/a%2Fb", "x.com"),
         ("http://x.com/a/%2E%2E/c", "http://x.com/c", "x.com"),
+        # §5.2.4 preserves EMPTY segments: '//' is not collapsed
+        ("http://x.com/a//b", "http://x.com/a//b", "x.com"),
+        ("http://x.com//a", "http://x.com//a", "x.com"),
+        ("http://x.com/a//", "http://x.com/a//", "x.com"),
+        ("http://x.com/a//../b", "http://x.com/a/b", "x.com"),
+        ("http://x.com/a//.", "http://x.com/a//", "x.com"),
+        # a '?' inside the fragment is fragment text, not a query
+        ("http://x.com/p#a?b=1", "http://x.com/p", "x.com"),
+        ("http://x.com/p?b=2&a=1#a?z=9", "http://x.com/p?a=1&b=2", "x.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
     out = df.select("url", normalize_url("url").alias("n")).collect()

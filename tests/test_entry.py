@@ -43,56 +43,56 @@ def test_checked_window_is_curated():
     must_be_checked = {
         # the permanent anchor: the reference's flagship ETL spine
         "words_pipeline",
-        # born in r11 (never-checked queries enter the window the round
+        # born in r12 (never-checked queries enter the window the round
         # they are born)
-        "training_budget_select_sampled", "multimodal_mp3_sideinfo_walk",
-        "multimodal_mp3_scalefac_walk", "streaming_phash_neardup",
-        "streaming_audio_snippet_match", "multimodal_decode_png_adam7",
-        "source_warc_shards", "source_warcgz_shards",
-        "streaming_warcgz_ingest", "curation_url_normalize",
-        "curation_robots_gate", "crawl_wet_pipeline",
-        "text_wordpiece_merges",
-        # rewired in r11 to with_global_index's bucketed rank/cumsum —
-        # code-touched queries re-confirm the round they change
+        "multimodal_mp3_huffman_walk", "text_wordpiece_encode",
+        "crawl_link_graph", "streaming_crawl_admission",
+        # code-touched in r12 — re-confirm the round they change: the
+        # five unpartitioned-window rewires, the url-normalize RFC
+        # fixes (corpus+oracle grew the new cases), the
+        # with_global_index persist-ownership change, the html_to_text
+        # raw-text close-tag fix, the narrowed store-read catch
+        "text_vocab_coverage", "text_bm25_topk",
+        "stats_countmin_heavy_hitters", "events_top_session_paths",
+        "graph_bfs_levels", "curation_url_normalize",
         "stats_gini_concentration", "stats_pareto_cutoffs",
-        "training_budget_select",
-        # round-11 rotation: the entire r3-latest-green cohort (the
-        # stalest records after r10 re-greened the r1/r2 block) ...
-        "cdc_latest_per_key", "cdc_upsert_customers",
-        "curation_repetition_signals", "decontaminate_train_eval",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "events_from_json_struct", "events_tumbling_window",
-        "grouping_sets_orders", "profile_documents",
-        "quota_sample_per_lang", "range_join_close_events",
-        "semantic_only_neardups", "sim_knn_classify",
-        "sim_neardup_cosine", "sim_topk_ivf", "sim_topk_sq8",
-        "stats_lineitem_moments", "stats_price_percentiles",
-        "text_tfidf_top_terms", "training_mix_by_lang",
-        "training_pack_chunks", "training_temperature_mix",
-        "udaf_median_acctbal", "words_doc_frequency",
-        "words_duplicate_occurrences", "words_first_position",
-        # ... and 5 family-diverse members of the r4 cohort
-        "asof_click_to_nearest_view", "bloom_filtered_join",
-        "calendar_month_order_counts",
-        "dedup_components_canonical",
-        "dq_check_orders",
+        "training_budget_select", "source_warc_shards",
+        "crawl_wet_pipeline", "streaming_phash_neardup",
+        # round-12 rotation: 33 of the 41-member r4-latest-green cohort
+        # (the stalest records after r11 re-greened the r3 block)
+        "bloom_pruned_urgent_revenue", "cdc_snapshot_asof",
+        "cube_orders", "curation_bigram_logprob",
+        "curation_pagerank_quality", "dedup_edit_distance_blocked",
+        "dedup_prefix_filter_jaccard", "dedup_winnow_pairs",
+        "events_ewma_value", "events_funnel_conversion",
+        "events_linear_trend", "events_retention_cohorts",
+        "events_trailing_1h", "graph_triangle_copurchase",
+        "layout_skipping_stats", "multimodal_features",
+        "q21_suppliers_kept_waiting", "q8_market_share",
+        "sessions_overlap_pairs", "sim_hybrid_rrf", "sim_pca_project",
+        "sim_topk_lsh_banded", "sim_topk_pq",
+        "stats_price_quartiles_ntile", "streaming_cdc_merge",
+        "streaming_dedup_watermark", "streaming_funnel_stages",
+        "streaming_transition_counts", "text_bpe_merges",
+        "text_lang_id", "text_pmi_collocations",
+        "training_corpus_pipeline", "udaf_trimmed_mean_price",
     }
     assert must_be_checked <= set(CHECKED_FIRST)
-    # every name demoted in the r11 rotation must carry an r10
+    # every name demoted in the r12 rotation must carry an r11
     # driver-green record — the rotation invariant (checked across ALL
-    # committed CORRECTNESS files by tools/parity_ledger.py); r11
-    # demotes every r10 slot except the anchor, so assert against the
-    # whole r10 artifact
+    # committed CORRECTNESS files by tools/parity_ledger.py); r12
+    # demotes every r11 slot except the anchor and the touched
+    # re-confirms, so assert against the whole r11 artifact
     import json
     import os
 
-    r10 = json.load(
-        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"))
+    r11 = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r11.json"))
     )
-    assert len(r10) == 50
-    for name, rec in r10.items():
+    assert len(r11) == 50
+    for name, rec in r11.items():
         assert rec["rows_match"] and rec["schema_match"] and rec["hash_match"], (
-            f"r11 demotion without r10 driver-green: {name}"
+            f"r12 demotion without r11 driver-green: {name}"
         )
 
 

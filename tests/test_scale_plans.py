@@ -613,6 +613,78 @@ def test_budget_select_sampled_no_global_pass(spark):
     assert not _unpartitioned_windows(plan), plan
 
 
+def test_vocab_coverage_bucketed_prefix_sum(spark):
+    """text_vocab_coverage's global rank + cumulative coverage sum run
+    through with_global_index's bucketed split (r12 rewire): no
+    unpartitioned window may rank the vocabulary — at 100 TB that
+    relation is Heaps-law 1e8+ terms through one task."""
+    from python_multiproc_bigdata_spark.plans.guard import (
+        unbounded_global_windows,
+    )
+
+    df = REGISTRY["text_vocab_coverage"].fn(spark, SF_DIR)
+    assert not unbounded_global_windows(df)
+    assert not _unpartitioned_windows(plan_of(df)), plan_of(df)
+
+
+def test_bm25_query_cut_is_take_ordered(spark):
+    """text_bm25_topk's top-20 query-term selection must plan as
+    TakeOrderedAndProject (per-partition heaps), never a row_number
+    over the full unpartitioned vocabulary; the only remaining windows
+    are term-partitioned per-query cuts."""
+    from python_multiproc_bigdata_spark.plans.guard import (
+        unbounded_global_windows,
+    )
+
+    df = REGISTRY["text_bm25_topk"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not unbounded_global_windows(df)
+
+
+def test_countmin_topk_cut_is_take_ordered(spark):
+    """stats_countmin_heavy_hitters' exact top-20 readback: the token
+    vocabulary is cut by TakeOrderedAndProject; the rk re-derivation
+    window runs over the 20-row post-limit relation only (bounded by a
+    Limit below it — the guard's sanctioned shape)."""
+    from python_multiproc_bigdata_spark.plans.guard import (
+        unbounded_global_windows,
+    )
+
+    df = REGISTRY["stats_countmin_heavy_hitters"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not unbounded_global_windows(df)
+
+
+def test_top_session_paths_cut_is_take_ordered(spark):
+    """events_top_session_paths: the distinct-path relation grows
+    combinatorially with activity, so the top-20 cut must be
+    TakeOrderedAndProject with rk re-derived post-limit — no
+    unpartitioned window over the full path relation."""
+    from python_multiproc_bigdata_spark.plans.guard import (
+        unbounded_global_windows,
+    )
+
+    df = REGISTRY["events_top_session_paths"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not unbounded_global_windows(df)
+
+
+def test_bfs_default_source_is_aggregate(spark):
+    """graph_bfs_levels' default source pick (max-degree hub) is a
+    one-row max_by aggregate — partial-aggregated map-side, never a
+    row_number over ALL nodes."""
+    from python_multiproc_bigdata_spark.plans.guard import (
+        unbounded_global_windows,
+    )
+
+    df = REGISTRY["graph_bfs_levels"].fn(spark, SF_DIR)
+    assert not unbounded_global_windows(df)
+    assert not _unpartitioned_windows(plan_of(df)), plan_of(df)
+
+
 def test_crawl_wet_pipeline_bounded_shuffles(spark):
     """The crawl→WET composition must stay two-shuffle (pack groupBy +
     per-source rollup; the doc_id join broadcasts or reuses those) and
@@ -620,6 +692,29 @@ def test_crawl_wet_pipeline_bounded_shuffles(spark):
     plan = plan_of(REGISTRY["crawl_wet_pipeline"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 4, plan  # pack, rollup, join sides
+
+
+def test_crawl_link_graph_shape(spark):
+    """Link-graph extraction: no cartesian pair space, the top-12 host
+    cut is TakeOrderedAndProject (the host relation is web-scale at
+    100 TB), and no unbounded unpartitioned window anywhere."""
+    from python_multiproc_bigdata_spark.plans.guard import (
+        unbounded_global_windows,
+    )
+
+    df = REGISTRY["crawl_link_graph"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not unbounded_global_windows(df)
+
+
+def test_mp3_huffman_walk_map_only(spark):
+    """The Huffman walk is synth + bit-decode per blob: map-only, no
+    shuffle (an Exchange here would mean the decode stopped being
+    embarrassingly parallel)."""
+    plan = plan_of(REGISTRY["multimodal_mp3_huffman_walk"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
 
 
 def test_robots_gate_broadcast_rules(spark):

@@ -217,3 +217,90 @@ def test_phash_epoch_matcher_retry_idempotent(spark, tmp_path):
     assert second == first and len(first) > 0
     counts = spark.read.parquet(store).groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in counts)
+
+
+def test_crawl_admission_restart_no_reprocessing(spark, tmp_path):
+    """Checkpoint recovery for the streaming crawl-admission gate
+    (streaming_crawl_admission): wave 1 is gated under checkpoint C,
+    the query stops, wave 2 lands, a NEW query resumes under the SAME
+    C. Exactly-once across the restart means every URL has EXACTLY one
+    verdict row across all epochs and the union equals the one-shot
+    batch answer (normalize + robots_gate run directly) — a
+    reprocessed epoch would duplicate wave 1's rows."""
+    from python_multiproc_bigdata_spark.operators.curation import normalize_url
+    from python_multiproc_bigdata_spark.operators.warc import (
+        robots_gate,
+        robots_rules,
+    )
+    from python_multiproc_bigdata_spark.registry.curation import (
+        ROBOTS_G0,
+        ROBOTS_G1,
+    )
+    from python_multiproc_bigdata_spark.registry.streaming import (
+        crawl_admission_matcher,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    m = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Host"), (m % 2).cast("string"), F.lit(".Example.COM:80"),
+            F.when(m % 3 == 0, F.lit("/a/./b")).otherwise(F.lit("/c/d/..")),
+        ).alias("url"),
+    )
+    hosts = spark.createDataFrame(
+        [("host0.example.com", ROBOTS_G0), ("host1.example.com", ROBOTS_G1)],
+        ["host", "robots_txt"],
+    )
+    rules = robots_rules(hosts, agent="pmb-bot").localCheckpoint(eager=True)
+
+    src = str(tmp_path / "urls")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(crawl_admission_matcher(rules, out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    run()
+    n_first = spark.read.parquet(out).count()
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(out).select("doc_id", "url", "host", "path", "allowed")
+    n_docs = docs.count()
+    assert n_first == got.filter(F.col("doc_id") % 2 == 0).count()
+    assert got.count() == n_docs  # exactly one verdict per URL, no replays
+    # union equals the one-shot batch answer
+    n = normalize_url(F.col("url"))
+    rows = (
+        raw.select("doc_id", "url", n.alias("_n"))
+        .select(
+            "doc_id", "url",
+            F.col("_n.norm_url").alias("norm_url"),
+            F.col("_n.host").alias("host"),
+        )
+        .withColumn(
+            "path",
+            F.regexp_extract("norm_url", r"^[a-z0-9+.\-]+://[^/]*(/[^?#]*)", 1),
+        )
+    )
+    want = sorted(
+        (r.doc_id, r.url, r.host, r.path, r.allowed)
+        for r in robots_gate(rows, rules)
+        .select("doc_id", "url", "host", "path", "allowed")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want and len(want) > 0

@@ -376,3 +376,72 @@ def test_fuzz_warc_roundtrip():
         assert [(h["WARC-Type"], b) for h, b in got] == recs
 
     case()
+
+
+def test_extract_links_hand_cases():
+    """Link extraction hand cases: entity-decoded hrefs, quoted '>'
+    inside attribute values, unquoted values, self-closing and
+    closing tags skipped, and <a href> markup inside a raw-text
+    script body NOT extracted."""
+    from python_multiproc_bigdata_spark.operators.warc import extract_links
+
+    html = (
+        "<html><body>"
+        '<a href="/x?a=1&amp;b=2" data-y=\'q>u\'>one</a>'
+        "<a href=/bare>two</a>"
+        '<a id="no-href">three</a>'
+        '<script>var s = "<a href=\'/fake\'>";</script>'
+        '<a href="HTTP://H.COM/p#f">four</a>'
+        "</body></html>"
+    )
+    assert extract_links(html) == [
+        "/x?a=1&b=2",
+        "/bare",
+        "HTTP://H.COM/p#f",
+    ]
+
+
+def test_extract_links_first_attr_wins_and_loud_gates():
+    from python_multiproc_bigdata_spark.operators.warc import extract_links
+
+    assert extract_links('<a href="/a" href="/b">x</a>') == ["/a"]
+    with pytest.raises(ValueError, match="unknown named entity"):
+        extract_links('<a href="/x?a=1&bogus;">x</a>')
+    # an unclosed quote swallows the '>' — caught at the tag scan
+    with pytest.raises(ValueError, match="unterminated tag"):
+        extract_links('<a href="/unclosed>x</a>')
+    from python_multiproc_bigdata_spark.operators.warc import _tag_attrs
+
+    with pytest.raises(ValueError, match="unterminated attribute"):
+        _tag_attrs(" href='/unclosed")
+
+
+def test_synth_html_links_closed_form():
+    """Every absolute link of synth_html_links matches the closed form
+    the crawl_link_graph oracle replays; the two relative hrefs are
+    present on every page."""
+    from python_multiproc_bigdata_spark.operators.warc import (
+        extract_links,
+        synth_html_links,
+    )
+
+    for d in (0, 1, 5, 12, 37):
+        links = extract_links(synth_html_links(d, "t").decode())
+        assert links[0] == "/h?a=1&b=2" and links[-1] == "/local"
+        absl = links[1:-1]
+        assert len(absl) == 2 + d % 3
+        for k, href in enumerate(absl):
+            h = (d * 7 + k * 13) % 10
+            scheme = "HTTP" if (d + k) % 2 == 0 else "https"
+            psel = (d + k) % 3
+            port = (
+                (":80" if scheme == "HTTP" else ":443")
+                if psel == 0
+                else (":8080" if psel == 1 else "")
+            )
+            query = "?b=2&a=1" if k % 2 == 0 else ""
+            frag = "#s" if k % 3 == 0 else ""
+            assert href == (
+                f"{scheme}://T{h}.Example.ORG{port}"
+                f"/l{k}/./d{d % 5}/x/../p{query}{frag}"
+            )

@@ -285,3 +285,51 @@ def test_wordpiece_merges_likelihood_beats_raw_count(spark):
     # after merging qz, the next best is (x, ##y)
     assert (merges[1][1], merges[1][2]) == ("x", "##y"), merges
     assert merges[1][4] == (20 * 10**12) // (35 * 20)
+
+
+def test_wordpiece_encode_greedy_longest_match(spark):
+    """The maximal-munch fold: a longer vocab piece must beat shorter
+    prefixes ('hel' over 'he'), continuation pieces carry '##', and an
+    unmatchable position marks the WHOLE word unk."""
+    from python_multiproc_bigdata_spark.operators.bpe import (
+        wordpiece_encode_counts,
+    )
+
+    vocab = ["h", "##e", "##l", "##o", "he", "hel", "a", "##x", "x"]
+    df = spark.createDataFrame([("hello hex ax hq",)], ["text"])
+    got = {
+        r.word: (r.n_pieces, r.is_unk)
+        for r in wordpiece_encode_counts(df, vocab).collect()
+    }
+    # hello = hel + ##l + ##o (3, not he+...); hex = he + ##x; ax = a + ##x
+    assert got["hello"] == (3, False)
+    assert got["hex"] == (2, False)
+    assert got["ax"] == (2, False)
+    assert got["hq"][1] is True  # 'q' has no piece -> [UNK]
+    plan = (
+        wordpiece_encode_counts(df, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_wordpiece_encode_stats_hand_computed(spark, tmp_path):
+    """text_wordpiece_encode on a corpus whose 8 merges are derivable
+    by hand: quantized-score ties break (a ASC, b ASC), so (c,##d)
+    and (e,##f) (score 1.0) merge before the abab chain; after round 5
+    every word is ONE piece — each lang's pieces == tokens, zero
+    UNKs."""
+    from python_multiproc_bigdata_spark.registry.text import (
+        text_wordpiece_encode,
+    )
+
+    rows = [(0, "abab abab cd", "en", "s", 1), (1, "abab ef", "de", "s", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in text_wordpiece_encode(spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "de"}
+    assert (out["en"].n_tokens, out["en"].n_pieces, out["en"].n_unk_tokens) == (3, 3, 0)
+    assert (out["de"].n_tokens, out["de"].n_pieces, out["de"].n_unk_tokens) == (2, 2, 0)
+    assert out["en"].pieces_per_token == 1.0

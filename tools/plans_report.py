@@ -70,6 +70,14 @@ SHOWCASE: dict[str, str] = {
     "crawl_wet_pipeline": "crawl->WET->gate->rollup composition stays within the pack shuffle + per-source rollup; no cartesian anywhere",
     "curation_url_normalize": "RFC 3986 normalization fully JVM-side - the dot-segment fold is an aggregate HOF inside codegen, zero Python nodes",
     "curation_robots_gate": "rule matching = broadcast join of the tiny per-host rule dim + max_by argmax; no shuffle keyed on host",
+    # r12: the final five unpartitioned-window sites rewired; the
+    # registry-wide guard (tests/test_window_guard.py) now forbids the
+    # debt class outright
+    "text_vocab_coverage": "global rank + cumulative coverage sum via with_global_index's cumsum split - the vocabulary never crosses a single-partition window",
+    "text_bm25_topk": "top-20 query terms via TakeOrderedAndProject (per-partition heaps); remaining windows are term-partitioned",
+    "events_top_session_paths": "top-20 paths via TakeOrderedAndProject; rk re-derived over the 20-row post-limit relation only",
+    "crawl_link_graph": "href walk = map-only Arrow stage after the pack shuffle; normalize = JVM exprs; per-host rollup + TakeOrderedAndProject top-12",
+    "multimodal_mp3_huffman_walk": "bit-level Huffman decode is map-only mapInPandas - zero shuffle, one Arrow stage",
 }
 
 
