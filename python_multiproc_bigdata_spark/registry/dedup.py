@@ -665,25 +665,32 @@ def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     cand = lsh_candidate_pairs(d)
-    # both pair relations feed TWO consumers each (their own count + the
-    # hit join); materialize once — they are dup-rate-sized, and
-    # ReuseExchange alone measured 8.5 s vs 6.4 s checkpointed at sf0.1
-    truth = truth.localCheckpoint(eager=True)
-    cand = cand.localCheckpoint(eager=True)
-    hit = cand.join(truth, ["doc_a", "doc_b"])
-    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        nt.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nh))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_cand"), 4).alias("precision"),
-            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+    # r12: ONE full-outer join + ONE aggregate replaces the r8 shape
+    # (three aggregate subtrees + two eager checkpoints). All three
+    # counts fall out of the joined relation — n_cand = candidate-side
+    # rows, n_true = truth-side rows, n_hit = rows present on both — so
+    # each pair tower is evaluated exactly once WITHOUT materialization
+    # jobs (the checkpoints existed only because the towers fed two
+    # consumers each; now they feed one). Counts are identical: top-pair
+    # relations are unique per (doc_a, doc_b) on both sides.
+    m = cand.withColumn("_c", F.lit(1)).join(
+        truth.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return m.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_cand"), 4).alias("precision"),
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
     )
 
 

@@ -283,14 +283,17 @@ def recsys_eval_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_dt")
     )
     wl = Window.partitionBy("custkey").orderBy(F.desc("first_dt"), F.asc("brand"))
-    marked = firsts.withColumn("_r", F.row_number().over(wl))
-    # train feeds the sims build, the scoring join, and the owned
-    # anti-join — materialize once (the user_recommend discipline)
-    train = (
-        marked.filter(F.col("_r") >= 2)
-        .select("custkey", "brand")
-        .localCheckpoint(eager=True)
+    # r12: materialize MARKED (the corpus-scale join + window) instead of
+    # train — the old shape checkpointed only the train filter, so the
+    # eligible groupBy and the holdout filter each replayed the full
+    # lineitem⋈orders⋈window lineage (3x), ~22 exchanges per run. With
+    # marked checkpointed once, train/holdout are trivial filters over
+    # materialized rows; eligible (3 consumers of its own) is
+    # sample-bounded, one tiny checkpoint job.
+    marked = firsts.withColumn("_r", F.row_number().over(wl)).localCheckpoint(
+        eager=True
     )
+    train = marked.filter(F.col("_r") >= 2).select("custkey", "brand")
     eligible = (
         marked.groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n_brands"))
@@ -299,6 +302,7 @@ def recsys_eval_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.md5(F.col("custkey").cast("string")) < "4")
         )
         .select("custkey")
+        .localCheckpoint(eager=True)
     )
     holdout = (
         marked.filter(F.col("_r") == 1)
@@ -448,8 +452,36 @@ def recsys_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     helpers), so this eval driver-gates their composition too."""
     s = prep(spark)
     inter = _interactions(s, sf_dir).localCheckpoint(eager=True)
-    sims = _sims_from_interactions(inter)
-    recs = recsys_user_recommend(spark, sf_dir).select("custkey", "candidate")
+    # r12: the first cut called recsys_user_recommend(), which built its
+    # OWN interactions checkpoint and sims tower on top of this one, and
+    # consumed the un-materialized recs relation four times (coverage
+    # distinct, the diversity self-join twice, n_users) — ~25 jobs/run.
+    # Everything now derives from ONE interactions checkpoint; sims and
+    # recs are item²-/sample-bounded, so their checkpoints are one tiny
+    # job each and every consumer reads materialized rows. The recs
+    # arithmetic is the registered query's own (same integer micro-unit
+    # sums, same ranking), so values are unchanged.
+    sims = _sims_from_interactions(inter).localCheckpoint(eager=True)
+    sampled = inter.filter(F.md5(F.col("custkey").cast("string")) < "1")
+    scores = (
+        sampled.join(F.broadcast(sims), "brand")
+        .groupBy("custkey", F.col("neighbor").alias("candidate"))
+        .agg(F.sum("sim_micro").alias("score_micro"))
+    )
+    fresh = scores.join(
+        inter.select("custkey", F.col("brand").alias("candidate")),
+        ["custkey", "candidate"],
+        "left_anti",
+    )
+    wr = Window.partitionBy("custkey").orderBy(
+        F.desc("score_micro"), F.asc("candidate")
+    )
+    recs = (
+        fresh.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("custkey", "candidate")
+        .localCheckpoint(eager=True)
+    )
     nb = inter.agg(F.countDistinct("brand").alias("n_brands"))
     covered = recs.select(F.col("candidate").alias("brand")).distinct()
     cov = covered.agg(F.count(F.lit(1)).alias("n_covered"))

@@ -839,6 +839,31 @@ SELECT query_id, neighbor_id, score, rk FROM (
 """
 
 
+def _recall_row(exact: DataFrame, approx: DataFrame, out_col: str) -> DataFrame:
+    """One (n_exact, n_hits, recall) row from an exact top-k relation and
+    an approximate one — r12 shared tail for the recall-eval family.
+
+    The original form ran the exact tower TWICE (once under the hits
+    inner-join, once under the totals count) because the two aggregates
+    were separate subtrees crossJoined at the end; a single left join +
+    one aggregate evaluates each tower exactly once (the exact tower is
+    a crossJoin + window over the whole corpus — the most expensive
+    subtree in every eval). n_hits = count of matched rows is identical
+    to the inner-join count (top-k relations are unique per
+    (query_id, neighbor_id)); types and rounding unchanged."""
+    marked = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+    ).select(
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias(out_col),
+    )
+
+
 def eval_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked ANN quality: recall@3 of the binary-quantized tier
     against the exact brute-force top-3, as ONE driver-gated row
@@ -853,15 +878,7 @@ def eval_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = topk_binary_hamming(queries, emb, k=3, rerank=BINARY_RERANK).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(binary, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return totals.crossJoin(hits).select(
-        "n_exact",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_3"),
-    )
+    return _recall_row(exact, binary, "recall_at_3")
 
 
 MRL_WIDTHS = (8, 16, 32, 64)
@@ -891,11 +908,16 @@ def eval_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(prep(spark), sf_dir, "embeddings")
 
     def side(df, id_alias, emb_alias, pre):
-        # per-prefix norms precomputed ONCE per row (the _with_norm
-        # lesson: folding norms inside the crossJoin re-folds per pair)
-        cols = [F.col("vec_id").alias(id_alias), F.col("embedding").alias(emb_alias)]
+        # per-prefix SLICES and norms precomputed ONCE per row (the
+        # _with_norm lesson, extended r12: the first cut re-sliced both
+        # embeddings inside the crossJoin — 8 array copies per PAIR;
+        # slicing per ROW leaves only the fold itself pair-side. The
+        # slice values are identical, so every rounded score is too.)
+        cols = [F.col("vec_id").alias(id_alias)]
         for w in MRL_WIDTHS:
-            cols.append(l2_norm(F.slice("embedding", 1, w)).alias(f"{pre}n{w}"))
+            sl = F.slice("embedding", 1, w)
+            cols.append(sl.alias(f"{emb_alias}{w}"))
+            cols.append(l2_norm(sl).alias(f"{pre}n{w}"))
         return df.select(*cols)
 
     q = side(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qe", "q")
@@ -908,41 +930,57 @@ def eval_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     score_cols = [
         _score(
-            dot(F.slice("qe", 1, w), F.slice("ce", 1, w)),
+            dot(F.col(f"qe{w}"), F.col(f"ce{w}")),
             F.col(f"qn{w}"),
             F.col(f"cn{w}"),
         ).alias(f"s{w}")
         for w in MRL_WIDTHS
     ]
-    scored = pairs.select(
-        "query_id", "neighbor_id", *score_cols
-    ).localCheckpoint(eager=True)
+    scored = pairs.select("query_id", "neighbor_id", *score_cols)
 
-    def top3(w):
+    # r12 single-pass restructure (guide §2.4): the first cut ranked each
+    # width's tower separately and joined it against the full-width tower
+    # — the t64 subtree alone re-evaluated 8x (once per hits join, once
+    # per totals) plus an eager checkpoint job, ~25 stages at sf0.1.
+    # Since every tower ranks the SAME pair relation, all four
+    # row_numbers share ONE exchange on query_id (same partition key,
+    # different sort — Catalyst chains the Sorts without re-exchanging)
+    # and the per-width intersection counts collapse into ONE aggregate:
+    # a pair is a width-w hit iff r_w<=3 AND r_64<=3. Rank policy,
+    # scores, and output values are bit-identical (same sort keys, same
+    # rounded scores); only the plan shape changed. Measured 6.3 s ->
+    # (see OPTIMIZATION_r12.md) at sf0.1.
+    for w in MRL_WIDTHS:
         win = Window.partitionBy("query_id").orderBy(
             F.desc(f"s{w}"), F.asc("neighbor_id")
         )
-        return (
-            scored.withColumn("_r", F.row_number().over(win))
-            .filter(F.col("_r") <= 3)
-            .select("query_id", "neighbor_id")
-        )
-
-    exact = top3(MRL_WIDTHS[-1])
-    out = None
+        scored = scored.withColumn(f"r{w}", F.row_number().over(win))
+    in_exact = F.col(f"r{MRL_WIDTHS[-1]}") <= 3
+    aggs = [F.sum(F.when(in_exact, 1).otherwise(0)).alias("n_exact")]
     for w in MRL_WIDTHS:
-        hits = exact.join(top3(w), ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).alias("n_hits")
+        aggs.append(
+            F.sum(
+                F.when((F.col(f"r{w}") <= 3) & in_exact, 1).otherwise(0)
+            ).alias(f"h{w}")
         )
-        totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        row = totals.crossJoin(hits).select(
-            F.lit(w).alias("dims"),
-            "n_exact",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_3"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    counts = scored.agg(*aggs)
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("dims"),
+                        F.col("n_exact").cast("long").alias("n_exact"),
+                        F.col(f"h{w}").cast("long").alias("n_hits"),
+                        F.round(F.col(f"h{w}") / F.col("n_exact"), 4).alias(
+                            "recall_at_3"
+                        ),
+                    )
+                    for w in MRL_WIDTHS
+                ]
+            )
+        ).alias("m")
+    ).select("m.dims", "m.n_exact", "m.n_hits", "m.recall_at_3")
 
 
 def _mrl_tower_sql(w: int) -> str:
@@ -1049,15 +1087,7 @@ def eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=cfg["max_iter"],
         train_sample=cfg["train_sample"],
     ).select("query_id", "neighbor_id")
-    hits = exact.join(ivf, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return totals.crossJoin(hits).select(
-        "n_exact",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
-    )
+    return _recall_row(exact, ivf, "recall_at_k")
 
 
 def make_ivf_recall_oracle() -> str:
@@ -1417,18 +1447,25 @@ def eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain"
         ),
     )
-    dcg = hits.agg(F.coalesce(F.sum("gain"), F.lit(0)).alias("total_gain"))
     rr_expr = "CASE fr " + " ".join(
         f"WHEN {r} THEN CAST({_MRR_W[r - 1]} AS BIGINT)" for r in range(1, _NDCG_K + 1)
     ) + " END"
-    firsts = hits.groupBy("query_id").agg(F.min("rc").alias("fr"))
-    mrr = firsts.select(F.expr(rr_expr).alias("rr")).agg(
-        F.coalesce(F.sum("rr"), F.lit(0)).alias("total_rr")
+    # r12: DCG and MRR folded into ONE chain off `hits` — the original
+    # hung two aggregate subtrees off it, so BOTH ANN towers (exact
+    # crossJoin+window and the full IVF chain) were evaluated twice per
+    # run. Grouping per query first (sum of gains + min candidate rank)
+    # then totaling preserves the exact integer sums: total_gain is the
+    # same sum re-associated over queries, total_rr is unchanged.
+    per_q = hits.groupBy("query_id").agg(
+        F.sum("gain").alias("qgain"), F.min("rc").alias("fr")
+    )
+    tot = per_q.agg(
+        F.coalesce(F.sum("qgain"), F.lit(0)).alias("total_gain"),
+        F.coalesce(F.sum(F.expr(rr_expr)), F.lit(0)).alias("total_rr"),
     )
     nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
     return (
-        nq.crossJoin(dcg)
-        .crossJoin(mrr)
+        nq.crossJoin(tot)
         .select(
             "n_queries",
             F.round(
@@ -1531,15 +1568,7 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = topk_pq(
         queries, emb, books, pq_book_sq(books), k=cfg["k"], rerank=cfg["rerank"]
     ).select("query_id", "neighbor_id")
-    hits = exact.join(pq, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return totals.crossJoin(hits).select(
-        "n_exact",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
-    )
+    return _recall_row(exact, pq, "recall_at_k")
 
 
 def make_pq_recall_oracle() -> str:
@@ -1713,15 +1742,7 @@ def eval_sq8_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=SQ8_IVF_RERANK,
         train_sample=cfg["train_sample"],
     ).select("query_id", "neighbor_id")
-    hits = exact.join(sq8ivf, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return totals.crossJoin(hits).select(
-        "n_exact",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
-    )
+    return _recall_row(exact, sq8ivf, "recall_at_k")
 
 
 def make_sq8_ivf_recall_oracle() -> str:

@@ -67,6 +67,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--plans", default=None)
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable)")
     args = ap.parse_args()
 
     names = list(args.names)
@@ -75,8 +77,11 @@ def main() -> None:
         ranked = sorted(full["queries"].items(), key=lambda x: -x[1])
         names += [k for k, _ in ranked[: args.top]]
 
-    spark = get_spark(app_name="pmb-profile",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        conf[k] = v
+    spark = get_spark(app_name="pmb-profile", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
     # warmup
     try:
