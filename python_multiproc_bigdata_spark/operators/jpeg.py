@@ -49,6 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from python_multiproc_bigdata_spark.operators.transforms import fan_out_scan
+
 # ---------------------------------------------------------------------------
 # Tables from the public spec (ITU-T T.81 Annex K — "typical" tables).
 # ---------------------------------------------------------------------------
@@ -700,7 +702,7 @@ def attach_jpeg_sub(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
@@ -752,7 +754,7 @@ def attach_jpeg(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_jpeg_features(df: DataFrame) -> DataFrame:

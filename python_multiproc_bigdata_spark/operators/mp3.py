@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from python_multiproc_bigdata_spark.operators.transforms import fan_out_scan
+
 # MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free, 15 = bad)
 BITRATE_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 # MPEG-1 sample-rate table, index 0..2 (3 = reserved)
@@ -179,7 +181,7 @@ def attach_mp3(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def mp3_frame_features(df: DataFrame) -> DataFrame:
@@ -453,7 +455,7 @@ def attach_mp3_si(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def mp3_sideinfo_features(df: DataFrame) -> DataFrame:
@@ -762,7 +764,7 @@ def attach_mp3_sf(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def mp3_scalefactor_features(df: DataFrame) -> DataFrame:
@@ -1154,7 +1156,7 @@ def attach_mp3_hf(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def mp3_huffman_features(df: DataFrame) -> DataFrame:

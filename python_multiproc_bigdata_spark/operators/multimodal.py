@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from python_multiproc_bigdata_spark.operators.transforms import fan_out_scan
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -286,7 +288,7 @@ def attach_ppm(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 WAV_SCHEMA = T.StructType(
@@ -415,7 +417,7 @@ def attach_wav(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_wav_features(df: DataFrame) -> DataFrame:
@@ -575,7 +577,7 @@ def attach_bmp(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_bmp_features(df: DataFrame) -> DataFrame:
@@ -920,7 +922,7 @@ def attach_png_i7(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 PNG_I7_SCHEMA = T.StructType(
@@ -971,7 +973,7 @@ def attach_png(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_png_features(df: DataFrame) -> DataFrame:
@@ -1242,7 +1244,7 @@ def attach_gif(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_gif_features(df: DataFrame) -> DataFrame:
@@ -1498,7 +1500,7 @@ def attach_avi_shots(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def avi_shot_transitions(df: DataFrame, threshold: int = SHOT_THRESHOLD) -> DataFrame:
@@ -1563,7 +1565,7 @@ def attach_avi(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_avi_features(df: DataFrame) -> DataFrame:
@@ -1766,7 +1768,7 @@ def attach_tiff(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def decode_tiff_features(df: DataFrame) -> DataFrame:
@@ -2036,7 +2038,7 @@ def attach_wav_fp(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select("doc_id").mapInPandas(batches, schema)
+    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
 
 
 def _mono_pcm(payload: bytes):

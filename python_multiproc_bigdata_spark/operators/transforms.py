@@ -23,6 +23,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out_scan(
+    df: DataFrame, *key_cols: str, min_parts: int | None = None
+) -> DataFrame:
+    """Guarantee a FLOP-dense downstream stage at least `min_parts`-way
+    parallelism (default: the cluster's defaultParallelism) — r12,
+    guide §2.5 "input skew: one huge unsplittable file".
+
+    A small parquet file is one scan split, so everything mapped over it
+    (from-spec decoders in mapInPandas, 64-dim cosine folds) runs on ONE
+    core no matter the cluster width; bytes-based AQE coalescing cannot
+    help because no exchange exists below the map. When the input
+    relation already fans out >= min_parts partitions — the 100 TB case,
+    where a scan has thousands of splits — this is a NO-OP and the plan
+    carries no extra exchange; otherwise it hash-repartitions on the
+    given key columns (deterministic under task retries, unlike
+    round-robin — guide §2.5 / SPARK-38388). Results are unaffected:
+    every consumer is either per-row or keyed/rank-stable.
+
+    Streaming inputs pass through untouched (their micro-batch
+    parallelism is the source's)."""
+    if df.isStreaming:
+        return df
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
+        return df
+    if cur >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def keypath(path: Sequence[str] | str) -> str:
     """Reference key-path list → Spark nested-field reference."""
     return path if isinstance(path, str) else ".".join(path)

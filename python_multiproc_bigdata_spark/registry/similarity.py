@@ -27,6 +27,19 @@ from python_multiproc_bigdata_spark.registry.common import QuerySpec, prep, tabl
 
 N_QUERIES = 100  # bounded query set for the brute-force baseline
 
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus with scan parallelism guaranteed (r12):
+    one tiny parquet file is ONE scan split, which serialized every
+    64-dim fold stage (assignment, scoring, quantization) onto a single
+    core at bench scale — measured 4.1 s -> 1.7 s for the k-means
+    assignment alone at sf0.1. fan_out_scan is a no-op once the corpus
+    spans >= defaultParallelism splits (the cluster case), so no extra
+    exchange exists in the 100 TB plan."""
+    from python_multiproc_bigdata_spark.operators.transforms import fan_out_scan
+
+    return fan_out_scan(table(prep(spark), sf_dir, "embeddings"), "vec_id")
+
 # Engine-portable cosine: sequential double fold, 0.0 on zero norms.
 SQL_COSINE_CTE = """
 WITH emb AS (
@@ -47,7 +60,7 @@ WITH emb AS (
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_bruteforce(queries, emb, k=5)
 
@@ -63,7 +76,7 @@ WHERE rk <= 5
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_lsh(queries, emb, k=3, bits=8)
 
@@ -99,7 +112,7 @@ def sim_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH top-k (ANY-of-16 4-bit sign bands → exact verify) —
     the LSH path with usable recall (0.9+ measured vs 0.007/0.09 for the
     single-bucket and multiprobe forms; see RECALL.json)."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_lsh_banded(queries, emb, k=3, bits_per_band=4, n_bands=16)
 
@@ -142,7 +155,7 @@ WHERE rk <= 3
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_ivf(queries, emb, k=3, nprobe=2)
 
@@ -189,7 +202,7 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the banded semantics end-to-end; recall vs the exact crossJoin
     form is measured separately by tools/recall_report.py (the exact form
     is deliberately unregistered — a crossJoin is not a 100 TB plan)."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return neardup_pairs_banded(emb, threshold=0.4, bits_per_band=4, n_bands=16)
 
 
@@ -255,7 +268,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1; the full pareto is in SCALE.md). Training degrades
     gracefully to corpus-many lists if the corpus is ever smaller than
     n_lists (kmeans_core inits from the available sample)."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     # max_iter=3: recall is converged by then (±0.02 vs 5 iters at
     # sf0.1) and each extra Lloyd's round is a full scheduling round-trip
@@ -428,7 +441,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:knn_classify). Exact top-5 neighbors here so
     the oracle can replay the identical vote; at scale the candidate
     stage swaps to IVF/banded-LSH with the same downstream plan."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return knn_classify(queries, emb, k=5)
 
@@ -462,7 +475,7 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:topk_sq8) — the 4x-memory-bandwidth scale
     path. The oracle replays the identical quantization arithmetic, so
     the gate checks the quantized ranking AND the re-rank end-to-end."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_sq8(queries, emb, k=3, rerank=10)
 
@@ -530,7 +543,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-stage CTE oracle below; every compared quantity is rounded to 4dp
     on both engines with ties → lowest neighbor_id, so the greedy paths
     are identical."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return mmr_diversify(queries, emb, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
 
@@ -698,7 +711,7 @@ def sim_mmr_from_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_ivf_partitioned,
     )
 
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     path, cents = _serving_ivf_index(emb, sf_dir)
     cand = topk_ivf_partitioned(
@@ -771,7 +784,7 @@ def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 100. The generated oracle embeds the identical hyperplanes (one
     shared binary_hyperplanes() source) and replays the packing, the
     Hamming ranking, and the re-rank value-exact."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_binary_hamming(queries, emb, k=3, rerank=BINARY_RERANK)
 
@@ -872,7 +885,7 @@ def eval_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays BOTH towers (the binary chain via the shared
     hyperplane literals, the exact chain via the cosine CTE) and the
     same intersection arithmetic."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = topk_bruteforce(queries, emb, k=3).select("query_id", "neighbor_id")
     binary = topk_binary_hamming(queries, emb, k=3, rerank=BINARY_RERANK).select(
@@ -905,7 +918,7 @@ def eval_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_multiproc_bigdata_spark.functions.vectors import dot, l2_norm
     from python_multiproc_bigdata_spark.operators.similarity import _score
 
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
 
     def side(df, id_alias, emb_alias, pre):
         # per-prefix SLICES and norms precomputed ONCE per row (the
@@ -1073,7 +1086,7 @@ def eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer or probe regression fails the correctness gate itself,
     not just the pinned test floor."""
     cfg = IVF_KMEANS_CFG
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = topk_bruteforce(queries, emb, k=cfg["k"]).select(
         "query_id", "neighbor_id"
@@ -1141,7 +1154,7 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cfg = IVF_KMEANS_CFG
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     cents = train_spherical_kmeans_driver(
         emb,
@@ -1173,7 +1186,7 @@ def sim_topk_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_ivf_graph_refined,
     )
 
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_ivf_graph_refined(
         queries, emb, k=3, nprobe=2, n_lists=GRAPH_REFINE_LISTS,
@@ -1207,7 +1220,7 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cfg = IVF_KMEANS_CFG
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     cents = train_spherical_kmeans_driver(
         emb,
@@ -1423,7 +1436,7 @@ def eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both numerators through the inner join — the mean is over ALL
     N_QUERIES queries."""
     cfg = IVF_KMEANS_CFG
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = topk_bruteforce(queries, emb, k=_NDCG_K).select(
         "query_id", "neighbor_id", F.col("rk").alias("rt")
@@ -1553,7 +1566,7 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks_driver,
     )
 
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     books = train_pq_codebooks_driver(
         emb,
@@ -1615,7 +1628,7 @@ def sim_topk_sq8_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan bandwidth 4x, exact re-rank on the top-10 restores accuracy.
     Deterministic end-to-end, so the generated oracle replays
     candidates, quantized ranking, and re-rank value-exact."""
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     cfg = IVF_KMEANS_CFG
     return topk_sq8_ivf(
@@ -1727,7 +1740,7 @@ def eval_sq8_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF / PQ / SQ8-IVF): until now this composed tier's quality was
     only floor-pinned in tests, never a value-checked row."""
     cfg = IVF_KMEANS_CFG
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = topk_bruteforce(queries, emb, k=cfg["k"]).select(
         "query_id", "neighbor_id"
@@ -1804,7 +1817,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks_driver,
     )
 
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     cfg = PQ_CFG
     books = train_pq_codebooks_driver(
@@ -1944,7 +1957,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_spherical_kmeans_driver,
     )
 
-    emb = table(prep(spark), sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     icfg, pcfg = IVF_KMEANS_CFG, PQ_CFG
     cents = train_spherical_kmeans_driver(
@@ -2222,7 +2235,11 @@ def sim_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as PCA projection: an 8-row broadcast components
     table (built by a range cross-product, no literals), dot products on
     array columns JVM-side. At 100 TB this is the cheap first-cut
-    reduction before IVF/PQ indexing; PCA is the data-aware upgrade."""
+    reduction before IVF/PQ indexing; PCA is the data-aware upgrade.
+
+    Plain scan, no fan_out_scan (r12): the query is map-only — its whole
+    cost at bench scale is fixed overhead, so the fan-out exchange buys
+    nothing and would break the pinned corpus-never-shuffles plan."""
     emb = table(prep(spark), sf_dir, "embeddings")
     dims, m = 64, 8
     ks = spark.range(m).select((F.col("id") + 1).cast("int").alias("pc_id"))
@@ -2286,6 +2303,9 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pca_driver,
     )
 
+    # Plain scan, no fan_out_scan (r12): map-only projection (components
+    # broadcast), pinned corpus-never-shuffles; fan-out would add an
+    # exchange for no measurable gain (0.69 s baseline is fixed cost).
     emb = table(prep(spark), sf_dir, "embeddings")
     mu, comps = train_pca_driver(emb, n_components=8, sample_size=4096)
     return project_pca(emb, mu, comps)

@@ -23,6 +23,19 @@ def optimized_of(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _only_fanout_exchanges(plan: str) -> bool:
+    """True iff every shuffle Exchange in the plan is fan_out_scan's
+    deliberate keyed repartition (tagged REPARTITION_BY_NUM) — i.e. no
+    join/aggregation/sort exchange (ENSURE_REQUIREMENTS) sneaked in."""
+    return all(
+        "REPARTITION_BY_NUM" in line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    )
+
+
 def test_q3_pushdown_and_broadcast(spark):
     df = REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR)
     plan = plan_of(df)
@@ -557,10 +570,13 @@ def test_audio_snippet_match_broadcast_and_no_cartesian(spark):
 
 def test_video_shots_map_only(spark):
     """Shot-boundary detection is decode + per-blob frame math: the
-    plan must carry no shuffle at all (a join or aggregation here
-    would mean the operator stopped being embarrassingly parallel)."""
+    plan must carry no join/aggregation shuffle (ENSURE_REQUIREMENTS).
+    The only allowed Exchange is fan_out_scan's deliberate keyed
+    repartition of the slim doc_id column (REPARTITION_BY_NUM) that
+    spreads the FLOP-dense decode when the scan is a single split —
+    a no-op at real scale (r12, guide §2.5)."""
     plan = plan_of(REGISTRY["multimodal_video_shot_boundaries"].fn(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert _only_fanout_exchanges(plan), plan
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:
@@ -710,11 +726,11 @@ def test_crawl_link_graph_shape(spark):
 
 
 def test_mp3_huffman_walk_map_only(spark):
-    """The Huffman walk is synth + bit-decode per blob: map-only, no
-    shuffle (an Exchange here would mean the decode stopped being
-    embarrassingly parallel)."""
+    """The Huffman walk is synth + bit-decode per blob: no
+    join/aggregation shuffle — only fan_out_scan's deliberate slim
+    doc_id repartition is allowed (see test_video_shots_map_only)."""
     plan = plan_of(REGISTRY["multimodal_mp3_huffman_walk"].fn(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert _only_fanout_exchanges(plan), plan
 
 
 def test_robots_gate_broadcast_rules(spark):
