@@ -35,7 +35,12 @@ def word_frequencies(
     df: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
     """(word, freq) over the whitespace token stream — the single
-    corpus-scale aggregation BPE needs."""
+    corpus-scale aggregation BPE needs.
+
+    Deliberately NOT fan_out_scan'd (r12): an interleaved A/B at sf0.1
+    showed the fan neutral-to-negative here (tokenize+explode+count is
+    memory-bandwidth-cheap per row, unlike the md5-dense shingle maps) —
+    and at real scale the scan fans out by itself."""
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = df.select(F.explode(F.split(txt, WHITESPACE_RE)).alias("word")).filter(
         F.length(F.trim("word")) > 0

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.functions.text import WHITESPACE_RE, doc_fingerprint
+from python_multiproc_bigdata_spark.operators.transforms import fan_out_scan
 
 MINHASH_K = 8  # k hashes → 4 bands of 2
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # high bit of a nibble
@@ -71,6 +72,12 @@ def word_shingles(
     toks_expr = F.filter(
         F.split(F.col(text_col), WHITESPACE_RE), lambda w: F.length(w) > 0
     )
+    # Tokenize+shingle is the FLOP-dense map of every minhash/Jaccard
+    # pipeline; a single-split corpus scan would run it on one core
+    # (r12, guide §2.5). No-op when the scan already fans out, and the
+    # downstream groupBy("id") reuses this partitioning (alias-aware),
+    # so no second exchange appears.
+    df = fan_out_scan(df, id_col)
     t = df.select(F.col(id_col).alias("id"), toks_expr.alias("_toks"))
     toks = F.col("_toks")
     sh = F.when(
@@ -325,7 +332,9 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Bit j comes from the sign of Σ_tokens (±1), where the token votes +1
     iff hex digit j of md5(token) has its high nibble-bit set. Tokens are
     counted with multiplicity (weight = term frequency). Pure
-    explode+groupBy — algebraic, partial-aggregated."""
+    explode+groupBy — algebraic, partial-aggregated. The md5-per-token
+    map is fanned out when the input is a single-split scan (r12)."""
+    df = fan_out_scan(df, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

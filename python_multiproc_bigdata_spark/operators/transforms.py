@@ -50,7 +50,12 @@ def fan_out_scan(
         cur = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — parallelism probe is best-effort
         return df
-    if cur >= n:
+    # No-op already at a QUARTER of target parallelism, not just at the
+    # target: operators apply this to their own input, which may be a
+    # post-shuffle relation (shuffle.partitions-wide) rather than a raw
+    # scan — re-exchanging 16 partitions into 32 buys ~nothing, while
+    # the 1-split scan case this helper exists for still fans out.
+    if cur * 4 >= n:
         return df
     return df.repartition(n, *[F.col(c) for c in key_cols])
 
