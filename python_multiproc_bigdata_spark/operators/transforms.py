@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 
 def fan_out_scan(
-    df: DataFrame, *key_cols: str, min_parts: int | None = None
+    df: DataFrame,
+    *key_cols: str,
+    min_parts: int | None = None,
+    per_part_bytes: int | None = None,
 ) -> DataFrame:
     """Guarantee a FLOP-dense downstream stage at least `min_parts`-way
     parallelism (default: the cluster's defaultParallelism) — r12,
@@ -42,14 +45,39 @@ def fan_out_scan(
     every consumer is either per-row or keyed/rank-stable.
 
     Streaming inputs pass through untouched (their micro-batch
-    parallelism is the source's)."""
+    parallelism is the source's).
+
+    Probe cost: the obvious probe (`df.rdd.getNumPartitions()`) runs the
+    FULL physical planning of the subtree on the driver and throws it
+    away — measured ~0.4 s per call on the 9-table dq panels, which
+    swamped the win it was buying. The probe below stays on the already-
+    analyzed logical plan: any shuffle-introducing operator in the
+    lineage means the relation is `spark.sql.shuffle.partitions` wide
+    (sized >= cores by session contract) — no-op; a pure narrow-over-
+    files plan gets its split count estimated from the file listing the
+    scan already holds (Spark's own packing formula: files are charged
+    `openCostInBytes` and packed into `maxPartitionBytes` splits). Only
+    odd shapes (limits, samples, local relations) fall back to the
+    `.rdd` probe.
+
+    `per_part_bytes` makes the target width data-proportional instead of
+    unconditional: fan to ceil(scan_bytes / per_part_bytes) partitions,
+    capped at the cluster width. Use it when per-row work tracks row
+    BYTES (relational aggregates, hashing) so a 2 KB dimension table
+    never pays an exchange + 32-task stage for nothing; leave it unset
+    where tiny rows carry heavy compute (decoder ids, vector folds) and
+    full width is wanted regardless of input size."""
     if df.isStreaming:
         return df
     n = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
-        return df
+    cur, scan_bytes = _estimated_parts(df)
+    if cur is None:
+        try:
+            cur = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — parallelism probe is best-effort
+            return df
+    if per_part_bytes and scan_bytes is not None:
+        n = min(n, max(1, -(-scan_bytes // per_part_bytes)))
     # No-op already at a QUARTER of target parallelism, not just at the
     # target: operators apply this to their own input, which may be a
     # post-shuffle relation (shuffle.partitions-wide) rather than a raw
@@ -58,6 +86,83 @@ def fan_out_scan(
     if cur * 4 >= n:
         return df
     return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
+# Logical operators whose output is shuffle.partitions wide (or wider):
+# seeing any of these in the analyzed plan means the input is already
+# fanned out, so the probe can skip both planning and file listing.
+_WIDE_PLAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Repartition",  # also matches RepartitionByExpression
+    "Rebalance",
+    "Window",
+    "Deduplicate",
+    "Sort",
+    "Expand",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
+
+# Operators that SHRINK partitioning below the scan's split count
+# (GlobalLimit collapses to one partition); the cheap file-based
+# estimate would overstate parallelism, so punt to the .rdd probe.
+_NARROWING_PLAN_NODES = ("Limit", "Sample", "Offset", "Tail")
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size conf string ('134217728b', '128m', '1g') → bytes."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("b", 1), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _estimated_parts(df: DataFrame) -> tuple[int | None, int | None]:
+    """(partition-count estimate, scan bytes) from the analyzed plan +
+    file listing, without physical planning. (None, None) = can't tell
+    cheaply (caller falls back to the .rdd probe); bytes are None
+    whenever the input is not a pure narrow-over-files plan."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(k in plan for k in _NARROWING_PLAN_NODES):
+            return None, None
+        if any(k in plan for k in _WIDE_PLAN_NODES):
+            # post-shuffle width; session contract keeps
+            # shuffle.partitions >= defaultParallelism, so report the
+            # target itself (always a no-op under the quarter rule).
+            return df.sparkSession.sparkContext.defaultParallelism, None
+        files = df.inputFiles()
+        if not files:
+            return None, None  # LocalRelation / in-memory seeds
+        spark = df.sparkSession
+        maxpb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        opencost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+        )
+        # Packing lower bound: n_files * openCost alone already filling
+        # the needed splits means no-op without touching the filesystem.
+        n = df.sparkSession.sparkContext.defaultParallelism
+        if len(files) * opencost >= n * maxpb:
+            return n, None
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            total += fs.getFileStatus(p).getLen()
+        # Spark packs small files together (each charged openCost), so
+        # the split count is the packed total over maxPartitionBytes.
+        return max(1, -(-(total + len(files) * opencost) // maxpb)), total
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        return None, None
 
 
 def keypath(path: Sequence[str] | str) -> str:

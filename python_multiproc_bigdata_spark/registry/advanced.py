@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_multiproc_bigdata_spark.operators.joins import asof_join, range_join_bucketed
+from python_multiproc_bigdata_spark.operators.transforms import fan_out_scan
 from python_multiproc_bigdata_spark.operators.runtime_filter import bloom_semi_filter
 from python_multiproc_bigdata_spark.operators.skew import salted_count_per_key
 from python_multiproc_bigdata_spark.operators.quality import expectations_report
@@ -1082,7 +1083,14 @@ def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = prep(spark)
     frames = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
-        t = table(s, sf_dir, tbl)
+        # r12 (guide §2.5 input skew): each table is one scan split at
+        # bench scale, so the Expand×(distinct cols) partial-aggregate
+        # stage ran on ONE core per table; fan out on the PK so the
+        # expand/partial work spreads. Bytes-proportional (1 MiB/part):
+        # per-row cost here tracks row bytes, so a 2 KB dimension table
+        # skips the exchange while lineitem fans wide (no-op at 100 TB
+        # where the scan already has thousands of splits).
+        t = fan_out_scan(table(s, sf_dir, tbl), *pk, per_part_bytes=1 << 20)
         # \x01 separator matches the oracle's chr(1) join — a bare
         # concat would make ('1','23') collide with ('12','3').
         # NULL components are encoded explicitly as \x02 on BOTH engine
@@ -1190,7 +1198,11 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     kv_frames = []
     for tbl, (pk, cols) in DQ_PANEL_SPEC.items():
-        t = table(s, sf_dir, tbl)
+        # r12: same bytes-proportional fan-out as the exact panel —
+        # parallelizes the profile pass and the kv-explode feeding the
+        # fused HLL register aggregate (md5 per value) where the table
+        # is big enough to pay for the exchange.
+        t = fan_out_scan(table(s, sf_dir, tbl), *pk, per_part_bytes=1 << 20)
         # pass 1: profile aggregates + the single exact pk distinct
         pk_tuple = F.concat_ws(
             "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -25,6 +26,7 @@ class QuerySpec:
 
 
 _PKG_ZIP: str | None = None
+_PKG_ZIP_LOCK = threading.Lock()
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
@@ -35,22 +37,31 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     so any cloudpickled closure referencing module-level functions (e.g.
     mapInPandas feature extraction) would die with ModuleNotFoundError.
     A zip of the package on every worker's sys.path fixes the whole class.
+
+    Thread-safe: queries that build independent towers from a driver
+    thread pool (guide §2.6, e.g. eval_tokenizer_compare) call prep()
+    concurrently, and a double addPyFile of a zip being concurrently
+    rebuilt is a JVM error — the lock makes the build+add a critical
+    section, the flag keeps the common path lock-free-after-first.
     """
     global _PKG_ZIP
     sc = spark.sparkContext
     if getattr(sc, "_pmb_pyfiles_added", False):
         return
-    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
-        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        tmp = tempfile.mkdtemp(prefix="pmb_pyfiles_")
-        _PKG_ZIP = shutil.make_archive(
-            os.path.join(tmp, "python_multiproc_bigdata_spark"),
-            "zip",
-            root_dir=os.path.dirname(pkg_dir),
-            base_dir="python_multiproc_bigdata_spark",
-        )
-    sc.addPyFile(_PKG_ZIP)
-    sc._pmb_pyfiles_added = True
+    with _PKG_ZIP_LOCK:
+        if getattr(sc, "_pmb_pyfiles_added", False):
+            return
+        if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+            pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            tmp = tempfile.mkdtemp(prefix="pmb_pyfiles_")
+            _PKG_ZIP = shutil.make_archive(
+                os.path.join(tmp, "python_multiproc_bigdata_spark"),
+                "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir="python_multiproc_bigdata_spark",
+            )
+        sc.addPyFile(_PKG_ZIP)
+        sc._pmb_pyfiles_added = True
 
 
 def fixture_root(name: str, sf_dir: str) -> str:

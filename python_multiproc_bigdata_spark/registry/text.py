@@ -1167,13 +1167,23 @@ def eval_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     freezing a vocab; both towers are the already-registered encode
     paths, joined on language (a |langs|-row join, trivial at any
     scale; the corpus-scale work is the two token-stream joins the
-    towers already do)."""
-    bpe = text_bpe_encode_stats(spark, sf_dir).select(
-        "lang", F.col("syms_per_token").alias("bpe_spt")
-    )
-    uni = text_unigram_fertility(spark, sf_dir).select(
-        "lang", F.col("pieces_per_token").alias("unigram_spt")
-    )
+    towers already do).
+
+    r12 (guide §2.6 overlap independent jobs): both towers run EAGER
+    training during build — BPE's batched merge rounds are a sequential
+    driver loop of small jobs that leaves most of the cluster idle, and
+    the unigram tower's word-count collect + local EM is independent of
+    it. Building the two towers from a 2-thread pool lets each tower's
+    jobs back-fill the other's idle capacity; the trained artifacts
+    (and so the result) are bit-identical — only the schedule changes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bpe = pool.submit(text_bpe_encode_stats, spark, sf_dir)
+        f_uni = pool.submit(text_unigram_fertility, spark, sf_dir)
+        bpe_df, uni_df = f_bpe.result(), f_uni.result()
+    bpe = bpe_df.select("lang", F.col("syms_per_token").alias("bpe_spt"))
+    uni = uni_df.select("lang", F.col("pieces_per_token").alias("unigram_spt"))
     return (
         bpe.join(uni, "lang")
         .select(

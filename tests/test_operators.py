@@ -323,3 +323,44 @@ def test_sliding_chunks_semantics(spark):
     assert rows[(4, 0)].n_chunk_tokens == 0
     assert rows[(4, 0)].chunk_digest == hashlib.md5(b"").hexdigest()
     assert rows[(5, 2)].start_tok == 48 and rows[(5, 2)].n_chunk_tokens == 9
+
+
+def test_fan_out_scan_probe(spark):
+    """r12: fan_out_scan's cheap partition probe — narrow single-file
+    scans estimate their true (tiny) split count and fan out; relations
+    with a shuffle-introducing operator report cluster width (no-op);
+    limits fall back rather than trusting the file-based estimate."""
+    from python_multiproc_bigdata_spark.operators.transforms import (
+        _estimated_parts,
+        _parse_bytes,
+        fan_out_scan,
+    )
+
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("64MB") == 64 << 20
+    assert _parse_bytes("1g") == 1 << 30
+
+    from tests.conftest import SF_DIR
+
+    scan = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    est, nbytes = _estimated_parts(scan)
+    assert est == 1  # one small file -> one split
+    assert nbytes and nbytes > 0
+
+    agged = scan.groupBy("l_orderkey").count()
+    est_w, nbytes_w = _estimated_parts(agged)
+    assert est_w == spark.sparkContext.defaultParallelism
+    assert nbytes_w is None
+
+    limited = scan.limit(5)
+    assert _estimated_parts(limited) == (None, None)
+
+    # behavioral contract: scan fans out to the keyed repartition,
+    # already-wide input passes through untouched
+    n = spark.sparkContext.defaultParallelism
+    fanned = fan_out_scan(scan, "l_orderkey")
+    assert fanned.rdd.getNumPartitions() == n
+    assert fan_out_scan(agged, "l_orderkey") is agged
+    # bytes-proportional mode: a tiny file never justifies a full fan
+    assert fan_out_scan(scan, "l_orderkey", per_part_bytes=1 << 30) is scan
