@@ -387,30 +387,34 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    cached = labels  # the persisted handle backing the current labels
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        # Carry the previous label through the update so convergence is
+        # a filter over the already-persisted relation instead of a
+        # second labels join per round (r12, guide §2.4 — one fewer
+        # shuffle per iteration; the propagated labels are identical).
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("component") != F.col("prev")).count()
+        cached.unpersist()
+        cached = stepped
+        # consumers of the returned frame hit stepped's cache through
+        # plan matching (the select's subtree IS the persisted plan)
+        labels = stepped.select("id", "component")
         if changed == 0:
             break
     sym.unpersist()

@@ -42,22 +42,26 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-based post-shuffle coalescing (guide §2.2): with the
-        # default parallelismFirst=true AQE targets total/parallelism
-        # per partition, so a 30 MB shuffle still fans out ~cores tasks
-        # whose scheduling overhead dwarfs their work; honoring the
-        # advisory size instead collapses small/mid shuffles to few
-        # tasks (measured -22% on a 12-query overhead-bound subset,
-        # interleaved A/B at sf0.1). Spark's own docs recommend false.
-        # FLOP-dense stages whose bytes under-state their compute (array
-        # folds over packed vectors) pin their parallelism explicitly
-        # with repartition(n, keys) — see neardup_pairs_banded — which
-        # AQE-coalescing respects. The advisory target stays at Spark's
-        # 64m default locally; at cluster scale raise it via
-        # SPARK_GRAFT_ADVISORY_PARTITION (e.g. 256m) rather than
-        # re-tuning per job.
+        # Post-shuffle coalescing mode (guide §2.2). parallelismFirst
+        # stays at Spark's default TRUE locally: an earlier r12 attempt
+        # set it false so AQE honors the advisory size (collapsing
+        # small/mid shuffles to few tasks, -22% on a 12-query
+        # overhead-bound subset), but a broader interleaved A/B over a
+        # 24-query slice showed that coalescing-by-size collapses
+        # byte-light FLOP-DENSE stages onto one core — winnowing's
+        # posting pipeline -41%, audio landmark matching -49%, pHash
+        # banding -43% when parallelism-first was restored, and even the
+        # overhead-bound queries preferred it (B_total 99.1 s vs 119.5 s
+        # — tools/ab_conf.py, 4 interleaved passes). Bytes systematically
+        # under-state compute at bench scale, so parallelism wins. At
+        # cluster scale (100 MB–1 GB partitions, guide §9) set
+        # SPARK_GRAFT_COALESCE_PARALLELISM_FIRST=false plus
+        # SPARK_GRAFT_ADVISORY_PARTITION=256m — parameterised, not baked
+        # in; compute-dense operators additionally pin their parallelism
+        # explicitly with repartition(n, keys), which AQE respects.
         .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
