@@ -288,12 +288,26 @@ def _banded_candidates(sig: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Raw banded MinHash-LSH candidate pairs BEFORE exact verification
     (doc_a, doc_b) — the relation whose precision/recall the
-    eval_dedup_pr query measures against exact-Jaccard ground truth."""
-    cand = _banded_candidates(_signature_relation(df, id_col, text_col, n))
+    eval_dedup_pr query measures against exact-Jaccard ground truth.
+
+    `shingles` optionally supplies a prebuilt (id, sh) relation (caller
+    persists it) so an eval composing several shingle consumers
+    tokenizes the corpus once — r12, guide §1.2."""
+    if shingles is not None:
+        sig = shingles.groupBy("id").agg(
+            F.collect_set("sh").alias("shs"), *minhash_exprs()
+        )
+    else:
+        sig = _signature_relation(df, id_col, text_col, n)
+    cand = _banded_candidates(sig)
     return cand.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
@@ -428,6 +442,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard near-dup pairs via prefix filtering (the
     AllPairs/PPJoin candidate-generation family): each document only
@@ -456,8 +471,14 @@ def prefix_filter_jaccard_pairs(
     # join) — persist it or each reference re-tokenizes and re-shingles
     # the corpus. The cache lives as long as the returned (lazy) frame;
     # it is the corpus's (id, sh) stream, the same relation an indexed
-    # deployment would materialize to a table once.
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    # deployment would materialize to a table once. A caller composing
+    # several shingle consumers passes its own persisted relation via
+    # `shingles` (r12) so the corpus tokenizes once across towers.
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, id_col, text_col, n).persist()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy("f", "sh")

@@ -660,11 +660,18 @@ def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates) joined on the pair key, then three 1-row counts
     crossJoin-broadcast together — nothing after pair generation
     exceeds |pairs|."""
+    from python_multiproc_bigdata_spark.operators.dedup import word_shingles
+
     d = table(prep(spark), sf_dir, "documents")
-    truth = prefix_filter_jaccard_pairs(d, threshold_num=1, threshold_den=2).select(
-        "doc_a", "doc_b"
-    )
-    cand = lsh_candidate_pairs(d)
+    # r12: BOTH towers consume the same (id, sh) shingle stream — share
+    # one persisted relation so the corpus tokenizes/shingles once
+    # instead of once per tower (guide §1.2); pair generation and
+    # verification below are unchanged.
+    sh = word_shingles(d, "doc_id", "text", 3).persist()
+    truth = prefix_filter_jaccard_pairs(
+        d, threshold_num=1, threshold_den=2, shingles=sh
+    ).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(d, shingles=sh)
     # r12: ONE full-outer join + ONE aggregate replaces the r8 shape
     # (three aggregate subtrees + two eager checkpoints). All three
     # counts fall out of the joined relation — n_cand = candidate-side
