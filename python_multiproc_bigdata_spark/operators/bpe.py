@@ -152,6 +152,7 @@ def bpe_train_merges(
     lowercase: bool = True,
     batch_k: int = 8,
     topk: int = 64,
+    wf: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn the first `n_merges` BPE merges; returns
     [(rank, left_sym, right_sym, pair_freq), ...].
@@ -172,8 +173,12 @@ def bpe_train_merges(
     construction; only the job count drops (|merges| + |merges|/4
     jobs → ~2 per round, with round count corpus-dependent — Zipfian
     pair tables with well-separated counts batch several merges per
-    round, adversarial ties degrade gracefully to one)."""
-    wf = word_frequencies(df, text_col, lowercase)
+    round, adversarial ties degrade gracefully to one).
+
+    `wf` optionally supplies a prebuilt (word, freq) relation (caller
+    persists it) so compositions sharing the word-count pass compute it
+    once — r12, guide §1.2."""
+    wf = wf if wf is not None else word_frequencies(df, text_col, lowercase)
     # The vocab relation is small (Heaps' law) — 8 partitions keeps each
     # iteration's task count (and so its scheduling overhead) bounded;
     # raise for a web-scale vocabulary.
@@ -238,6 +243,7 @@ def bpe_symbol_counts(
     merges: list[tuple[int, str, str, int]],
     text_col: str = "text",
     lowercase: bool = True,
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge list and return (word, n_syms): the symbol
     count of every DISTINCT word after replaying the merges in rank
@@ -248,8 +254,8 @@ def bpe_symbol_counts(
     stream (vocab-sized build side — AQE broadcasts it).
 
     Every 4th merge localCheckpoints to truncate the accreting fold
-    plan, matching bpe_train_merges."""
-    wf = word_frequencies(df, text_col, lowercase)
+    plan, matching bpe_train_merges. `wf` as in bpe_train_merges."""
+    wf = wf if wf is not None else word_frequencies(df, text_col, lowercase)
     cur = wf.select("word", F.split("word", "").alias("syms")).repartition(8)
     for i, (_, a, b, _c) in enumerate(sorted(merges), start=1):
         cur = cur.withColumn("syms", apply_merge("syms", a, b))
@@ -263,6 +269,7 @@ def wordpiece_train_merges(
     text_col: str = "text",
     n_merges: int = 8,
     lowercase: bool = True,
+    wf: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int, int]]:
     """Learn the first `n_merges` WORDPIECE merges (Schuster & Nakajima
     2012 — BPE's likelihood-scored sibling and the third member of the
@@ -285,8 +292,9 @@ def wordpiece_train_merges(
     symbol-count agg (WordPiece's extra denominator input, also
     vocab-bounded), two broadcast joins, and a 1-row argmax collect.
     Merge application reuses the JVM apply_merge fold with the '##'
-    prefix stripped from the right symbol."""
-    wf = word_frequencies(df, text_col, lowercase)
+    prefix stripped from the right symbol. `wf` as in
+    bpe_train_merges."""
+    wf = wf if wf is not None else word_frequencies(df, text_col, lowercase)
     chars = F.split("word", "")
     syms = F.transform(
         chars,
@@ -353,13 +361,15 @@ def wordpiece_vocab(
     merges: list[tuple[int, str, str, int, int]],
     text_col: str = "text",
     lowercase: bool = True,
+    wf: DataFrame | None = None,
 ) -> list[str]:
     """The WordPiece vocabulary a trained merge list induces: every
     word-initial / '##'-continuation CHARACTER symbol observed in the
     training corpus plus the merged symbols, sorted. The alphabet
     collect is vocab-bounded (distinct symbols, not words — the same
-    boundedness argument as the training loop's 1-row argmax)."""
-    wf = word_frequencies(df, text_col, lowercase)
+    boundedness argument as the training loop's 1-row argmax).
+    `wf` as in bpe_train_merges."""
+    wf = wf if wf is not None else word_frequencies(df, text_col, lowercase)
     chars = F.split("word", "")
     syms = F.transform(
         chars,
@@ -378,6 +388,7 @@ def wordpiece_encode_counts(
     vocab: list[str],
     text_col: str = "text",
     lowercase: bool = True,
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """WordPiece INFERENCE (greedy longest-match-first, the rule
     Schuster & Nakajima tokenizers apply at serving time) over the
@@ -397,7 +408,7 @@ def wordpiece_encode_counts(
     result back onto the token stream (AQE broadcasts it)."""
     max_len = max(len(v) - 2 if v.startswith("##") else len(v) for v in vocab)
     varr = F.array(*[F.lit(v) for v in sorted(vocab)])
-    wf = word_frequencies(df, text_col, lowercase)
+    wf = wf if wf is not None else word_frequencies(df, text_col, lowercase)
     w = F.col("word")
     init = F.struct(
         F.lit(0).alias("nxt"), F.lit(0).alias("np"), F.lit(False).alias("unk")

@@ -681,11 +681,15 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_multiproc_bigdata_spark.operators.bpe import (
         bpe_symbol_counts,
         bpe_train_merges,
+        word_frequencies,
     )
 
     d = table(prep(spark), sf_dir, "documents")
-    merges = bpe_train_merges(d, "text", n_merges=10, lowercase=True)
-    counts = bpe_symbol_counts(d, merges, "text", lowercase=True)
+    # r12 (guide §1.2): train + encode share one persisted word-count
+    # pass instead of re-tokenizing the corpus per stage.
+    wf = word_frequencies(d, "text", lowercase=True).persist()
+    merges = bpe_train_merges(d, "text", n_merges=10, lowercase=True, wf=wf)
+    counts = bpe_symbol_counts(d, merges, "text", lowercase=True, wf=wf)
     toks = d.select(
         "lang", F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("word")
     ).filter(F.length(F.trim("word")) > 0)
@@ -849,15 +853,20 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n_unk_tokens column proves it. The oracle replays training AND
     greedy inference in independent single-node Python."""
     from python_multiproc_bigdata_spark.operators.bpe import (
+        word_frequencies,
         wordpiece_encode_counts,
         wordpiece_train_merges,
         wordpiece_vocab,
     )
 
     d = table(prep(spark), sf_dir, "documents")
-    merges = wordpiece_train_merges(d, "text", n_merges=8, lowercase=True)
-    vocab = wordpiece_vocab(d, merges, "text", lowercase=True)
-    counts = wordpiece_encode_counts(d, vocab, "text", lowercase=True)
+    # r12 (guide §1.2): train, vocab induction, and encode all consume
+    # the (word, freq) relation — persist ONE word-count pass and share
+    # it instead of re-tokenizing the corpus three times.
+    wf = word_frequencies(d, "text", lowercase=True).persist()
+    merges = wordpiece_train_merges(d, "text", n_merges=8, lowercase=True, wf=wf)
+    vocab = wordpiece_vocab(d, merges, "text", lowercase=True, wf=wf)
+    counts = wordpiece_encode_counts(d, vocab, "text", lowercase=True, wf=wf)
     toks = d.select(
         "lang", F.explode(F.split(F.lower("text"), WHITESPACE_RE)).alias("word")
     ).filter(F.length(F.trim("word")) > 0)
