@@ -1099,54 +1099,47 @@ def dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (dropping the whole tuple from count DISTINCT) — the two
         # engines would disagree the moment a nullable PK enters the
         # spec.
-        pk_tuple = F.concat_ws(
-            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]
-        )
+        # Expressions are assembled as SQL STRINGS, one F.expr per
+        # relational step (r12): the Column-by-Column form built ~50
+        # py4j-backed Column objects per table (~2–3 s of driver chatter
+        # per panel build, re-paid every bench repeat); a string is ONE
+        # round trip and parses JVM-side. chr(1)/chr(2) are the same
+        # \x01 separator and \x02 NULL sentinel as before.
+        pk_sql = ", ".join(f"coalesce(CAST({c} AS STRING), chr(2))" for c in pk)
         aggs = [
-            F.count(F.lit(1)).cast("long").alias("_rows"),
-            F.count_distinct(pk_tuple).cast("long").alias("_pk_distinct"),
+            "CAST(count(1) AS BIGINT) AS _rows",
+            f"CAST(count(DISTINCT concat_ws(chr(1), {pk_sql})) AS BIGINT)"
+            " AS _pk_distinct",
         ]
         for c in cols:
             aggs += [
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias(f"_null_{c}"),
-                F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
-                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS _null_{c}",
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS _nd_{c}",
+                f"CAST(min({c}) AS STRING) AS _min_{c}",
+                f"CAST(max({c}) AS STRING) AS _max_{c}",
             ]
-        row = t.agg(*aggs)
+        row = t.agg(*[F.expr(a) for a in aggs])
         metrics = [
-            ("_table_", "row_count", F.col("_rows").cast("string")),
-            (
-                "_table_",
-                "pk_duplicates",
-                (F.col("_rows") - F.col("_pk_distinct")).cast("string"),
-            ),
+            ("_table_", "row_count", "CAST(_rows AS STRING)"),
+            ("_table_", "pk_duplicates", "CAST(_rows - _pk_distinct AS STRING)"),
         ]
         for c in cols:
             metrics += [
-                (c, "null_count", F.col(f"_null_{c}").cast("string")),
-                (c, "n_distinct", F.col(f"_nd_{c}").cast("string")),
-                (c, "min", F.col(f"_min_{c}")),
-                (c, "max", F.col(f"_max_{c}")),
+                (c, "null_count", f"CAST(_null_{c} AS STRING)"),
+                (c, "n_distinct", f"CAST(_nd_{c} AS STRING)"),
+                (c, "min", f"_min_{c}"),
+                (c, "max", f"_max_{c}"),
             ]
+        structs = ", ".join(
+            f"named_struct('tbl', '{tbl}', 'col', '{col}', 'metric', '{metric}',"
+            f" 'value', {val})"
+            for col, metric, val in metrics
+        )
         frames.append(
-            row.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(tbl).alias("tbl"),
-                                F.lit(col).alias("col"),
-                                F.lit(metric).alias("metric"),
-                                val.alias("value"),
-                            )
-                            for col, metric, val in metrics
-                        ]
-                    )
-                ).alias("m")
-            ).select("m.tbl", "m.col", "m.metric", "m.value")
+            row.select(F.expr(f"explode(array({structs})) AS m")).select(
+                "m.tbl", "m.col", "m.metric", "m.value"
+            )
         )
     out = frames[0]
     for f in frames[1:]:
@@ -1203,69 +1196,52 @@ def dq_expectations_panel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fused HLL register aggregate (md5 per value) where the table
         # is big enough to pay for the exchange.
         t = fan_out_scan(table(s, sf_dir, tbl), *pk, per_part_bytes=1 << 20)
-        # pass 1: profile aggregates + the single exact pk distinct
-        pk_tuple = F.concat_ws(
-            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in pk]
-        )
+        # pass 1: profile aggregates + the single exact pk distinct.
+        # SQL-string expression assembly (one F.expr round trip per
+        # step instead of ~40 py4j Column builds per table) — same
+        # chr(1)/chr(2) separator/NULL-sentinel convention as the exact
+        # panel, values unchanged.
+        pk_sql = ", ".join(f"coalesce(CAST({c} AS STRING), chr(2))" for c in pk)
         aggs = [
-            F.count(F.lit(1)).cast("long").alias("_rows"),
-            F.count_distinct(pk_tuple).cast("long").alias("_pk_distinct"),
+            "CAST(count(1) AS BIGINT) AS _rows",
+            f"CAST(count(DISTINCT concat_ws(chr(1), {pk_sql})) AS BIGINT)"
+            " AS _pk_distinct",
         ]
         for c in cols:
             aggs += [
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias(f"_null_{c}"),
-                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS _null_{c}",
+                f"CAST(min({c}) AS STRING) AS _min_{c}",
+                f"CAST(max({c}) AS STRING) AS _max_{c}",
             ]
-        row = t.agg(*aggs)
+        row = t.agg(*[F.expr(a) for a in aggs])
         metrics = [
-            ("_table_", "row_count", F.col("_rows").cast("string")),
-            (
-                "_table_",
-                "pk_duplicates",
-                (F.col("_rows") - F.col("_pk_distinct")).cast("string"),
-            ),
+            ("_table_", "row_count", "CAST(_rows AS STRING)"),
+            ("_table_", "pk_duplicates", "CAST(_rows - _pk_distinct AS STRING)"),
         ]
         for c in cols:
             metrics += [
-                (c, "null_count", F.col(f"_null_{c}").cast("string")),
-                (c, "min", F.col(f"_min_{c}")),
-                (c, "max", F.col(f"_max_{c}")),
+                (c, "null_count", f"CAST(_null_{c} AS STRING)"),
+                (c, "min", f"_min_{c}"),
+                (c, "max", f"_max_{c}"),
             ]
-        profile = row.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(tbl).alias("tbl"),
-                            F.lit(col).alias("col"),
-                            F.lit(metric).alias("metric"),
-                            val.alias("value"),
-                        )
-                        for col, metric, val in metrics
-                    ]
-                )
-            ).alias("m")
-        ).select("m.tbl", "m.col", "m.metric", "m.value")
+        structs = ", ".join(
+            f"named_struct('tbl', '{tbl}', 'col', '{col}', 'metric', '{metric}',"
+            f" 'value', {val})"
+            for col, metric, val in metrics
+        )
+        profile = row.select(F.expr(f"explode(array({structs})) AS m")).select(
+            "m.tbl", "m.col", "m.metric", "m.value"
+        )
         frames.append(profile)
         # pass 2 feed: (tbl, col, val) kv rows for the FUSED HLL pass
+        kv_structs = ", ".join(
+            f"named_struct('tbl', '{tbl}', 'col', '{c}',"
+            f" 'val', CAST({c} AS STRING))"
+            for c in cols
+        )
         kv_frames.append(
-            t.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(tbl).alias("tbl"),
-                                F.lit(c).alias("col"),
-                                F.col(c).cast("string").alias("val"),
-                            )
-                            for c in cols
-                        ]
-                    )
-                ).alias("kv")
-            )
+            t.select(F.expr(f"explode(array({kv_structs})) AS kv"))
             .select("kv.tbl", "kv.col", "kv.val")
             .filter(F.col("val").isNotNull())
         )

@@ -364,3 +364,31 @@ def test_fan_out_scan_probe(spark):
     assert fan_out_scan(agged, "l_orderkey") is agged
     # bytes-proportional mode: a tiny file never justifies a full fan
     assert fan_out_scan(scan, "l_orderkey", per_part_bytes=1 << 30) is scan
+
+
+def test_table_relation_cache(spark):
+    """r12: table() serves one immutable relation object per
+    (session, sf_dir, table) — catalog semantics: plan + schema cached,
+    never rows — and distinct sf_dirs stay distinct."""
+    from python_multiproc_bigdata_spark.registry.common import (
+        _DF_CACHE,
+        _SCHEMA_CACHE,
+        table,
+    )
+    from tests.conftest import SF01_DIR, SF_DIR
+
+    a = table(spark, SF_DIR, "orders")
+    b = table(spark, SF_DIR, "orders")
+    assert a is b  # same resolved relation object
+    assert (SF_DIR, "orders") in _SCHEMA_CACHE
+    c = table(spark, SF01_DIR, "orders")
+    assert c is not a and a.schema == c.schema
+    # a fresh query through the cached relation still computes from
+    # parquet (counts differ across scale factors)
+    assert a.count() != c.count()
+    # events goes through the nanos-aware loader and is cached too
+    e1 = table(spark, SF_DIR, "events")
+    e2 = table(spark, SF_DIR, "events")
+    assert e1 is e2
+    assert dict(e1.dtypes)["ts"] == "timestamp"
+    assert (spark.sparkContext.applicationId, SF_DIR, "events") in _DF_CACHE
