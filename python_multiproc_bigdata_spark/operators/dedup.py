@@ -479,23 +479,37 @@ def prefix_filter_jaccard_pairs(
         if shingles is not None
         else word_shingles(df, id_col, text_col, n).persist()
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    # Per-doc shingle count rides the SAME partitionBy(id) exchange the
+    # prefix-rank window already needs (unsorted count frame + sorted
+    # rank frame, one shuffle), instead of a separate groupBy("id")
+    # aggregate joined back twice at pair scale (r12: 2 joins + 1
+    # aggregate pass removed; doc partitions are bounded by doc length,
+    # so no skew — unlike a window count over partitionBy("sh"), which a
+    # hot boilerplate shingle would funnel through one task).
+    wid = Window.partitionBy("id")
     w = Window.partitionBy("id").orderBy("f", "sh")
     ceil_t = (threshold_num * F.col("sz") + threshold_den - 1).cast("long") / threshold_den
     prefix_len = F.col("sz") - F.floor(ceil_t).cast("long") + 1
     prefix = (
         sh.join(freq, "sh")
+        .withColumn("sz", F.count(F.lit(1)).over(wid))
         .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "id")
         .filter(F.col("rk") <= prefix_len)
-        .select("id", "sh")
+        # pack sz into the posting id so the pair stage carries both
+        # docs' sizes without re-joining a sizes relation (ids are
+        # unique, so struct order == id order inside _posting_pairs)
+        .select(F.struct("id", "sz").alias("id"), "sh")
     )
     cand = (
         _posting_pairs(prefix, F.xxhash64("sh"))
         .distinct()
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_a.sz").alias("sa"),
+            F.col("id_b.id").alias("id_b"),
+            F.col("id_b.sz").alias("sb"),
+        )
         .filter(
             (threshold_den * F.col("sb") >= threshold_num * F.col("sa"))
             & (threshold_den * F.col("sa") >= threshold_num * F.col("sb"))

@@ -621,7 +621,10 @@ def curation_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) DIV 2")))
     res = out.select(label.alias("node"), F.round("rank", 8).alias("rank")).orderBy("node")
     # break the lineage into the persisted loop state before handing the
-    # frame out, then release the cache (operator contract)
+    # frame out, then release the cache (operator contract). r12 re-A/B:
+    # dropping this checkpoint measured 4.15 -> 4.95 s median (the lazy
+    # recompute fans into 14 AQE jobs the checkpointed form avoids) —
+    # kept.
     rows = res.localCheckpoint(eager=True)
     out.unpersist()
     return rows
