@@ -300,13 +300,15 @@ def lsh_candidate_pairs(
 
     `shingles` optionally supplies a prebuilt (id, sh) relation (caller
     persists it) so an eval composing several shingle consumers
-    tokenizes the corpus once — r12, guide §1.2."""
-    if shingles is not None:
-        sig = shingles.groupBy("id").agg(
-            F.collect_set("sh").alias("shs"), *minhash_exprs()
-        )
-    else:
-        sig = _signature_relation(df, id_col, text_col, n)
+    tokenizes the corpus once — r12, guide §1.2.
+
+    Raw candidates never verify, so the signature aggregation here is
+    the k algebraic mins ONLY — collecting the shingle sets alongside
+    (the verified path's relation) pushed every shingle through the
+    groupBy for a column no consumer read; the mins partial-aggregate
+    map-side (r12, guide §2.3 'aggregate before you shuffle')."""
+    sh = shingles if shingles is not None else word_shingles(df, id_col, text_col, n)
+    sig = sh.groupBy("id").agg(*minhash_exprs())
     cand = _banded_candidates(sig)
     return cand.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
