@@ -314,15 +314,32 @@ def run_one(spark, name: str, repeats: int = 3, heavy_repeats: int = 5) -> dict:
     the ~100 sub-second queries."""
     fn = REGISTRY[name].fn
     times = []
-    for _ in range(repeats):
+
+    def timed_run() -> float:
+        # r12 measurement fix: queries that persist() intermediates
+        # leave entries in the SQL CacheManager that are never released
+        # (unpersist can't be called on a lazily returned frame, and
+        # ContextCleaner does not collect CacheManager entries). Spark
+        # plan-matches caches, so a REPEAT rebuilding the identical
+        # subtree — or a LATER query sharing one — silently reads the
+        # previous run's materialized cache instead of the parquet
+        # inputs. Clearing the cache before every timed run guarantees
+        # each sample computes end-to-end from parquet (the
+        # no-cross-run-caching contract) and keeps the CacheManager from
+        # accreting across the 191-query session (plan-match lookups
+        # scan every registered entry; storage-memory eviction churn hit
+        # late-list queries). Old numbers kept: BENCH_FULL_r12_baseline
+        # predates this fix.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    for _ in range(repeats):
+        times.append(timed_run())
     if sorted(times)[len(times) // 2] > 2.0:
         for _ in range(heavy_repeats - repeats):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t0)
+            times.append(timed_run())
     times.sort()
     return {
         "median": round(times[len(times) // 2], 3),

