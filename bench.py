@@ -407,11 +407,17 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "queries": {},  # full per-query map: BENCH_FULL.json (in-repo)
+        # r13: the per-query medians are BACK in the one-line JSON — the
+        # r11 `"queries": {}` emission blinded the driver's per-query
+        # round-over-round and scaling comparisons (PERF_r12 n_common=0,
+        # geomean null). 2-decimal rounding + compact separators keep the
+        # line ~5.6 KB; full precision (3dp medians + mins + config
+        # notes) stays in BENCH_FULL.json.
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "queries_full_artifact": "BENCH_FULL.json",
     }
     sys.stdout.flush()
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

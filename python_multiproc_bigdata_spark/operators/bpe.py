@@ -288,12 +288,25 @@ def wordpiece_train_merges(
     the quantization IS the training rule, stated rather than hidden.
 
     Scale shape = BPE's: ONE corpus-scale word-count shuffle, then
-    per-round work on the vocabulary relation — a pair-count agg, a
-    symbol-count agg (WordPiece's extra denominator input, also
-    vocab-bounded), two broadcast joins, and a 1-row argmax collect.
-    Merge application reuses the JVM apply_merge fold with the '##'
-    prefix stripped from the right symbol. `wf` as in
-    bpe_train_merges."""
+    per-round work on the vocabulary relation — a pair-count agg scored
+    against DRIVER-MAINTAINED exact symbol counts and a 1-row argmax
+    collect. Merge application reuses the JVM apply_merge fold with the
+    '##' prefix stripped from the right symbol. `wf` as in
+    bpe_train_merges.
+
+    Symbol counts (r13): WordPiece's denominator input is
+    alphabet-bounded (distinct SYMBOLS = training characters + '##'
+    variants + one per merge — not words), so it is collected once and
+    then maintained EXACTLY on the driver: merging (a, b) with a != b
+    applies at every adjacent occurrence (overlap needs
+    syms[i+1] = a = b), so count'(a) = count(a) - c, count'(b) =
+    count(b) - c, count(merged) += c — the identical integers a per-round
+    re-aggregation (or the oracle's Counter replay) produces. An a == b
+    merge (overlap-capable, applied count not derivable from c) just
+    invalidates the cache and the next round re-collects. This removes
+    the per-round symbol-count aggregation AND both broadcast joins
+    (r12 ran the scounts subtree twice per round, once per broadcast
+    build): rounds 2+ are ONE Spark job each instead of three."""
     wf = wf if wf is not None else word_frequencies(df, text_col, lowercase)
     chars = F.split("word", "")
     syms = F.transform(
@@ -306,13 +319,15 @@ def wordpiece_train_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int, int]] = []
+    sc: dict[str, int] | None = None  # exact symbol counts (see docstring)
     for rank in range(1, n_merges + 1):
-        # NOTE (r12): fusing these two aggregations into one tagged
-        # explode + single groupBy (one vocab pass/round instead of two)
-        # was tried and measured DECISIVELY slower at sf0.1 (4.75 ->
-        # 7.9 s median interleaved A/B) — the widened explode projection
-        # triples the syms references in one stage on top of the
-        # accreting apply_merge fold. Kept as two subtrees.
+        # NOTE (r12): fusing the pair and symbol aggregations into one
+        # tagged explode + single groupBy (one vocab pass/round instead
+        # of two) was tried and measured DECISIVELY slower at sf0.1
+        # (4.75 -> 7.9 s median interleaved A/B) — the widened explode
+        # projection triples the syms references in one stage on top of
+        # the accreting apply_merge fold. The r13 driver-maintained
+        # counts remove the second pass without widening the first.
         pairs = (
             cur.filter(F.size("syms") >= 2)
             .select(
@@ -327,27 +342,47 @@ def wordpiece_train_merges(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("c"))
         )
-        scounts = (
-            cur.select("freq", F.explode("syms").alias("s"))
-            .groupBy("s")
-            .agg(F.sum("freq").alias("sc"))
-        )
-        scored = (
-            pairs.join(
-                F.broadcast(scounts.select(F.col("s").alias("a"), F.col("sc").alias("ca"))),
-                "a",
+        if sc is None:
+            sc = {
+                r["s"]: int(r["sc"])
+                for r in cur.select("freq", F.explode("syms").alias("s"))
+                .groupBy("s")
+                .agg(F.sum("freq").alias("sc"))
+                .collect()
+            }
+        if len(sc) <= 4096:
+            # constant-folded literal map: O(|alphabet|) lookup per pair
+            # row, zero extra jobs. Fine for any realistic alphabet.
+            smap = F.create_map(
+                *[
+                    lit
+                    for s, v in sorted(sc.items())
+                    for lit in (F.lit(s), F.lit(v).cast("long"))
+                ]
             )
-            .join(
-                F.broadcast(scounts.select(F.col("s").alias("b"), F.col("sc").alias("cb"))),
+            withcounts = pairs.withColumn(
+                "ca", F.element_at(smap, F.col("a"))
+            ).withColumn("cb", F.element_at(smap, F.col("b")))
+        else:
+            # mega-alphabet guard (full-Unicode corpora): hash-lookup via
+            # broadcast joins of a LOCAL relation (no re-aggregation —
+            # the counts are still the driver-maintained exact ones).
+            scd = cur.sparkSession.createDataFrame(
+                sorted(sc.items()), schema="s string, scnt long"
+            )
+            withcounts = pairs.join(
+                F.broadcast(scd.select(F.col("s").alias("a"), F.col("scnt").alias("ca"))),
+                "a",
+            ).join(
+                F.broadcast(scd.select(F.col("s").alias("b"), F.col("scnt").alias("cb"))),
                 "b",
             )
-            .withColumn(
-                "q",
-                F.expr(
-                    "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000) div "
-                    "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"
-                ),
-            )
+        scored = withcounts.withColumn(
+            "q",
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000) div "
+                "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"
+            ),
         )
         top = scored.orderBy(F.desc("q"), F.asc("a"), F.asc("b")).limit(1).collect()
         if not top:
@@ -355,8 +390,23 @@ def wordpiece_train_merges(
         a, b, c, qv = top[0]["a"], top[0]["b"], int(top[0]["c"]), int(top[0]["q"])
         merged = a + (b[2:] if b.startswith("##") else b)
         merges.append((rank, a, b, c, qv))
+        if a != b:
+            sc[a] -= c
+            sc[b] -= c
+            if sc[a] == 0:
+                del sc[a]
+            if sc[b] == 0:
+                del sc[b]
+            sc[merged] = sc.get(merged, 0) + c
+        else:
+            sc = None  # applied count != c possible under overlap
         if rank < n_merges:
             cur = cur.withColumn("syms", apply_merge("syms", a, b, merged))
+            # cadence 4 re-A/B'd r13 under the clean-cache harness:
+            # eager-every-round measured 6.2/10.6 s vs 4.5/5.6 s
+            # (merges/encode, 2 interleaved rounds) — the extra
+            # materialization jobs cost more than the shorter fold
+            # plans save. Kept at every 4th merge.
             if rank % 4 == 0:
                 cur = cur.localCheckpoint(eager=True)
     return merges

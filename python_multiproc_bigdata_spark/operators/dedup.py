@@ -533,6 +533,118 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def incremental_prefix_filter_pairs(
+    df: DataFrame,
+    incoming,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC prefix-filter near-dup pairs for snapshot-over-snapshot
+    ingest (r13, the dedup_incremental_novelty arm): EXACT Jaccard >= t
+    pairs (incoming doc, accepted doc) where `incoming` is a boolean
+    Column over `df` marking the incoming slice. Same prefix relation as
+    prefix_filter_jaccard_pairs — the frequency model and every prefix
+    are computed over the FULL union, so the no-miss guarantee is the
+    symmetric operator's verbatim — but candidate GENERATION emits only
+    incoming x accepted combinations from each posting list instead of
+    all C(n,2) pairs: the candidate space is incoming x all, not
+    all x all, which is the shape that survives a 100 TB accepted corpus
+    receiving a small snapshot. Output = the boundary-crossing subset of
+    prefix_filter_jaccard_pairs' output, with doc_a ALWAYS the incoming
+    side ((doc_a, doc_b, jaccard) rows, one per crossing pair).
+
+    The incoming flag rides the shingle stream packed inside the id
+    struct (1 byte/row), so the split costs no join and no second
+    evaluation of the prefix pipeline: one aggregation shuffle groups
+    the posting lists, and the inc x acc cross product is emitted
+    JVM-side per bucket (the _posting_pairs shape, restricted
+    emission)."""
+    from pyspark.sql import Window
+
+    # (id = struct{id, inc}, sh): the flag is constant per doc, so the
+    # per-doc windows partition exactly as the symmetric operator's.
+    keyed = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), incoming.alias("inc")
+        ).alias("_kid"),
+        F.col(text_col).alias("_ktext"),
+    )
+    sh = word_shingles(keyed, "_kid", "_ktext", n).persist()
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    wid = Window.partitionBy("id")
+    w = Window.partitionBy("id").orderBy("f", "sh")
+    ceil_t = (
+        threshold_num * F.col("sz") + threshold_den - 1
+    ).cast("long") / threshold_den
+    prefix_len = F.col("sz") - F.floor(ceil_t).cast("long") + 1
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("sz", F.count(F.lit(1)).over(wid))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        # doc id FIRST so struct order == id order in the sorted posting
+        # list; sz and the slice flag ride along (ids are unique, so the
+        # extra fields never tie-break).
+        .select(
+            F.struct(
+                F.col("id.id").alias("id"), "sz", F.col("id.inc").alias("inc")
+            ).alias("id"),
+            "sh",
+        )
+    )
+    # One aggregation shuffle: bucket the prefix postings by shingle and
+    # emit ONLY incoming x accepted combinations per bucket (never
+    # inc x inc or acc x acc — the crossing filter the symmetric form
+    # paid two source joins and a pair-scale filter for).
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ids = F.col("ids")
+    cross = F.flatten(
+        F.transform(
+            F.filter(ids, lambda x: x["inc"]),
+            lambda x: F.transform(
+                F.filter(ids, lambda y: ~y["inc"]),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        prefix.repartition(nparts, F.xxhash64("sh"))
+        .groupBy(F.xxhash64("sh").alias("_bk"))
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(cross).alias("p"))
+        .select(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_a.sz").alias("sa"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_b.sz").alias("sb"),
+        )
+        .distinct()
+        .filter(
+            (threshold_den * F.col("sb") >= threshold_num * F.col("sa"))
+            & (threshold_den * F.col("sa") >= threshold_num * F.col("sb"))
+        )
+    )
+    flat = sh.select(F.col("id.id").alias("id"), "sh")
+    inter = (
+        cand.join(flat.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(flat.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 4)
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold_num / threshold_den)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "id",

@@ -270,11 +270,18 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     return w, h, maxval, w * h, int(sums[0]), int(sums[1]), int(sums[2])
 
 
-def attach_ppm(df: DataFrame) -> DataFrame:
+def attach_ppm(df: DataFrame, wide: bool = True) -> DataFrame:
     """Synthesize the binary PPM payload column (doc_id → media) in Arrow
     batches — the fixture stage a real pipeline replaces with a blob
     scan. Kept separate from decode_ppm_features so the decoder only
-    ever sees opaque bytes."""
+    ever sees opaque bytes.
+
+    `wide=False` skips the fan-out exchange (r13): callers whose
+    downstream per-row work is MICROSECOND-scale (the plain decode/
+    resize stat rollups) measured the 32-way exchange + 32-task stage
+    costing 2-3x the decode itself at sf0.1 (guide §2.5 — a fan pays
+    only when the mapped stage is FLOP-dense). Hash-heavy consumers
+    (aHash/pHash banding) keep the default full width."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -288,7 +295,10 @@ def attach_ppm(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
+    src = df.select("doc_id")
+    if wide:
+        src = fan_out_scan(src, "doc_id")
+    return src.mapInPandas(batches, schema)
 
 
 WAV_SCHEMA = T.StructType(
@@ -401,9 +411,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     )
 
 
-def attach_wav(df: DataFrame) -> DataFrame:
+def attach_wav(df: DataFrame, wide: bool = True) -> DataFrame:
     """Synthesize the binary WAV payload column (doc_id → media) in Arrow
-    batches — the audio twin of attach_ppm."""
+    batches — the audio twin of attach_ppm. `wide` as in attach_ppm
+    (r13: the whole-file stat rollup skips the fan; the windowed
+    feature/landmark consumers keep full width)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -417,7 +429,10 @@ def attach_wav(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
+    src = df.select("doc_id")
+    if wide:
+        src = fan_out_scan(src, "doc_id")
+    return src.mapInPandas(batches, schema)
 
 
 def decode_wav_features(df: DataFrame) -> DataFrame:
@@ -1752,9 +1767,10 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     return w, h, n_strips, w * h, int(sums[0]), int(sums[1]), int(sums[2])
 
 
-def attach_tiff(df: DataFrame) -> DataFrame:
+def attach_tiff(df: DataFrame, wide: bool = True) -> DataFrame:
     """Synthesize the binary TIFF payload column (doc_id → media) in
-    Arrow batches — attach_ppm's sibling fixture stage."""
+    Arrow batches — attach_ppm's sibling fixture stage. `wide` as in
+    attach_ppm (r13)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1768,7 +1784,10 @@ def attach_tiff(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return fan_out_scan(df.select("doc_id"), "doc_id").mapInPandas(batches, schema)
+    src = df.select("doc_id")
+    if wide:
+        src = fan_out_scan(src, "doc_id")
+    return src.mapInPandas(batches, schema)
 
 
 def decode_tiff_features(df: DataFrame) -> DataFrame:

@@ -222,12 +222,18 @@ def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the exact arm is a fingerprint left-semi join (corpus side is
     a distinct hash set — at 100 TB this is the bloom/bucketed-join
-    shape); the near arm reuses the lossless prefix-filter pair
-    generation over the union and keeps only boundary-crossing pairs.
+    shape); the near arm (r13) uses ASYMMETRIC prefix-filter candidate
+    generation (operators/dedup.py:incremental_prefix_filter_pairs):
+    the frequency model and prefixes are still built over the full
+    union (the lossless guarantee is unchanged), but posting buckets
+    emit only incoming x accepted combinations — the candidate space is
+    incoming x all instead of the r12 form's all x all followed by a
+    boundary-crossing filter, and the two pair-scale source joins are
+    gone (the slice flag rides the shingle id struct).
     Verdict precedence exact > near > novel."""
     from python_multiproc_bigdata_spark.functions.text import doc_fingerprint
     from python_multiproc_bigdata_spark.operators.dedup import (
-        prefix_filter_jaccard_pairs,
+        incremental_prefix_filter_pairs,
     )
 
     d = table(prep(spark), sf_dir, "documents")
@@ -243,26 +249,13 @@ def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_exact", F.lit(1))
     )
-    pairs = prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
-    src = d.select("doc_id", "source")
+    pairs = incremental_prefix_filter_pairs(
+        d, F.col("source") == "src0", threshold_num=4, threshold_den=5
+    )
+    # doc_a is the incoming side by construction — no source joins, no
+    # crossing filter.
     crossing = (
-        pairs.join(
-            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
-            "doc_a",
-        )
-        .join(
-            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
-            "doc_b",
-        )
-        .filter(
-            ((F.col("_sa") == "src0") & (F.col("_sb") != "src0"))
-            | ((F.col("_sb") == "src0") & (F.col("_sa") != "src0"))
-        )
-        .select(
-            F.when(F.col("_sa") == "src0", F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("doc_id")
-        )
+        pairs.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("_near", F.lit(1))
     )

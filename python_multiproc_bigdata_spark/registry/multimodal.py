@@ -103,7 +103,9 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel indices — in pure SQL, so the decoder's output is value-checked
     end-to-end. Integer channel SUMS, not float means: bit-exact parity."""
     d = table(prep(spark), sf_dir, "documents")
-    return decode_ppm_features(attach_ppm(d))
+    # r13: microsecond-per-row rollup — skip the fan-out exchange
+    # (guide §2.5; the r12 unconditional fan cost 2-3x the decode here).
+    return decode_ppm_features(attach_ppm(d, wide=False))
 
 
 # Replays synth_ppm's arithmetic: w = 4 + doc_id%5, h = 3 + doc_id%4,
@@ -142,7 +144,8 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample indices — in pure SQL. Integer sums/peaks, not float RMS:
     bit-exact parity."""
     d = table(prep(spark), sf_dir, "documents")
-    return decode_wav_features(attach_wav(d))
+    # r13: wide=False as in multimodal_decode_ppm.
+    return decode_wav_features(attach_wav(d, wide=False))
 
 
 # Replays synth_wav's arithmetic: n_channels = 1 + doc_id%2, n_frames =
@@ -226,7 +229,8 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     NN mapping sx=(tx·w)//8, and the channel sums — so the resample
     itself is value-checked, not just the plumbing."""
     d = table(prep(spark), sf_dir, "documents")
-    return resize_ppm_features(attach_ppm(d))
+    # r13: wide=False as in multimodal_decode_ppm.
+    return resize_ppm_features(attach_ppm(d, wide=False))
 
 
 SQL_RESIZE_PPM = f"""
@@ -759,7 +763,8 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     IFD walk, offset resolution, and strip assembly are value-checked
     end-to-end."""
     d = table(prep(spark), sf_dir, "documents")
-    return decode_tiff_features(attach_tiff(d))
+    # r13: wide=False as in multimodal_decode_ppm.
+    return decode_tiff_features(attach_tiff(d, wide=False))
 
 
 # Replays synth_tiff's arithmetic: w = 3 + doc_id%5, h = 2 + doc_id%4,

@@ -288,26 +288,28 @@ def recsys_eval_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eligible groupBy and the holdout filter each replayed the full
     # lineitem⋈orders⋈window lineage (3x), ~22 exchanges per run. With
     # marked checkpointed once, train/holdout are trivial filters over
-    # materialized rows; eligible (3 consumers of its own) is
-    # sample-bounded, one tiny checkpoint job.
-    marked = firsts.withColumn("_r", F.row_number().over(wl)).localCheckpoint(
-        eager=True
-    )
-    train = marked.filter(F.col("_r") >= 2).select("custkey", "brand")
-    eligible = (
-        marked.groupBy("custkey")
-        .agg(F.count(F.lit(1)).alias("n_brands"))
-        .filter(
-            (F.col("n_brands") >= 2)
-            & (F.md5(F.col("custkey").cast("string")) < "4")
+    # materialized rows.
+    # r13 (guide §2.4): the per-customer brand count rides the SAME
+    # partitionBy(custkey) exchange as the rank (unsorted count frame
+    # beside the sorted rank frame — one shuffle), so `eligible` is a
+    # filter over marked instead of a groupBy + second checkpoint, and
+    # `holdout` needs no eligible join at all (n_brands >= 2 and the
+    # md5 quarter-sample are row-local predicates on the _r = 1 row).
+    marked = (
+        firsts.withColumn("_r", F.row_number().over(wl))
+        .withColumn(
+            "_nb", F.count(F.lit(1)).over(Window.partitionBy("custkey"))
         )
-        .select("custkey")
+        .withColumn(
+            "_el",
+            (F.col("_nb") >= 2) & (F.md5(F.col("custkey").cast("string")) < "4"),
+        )
         .localCheckpoint(eager=True)
     )
-    holdout = (
-        marked.filter(F.col("_r") == 1)
-        .join(eligible, "custkey")
-        .select("custkey", F.col("brand").alias("held"))
+    train = marked.filter(F.col("_r") >= 2).select("custkey", "brand")
+    eligible = marked.filter((F.col("_r") == 1) & F.col("_el")).select("custkey")
+    holdout = marked.filter((F.col("_r") == 1) & F.col("_el")).select(
+        "custkey", F.col("brand").alias("held")
     )
     sims = _sims_from_interactions(train)
     sampled = train.join(eligible, "custkey")

@@ -545,6 +545,56 @@ def test_incremental_novelty_exact_arm(spark, tmp_path):
     assert got[12] == "novel"
 
 
+def test_incremental_prefix_filter_matches_crossing_subset(spark):
+    """r13: the asymmetric candidate generator must return EXACTLY the
+    boundary-crossing subset of the symmetric prefix-filter pairs (same
+    full-union frequency model, same threshold), with doc_a always the
+    incoming side — including incoming docs near-duplicating EACH OTHER
+    (must NOT pair) and accepted-accepted near-dups (must not pair)."""
+    from pyspark.sql import functions as F
+
+    from python_multiproc_bigdata_spark.operators.dedup import (
+        incremental_prefix_filter_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb"
+    rows = [
+        # accepted corpus: 1-2 near-dup each other, 3 unrelated
+        (1, base, "srcA"),
+        (2, base.replace("wb", "XX"), "srcA"),
+        (3, "zz yy xx ww vv uu tt ss rr qq pp oo", "srcB"),
+        # incoming: 10 near-dups accepted 1/2; 11+12 near-dup EACH
+        # OTHER only; 13 novel
+        (10, base.replace("w0", "Y0"), "src0"),
+        (11, "k0 k1 k2 k3 k4 k5 k6 k7 k8 k9 ka kb", "src0"),
+        (12, "k0 k1 k2 k3 k4 k5 k6 k7 k8 k9 ka KX", "src0"),
+        (13, "n0 n1 n2 n3 n4 n5 n6 n7 n8 n9", "src0"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sym = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(df, 4, 5).collect()
+    }
+    # crossing subset, re-oriented so the src0 side leads
+    src = {r.doc_id: r.source for r in df.select("doc_id", "source").collect()}
+    want = {
+        ((a, b, j) if src[a] == "src0" else (b, a, j))
+        for a, b, j in sym
+        if (src[a] == "src0") != (src[b] == "src0")
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_prefix_filter_pairs(
+            df, F.col("source") == "src0", 4, 5
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture exercises the crossing arm
+    assert (11, 12) not in {(a, b) for a, b, _ in got}  # inc x inc excluded
+    assert all(src[a] == "src0" and src[b] != "src0" for a, b, _ in got)
+
+
 def test_ppm_decode_real_parser(spark):
     """The REAL decode path (r5): decode_ppm must parse bytes it did not
     synthesize — a hand-written P6 with multi-digit dims, a comment, and

@@ -767,11 +767,19 @@ def test_prefix_filter_carries_sizes_without_joins(spark):
 
     d = table(spark, SF_DIR, "documents")
     plan = optimized_of(prefix_filter_jaccard_pairs(d, 4, 5))
-    # the removed shape aggregated count(1) per id into a 'sz' column
-    # and joined it back on id_a/id_b; with sz carried in the struct no
-    # Aggregate groups by a bare id column anymore except the final
-    # intersection count
     assert plan.count("row_number") == 1, plan
+    # r13 (ADVICE): pin the ACTUAL shape change, not just the window
+    # count — the pre-r12 form also had exactly one row_number. The
+    # per-doc size must ride the rank window's exchange as a count
+    # frame (count(1) windowspecdefinition over the same id partition)…
+    assert "count(1) windowspecdefinition" in plan, plan
+    # …and the removed shape — a count(1) Aggregate grouped by the BARE
+    # id column, re-joined at pair scale on id_a/id_b — must not exist.
+    # Surviving single-key aggregates group by sh (frequency model) or
+    # the pair key (intersection count), never a lone id.
+    import re
+
+    assert not re.search(r"Aggregate \[id#\d+", plan), plan
 
 
 def test_lsh_raw_candidates_no_shingle_collect(spark):

@@ -287,6 +287,65 @@ def test_wordpiece_merges_likelihood_beats_raw_count(spark):
     assert merges[1][4] == (20 * 10**12) // (35 * 20)
 
 
+def test_wordpiece_merges_selfpair_and_incremental_counts(spark):
+    """r13: symbol counts are maintained EXACTLY on the driver between
+    rounds (count'(a)=count(a)-c etc. for a != b merges) with an a == b
+    merge invalidating the cache. This corpus forces BOTH paths: round 1
+    picks the self-pair ('##o','##o') (q = 2e12//9 beats (o,'##x')'s
+    10e12//110), round 2 must re-collect true counts ('oooo' greedily
+    merges to [o,##oo,##o], NOT two '##oo'), rounds 2-3 then run on
+    incrementally updated counts. Cross-checked against an independent
+    Counter replay of the training rule."""
+    import re
+    from collections import Counter
+
+    from python_multiproc_bigdata_spark.operators.bpe import (
+        wordpiece_train_merges,
+    )
+
+    docs = [("oooo " + "ox " * 10).strip()]
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    got = wordpiece_train_merges(df, "text", n_merges=3)
+    assert (got[0][1], got[0][2]) == ("##o", "##o"), got  # the a == b round
+
+    # independent single-node replay (the oracle's algorithm, no shared
+    # code with the operator's incremental bookkeeping)
+    wf: Counter = Counter()
+    for t in docs:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                wf[w] += 1
+    syms = {w: tuple([w[0]] + ["##" + ch for ch in w[1:]]) for w in wf}
+    want = []
+    for rank in range(1, 4):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, f in wf.items():
+            sq = syms[w]
+            for s in sq:
+                sc[s] += f
+            for i in range(len(sq) - 1):
+                pc[(sq[i], sq[i + 1])] += f
+        best = min(
+            (-((c * 10**12) // (sc[a] * sc[b])), a, b, c)
+            for (a, b), c in pc.items()
+        )
+        qv, a, b, c = -best[0], best[1], best[2], best[3]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        want.append((rank, a, b, c, qv))
+        for w, sq in syms.items():
+            out, i = [], 0
+            while i < len(sq):
+                if i + 1 < len(sq) and sq[i] == a and sq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            syms[w] = tuple(out)
+    assert got == want, (got, want)
+
+
 def test_wordpiece_encode_greedy_longest_match(spark):
     """The maximal-munch fold: a longer vocab piece must beat shorter
     prefixes ('hel' over 'he'), continuation pieces carry '##', and an
