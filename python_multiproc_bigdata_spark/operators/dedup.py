@@ -464,8 +464,22 @@ def prefix_filter_jaccard_pairs(
 
     Plan: shingle scan -> frequency groupBy -> per-doc rank window ->
     posting pairs on the (small) prefix relation -> integer size filter
-    -> exact intersection verify restricted to candidates. The verify
-    join touches candidates x shingles, not pairs x shingles."""
+    -> exact intersection verify restricted to candidates.
+
+    Verify strategy (r13, guide §2.3): two shapes compute the SAME
+    intersection count. At high thresholds the candidate set is sparse
+    and the classic expansion — candidates x shingles through two
+    joins + a groupBy count — is cheapest. At LOW thresholds the
+    prefix is most of every doc and candidates are dense (t=0.5 at
+    sf0.1: 310 k pairs, x52 avg shingles = ~16 M expanded rows through
+    two shuffles and a wide groupBy); attaching each doc's shingle
+    ARRAY at candidate scale (one collect_list that reuses the shingle
+    stream's per-id partitioning) and counting via array_intersect
+    ships similar bytes in 50x fewer rows and no pair-scale aggregate.
+    Interleaved A/B: t=0.5 tower 11.0 vs 14.7 s median (5.2 vs 6.9 min)
+    for arrays; t=0.8 tower prefers joins (2.6 vs 3.1 s). The switch is
+    threshold < 2/3 — the candidate-density regime, not a tuned local
+    constant."""
     from pyspark.sql import Window
 
     # the shingle relation feeds FIVE distinct subtrees (sizes, the
@@ -517,12 +531,27 @@ def prefix_filter_jaccard_pairs(
             & (threshold_den * F.col("sa") >= threshold_num * F.col("sb"))
         )
     )
-    inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b", "sa", "sb")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    if 3 * threshold_num < 2 * threshold_den:  # t < 2/3: dense candidates
+        arrs = sh.groupBy("id").agg(F.collect_list("sh").alias("shs"))
+        inter = (
+            cand.join(
+                arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("_a")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("_b")),
+                "id_b",
+            )
+            .withColumn("i", F.size(F.array_intersect("_a", "_b")))
+            .drop("_a", "_b")
+        )
+    else:
+        inter = (
+            cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b", "sa", "sb")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     jac = F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 4)
     return (
         inter.withColumn("jaccard", jac)

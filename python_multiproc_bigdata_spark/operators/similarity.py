@@ -919,10 +919,14 @@ def topk_ivf_partitioned(
     Exact cosine verification + rounded-score ranking within the probed
     lists, identical to topk_ivf_kmeans search semantics."""
     spark = queries.sparkSession
-    probed = _probe_lists(queries, centroids, nprobe, label="cid")
-    # the probe ranking is O(|queries| × n_lists) — cheap enough to run
-    # twice: once (collected) to learn the probed-partition set, once
-    # inside the main plan. The collect moves ≤ n_lists ints.
+    # r13: persist the probe ranking — it feeds TWO actions (the
+    # partition-set collect below and the main serving plan), and each
+    # execution pays the queries-x-centroids rank job plus re-codegen
+    # of the centroid literal table. The relation is |queries| x nprobe
+    # rows (query-batch-bounded at any scale). Interleaved A/B on
+    # sim_mmr_from_ivf: med 6.14 s vs 7.63, min 5.21 vs 5.90.
+    probed = _probe_lists(queries, centroids, nprobe, label="cid").persist()
+    # the collect moves ≤ n_lists ints to the driver.
     cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
     c = (
         spark.read.parquet(index_path)
@@ -1750,11 +1754,26 @@ def topk_ivf_graph_refined(
     spark = corpus.sparkSession
     cvec, cnormed = _corpus_with_unit(corpus)
     assign_df = _assign_clusters(cnormed, _centroid_table(spark, cents))
-    indexed = cvec.join(assign_df, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        "c_norm",
-        F.col("cid").alias("probe_label"),
+    # BOTH IVF passes (r1 eager, r2 in the final plan) consume the
+    # assigned corpus; without a persist the full corpus is re-scanned
+    # and re-assigned per pass (separate jobs — ReuseExchange cannot
+    # span them). r12 rejected this persist, but that A/B predates the
+    # clean-cache bench fix (the un-persisted r2 pass was being served
+    # by stale CacheManager entries, hiding the recompute): re-measured
+    # r13 under clearCache-per-sample it wins decisively — med 4.12 s
+    # vs 6.35 s, min 3.56 vs 5.34. At scale this is the IVF index
+    # materialization itself (the serving tier writes exactly this
+    # relation to disk — _serving_ivf_index); MEMORY_AND_DISK persist
+    # spills rather than OOMs.
+    indexed = (
+        cvec.join(assign_df, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "c_norm",
+            F.col("cid").alias("probe_label"),
+        )
+        .persist()
     )
 
     def ivf_pass(qdf: DataFrame) -> DataFrame:

@@ -209,18 +209,26 @@ def training_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     redesign bounds): the r4 form's anchors×corpus hash work grew
     linearly in corpus size, the pool form's does not."""
     d = table(prep(spark), sf_dir, "documents")
-    pairs = prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
+    # pos is referenced FOUR times below (anchors, the anti-join
+    # relation, and the final union) and its subtree is the whole
+    # prefix-filter pipeline — materialize the pair-count-sized relation
+    # once instead of re-running candidate generation per reference
+    # (measured 8.6 s -> ~3 s at sf0.1).
+    # r13: checkpoint PAIRS, not pos — pos is a union of two selects of
+    # pairs, so eagerly checkpointing pos ran the whole prefix-filter
+    # pipeline TWICE (once per union arm) and materialized 2x the rows.
+    # Interleaved A/B at sf0.1: checkpoint-pairs 4.09 s med vs
+    # checkpoint-pos 6.34 s vs lazy-persist-pos 6.48 s end-to-end.
+    pairs = (
+        prefix_filter_jaccard_pairs(d, threshold_num=4, threshold_den=5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     pos = pairs.select(
         F.col("doc_a").alias("anchor"), F.col("doc_b").alias("other")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("anchor"), F.col("doc_a").alias("other"))
     )
-    # pos is referenced FOUR times below (anchors, the anti-join
-    # relation, and the final union) and its subtree is the whole
-    # prefix-filter pipeline — materialize the pair-count-sized relation
-    # once instead of re-running candidate generation per reference
-    # (measured 8.6 s -> ~3 s at sf0.1)
-    pos = pos.localCheckpoint(eager=True)
     anchors = pos.select("anchor").distinct()
     dup_rel = pos.withColumnRenamed("other", "doc_id")  # (anchor, near-dup doc)
     # negative pool: the 64 md5(doc_id)-smallest docs — a deterministic
