@@ -41,6 +41,13 @@ QUERIES = [
     "sim_mmr_from_ivf",
     "dedup_cluster_size_report",
     "training_contrastive_pairs",
+    # r13 additions: the current heaviest not already covered
+    "text_wordpiece_encode",
+    "dedup_winnow_pairs",
+    "graph_bfs_levels",
+    "eval_binary_recall",
+    "text_bpe_merges",
+    "dedup_incremental_novelty",
 ]
 
 MARK_BEGIN = "<!-- sf1-sweep-begin -->"
@@ -50,6 +57,9 @@ MARK_END = "<!-- sf1-sweep-end -->"
 def median3(fn, spark, sf) -> float:
     times = []
     for _ in range(3):
+        # r13: mirror bench.py's clean-cache fix — persisted subtrees
+        # from a previous repeat must not serve this one.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
@@ -75,7 +85,7 @@ def main() -> None:
     lines = [
         MARK_BEGIN,
         "",
-        "## sf1 sweep — the measured third decade (r10)",
+        "## sf1 sweep — the measured third decade (r10, re-run r13)",
         "",
         "tools/bench_sf1.py on the 15 most expensive bench queries:",
         "sf1 = 10x sf0.1 (tools/make_sf1.py — key-shifted,",
